@@ -1,0 +1,74 @@
+"""Registered query library backing ``__spark_entry__``.
+
+Each query is a ``QuerySpec``: a Spark DataFrame builder
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) the
+equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing values.
+
+Float determinism: Spark and DuckDB sum doubles in different orders, so
+double sums are not bit-reproducible. Aggregates that must hash-match
+cast each (bit-identical) per-row double into a wide decimal, sum
+exactly (decimal addition is associative), and cast the final value
+back to double — see ``dec_sum`` in ``plans.helpers``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import every plan module so its @register calls run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import relational  # noqa: F401
+    from . import cdw  # noqa: F401
+    from . import events  # noqa: F401
+    from . import text  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import dedup  # noqa: F401
+
+    _LOADED = True
