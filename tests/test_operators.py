@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_challenge_spark.operators.dedup import exact_dedup, keep_first_dedup
+from data_engineer_challenge_spark.operators.ids import dense_ids, extend_ids, scalable_ids
+from data_engineer_challenge_spark.operators.joins import anti_join, lookup_join, semi_join
+
+
+def test_keep_first_dedup_is_deterministic(spark):
+    # same composite key, different payload — first by order col must win
+    df = spark.createDataFrame(
+        [("a", 1, "keep"), ("a", 2, "drop"), ("b", 3, "only"), ("a", 4, "drop2")],
+        "k string, ord int, payload string",
+    ).repartition(4)
+    out = keep_first_dedup(df, ["k"], ["ord"]).orderBy("k").collect()
+    assert [(r["k"], r["payload"]) for r in out] == [("a", "keep"), ("b", "only")]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "a int, b string")
+    assert exact_dedup(df).count() == 2
+
+
+def test_dense_and_extended_ids(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "k string")
+    out = {r["k"]: r["id"] for r in dense_ids(df, "id", ["k"]).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+    more = spark.createDataFrame([("e",), ("d",)], "k string")
+    out2 = {r["k"]: r["id"] for r in extend_ids(more, "id", 3, ["k"]).collect()}
+    assert out2 == {"d": 4, "e": 5}
+
+
+def test_scalable_ids_dense_and_unique(spark):
+    df = spark.range(0, 10_000).repartition(7)
+    ids = [r["id2"] for r in scalable_ids(df, "id2").collect()]
+    assert sorted(ids) == list(range(1, 10_001))
+
+
+def test_joins(spark):
+    facts = spark.createDataFrame([(1, "d1"), (2, "d2"), (9, "dx")], "k int, v string")
+    dim = spark.createDataFrame([(1, "p1"), (2, "p2"), (2, "p2bis")], "k int, p string")
+    looked = lookup_join(facts, dim, "k").orderBy("k")
+    rows = looked.collect()
+    assert len(rows) == 2  # dedup_dim keeps one row per key; k=9 dropped
+    assert anti_join(facts, dim, "k").collect()[0]["k"] == 9
+    assert {r["k"] for r in semi_join(facts, dim, "k").collect()} == {1, 2}
