@@ -16,12 +16,20 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,10)"
 DEC_SQL = "DECIMAL(30,10)"
+# Final results are rounded to scale 4 BEFORE the double cast: a
+# decimal(38,10) whose scaled integer exceeds 2^53 converts to double
+# with engine-dependent rounding (DuckDB's int128/10^scale division is
+# not correctly rounded), while at scale 4 the scaled integer stays
+# exact up to ~9e11 and both engines produce the identical double.
+OUT = "decimal(38,4)"
+OUT_SQL = "DECIMAL(38,4)"
 
 
 def dec_sum(col: Column | str) -> Column:
-    """Order-independent sum of a double column, returned as double."""
+    """Order-independent sum of a double column, returned as double
+    (rounded to 4 decimal places — the declared result semantic)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(c.cast(DEC)).cast(OUT).cast("double")
 
 
 def dec_avg(col: Column | str) -> Column:
@@ -31,19 +39,60 @@ def dec_avg(col: Column | str) -> Column:
     precision rules differ between Spark and DuckDB, double does not).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return F.sum(c.cast(DEC)).cast(OUT).cast("double") / F.count(c)
 
 
 def dec_sum_sql(expr: str) -> str:
-    """DuckDB equivalent of :func:`dec_sum` over SQL expression ``expr``."""
-    return f"CAST(SUM(CAST(({expr}) AS {DEC_SQL})) AS DOUBLE)"
+    """DuckDB equivalent of :func:`dec_sum` over SQL expression ``expr``.
+
+    ``ROUND`` not ``CAST``: DuckDB's decimal downscale cast truncates,
+    while ``ROUND(decimal, n)`` rounds half away from zero — matching
+    Spark's HALF_UP cast.
+    """
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS {DEC_SQL})), 4) AS DOUBLE)"
 
 
 def dec_avg_sql(expr: str) -> str:
     """DuckDB equivalent of :func:`dec_avg`."""
-    return f"CAST(SUM(CAST(({expr}) AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(ROUND(SUM(CAST(({expr}) AS {DEC_SQL})), 4) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
 
 
 def bigint_sum_sql(expr: str) -> str:
     """DuckDB SUM over integers returns HUGEINT; Spark returns BIGINT."""
     return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Money arithmetic. A *product of doubles* carries ~15 significant
+# digits, and Spark (shortest-string repr) vs DuckDB (exact binary
+# expansion) round such doubles to decimal differently in the last
+# digit. The testdata money/rate columns carry <= 2 decimal digits, so
+# casting each FACTOR to a narrow decimal first recovers the exact
+# value on both engines, and the multiplication itself is then exact
+# decimal arithmetic — cross-engine deterministic at any scale.
+# ---------------------------------------------------------------------------
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+
+def money(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def revenue_expr() -> Column:
+    """lineitem revenue: price * (1 - discount), exact decimal."""
+    return money("l_extendedprice") * (1 - F.col("l_discount")).cast(RATE)
+
+
+def charge_expr() -> Column:
+    """lineitem charge: price * (1 - discount) * (1 + tax), exact decimal."""
+    return revenue_expr() * (1 + F.col("l_tax")).cast(RATE)
+
+
+REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + l_tax AS DECIMAL(4,2))"

@@ -13,9 +13,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.dedup import keep_first_dedup
+from ..operators.ids import dense_ids
+from ..operators.joins import anti_join, semi_join
 from ..tables import load_table
 from . import register
-from .helpers import bigint_sum_sql, dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
+from .helpers import (
+    CHARGE_SQL,
+    REVENUE_SQL,
+    bigint_sum_sql,
+    charge_expr,
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+    revenue_expr,
+)
 
 # ---------------------------------------------------------------------------
 # Flagship: revenue by nation inside one region over a date window.
@@ -31,7 +44,7 @@ from .helpers import bigint_sum_sql, dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
     "flagship_regional_revenue",
     oracle=f"""
     SELECT n_name,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {dec_sum_sql(REVENUE_SQL)} AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -68,8 +81,264 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, customer.c_nationkey == dims.n_nationkey)
         .groupBy("n_name")
         .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dec_sum(revenue_expr()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical wide aggregation.
+# Map-side partial aggregation shrinks 100 TB of lineitem to a handful
+# of groups before the shuffle; every agg is order-independent (decimal
+# sums) so results are reproducible across any partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_sql('l_quantity')} AS sum_qty,
+           {dec_sum_sql('l_extendedprice')} AS sum_base_price,
+           {dec_sum_sql(REVENUE_SQL)} AS sum_disc_price,
+           {dec_sum_sql(CHARGE_SQL)} AS sum_charge,
+           {dec_avg_sql('l_quantity')} AS avg_qty,
+           {dec_avg_sql('l_extendedprice')} AS avg_price,
+           {dec_avg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide groupBy-agg (engine surface for SURVEY §2.6)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(revenue_expr()).alias("sum_disc_price"),
+            dec_sum(charge_expr()).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window; the rank filter runs during
+    the window scan (WindowGroupLimit pushdown), so only K rows per key
+    survive the sort — no full materialization at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "dedup_orders_keep_first_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_orders_keep_first_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup (SURVEY §2.3 J1): each customer's earliest
+    order, deterministic under shuffle via explicit order columns."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return keep_first_dedup(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SURVEY §2.3 J3 — the reference's `~isin` insert
+    set, exo_1.py:199-204)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(customer, orders, "c_custkey")
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(customer, open_orders, "c_custkey")
+
+
+@register(
+    "order_status_flags",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN '1' ELSE '0' END AS fulfilled_code,
+           CASE WHEN o_totalprice > 200000 THEN 'BIG'
+                WHEN o_totalprice > 100000 THEN 'MEDIUM'
+                ELSE 'SMALL' END AS size_class,
+           CASE WHEN o_orderpriority IS NOT NULL
+                     AND length(o_orderpriority) > 0 THEN 1 ELSE 0 END AS has_priority
+    FROM orders
+    """,
+)
+def order_status_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional derivations (SURVEY §2.2 P3/P7/P13 pattern) — pure
+    codegen'd CASE WHEN, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "1").otherwise("0").alias("fulfilled_code"),
+        F.when(F.col("o_totalprice") > 200000, "BIG")
+        .when(F.col("o_totalprice") > 100000, "MEDIUM")
+        .otherwise("SMALL")
+        .alias("size_class"),
+        F.when(
+            F.col("o_orderpriority").isNotNull() & (F.length("o_orderpriority") > 0), 1
+        )
+        .otherwise(0)
+        .alias("has_priority"),
+    )
+
+
+@register(
+    "nation_dense_ids",
+    oracle="""
+    SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS nation_id
+    FROM nation
+    """,
+)
+def nation_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense sequential IDs over an explicit order (SURVEY §2.2 P8) —
+    dimension-sized input, so the single-partition window is fine; big
+    tables use operators.ids.scalable_ids instead."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    out = dense_ids(nation, "nation_id", ["n_name"])
+    return out.withColumn("nation_id", F.col("nation_id").cast("long"))
+
+
+@register(
+    "nations_served_union",
+    oracle="""
+    SELECT n_name, relation FROM (
+        SELECT DISTINCT n_name, 'customer' AS relation
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT DISTINCT n_name, 'supplier' AS relation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    """,
+)
+def nations_served_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6 surface): distinct + union."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust_nations = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name")
+        .distinct()
+        .withColumn("relation", F.lit("customer"))
+    )
+    supp_nations = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name")
+        .distinct()
+        .withColumn("relation", F.lit("supplier"))
+    )
+    return cust_nations.unionByName(supp_nations)
+
+
+@register(
+    "revenue_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_sql(REVENUE_SQL)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum(revenue_expr()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "supplier_distinct_parts",
+    oracle=f"""
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {bigint_sum_sql('l_linenumber')} AS sum_linenumbers
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (expands to grouping-set plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum("l_linenumber").alias("sum_linenumbers"),
     )
