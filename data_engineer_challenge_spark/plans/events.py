@@ -1,1 +1,210 @@
-"""Placeholder — populated in a later phase."""
+"""Time-series / event-stream query library (SURVEY.md §2.7 T6).
+
+The reference's only temporal machinery is a 30 s polling loop; the
+driver's ``events`` table exercises the real streaming surface. These
+are the *batch-equivalent* plans (windowed aggregation, sessionization,
+gap analysis, JSON props) — the Structured-Streaming versions of the
+same aggregations live in ``streaming/`` and are tested there, since
+DuckDB can't oracle a streaming query.
+
+Scale notes: every query here groups or windows by (user_id) or a
+time bucket — natural partition keys with bounded cardinality; windows
+partition by user so no global-sort bottleneck; JSON parsing is
+JVM-side ``get_json_object`` (codegen), not Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+from . import register
+from .helpers import dec_sum, dec_sum_sql
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dec_sum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the §2.7 T6 demo)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "events_sliding_daily_avg",
+    oracle=f"""
+    SELECT day, event_type, n_events,
+           CAST(ROUND(SUM(CAST(day_value AS DECIMAL(30,10)))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS value_7d
+    FROM (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events,
+               {dec_sum_sql('value')} AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    """,
+)
+def events_sliding_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day window over a pre-aggregated daily rollup — the
+    two-level pattern that keeps the window input small at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("day_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.sum(F.col("day_value").cast("decimal(30,10)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("value_7d"),
+    )
+
+
+@register(
+    "events_user_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+    FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per user (window surface, SURVEY §2.6)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_seconds"),
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                             OR date_diff('second',
+                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative-sum session
+    IDs — the standard batch form; the streaming form uses
+    ``session_window`` (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to one column per event type. Conditional aggregation
+    rather than ``.pivot()``: same plan shape, but zeros instead of
+    nulls for absent combinations and no second pass to discover pivot
+    values (which at 100 TB would be an extra full scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+           CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'high' ELSE 'low' END
+               AS k_band
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props column — JVM-side get_json_object
+    (no Python), filter stays in codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .withColumn("k_band", F.when(F.col("k") >= 50, "high").otherwise("low"))
+    )

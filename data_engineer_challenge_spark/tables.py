@@ -10,15 +10,32 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import TESTDATA, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
+# rejects; read it as raw nanos (legacy.parquet.nanosAsLong) and divide
+# down to micros with exact integer division (truncation — matching how
+# DuckDB narrows ns to its µs timestamps).
+_EVENTS_RAW = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in TESTDATA["events"].fields
+    ]
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
