@@ -1,0 +1,180 @@
+"""Vector similarity operators (SURVEY.md §2.10).
+
+Cosine math is pure column expressions over ``ArrayType(FloatType)`` —
+``zip_with``/``aggregate`` fold JVM-side in array order, so results are
+deterministic and bit-reproducible (each float32 widens exactly to
+float64). Brute-force top-k is the correctness baseline; the bucketed
+variants (IVF via coarse centroids, random-hyperplane LSH) are the
+100 TB path: candidate generation touches only matching buckets, so the
+cross product never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in array order, float64 accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / sqrt(|a|²·|b|²) — keep this exact formula in any oracle
+    (sqrt(x·y) and sqrt(x)·sqrt(y) differ in low bits)."""
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. One scan of the corpus, no shuffle of the
+    corpus itself — only (n_queries × k) rows survive the window."""
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def neardup_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-duplicate pairs within a blocking key (equi-join on the
+    block, never a full cross product). The block column is whatever
+    coarse structure exists — a cluster id, an LSH bucket, a shard."""
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("__vb"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "__blk",
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > threshold)
+        .withColumnRenamed("__blk", block_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+    coarse_col: str | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Coarse quantization: corpus vectors are assigned to centroids
+    (provided via ``coarse_col``, or derived as per-``label`` mean);
+    each query probes its ``n_probe`` nearest centroids and ranks only
+    those inverted lists. Recall < 1.0 by design — the correctness
+    baseline is :func:`brute_force_topk`.
+    """
+    if coarse_col is None:
+        # centroid = component-wise mean per label: explode (posexplode
+        # keeps component order), mean per (label, pos), re-assemble
+        exploded = corpus.select(
+            F.col("label"), F.posexplode(F.col(vec)).alias("pos", "val")
+        )
+        centroids = (
+            exploded.groupBy("label", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pairs"))
+            .select(
+                "label",
+                F.transform(F.col("pairs"), lambda p: p["mval"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        assigned = corpus.withColumnRenamed("label", "__coarse")
+    else:
+        raise NotImplementedError("external coarse assignment not wired yet")
+
+    # query → n_probe nearest centroids (centroid set is tiny: broadcast)
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "__qv",
+        F.col("label").alias("__coarse"),
+        cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("__csim").desc(), F.col("__coarse"))
+    probes = qc.withColumn("__pr", F.row_number().over(wq)).filter(
+        F.col("__pr") <= n_probe
+    )
+
+    # rank only within probed inverted lists
+    c = assigned.select("__coarse", F.col(corpus_id), F.col(vec).alias("__cv"))
+    scored = probes.join(c, "__coarse").select(
+        query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``n_planes`` deterministic
+    pseudo-random hyperplanes → integer bucket. Plane components derive
+    from xxhash64(plane, component) so executors need no shared state."""
+    sign_bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
+                    lambda i: (
+                        F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sign_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    bucket = sum(sign_bits[1:], sign_bits[0])
+    return df.withColumn("lsh_bucket", bucket.cast("long"))

@@ -1,0 +1,168 @@
+"""Near-duplicate text detection (SURVEY.md §2.10; the shipped form of
+the reference's unshipped ``recordlinkage`` intent, requirements.txt:25).
+
+All hashing is ``xxhash64`` with literal seeds — deterministic across
+runs and executors, no driver-side state. The LSH pipeline is the
+100 TB shape: shingle → minhash signature → band buckets → equi-join on
+bucket (never an all-pairs product) → verify candidates exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import word_tokens
+
+
+def word_shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct n-word shingles ('w1 w2' strings). Empty array when the
+    document has fewer than n tokens."""
+    toks = word_tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    build = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(build)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide minhash signature: min over shingles of
+    xxhash64(seed_j, shingle). Null-free input required; empty shingle
+    sets get a signature of nulls (callers filter them first)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    bands=8 × rows=4 over 32 hashes ⇒ candidate probability
+    1-(1-j⁴)⁸ — ~0.99 at j=0.8, ~0.03 at j=0.2. The band equi-join is
+    the only shuffle; verified pairs re-compute true Jaccard on the two
+    shingle sets only (candidates, not all pairs).
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", word_shingles(F.col("__text"), shingle_n))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "__id", "__sh", F.posexplode(band_hashes).alias("__band", "__bh")
+    )
+    left = banded.select(
+        F.col("__band"), F.col("__bh"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    right = banded.select(
+        F.col("__band"), F.col("__bh"), F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    cands = (
+        left.join(right, ["__band", "__bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sha", "__shb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over word tokens: each token's xxhash64 votes ±1
+    per bit position; the sign of each vote total sets the bit.
+
+    The bit loop unrolls in Python (shiftright needs a literal bit
+    count) — 64 folds over the token-hash array, all inside one
+    projection, map-only at any scale."""
+    hashes = F.transform(word_tokens(col), lambda t: F.xxhash64(t))
+
+    def _vote_fn(bit: int):
+        # bind the bit index by closure: pyspark counts default args as
+        # lambda parameters, so `lambda acc, h, _i=i` would not work
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(i))
+        # bit 63 is the sign bit of the long
+        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs blocked on 16-bit bands.
+
+    Pigeonhole: hamming ≤ 6 over 4 bands ⇒ at least one band is ≤ 1
+    apart; we block on exact band match (catches hamming ≤ 3 per the
+    standard 4-band scheme and most ≤ 6 cases) — recall/cost knob, with
+    exact hamming verification after the join."""
+    sh = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh"))
+    bands = sh.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("__band", "__bv"),
+    )
+    left = bands.select(
+        "__band", "__bv", F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    right = bands.select(
+        "__band", "__bv", F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    return (
+        left.join(right, ["__band", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,1 +1,114 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication query library (SURVEY.md §2.10; generalizes §2.3 J1).
+
+Four tiers over ``documents``, matching an LLM-data pipeline:
+exact (hash groupBy), n-gram Jaccard (blocked all-pairs, DuckDB-
+checkable), MinHash-LSH and SimHash (banded candidate generation —
+the 100 TB path; not SQL-expressible, so rows-only driver checks plus
+planted-duplicate unit tests in tests/test_text_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import TOKEN_RE
+from ..operators.text_dedup import (
+    jaccard,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+    word_shingles,
+)
+from ..tables import load_table
+from . import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "docs_exact_dedup",
+    oracle=f"""
+    SELECT doc_id, fingerprint, n_copies FROM (
+        SELECT doc_id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+        FROM (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents)
+    ) WHERE rn = 1
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content hash, keep lowest doc_id;
+    n_copies records cluster size. One shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard near-dup pairs, blocked by lang (the
+    exhaustive-within-block baseline the LSH tier approximates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text", 2).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(
+        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
+    b = sh.select(
+        F.col("lang"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register("docs_minhash_neardup")  # rows-only: LSH banding isn't SQL-expressible
+def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (32 hashes, 8 bands × 4 rows,
+    Jaccard ≥ 0.5 verified). Candidate generation is a band-bucket
+    equi-join — no all-pairs product at any scale. Recall vs the
+    exhaustive docs_ngram_jaccard_pairs is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register("docs_simhash_neardup")  # rows-only: banded hamming join
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs (64-bit fingerprint, 4×16-bit
+    band blocking, hamming ≤ 6 verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)

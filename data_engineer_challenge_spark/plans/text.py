@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis query library (SURVEY.md §2.10; driver north star).
+
+Training-data-pipeline text operators over the ``documents`` table:
+token statistics, quality scoring, language-ID heuristic, document
+fingerprinting. Everything is built-in column expressions (regex, list
+lambdas, md5) — per-row, no shuffle beyond the final aggregates, no
+Python. At 100 TB these run map-only inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
+from ..tables import load_table
+from . import register
+from .helpers import dec_avg_sql, dec_sum, dec_sum_sql
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "is", "and"],
+    "fr": ["le", "la", "et", "un", "des"],
+    "es": ["el", "los", "y", "una", "que"],
+    "de": ["der", "die", "und", "ein", "nicht"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def _hits_sql(words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'), t -> t IN ({quoted})))"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
+               AS n_unique_tokens,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + regex tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+           0.4 * least(1.0, n_tokens / 200.0)
+             + 0.3 * (1.0 - stopword_ratio)
+             + 0.3 * least(1.0, mean_token_len / 6.0) AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               CAST({_hits_sql(STOPWORDS)} AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS stopword_ratio,
+               CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                                            t -> length(t))) AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS mean_token_len
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+    )
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/word-shape quality scoring (the filter stage of
+    an LLM-data pipeline). Identical arithmetic order on both engines
+    keeps the doubles bit-equal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = _hits(toks, STOPWORDS).cast("double") / F.size(toks)
+    token_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = token_len_sum.cast("double") / F.size(toks)
+    base = docs.filter(F.size(toks) > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 200.0)
+        + 0.3 * (1.0 - F.col("stopword_ratio"))
+        + 0.3 * F.least(F.lit(1.0), F.col("mean_token_len") / 6.0)
+    )
+    return base.withColumn("quality_score", quality)
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+             WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+             WHEN es >= de AND es > 0 THEN 'es'
+             WHEN de > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               {_hits_sql(LANG_MARKERS['en'])} AS en,
+               {_hits_sql(LANG_MARKERS['fr'])} AS fr,
+               {_hits_sql(LANG_MARKERS['es'])} AS es,
+               {_hits_sql(LANG_MARKERS['de'])} AS de
+        FROM documents
+    )
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification with a deterministic
+    argmax tie-break (en > fr > es > de)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _hits(toks, LANG_MARKERS["en"]).alias("en"),
+        _hits(toks, LANG_MARKERS["fr"]).alias("fr"),
+        _hits(toks, LANG_MARKERS["es"]).alias("es"),
+        _hits(toks, LANG_MARKERS["de"]).alias("de"),
+    )
+    en, fr, es, de = (F.col(c) for c in ("en", "fr", "es", "de"))
+    predicted = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return scored.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 4)
+               AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over normalized text (the dedup key), plus a
+    4-hex-char shard key — the partition prefix a 100 TB dedup would
+    bucket by."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard_key")
+    )
+
+
+@register(
+    "docs_stats_by_lang_source",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {dec_avg_sql('n_chars')} AS avg_chars,
+           {dec_sum_sql(f"len(regexp_extract_all(lower(text), '{TOKEN_RE}'))")} AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def docs_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: per (lang, source) volume and token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .helpers import dec_avg
+
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        dec_avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        dec_sum(F.size(tokens("text")).cast("double")).alias("total_tokens"),
+    )

@@ -1,0 +1,103 @@
+"""Planted-duplicate tests for the approximate dedup operators: LSH
+tiers must find what the exhaustive baselines find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_challenge_spark.operators.text_dedup import (
+    hamming64,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+    simhash64,
+)
+
+BASE = (
+    "spark query engine shuffles data between executors during wide "
+    "transformations and the optimizer prunes columns at the parquet scan "
+    "while the scheduler assigns tasks to free slots across the cluster"
+)
+NEAR = BASE.replace("free slots", "available slots")  # one-word edit
+FAR = (
+    "completely different document about cooking pasta with tomato sauce "
+    "basil garlic and olive oil simmered slowly over low heat for an hour"
+)
+
+
+def _docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)]  # 4 == exact dup of 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_fingerprint_properties(spark):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark).select("doc_id", simhash64("text").alias("sh")).collect()
+    }
+    assert out[1] == out[4]  # identical text → identical fingerprint
+    df = spark.createDataFrame(
+        [(out[1], out[2]), (out[1], out[3])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r["d"] for r in df.collect()]
+    assert d_near < d_far  # near-dup closer than unrelated text
+
+
+def test_simhash_pairs_find_exact_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=6
+        ).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_minhash_recall_vs_exhaustive_on_documents(spark):
+    """On the real documents table, banded MinHash must recover the
+    exhaustive bigram-Jaccard pairs at the same threshold."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in plans.REGISTRY["docs_minhash_neardup"].builder(spark, sf).collect()
+    }
+    assert exhaustive, "fixture should contain planted near-dups"
+    # LSH verifies true jaccard, so no false positives above threshold;
+    # recall must be high (banding can miss borderline pairs)
+    recall = len(lsh & exhaustive) / len(exhaustive)
+    assert recall >= 0.8, f"recall {recall}: {exhaustive - lsh}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in plans.REGISTRY["emb_knn_bruteforce"].builder(spark, sf).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in plans.REGISTRY["emb_ivf_topk"].builder(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ivf recall too low: {recall}"
