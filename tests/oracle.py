@@ -32,7 +32,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     for row in df.itertuples(index=False):
         canon_row = []
         for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
                 canon_row.append(None)
             elif isinstance(v, float):
                 canon_row.append(v)
