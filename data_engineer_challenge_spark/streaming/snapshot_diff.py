@@ -1,0 +1,82 @@
+"""Snapshot-diff change detection (SURVEY.md §2.7 T1-T3, §4.4;
+reference script.py:18-57).
+
+Spark's file streaming source tracks *new* files only; the reference
+also reacts to modified and deleted files. This is a deliberately tiny
+utility, not a framework: a snapshot is ``{path: mtime_ns}``, the state
+persists as JSON next to the warehouse, and a diff classifies paths.
+Listing is driver-side — exactly how Spark's own file source lists —
+so it scales with file count, not data volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DirDiff:
+    new: tuple[str, ...] = ()
+    modified: tuple[str, ...] = ()
+    deleted: tuple[str, ...] = ()
+
+    @property
+    def changed(self) -> bool:
+        return bool(self.new or self.modified or self.deleted)
+
+
+def take_snapshot(directory: str, extensions: tuple[str, ...] = (".pdf", ".docx")) -> dict[str, int]:
+    """{filename: mtime_ns} for matching files (script.py:18-32)."""
+    snap: dict[str, int] = {}
+    try:
+        with os.scandir(directory) as it:
+            for entry in it:
+                if entry.is_file() and entry.name.lower().endswith(extensions):
+                    snap[entry.name] = entry.stat().st_mtime_ns
+    except FileNotFoundError:
+        pass
+    return snap
+
+
+def diff_snapshots(prev: dict[str, int], cur: dict[str, int]) -> DirDiff:
+    """new = cur − prev, deleted = prev − cur, modified = mtime changed
+    (script.py:35-57)."""
+    new = tuple(sorted(set(cur) - set(prev)))
+    deleted = tuple(sorted(set(prev) - set(cur)))
+    modified = tuple(
+        sorted(name for name in set(cur) & set(prev) if cur[name] != prev[name])
+    )
+    return DirDiff(new=new, modified=modified, deleted=deleted)
+
+
+@dataclass
+class SnapshotState:
+    """Persisted snapshot state (the streaming 'offset log')."""
+
+    path: str
+    snapshots: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str) -> "SnapshotState":
+        if os.path.exists(path):
+            with open(path) as f:
+                return cls(path=path, snapshots=json.load(f))
+        return cls(path=path)
+
+    def save(self) -> None:
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.snapshots, f)
+        os.replace(tmp, self.path)
+
+    def poll(
+        self, key: str, directory: str, extensions: tuple[str, ...] = (".pdf", ".docx")
+    ) -> DirDiff:
+        """Diff the directory against the stored snapshot and advance
+        the snapshot. First poll reports everything as new."""
+        cur = take_snapshot(directory, extensions)
+        diff = diff_snapshots(self.snapshots.get(key, {}), cur)
+        self.snapshots[key] = cur
+        return diff

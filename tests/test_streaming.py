@@ -1,0 +1,163 @@
+"""Streaming surface tests: snapshot-diff change detection, the polling
+daemon's trigger/lineage behavior (SURVEY §5.3 streaming plan), and
+Structured Streaming windowed aggs vs their batch equivalents."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from data_engineer_challenge_spark.streaming.daemon import CdwDaemon
+from data_engineer_challenge_spark.streaming.snapshot_diff import (
+    SnapshotState,
+    diff_snapshots,
+    take_snapshot,
+)
+from data_engineer_challenge_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from .fixtures import XLSX_HEADER, build_pdf, build_xlsx
+
+REG_ROWS = [
+    XLSX_HEADER,
+    ["Durand", "Anne", "25/07/1942", "F", None, "00230580", "1 rue A", "+33 1", "75001", "Paris", "France", None],
+    ["Martin", "Luc", "03/02/1980", "M", None, "12345678", "2 rue B", "+33 2", "69001", "Lyon", "France", None],
+]
+
+
+def test_snapshot_diff(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a_1.pdf").write_bytes(b"x")
+    (d / "b_2.docx").write_bytes(b"y")
+    (d / "skip.txt").write_bytes(b"z")
+    s1 = take_snapshot(str(d))
+    assert set(s1) == {"a_1.pdf", "b_2.docx"}
+
+    (d / "c_3.pdf").write_bytes(b"n")
+    os.utime(d / "a_1.pdf", ns=(1, 1))
+    (d / "b_2.docx").unlink()
+    diff = diff_snapshots(s1, take_snapshot(str(d)))
+    assert diff.new == ("c_3.pdf",)
+    assert diff.modified == ("a_1.pdf",)
+    assert diff.deleted == ("b_2.docx",)
+
+
+def test_snapshot_state_persists(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a_1.pdf").write_bytes(b"x")
+    state_path = str(tmp_path / "state.json")
+    st = SnapshotState.load(state_path)
+    assert st.poll("docs", str(d)).new == ("a_1.pdf",)
+    st.save()
+    st2 = SnapshotState.load(state_path)  # restart survives
+    assert not st2.poll("docs", str(d)).changed
+
+
+@pytest.fixture()
+def daemon_env(spark, tmp_path):
+    (tmp_path / "export_patient.xlsx").write_bytes(build_xlsx(REG_ROWS))
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "00230580_1.pdf").write_bytes(build_pdf(["CR du 02/02/2002", "dr alpha"]))
+    daemon = CdwDaemon(
+        spark,
+        warehouse_root=str(tmp_path / "wh"),
+        registry_path=str(tmp_path / "export_patient.xlsx"),
+        documents_dir=str(docs),
+    )
+    return daemon, tmp_path
+
+
+def test_daemon_trigger_lineage(daemon_env, spark):
+    daemon, root = daemon_env
+    docs_dir = root / "docs"
+
+    r1 = daemon.tick()  # first batch force-loads both (script.py:76-79)
+    assert r1.patients_fired and r1.documents_fired
+    assert (r1.upload_id_patient, r1.upload_id_document) == (1, 1)
+    assert daemon.wh.read("DWH_PATIENT").count() == 2
+    assert daemon.wh.read("DWH_DOCUMENT").count() == 1
+
+    r2 = daemon.tick()  # nothing changed → nothing fires
+    assert not r2.patients_fired and not r2.documents_fired
+    assert (r2.upload_id_patient, r2.upload_id_document) == (1, 1)
+
+    # new document + orphan → only the document pipeline fires
+    (docs_dir / "12345678_2.pdf").write_bytes(build_pdf(["le 03/03/2003", "dr beta"]))
+    (docs_dir / "99999999_3.pdf").write_bytes(build_pdf(["le 04/04/2004", "dr gamma"]))
+    r3 = daemon.tick()
+    assert r3.documents_fired and not r3.patients_fired
+    assert r3.upload_id_document == 2
+    assert r3.rejects == ["99999999_3.pdf"]
+    docs = {r["ID_DOC_SOURCE"]: r for r in daemon.wh.read("DWH_DOCUMENT").collect()}
+    assert set(docs) == {"1", "2"}
+    assert docs["2"]["UPLOAD_ID"] == 2 and docs["1"]["UPLOAD_ID"] == 2  # full reprocess
+
+    # registry mtime bump → patient pipeline fires
+    time.sleep(0.01)
+    (root / "export_patient.xlsx").write_bytes(build_xlsx(REG_ROWS))
+    r4 = daemon.tick()
+    assert r4.patients_fired and r4.upload_id_patient == 2
+
+    # deletion detected, warehouse rows preserved (reference parity)
+    (docs_dir / "12345678_2.pdf").unlink()
+    r5 = daemon.tick()
+    assert r5.doc_changes[2] == ("12345678_2.pdf",)
+    assert daemon.wh.read("DWH_DOCUMENT").count() == 2
+
+
+def test_daemon_changed_only_mode(spark, tmp_path):
+    (tmp_path / "export_patient.xlsx").write_bytes(build_xlsx(REG_ROWS))
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "00230580_1.pdf").write_bytes(build_pdf(["CR du 02/02/2002", "dr alpha"]))
+    daemon = CdwDaemon(
+        spark,
+        warehouse_root=str(tmp_path / "wh"),
+        registry_path=str(tmp_path / "export_patient.xlsx"),
+        documents_dir=str(docs),
+        changed_only=True,
+    )
+    daemon.tick()
+    (docs / "12345678_2.pdf").write_bytes(build_pdf(["le 03/03/2003", "dr beta"]))
+    r = daemon.tick()
+    assert r.documents_fired
+    rows = {r["ID_DOC_SOURCE"]: r["UPLOAD_ID"] for r in daemon.wh.read("DWH_DOCUMENT").collect()}
+    # incremental: only the new file reprocessed — old row keeps its lineage
+    assert rows == {"1": 1, "2": 2}
+
+
+@pytest.mark.parametrize("builder", [tumbling_counts, sliding_counts, session_counts])
+def test_stream_windows_match_batch(spark, tmp_path, builder):
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    from data_engineer_challenge_spark.tables import load_table
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch.write.parquet(str(tmp_path / "stream_src"))
+
+    stream = (
+        spark.readStream.schema(TESTDATA["events"])
+        .parquet(str(tmp_path / "stream_src"))
+    )
+    name = f"sink_{builder.__name__}"
+    q = (
+        builder(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+    want = {tuple(r) for r in builder(batch).collect()}
+    assert got == want and len(got) > 0
