@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column operators (driver north star;
+generalizes the binary-document source, SURVEY §2.1 S2-S4).
+
+Media are opaque ``binary`` columns plus a typed metadata struct; the
+Spark-side plumbing — schema, Arrow batch shape, partition sizing — is
+real and tested, while the codec step is a seam: the container ships no
+image/audio libraries, so decoders raise ``NotImplementedError`` unless
+a deterministic fake is injected (tests do exactly that, mirroring how
+a production deployment injects Pillow/ffmpeg-backed callables).
+
+Scale shape: decode/feature steps run via ``mapInPandas`` so one Arrow
+batch of binary payloads crosses to Python per partition; outputs drop
+the payload column immediately so raw bytes never shuffle. Batch size
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
+multi-MB media set it low (e.g. 32) to cap executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# (payload bytes, kind) -> fixed-length feature vector
+DecodeFn = Callable[[bytes, str], list[float]]
+
+
+def _no_decoder(payload: bytes, kind: str) -> list[float]:
+    raise NotImplementedError(
+        "no media codec in this environment — inject a DecodeFn "
+        "(e.g. Pillow/librosa-backed) or use a deterministic fake"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode: DecodeFn = _no_decoder,
+    feature_dim: int = 16,
+) -> DataFrame:
+    """media rows → (media_id, kind, feature array<float>).
+
+    The payload column is dropped inside the UDF output, so only the
+    small feature vectors flow downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(payload, kind)
+                for payload, kind in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, kind string, features array<float>"
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decode_frame: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video → one row per sampled frame timestamp.
+
+    Timestamp fan-out is pure Spark (sequence + explode on metadata —
+    no Python, no payload movement); only the per-frame decode crosses
+    to Python, and only when a decoder is injected.
+    """
+    ts = F.sequence(
+        F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms)
+    )
+    frames = (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", F.explode(ts).alias("frame_ms"))
+    )
+    if decode_frame is None:
+        return frames.select("media_id", "frame_ms")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                decode_frame(payload, int(ms))
+                for payload, ms in zip(pdf["payload"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame": out,
+                }
+            )
+
+    return frames.mapInPandas(run, schema="media_id long, frame_ms int, frame binary")
+
+
+def media_profile(media: DataFrame) -> DataFrame:
+    """Corpus profile from metadata + payload sizes (no decode; the
+    only payload access is ``length``)."""
+    return media.groupBy("kind", F.col("meta.mime").alias("mime")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.avg("meta.duration_ms").alias("avg_duration_ms"),
+    )

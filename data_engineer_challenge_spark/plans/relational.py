@@ -342,3 +342,39 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum("l_linenumber").alias("sum_linenumbers"),
     )
+
+
+@register(
+    "customer_linkage_candidates",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, id_a, id_b, edit_distance
+    FROM (
+        SELECT a.c_nationkey, a.c_mktsegment,
+               a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    ) WHERE edit_distance <= 3
+    """,
+)
+def customer_linkage_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (SURVEY §2.10): blocked edit-distance
+    candidate pairs — what the reference's jellyfish/recordlinkage
+    requirements promised. Soundex agreement is computed too but only
+    the levenshtein score is oracle-checked (DuckDB has no soundex)."""
+    from ..operators.linkage import linkage_candidates
+
+    customer = load_table(spark, sf_dir, "customer")
+    cands = linkage_candidates(
+        customer,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_levenshtein=3,
+    )
+    return cands.select(
+        "c_nationkey", "c_mktsegment", "id_a", "id_b", "edit_distance"
+    )
