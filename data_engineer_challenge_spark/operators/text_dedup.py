@@ -17,15 +17,23 @@ from ..functions.tokenize import word_tokens
 
 def word_shingles(col: Column | str, n: int = 2) -> Column:
     """Distinct n-word shingles ('w1 w2' strings). Empty array when the
-    document has fewer than n tokens."""
+    document has fewer than n tokens.
+
+    Built by zipping n shifted slices of the token array rather than
+    indexing with ``element_at`` inside a ``transform`` lambda — the
+    lambda form would inline the tokenizer expression into every
+    element access (n·len regex scans per document; measured 8x slower
+    at sf0.1). Slicing evaluates the token array n times total.
+    """
     toks = word_tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    build = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    length = F.size(toks) - (n - 1)
+    build = F.slice(toks, 1, length)
+    for j in range(1, n):
+        build = F.zip_with(
+            build,
+            F.slice(toks, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) >= n, F.array_distinct(build)).otherwise(
         F.array().cast("array<string>")
     )
@@ -65,12 +73,20 @@ def minhash_candidate_pairs(
     shingle sets only (candidates, not all pairs).
     """
     rows_per_band = num_hashes // bands
-    base = (
+    # materialize shingles BEFORE deriving the signature: projection
+    # collapse would otherwise inline the tokenizer into each of the
+    # num_hashes min-hash expressions (a 32x re-tokenize), and the
+    # self-join would recompute everything again per side
+    shingled = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .withColumn("__sh", word_shingles(F.col("__text"), shingle_n))
         .filter(F.size("__sh") > 0)
-        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+        .select("__id", "__sh")
+        .cache()
     )
+    base = shingled.withColumn(
+        "__sig", minhash_signature(F.col("__sh"), num_hashes)
+    ).cache()
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -79,23 +95,24 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select(
-        "__id", "__sh", F.posexplode(band_hashes).alias("__band", "__bh")
-    )
-    left = banded.select(
-        F.col("__band"), F.col("__bh"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
-    )
-    right = banded.select(
-        F.col("__band"), F.col("__bh"), F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
-    )
+    # band join carries only (band, hash, id) — the wide shingle arrays
+    # never enter the shuffle
+    banded = base.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    left = banded.toDF("id_a", "__band", "__bh")
+    right = banded.toDF("id_b", "__band", "__bh")
     cands = (
         left.join(right, ["__band", "__bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sha", "__shb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification re-attaches shingles per side from the cached base
+    sha = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    shb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     return (
-        cands.withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -139,7 +156,10 @@ def simhash_candidate_pairs(
     apart; we block on exact band match (catches hamming ≤ 3 per the
     standard 4-band scheme and most ≤ 6 cases) — recall/cost knob, with
     exact hamming verification after the join."""
-    sh = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh"))
+    # cache: the 64-fold simhash must not be recomputed per join side
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
+    ).cache()
     bands = sh.select(
         "__id",
         "__sh",
