@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(pyspark guide: common OLAP patterns).
+
+Implemented as the scalable union trick, not a range cross-join:
+tag left and right rows, union them, and within each key carry the
+most recent right payload forward with ``last(ignorenulls)`` over an
+ordered window. Cost is one shuffle + sort on (key, time) — the same
+as any windowed operator — versus the O(|L|·|R|) per-key product of a
+naive inequality join. DuckDB's native ``ASOF JOIN`` serves as the
+oracle in plans/advanced.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    ``how='left'`` keeps unmatched left rows (null payload);
+    ``'inner'`` drops them. Right-side ties on (key, ts) resolve to the
+    row latest in ``right_payload`` column order — pass a tiebreaker
+    column in the payload and dedup beforehand if ties are possible.
+    """
+    marker = "__asof_side"
+    ts = "__asof_ts"
+    payload_cols = list(right_payload)
+
+    lefts = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
+    for c in payload_cols:
+        lefts = lefts.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rights = right.select(
+        *on,
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(marker),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    left_cols = [c for c in left.columns]
+    union = lefts.select(
+        *left_cols, ts, F.col(marker), *[f"__r_{c}" for c in payload_cols]
+    ).unionByName(
+        rights.select(
+            *[
+                F.col(c)
+                if c in rights.columns
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left_cols
+            ],
+            ts,
+            marker,
+            *[f"__r_{c}" for c in payload_cols],
+        ),
+        allowMissingColumns=False,
+    )
+
+    # rights sort before lefts at equal ts → the join is inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts, marker)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = union
+    for c in payload_cols:
+        filled = filled.withColumn(
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col(marker) == 1).drop(marker, ts)
+    if how == "inner":
+        out = out.filter(F.col(f"__r_{payload_cols[0]}").isNotNull())
+    for c in payload_cols:
+        out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
+    return out

@@ -70,5 +70,6 @@ def _load() -> None:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import advanced  # noqa: F401
 
     _LOADED = True

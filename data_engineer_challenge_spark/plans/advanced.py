@@ -1,0 +1,96 @@
+"""Advanced engine surface: as-of join, SQL API, approximate
+aggregates (pyspark guide: common OLAP patterns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..tables import load_table, register_views
+from . import register
+from .helpers import dec_sum_sql, dec_sum
+
+
+@register(
+    "events_asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS asof_event_id, c.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase paired with the user's most
+    recent prior click. Spark has no native ASOF; operators/asof.py
+    implements it as one shuffle+sort (union + last(ignorenulls)),
+    verified here against DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id").alias("asof_event_id"),
+        F.col("asof_click_ts").alias("asof_ts"),
+    )
+
+
+@register(
+    "sql_api_priority_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL API (temp views + spark.sql) —
+    Catalyst produces the identical plan either way."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4) AS DOUBLE)
+                   AS total_revenue
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register("events_approx_stats")  # rows-only: approx sketches are
+# engine-specific by design (HLL++ / GK vs DuckDB's implementations)
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantiles per event type — the sketch
+    tier for 100 TB profiling (exactness traded for one-pass, bounded
+    memory). Accuracy vs exact is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99]).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
