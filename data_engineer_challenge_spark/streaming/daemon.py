@@ -102,6 +102,21 @@ class CdwDaemon:
             rejects = run_document_batch(self.wh, files, self.upload_id_document)
             report.documents_fired = True
             report.rejects = [r["filename"] for r in rejects.collect()]
+            if report.rejects:
+                # §2.9: quarantine sink instead of the reference's
+                # log-and-forget warning (exo_2.py:255-258)
+                from pyspark.sql import functions as F
+
+                quarantined = (
+                    self.spark.createDataFrame(
+                        [(f,) for f in report.rejects], "filename string"
+                    )
+                    .withColumn("upload_id", F.lit(self.upload_id_document))
+                    .withColumn("reason", F.lit("NO_MATCHING_PATIENT"))
+                )
+                self.wh.merge_upsert(
+                    "QUARANTINE_DOCUMENTS", quarantined, ["filename", "upload_id"]
+                )
 
         report.upload_id_patient = self.upload_id_patient
         report.upload_id_document = self.upload_id_document

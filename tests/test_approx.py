@@ -1,0 +1,39 @@
+"""Approximate-aggregate accuracy: sketches must track exact values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_challenge_spark import plans
+from data_engineer_challenge_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_stats_accuracy(spark):
+    plans._load()
+    approx = {
+        r["event_type"]: r
+        for r in plans.REGISTRY["events_approx_stats"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t in exact:
+        assert approx[t]["n_events"] == exact[t]["n"]
+        # HLL++ at default rsd=5%
+        assert abs(approx[t]["approx_users"] - exact[t]["users"]) <= max(
+            2, 0.15 * exact[t]["users"]
+        )
+        p50_sketch = approx[t]["value_quantiles"][0]
+        spread = max(1.0, abs(exact[t]["p50"]))
+        assert abs(p50_sketch - exact[t]["p50"]) / spread < 0.25

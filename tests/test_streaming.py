@@ -161,3 +161,13 @@ def test_stream_windows_match_batch(spark, tmp_path, builder):
         q.stop()
     want = {tuple(r) for r in builder(batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_daemon_quarantine_table(daemon_env, spark):
+    daemon, root = daemon_env
+    daemon.tick()
+    (root / "docs" / "55555555_9.pdf").write_bytes(build_pdf(["le 05/05/2005", "dr delta"]))
+    daemon.tick()
+    q = {r["filename"]: r for r in daemon.wh.read("QUARANTINE_DOCUMENTS").collect()}
+    assert "55555555_9.pdf" in q
+    assert q["55555555_9.pdf"]["reason"] == "NO_MATCHING_PATIENT"
