@@ -197,3 +197,82 @@ def docs_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_avg(F.col("n_chars").cast("double")).alias("avg_chars"),
         dec_sum(F.size(tokens("text")).cast("double")).alias("total_tokens"),
     )
+
+
+@register(
+    "doc_term_frequencies",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
+    FROM tf JOIN df ON tf.term = df.term
+    """,
+)
+def doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term/document frequencies — the exact-integer core of TF-IDF
+    (oracled; the float idf weighting is ranked in doc_tfidf_top_terms
+    because ln() differs across engine math libraries in the last ulp).
+
+    Shape at scale: explode → two aggregations sharing the token scan;
+    df is a small per-term table joined back (broadcast when vocab
+    fits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(F.broadcast(df), "term").select("doc_id", "term", "tf", "df")
+
+
+@register("doc_tfidf_top_terms")  # rows-only: ln() is not bit-portable
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@register(
+    "docs_with_embeddings_profile",
+    oracle=f"""
+    SELECT d.lang, e.label,
+           COUNT(*) AS n_docs,
+           {dec_sum_sql('d.n_chars')} AS total_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def docs_with_embeddings_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text rows to their embedding rows (doc_id =
+    vec_id) — the multimodal-table star-join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec_sum(F.col("n_chars").cast("double")).alias("total_chars"),
+        )
+    )
