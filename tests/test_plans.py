@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+pruning, broadcast, window-limit, partial agg) must survive refactors.
+These assert on explain output — the same checks done interactively
+during the perf audit, frozen as tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_challenge_spark import plans
+
+from .conftest import SF_SMOKE
+
+plans._load()
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.REGISTRY[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = plans.REGISTRY[name].builder(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_and_prunes(spark):
+    p = _formatted(spark, "flagship_regional_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # all dims broadcastable at test scale
+    # date filter reaches the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    # lineitem scan reads only the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in p
+
+
+def test_q1_pushes_filter_and_partial_aggregates(spark):
+    p = _formatted(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_uses_window_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "top_orders_per_customer")
+
+
+def test_partitioned_windows_everywhere(spark):
+    """No registered query may sort all data through one partition
+    (WindowExec warning) — except the documented dimension-sized
+    dense-ID query."""
+    def unpartitioned_windows(plan: str) -> list[str]:
+        # 'Window [exprs], [ordering]'              = UNpartitioned
+        # 'Window [exprs], [partition]'             = partitioned, no order
+        # 'Window [exprs], [partition], [ordering]' = partitioned+ordered
+        # → flag 2-group forms whose second group is an ordering
+        out = []
+        for line in plan.splitlines():
+            if "Window [" not in line or line.count("], [") != 1:
+                continue
+            tail = line.rsplit("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                out.append(line.strip())
+        return out
+
+    allowed_global_window = {"nation_dense_ids"}
+    # self-check the detector on the known-global-window query
+    sample = plans.REGISTRY["nation_dense_ids"].builder(spark, SF_SMOKE)
+    assert unpartitioned_windows(
+        sample._jdf.queryExecution().executedPlan().toString()
+    ), "detector failed to flag the known unpartitioned window"
+
+    for name in plans.REGISTRY:
+        if name in allowed_global_window:
+            continue
+        df = plans.REGISTRY[name].builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = unpartitioned_windows(plan)
+        assert not bad, f"{name} contains an unpartitioned window: {bad[:1]}"
+
+
+def test_no_cartesian_products(spark):
+    """Every registered query must avoid CartesianProduct /
+    BroadcastNestedLoopJoin except the deliberate broadcast cross join
+    in brute-force KNN (tiny query side)."""
+    allowed = {"emb_knn_bruteforce", "emb_ivf_topk"}
+    for name in plans.REGISTRY:
+        if name in allowed:
+            continue
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
