@@ -208,3 +208,147 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k").isNotNull())
         .withColumn("k_band", F.when(F.col("k") >= 50, "high").otherwise("low"))
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(first_view IS NOT NULL AS INTEGER) AS viewed,
+           CAST(first_click IS NOT NULL
+                AND first_click > first_view AS INTEGER) AS clicked_after_view,
+           CAST(first_purchase IS NOT NULL AND first_click > first_view
+                AND first_purchase > first_click AS INTEGER) AS purchased_after_click
+    FROM (
+        SELECT user_id,
+               MIN(ts) FILTER (event_type = 'view') AS first_view,
+               MIN(ts) FILTER (event_type = 'click') AS first_click,
+               MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase via conditional MIN —
+    one aggregation pass, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    base = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    clicked = F.col("first_click").isNotNull() & (
+        F.col("first_click") > F.col("first_view")
+    )
+    return base.select(
+        "user_id",
+        F.col("first_view").isNotNull().cast("int").alias("viewed"),
+        clicked.cast("int").alias("clicked_after_view"),
+        (
+            F.col("first_purchase").isNotNull()
+            & clicked
+            & (F.col("first_purchase") > F.col("first_click"))
+        )
+        .cast("int")
+        .alias("purchased_after_click"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week,
+                              date_trunc('week', e.ts)) AS INTEGER) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted per
+    weekly offset. The firsts table is user-cardinality (broadcastable
+    at any realistic user count relative to the event volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / (7 * 86400)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "events_cube_profile",
+    oracle="""
+    SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_band,
+           COUNT(*) AS n_events,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 5) AS BIGINT)
+               AS grouping_level
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 5)
+    """,
+)
+def events_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id — all 4 aggregation levels
+    in one pass (complements the ROLLUP query)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 5).cast("long")
+    )
+    return ev.cube("event_type", "user_band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.grouping_id().cast("long").alias("grouping_level"),
+    )
+
+
+@register(
+    "events_unpivot_daily",
+    oracle="""
+    SELECT day, metric, value FROM (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1
+    ) UNPIVOT (value FOR metric IN (n_events, n_users, total_value))
+    """,
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (stack) of a daily metrics table."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        dec_sum("value").alias("total_value"),
+    )
+    return wide.unpivot(
+        ["day"], ["n_events", "n_users", "total_value"], "metric", "value"
+    )
