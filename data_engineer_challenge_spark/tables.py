@@ -32,6 +32,9 @@ _EVENTS_RAW = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}")
+    # engine semantics are UTC (and the DuckDB oracle is UTC-naive);
+    # set defensively in case the caller's session pinned another zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
