@@ -1,0 +1,50 @@
+"""Bucketized range (interval-containment) join (pyspark guide: common
+OLAP patterns — Spark has no native range join; a naive inequality
+join becomes BroadcastNestedLoop or a cartesian).
+
+Trick: quantize the range dimension into fixed-width buckets. Each
+interval explodes into the buckets it covers; each point maps to one
+bucket; an *equi-join* on (bucket [+ keys]) finds candidates and an
+exact containment filter finishes. Both sides stay distributed — the
+shuffle is an ordinary hash join on the bucket id, so this survives
+two billion-row sides where nested-loop cannot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Rows of ``points`` joined to every interval with
+    ``lo <= point < hi`` (optionally also matching ``keys``)."""
+
+    def bucket_of(c: Column) -> Column:
+        return F.floor(c / F.lit(bucket_width)).cast("long")
+
+    p = points.withColumn("__bucket", bucket_of(F.col(point_col)))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col(lo_col)),
+                bucket_of(F.col(hi_col) - F.lit(1e-9)),
+            )
+        ),
+    )
+    joined = p.join(iv, [*keys, "__bucket"], how)
+    return joined.filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    ).drop("__bucket")

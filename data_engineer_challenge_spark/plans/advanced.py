@@ -94,3 +94,83 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99]).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "orders_price_band_range_join",
+    oracle=f"""
+    WITH bands AS (
+        SELECT CAST(i AS BIGINT) AS band_id,
+               CAST(i * 50000 AS DOUBLE) AS lo,
+               CAST((i + 1) * 50000 AS DOUBLE) AS hi
+        FROM range(0, 12) t(i)
+    )
+    SELECT band_id,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice')} AS band_revenue
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+)
+def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via bucket quantization
+    (operators/range_join.py): equi-join on the bucket id instead of a
+    nested-loop inequality join — the shape that survives two large
+    sides. Verified against DuckDB's native inequality join."""
+    from ..operators.range_join import bucketed_range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 12).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        orders, bands, point_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bucket_width=50000.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("band_revenue"),
+    )
+
+
+@register(
+    "segments_intersect_except",
+    oracle="""
+    SELECT c_mktsegment, 'both' AS membership FROM (
+        SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT c_mktsegment, 'only_high_value' AS membership FROM (
+        SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_totalprice > 250000
+        EXCEPT
+        SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (completes the §2.6 set-op
+    surface beyond union/distinct)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey)
+    high_value = (
+        joined.filter(F.col("o_totalprice") > 250000).select("c_mktsegment").distinct()
+    )
+    recent = (
+        joined.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("c_mktsegment")
+        .distinct()
+    )
+    both = high_value.intersect(recent).withColumn("membership", F.lit("both"))
+    only_hv = high_value.exceptAll(recent).withColumn(
+        "membership", F.lit("only_high_value")
+    )
+    return both.unionByName(only_hv)
