@@ -378,3 +378,102 @@ def customer_linkage_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "c_nationkey", "c_mktsegment", "id_a", "id_b", "edit_distance"
     )
+
+
+@register(
+    "orders_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — both engines use the
+    same formula on the same sorted doubles, so results are
+    bit-identical; the sketch-based approx variant lives in
+    events_approx_stats)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "customer_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS upper_name,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, 'Customer', 'Cust') AS short_name,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(c_mktsegment) AS rev_segment,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           length(c_name) AS name_len,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other
+    FROM customer
+    """,
+)
+def customer_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/null-handling surface (SURVEY §2.4 beyond the
+    extraction regexes): case, substring, replace, padding, reverse,
+    concat_ws, translate, nullif/coalesce — all codegen'd."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("rev_segment"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+    )
+
+
+@register(
+    "orders_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface (SURVEY §2.4 F4 family): add, diff,
+    parts, last_day. DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday —
+    normalized to Spark's convention in the oracle? No: both engines
+    here emit ISO dayofweek semantics checked by the test."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_ts"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.dayofweek(d).alias("dow"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+    )
