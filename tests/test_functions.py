@@ -11,7 +11,6 @@ from __future__ import annotations
 import datetime as dt
 import re
 
-import pytest
 from pyspark.sql import functions as F
 
 from data_engineer_challenge_spark.functions import (

@@ -5,7 +5,6 @@ during the perf audit, frozen as tests."""
 
 from __future__ import annotations
 
-import pytest
 
 from data_engineer_challenge_spark import plans
 

@@ -3,7 +3,6 @@ stateful streaming operators."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from data_engineer_challenge_spark.operators.merge import ParquetWarehouse, scd2_upsert
