@@ -152,29 +152,80 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _plane_projection(vec: Column, plane_seed: int) -> Column:
+    """Dot product with a deterministic pseudo-random hyperplane whose
+    components derive from xxhash64(seed, i) — executors need no
+    shared state and retries agree."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.lit(plane_seed), i), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0,
+            ),
+            lambda x, h: x.cast("double") * h,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign pattern of ``n_planes`` deterministic
-    pseudo-random hyperplanes → integer bucket. Plane components derive
-    from xxhash64(plane, component) so executors need no shared state."""
+    """Single-table random-hyperplane LSH: sign pattern of ``n_planes``
+    hyperplanes → integer bucket (a shard/partition key)."""
     sign_bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
-                    lambda i: (
-                        F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - 1000
-                    ).cast("double")
-                    / 1000.0,
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = _plane_projection(F.col(vec), p)
         sign_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
     bucket = sum(sign_bits[1:], sign_bits[0])
     return df.withColumn("lsh_bucket", bucket.cast("long"))
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Multi-table hyperplane LSH near-dup pairs, exact-cosine verified.
+
+    One table of k planes catches an angle-θ pair with
+    p = (1-θ/π)^k; L independent tables lift recall to 1-(1-p)^L
+    (k=4, L=8 ⇒ ~0.75 at cos≈0.4). Candidates come from an equi-join
+    on (table, bucket) — ids only, vectors join back for verification,
+    mirroring the MinHash band-join shape."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v")).cache()
+    table_buckets = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            proj = _plane_projection(F.col("__v"), t * n_planes + p)
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        table_buckets.append(sum(bits[1:], bits[0]).cast("long"))
+    banded = base.select(
+        "__id", F.posexplode(F.array(*table_buckets)).alias("__table", "__bucket")
+    )
+    left = banded.toDF("id_a", "__table", "__bucket")
+    right = banded.toDF("id_b", "__table", "__bucket")
+    cands = (
+        left.join(right, ["__table", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

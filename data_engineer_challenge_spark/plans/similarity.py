@@ -136,3 +136,16 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+@register("emb_lsh_neardup_pairs")  # rows-only: hash-bucket blocking
+def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN dedup with multi-table hyperplane LSH blocking
+    (8 tables × 4 planes) and exact cosine verification — the fully
+    self-contained 100 TB shape, no pre-existing cluster structure
+    required. Recall vs the label-blocked exhaustive pairs is asserted
+    in tests."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=4)

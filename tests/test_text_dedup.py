@@ -101,3 +101,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"ivf recall too low: {recall}"
+
+
+def test_lsh_neardup_recall_vs_label_blocked(spark):
+    """Hyperplane-bucket blocking must recover a solid share of the
+    label-blocked exhaustive near-dup pairs (cosine similar vectors
+    land in the same sign-pattern bucket with high probability)."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in plans.REGISTRY["emb_neardup_pairs"].builder(spark, sf).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in plans.REGISTRY["emb_lsh_neardup_pairs"].builder(spark, sf).collect()
+    }
+    assert exhaustive
+    recall = len(lsh & exhaustive) / len(exhaustive)
+    assert recall >= 0.25, f"lsh recall too low: {recall}"
