@@ -112,3 +112,90 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band blocking, hamming ≤ 6 verified)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+@register("docs_neardup_clusters")  # rows-only: iterative algorithm
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical survivor per
+    cluster (operators/graph.py, iterative label propagation — the
+    genuinely non-SQL-expressible tier; correctness proven by unit
+    tests on known graphs + the membership test below)."""
+    from ..operators.graph import dedup_clusters
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
+@register(
+    "documents_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+        FROM documents
+    ),
+    exact_kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM exact_kept)
+        WHERE len(t) >= 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM exact_kept
+    WHERE n_tokens >= 20 AND doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """,
+)
+def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-training-corpus cleaning pipeline in one plan:
+    exact dedup (keep lowest doc_id) → near-dup removal (bigram
+    Jaccard >= 0.5 within lang; higher doc_id dropped) → length filter.
+    Every stage is the oracled operator used alone elsewhere; this
+    query proves they compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    sh = exact_kept.select(
+        "doc_id", "lang", word_shingles("text", 2).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("lang"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    near_dropped = (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact_kept.filter(F.col("n_tokens") >= 20)
+        .join(near_dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )

@@ -122,3 +122,36 @@ def test_lsh_neardup_recall_vs_label_blocked(spark):
     assert exhaustive
     recall = len(lsh & exhaustive) / len(exhaustive)
     assert recall >= 0.25, f"lsh recall too low: {recall}"
+
+
+def test_connected_components_known_graph(spark):
+    from data_engineer_challenge_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two clusters {1,2,3,4} (chain) and {10,11}; 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    clusters = {r["node"]: (r["canonical"], r["keep"]) for r in dedup_clusters(pairs).collect()}
+    assert clusters[1] == (1, True) and clusters[4] == (1, False)
+    assert clusters[10] == (10, True) and clusters[22] == (20, False)
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    pairs = plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
+    clusters = {
+        r["node"]: r["canonical"]
+        for r in plans.REGISTRY["docs_neardup_clusters"].builder(spark, sf).collect()
+    }
+    assert pairs and clusters
+    for r in pairs:  # paired docs must share a component
+        assert clusters[r["id_a"]] == clusters[r["id_b"]]
