@@ -229,3 +229,50 @@ def lsh_neardup_pairs(
         .filter(F.col("cos_sim") > threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """BLAS-backed exact top-k: the query matrix (small by definition —
+    it is the broadcast side) ships to every executor inside a pandas
+    UDF closure; each Arrow batch of corpus vectors becomes one numpy
+    matmul, and only the per-batch top-k rows survive before the global
+    rank. ~vector-width times faster than the expression form on wide
+    embeddings; scores differ from it only in float low bits (BLAS
+    accumulation order), so the oracled query keeps the expression
+    form and this is the throughput path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec).collect()
+    q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_mat @ c_norm.T  # (n_queries, batch)
+            n_keep = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
+            out_q, out_c, out_s = [], [], []
+            cids = pdf[corpus_id].to_numpy()
+            for qi in range(sims.shape[0]):
+                out_q.extend([q_ids[qi]] * n_keep)
+                out_c.extend(cids[idx[qi]])
+                out_s.extend(sims[qi, idx[qi]])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cos_sim": out_s})
+
+    partial = corpus.select(corpus_id, vec).mapInPandas(
+        score_batches, schema=f"{query_id} long, {corpus_id} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -149,3 +149,18 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=4)
+
+
+@register("emb_knn_vectorized")  # rows-only: BLAS float low bits differ
+def emb_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of emb_knn_bruteforce: numpy matmul per Arrow
+    batch (operators/similarity.brute_force_topk_vectorized). Same
+    neighbor sets as the exact query (asserted in tests)."""
+    from ..operators.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return brute_force_topk_vectorized(queries, corpus, k=10)

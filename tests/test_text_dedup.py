@@ -155,3 +155,19 @@ def test_neardup_clusters_consistent_with_pairs(spark):
     assert pairs and clusters
     for r in pairs:  # paired docs must share a component
         assert clusters[r["id_a"]] == clusters[r["id_b"]]
+
+
+def test_vectorized_knn_matches_expression_knn(spark):
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in plans.REGISTRY["emb_knn_bruteforce"].builder(spark, sf).collect()
+    }
+    fast = {
+        (r["q_id"], r["c_id"])
+        for r in plans.REGISTRY["emb_knn_vectorized"].builder(spark, sf).collect()
+    }
+    assert fast == exact
