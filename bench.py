@@ -29,7 +29,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "top_orders_per_customer",
     "events_sessionization",
+    "events_asof_last_click",
     "docs_minhash_neardup",
+    "documents_clean_corpus",
     "emb_knn_bruteforce",
 ]
 

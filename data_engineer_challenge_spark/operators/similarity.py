@@ -67,7 +67,10 @@ def neardup_pairs_blocked(
     """Near-duplicate pairs within a blocking key (equi-join on the
     block, never a full cross product). The block column is whatever
     coarse structure exists — a cluster id, an LSH bucket, a shard."""
-    a = df.select(
+    # parallelism of the broadcast block-join equals the probe side's
+    # partition count — spread it (a single-file scan is one task)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(par, id_col).select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec).alias("__va"),

@@ -79,7 +79,12 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", "lang", word_shingles("text", 2).alias("s")
     ).filter(F.size("s") > 0)
-    a = sh.select(
+    # the block join broadcasts one side, so parallelism equals the
+    # probe side's partitioning — a single-file parquet scan would run
+    # the whole O(n^2/blocks) comparison on ONE task (measured 70 s at
+    # sf0.1); spread the probe side across the cluster first
+    par = spark.sparkContext.defaultParallelism
+    a = sh.repartition(par, "doc_id").select(
         F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
     )
     b = sh.select(
@@ -185,7 +190,10 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = exact_kept.select(
         "doc_id", "lang", word_shingles("text", 2).alias("s")
     ).filter(F.size("s") > 0)
-    a = sh.select(F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    par = spark.sparkContext.defaultParallelism
+    a = sh.repartition(par, "doc_id").select(
+        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
     b = sh.select(F.col("lang"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     near_dropped = (
         a.join(b, "lang")
