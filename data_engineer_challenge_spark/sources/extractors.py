@@ -122,37 +122,146 @@ def _unescape_pdf_string(raw: bytes) -> str:
 _SHOW_TEXT = re.compile(
     rb"\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"  # (string) Tj
     rb"|<(?P<hex>[0-9A-Fa-f\s]+)>\s*Tj"  # <hex> Tj
-    rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ"  # [(a) -120 (b)] TJ
+    rb"|\[(?P<arr>(?:[^\]\\]|\\.|<[0-9A-Fa-f\s]*>)*)\]\s*TJ"  # [(a) -1 <0041>] TJ
+    rb"|/(?P<font>[A-Za-z0-9]+)\s+[-0-9.]+\s+Tf"  # font switch
 )
-_ARR_ITEM = re.compile(rb"\((?P<lit>(?:[^()\\]|\\.)*)\)")
+_ARR_ITEM = re.compile(
+    rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>"
+)
+
+# ---- /ToUnicode CMap support (CID-keyed PDFs, e.g. Chrome/Skia) -----------
+
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_PAIR = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_TRIPLE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_TOUNI_REF = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_RES = re.compile(rb"/(F[A-Za-z0-9]*)\s+(\d+)\s+\d+\s+R")
+
+
+def _u16s_to_str(hx: bytes) -> str:
+    """UTF-16BE code units from a hex string (surrogates supported)."""
+    raw = bytes.fromhex(hx.decode("ascii"))
+    return raw.decode("utf-16-be", errors="ignore")
+
+
+def _parse_cmap(stream: bytes) -> dict[int, str]:
+    cmap: dict[int, str] = {}
+    for block in _BFCHAR.findall(stream):
+        for src, dst in _HEX_PAIR.findall(block):
+            cmap[int(src, 16)] = _u16s_to_str(dst)
+    for block in _BFRANGE.findall(stream):
+        for lo, hi, dst in _HEX_TRIPLE.findall(block):
+            start = int(dst, 16)
+            for off in range(int(hi, 16) - int(lo, 16) + 1):
+                cmap[int(lo, 16) + off] = chr(start + off)
+    return cmap
+
+
+def _inflate(content: bytes) -> bytes:
+    try:
+        return zlib.decompress(content)
+    except zlib.error:
+        return content
+
+
+def _expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Inline the contents of /Type /ObjStm containers (PDF 1.5+
+    cross-reference-stream files keep most dictionaries inside
+    compressed object streams): header is `num offset` pairs, bodies
+    start at /First."""
+    for body in list(objects.values()):
+        if b"/ObjStm" not in body:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        sm = re.search(rb"stream\r?\n(.*?)endstream", body, re.DOTALL)
+        if not (n_m and first_m and sm):
+            continue
+        payload = _inflate(sm.group(1))
+        first = int(first_m.group(1))
+        header = payload[:first].split()
+        nums = [int(x) for x in header[0::2]]
+        offs = [int(x) for x in header[1::2]]
+        for i, (num, off) in enumerate(zip(nums, offs)):
+            end = first + offs[i + 1] if i + 1 < len(offs) else len(payload)
+            objects.setdefault(num, payload[first + off : end])
+
+
+def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
+    """Resource font name (e.g. b'F0') → glyph→unicode map, built from
+    the object graph: /Font resources → font objects → /ToUnicode
+    streams. Best-effort: unresolvable pieces are skipped."""
+    objects: dict[int, bytes] = {int(n): body for n, body in _OBJ.findall(data)}
+    _expand_object_streams(objects)
+    # object holding each ToUnicode CMap
+    cmap_by_obj: dict[int, dict[int, str]] = {}
+    font_to_cmap_obj: dict[int, int] = {}
+    for num, body in objects.items():
+        m = _TOUNI_REF.search(body)
+        if m:
+            font_to_cmap_obj[num] = int(m.group(1))
+    for cmap_obj in set(font_to_cmap_obj.values()):
+        body = objects.get(cmap_obj, b"")
+        sm = re.search(rb"stream\r?\n(.*?)endstream", body, re.DOTALL)
+        if sm:
+            cmap_by_obj[cmap_obj] = _parse_cmap(_inflate(sm.group(1)))
+    # resource name → font object (resource dicts may themselves live
+    # inside object streams, so scan the expanded object bodies)
+    out: dict[bytes, dict[int, str]] = {}
+    for body in objects.values():
+        for name, font_obj in _FONT_RES.findall(body):
+            cm_obj = font_to_cmap_obj.get(int(font_obj))
+            if cm_obj is not None and cm_obj in cmap_by_obj:
+                out[name] = cmap_by_obj[cm_obj]
+    return out
+
+
+def _decode_hex_string(hx: bytes, cmap: dict[int, str] | None) -> str:
+    hx = re.sub(rb"\s", b"", hx)
+    if len(hx) % 2:
+        hx += b"0"
+    raw = bytes.fromhex(hx.decode("ascii"))
+    if cmap is not None:
+        # 2-byte CID codes (Identity-H codespace)
+        return "".join(
+            cmap.get(int.from_bytes(raw[i : i + 2], "big"), "")
+            for i in range(0, len(raw) - len(raw) % 2, 2)
+        )
+    return raw.decode("latin-1")
 
 
 def pdf_bytes_to_text(data: bytes) -> str:
     """Minimal PDF text extraction (see module docstring): every
     content stream is inflated if needed and each show-text operator
-    emits one line, in stream order."""
+    emits one line, in stream order. Hex show-strings are decoded
+    through the current font's /ToUnicode CMap when one exists
+    (CID-keyed PDFs from browser/Skia generators)."""
+    font_cmaps = _font_cmaps(data)
+    default_cmap = (
+        next(iter(font_cmaps.values())) if len(font_cmaps) == 1 else None
+    )
     lines: list[str] = []
     for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, re.DOTALL):
-        content = m.group(1)
-        try:
-            content = zlib.decompress(content)
-        except zlib.error:
-            pass  # already plain
-        if b"BT" not in content:
+        content = _inflate(m.group(1))
+        if b"BT" not in content or b"beginbfchar" in content:
             continue
+        cmap = default_cmap
         for sm in _SHOW_TEXT.finditer(content):
-            if sm.group("lit") is not None:
+            if sm.group("font") is not None:
+                cmap = font_cmaps.get(sm.group("font"), default_cmap)
+            elif sm.group("lit") is not None:
                 lines.append(_unescape_pdf_string(sm.group("lit")))
             elif sm.group("hex") is not None:
-                hx = re.sub(rb"\s", b"", sm.group("hex"))
-                if len(hx) % 2:
-                    hx += b"0"
-                lines.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                lines.append(_decode_hex_string(sm.group("hex"), cmap))
             else:
-                parts = [
-                    _unescape_pdf_string(im.group("lit"))
-                    for im in _ARR_ITEM.finditer(sm.group("arr"))
-                ]
+                parts = []
+                for im in _ARR_ITEM.finditer(sm.group("arr")):
+                    if im.group("lit") is not None:
+                        parts.append(_unescape_pdf_string(im.group("lit")))
+                    elif im.group("hex"):
+                        parts.append(_decode_hex_string(im.group("hex"), cmap))
                 lines.append("".join(parts))
     return "\n".join(lines) + ("\n" if lines else "")
 
