@@ -85,3 +85,36 @@ def test_real_registry_loads(spark):
     assert ipphist.count() == 4826
     ids = ipphist.select("HOSPITAL_PATIENT_ID").distinct().count()
     assert ids == 4826
+
+
+def test_real_corpus_full_pipeline(spark, tmp_path):
+    """The switch-over proof: both reference entry points run over the
+    REAL corpus into the warehouse — every real document lands in
+    DWH_DOCUMENT linked to a real patient."""
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+    from data_engineer_challenge_spark.pipeline import (
+        run_document_batch,
+        run_patient_batch,
+    )
+    from data_engineer_challenge_spark.sources.binary_docs import (
+        extract_documents,
+        read_binary_documents,
+    )
+    from data_engineer_challenge_spark.sources.xlsx import read_patient_registry
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    registry = read_patient_registry(
+        spark, os.path.join(REF_DIR, "export_patient.xlsx"), "Export Worksheet"
+    )
+    run_patient_batch(wh, registry, upload_id=1)
+    files = extract_documents(read_binary_documents(spark, REF_DIR))
+    rejects = run_document_batch(wh, files, upload_id=1)
+
+    docs = wh.read("DWH_DOCUMENT").collect()
+    assert len(docs) == 15 and rejects.count() == 0
+    assert all(r["PATIENT_NUM"] is not None for r in docs)
+    assert sorted(r["DOCUMENT_NUM"] for r in docs) == list(range(1, 16))
+    by_id = {r["ID_DOC_SOURCE"]: r for r in docs}
+    assert by_id["937629"]["AUTHOR"] is None  # the no-author document
+    assert by_id["321654"]["AUTHOR"] == "Dr Mamy Nova"
+    assert len(by_id["321654"]["DISPLAYED_TEXT"]) > 1000
