@@ -477,3 +477,86 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow"),
         F.last_day(d).cast("timestamp").alias("month_end"),
     )
+
+
+@register(
+    "window_functions_showcase",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INTEGER) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           first_value(o_totalprice) OVER w AS biggest,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: rank/dense_rank/ntile/first_value/lead
+    plus a decimal running total — all per-customer partitions (no
+    global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_totalprice").over(w).alias("biggest"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(wrun)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(round(list_max(list_transform(embedding,
+                x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS max_component,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+               AS n_positive,
+           CAST(list_sort(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)))[1] AS DOUBLE) AS min_component,
+           CAST(round(CAST(embedding[1] AS DOUBLE)
+                + CAST(embedding[64] AS DOUBLE), 6) AS DOUBLE)
+               AS first_plus_last
+    FROM embeddings
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface: size/transform/filter/sort/index —
+    the building blocks the similarity operators compose. Rounding at
+    6 dp keeps float32→float64 widenings comparable across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(dbl), 6).alias("max_component"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.get(F.array_sort(dbl), 0).alias("min_component"),
+        F.round(
+            F.col("embedding")[0].cast("double") + F.col("embedding")[63].cast("double"),
+            6,
+        ).alias("first_plus_last"),
+    )
