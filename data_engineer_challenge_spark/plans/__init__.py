@@ -64,12 +64,17 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Order matters: the driver's correctness harness checks the first
+    # 50 registered queries, so the scale-critical modules (dedup,
+    # advanced — as-of join, range join, set ops, clean corpus)
+    # register before the showcase tails. The registry is kept ≤ 50 so
+    # every query gets a driver correctness row regardless.
     from . import relational  # noqa: F401
     from . import cdw  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import advanced  # noqa: F401
     from . import events  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
-    from . import dedup  # noqa: F401
-    from . import advanced  # noqa: F401
 
     _LOADED = True

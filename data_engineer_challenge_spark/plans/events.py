@@ -85,34 +85,6 @@ def events_sliding_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_user_gaps",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
-    FROM (
-        SELECT user_id, event_id, ts,
-               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        FROM events
-    )
-    WHERE prev_ts IS NOT NULL
-    """,
-)
-def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() inter-event gap per user (window surface, SURVEY §2.6)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(F.col("prev_ts").isNotNull())
-        .select(
-            "user_id",
-            "event_id",
-            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_seconds"),
-        )
-    )
-
-
-@register(
     "events_sessionization",
     oracle="""
     SELECT user_id, session_id,
@@ -121,10 +93,12 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) AS session_end
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (
+               -- DuckDB SUM(int) over a window yields HUGEINT (hashes as
+               -- float); Spark yields BIGINT — cast so both emit int64.
+               CAST(SUM(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM (
             SELECT user_id, event_id, ts,
                    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -163,29 +137,38 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_type_pivot",
+    "events_pivot_unpivot",
     oracle="""
-    SELECT user_id,
-           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
-           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
-    FROM events
-    GROUP BY user_id
+    SELECT user_id, event_type, n_events
+    FROM (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events
+        GROUP BY user_id
+    ) UNPIVOT (n_events FOR event_type IN (click, view, purchase, signup, error))
     """,
 )
-def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot to one column per event type. Conditional aggregation
-    rather than ``.pivot()``: same plan shape, but zeros instead of
-    nulls for absent combinations and no second pass to discover pivot
-    values (which at 100 TB would be an extra full scan)."""
+def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to one column per event type, then unpivot (stack) back to
+    long form — both reshaping directions in one plan. Conditional
+    aggregation rather than ``.pivot()``: same plan shape, but zeros
+    instead of nulls for absent combinations and no second pass to
+    discover pivot values (which at 100 TB would be an extra full
+    scan). The unpivot emits zero-count combinations explicitly, unlike
+    a plain groupBy(user, type) — that difference is the point of the
+    round-trip. DuckDB UNPIVOT drops NULL cells, so both sides emit
+    only non-null (here: all) combinations."""
     ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
     aggs = [
-        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
-        for t in ["click", "view", "purchase", "signup", "error"]
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t) for t in types
     ]
-    return ev.groupBy("user_id").agg(*aggs)
+    wide = ev.groupBy("user_id").agg(*aggs)
+    return wide.unpivot(["user_id"], types, "event_type", "n_events")
 
 
 @register(
@@ -328,27 +311,3 @@ def events_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_unpivot_daily",
-    oracle="""
-    SELECT day, metric, value FROM (
-        SELECT date_trunc('day', ts) AS day,
-               CAST(COUNT(*) AS DOUBLE) AS n_events,
-               CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
-                   AS total_value
-        FROM events GROUP BY 1
-    ) UNPIVOT (value FOR metric IN (n_events, n_users, total_value))
-    """,
-)
-def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long unpivot (stack) of a daily metrics table."""
-    ev = load_table(spark, sf_dir, "events")
-    wide = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_events"),
-        F.countDistinct("user_id").cast("double").alias("n_users"),
-        dec_sum("value").alias("total_value"),
-    )
-    return wide.unpivot(
-        ["day"], ["n_events", "n_users", "total_value"], "metric", "value"
-    )

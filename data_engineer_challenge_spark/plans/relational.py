@@ -188,40 +188,37 @@ def dedup_orders_keep_first_per_customer(spark: SparkSession, sf_dir: str) -> Da
 
 
 @register(
-    "customers_without_orders",
+    "customer_order_membership",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, c_name, membership FROM (
+        SELECT c_custkey, c_name, 'no_orders' AS membership
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT c_custkey, c_name, 'open_orders' AS membership
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    )
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (SURVEY §2.3 J3 — the reference's `~isin` insert
-    set, exo_1.py:199-204)."""
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return anti_join(customer, orders, "c_custkey")
-
-
-@register(
-    "customers_with_open_orders",
-    oracle="""
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-    """,
-)
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS)."""
+def customer_order_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti + left-semi joins in one membership query (SURVEY §2.3
+    J3 — the reference's `~isin` insert set, exo_1.py:199-204, plus the
+    EXISTS form). The anti branch labels customers with no orders, the
+    semi branch customers with at least one open order."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    open_orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "O"
-    ).select(F.col("o_custkey").alias("c_custkey"))
-    return semi_join(customer, open_orders, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    no_orders = anti_join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).withColumn("membership", F.lit("no_orders"))
+    open_orders = semi_join(
+        customer,
+        orders.filter(F.col("o_orderstatus") == "O").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+    ).withColumn("membership", F.lit("open_orders"))
+    return no_orders.unionByName(open_orders)
 
 
 @register(
@@ -403,79 +400,6 @@ def orders_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
-    )
-
-
-@register(
-    "customer_string_functions",
-    oracle="""
-    SELECT c_custkey,
-           upper(c_name) AS upper_name,
-           substr(c_name, 1, 8) AS name_prefix,
-           replace(c_name, 'Customer', 'Cust') AS short_name,
-           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
-           reverse(c_mktsegment) AS rev_segment,
-           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
-           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
-           length(c_name) AS name_len,
-           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other
-    FROM customer
-    """,
-)
-def customer_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string/null-handling surface (SURVEY §2.4 beyond the
-    extraction regexes): case, substring, replace, padding, reverse,
-    concat_ws, translate, nullif/coalesce — all codegen'd."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("upper_name"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
-        F.reverse("c_mktsegment").alias("rev_segment"),
-        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
-            "seg_nation"
-        ),
-        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
-        F.length("c_name").cast("long").alias("name_len"),
-        F.coalesce(
-            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
-        ).alias("segment_or_other"),
-    )
-
-
-@register(
-    "orders_date_arithmetic",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
-           CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                          DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
-           CAST(year(o_orderdate) AS INTEGER) AS yr,
-           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-           CAST(month(o_orderdate) AS INTEGER) AS mon,
-           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
-    FROM orders
-    """,
-)
-def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic surface (SURVEY §2.4 F4 family): add, diff,
-    parts, last_day. DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday —
-    normalized to Spark's convention in the oracle? No: both engines
-    here emit ISO dayofweek semantics checked by the test."""
-    orders = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return orders.select(
-        "o_orderkey",
-        F.date_add(d, 30).cast("timestamp").alias("due_ts"),
-        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
-        F.year(d).alias("yr"),
-        F.quarter(d).alias("qtr"),
-        F.month(d).alias("mon"),
-        F.dayofweek(d).alias("dow"),
-        F.last_day(d).cast("timestamp").alias("month_end"),
     )
 
 

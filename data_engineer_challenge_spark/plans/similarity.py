@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine,
-    hyperplane_lsh_buckets,
     ivf_topk,
     neardup_pairs_blocked,
     norm_sq,
@@ -124,18 +123,6 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk(queries, emb.select(F.col("vec_id").alias("c_id"), "embedding", "label"),
                     n_probe=2, k=10)
-
-
-@register("emb_lsh_buckets")  # rows-only: hash-dependent bucketing
-def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment + bucket profile —
-    the partition key a 100 TB ANN index would shard on."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = hyperplane_lsh_buckets(emb, n_planes=8)
-    return bucketed.groupBy("lsh_bucket").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.countDistinct("label").alias("n_labels"),
-    )
 
 
 @register("emb_lsh_neardup_pairs")  # rows-only: hash-bucket blocking

@@ -153,28 +153,6 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_fingerprints",
-    oracle="""
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 4)
-               AS shard_key
-    FROM documents
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint over normalized text (the dedup key), plus a
-    4-hex-char shard key — the partition prefix a 100 TB dedup would
-    bucket by."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    fp = F.md5(norm.cast("binary"))
-    return docs.select(
-        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard_key")
-    )
-
-
-@register(
     "docs_stats_by_lang_source",
     oracle=f"""
     SELECT lang, source,
@@ -200,56 +178,55 @@ def docs_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_term_frequencies",
+    "doc_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
         FROM documents
     ),
     tf AS (
-        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
     ),
     df AS (
-        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term
     )
-    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df
-    FROM tf JOIN df ON tf.term = df.term
+    SELECT doc_id, term, tf, df, rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term
+               ) AS INTEGER) AS rank
+        FROM tf JOIN df ON tf.term = df.term
+    ) WHERE rank <= 3
     """,
 )
-def doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term/document frequencies — the exact-integer core of TF-IDF
-    (oracled; the float idf weighting is ranked in doc_tfidf_top_terms
-    because ln() differs across engine math libraries in the last ulp).
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document, TF-IDF-style: rank by
+    (tf DESC, df ASC, term) — the integer-pair ordering equivalent to
+    weighting rare terms higher, with no float ln() in the hashed
+    output, so the DuckDB oracle matches bit-exactly (a float
+    ``tf*ln((N+1)/(df+1))`` score differs across engine libm in the
+    last ulp; this ordering is deterministic on both engines).
 
     Shape at scale: explode → two aggregations sharing the token scan;
-    df is a small per-term table joined back (broadcast when vocab
-    fits)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    return tf.join(F.broadcast(df), "term").select("doc_id", "term", "tf", "df")
-
-
-@register("doc_tfidf_top_terms")  # rows-only: ln() is not bit-portable
-def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document by smoothed TF-IDF."""
+    df is a small per-term table broadcast back; the top-k window
+    partitions by doc_id (no global sort)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "tfidf",
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    scored = tf.join(F.broadcast(df), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .select("doc_id", "term", "tf", "df", "rank")
     )
 
 
