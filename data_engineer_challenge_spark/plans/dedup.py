@@ -170,8 +170,17 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-training-corpus cleaning pipeline in one plan:
     exact dedup (keep lowest doc_id) → near-dup removal (bigram
     Jaccard >= 0.5 within lang; higher doc_id dropped) → length filter.
-    Every stage is the oracled operator used alone elsewhere; this
-    query proves they compose."""
+
+    The near-dup stage generates candidates with MinHash-LSH banding
+    (the 100 TB path — a band-bucket equi-join, never the
+    O(n²/|langs|) within-block product the oracle runs) and
+    exact-Jaccard-verifies candidates only, so the result is identical
+    to the exhaustive oracle as long as banding recalls every true
+    pair. 16 bands × 2 rows over 32 hashes puts the per-pair miss
+    probability at (1-j²)¹⁶ ≈ 3e-12 for the j ≥ 0.9 dups the corpus
+    plants (tests/test_text_dedup.py asserts candidates ⊇ exhaustive
+    pairs); lang rides the band join as a hard blocking key, matching
+    the oracle's a.lang = b.lang and splitting hot band buckets."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     scored = docs.select(
@@ -187,18 +196,17 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = (
         scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
-    sh = exact_kept.select(
-        "doc_id", "lang", word_shingles("text", 2).alias("s")
-    ).filter(F.size("s") > 0)
-    par = spark.sparkContext.defaultParallelism
-    a = sh.repartition(par, "doc_id").select(
-        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
-    )
-    b = sh.select(F.col("lang"), F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     near_dropped = (
-        a.join(b, "lang")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        minhash_candidate_pairs(
+            exact_kept,
+            "doc_id",
+            "text",
+            shingle_n=2,
+            num_hashes=32,
+            bands=16,
+            threshold=0.5,
+            block_cols=("lang",),
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

@@ -86,6 +86,30 @@ def test_minhash_recall_vs_exhaustive_on_documents(spark):
     assert recall >= 0.8, f"recall {recall}: {exhaustive - lsh}"
 
 
+def test_clean_corpus_banding_covers_exhaustive_pairs(spark):
+    """documents_clean_corpus swaps the oracle's exhaustive within-lang
+    Jaccard join for MinHash banding (16 bands × 2 rows) — identical
+    results require candidates ⊇ true pairs, asserted here as a hard
+    superset, not a recall ratio."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", bands=16, block_cols=("lang",)
+        ).collect()
+    }
+    assert exhaustive, "fixture should contain planted near-dups"
+    assert exhaustive <= banded, f"banding missed: {exhaustive - banded}"
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from data_engineer_challenge_spark import plans
 
