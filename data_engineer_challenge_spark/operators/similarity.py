@@ -155,23 +155,45 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: quantization scale for LSH projections — a power of two, so
+#: ``x * _Q`` only shifts the float exponent and ``floor`` is exact and
+#: engine-independent
+_Q = 1048576.0
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+#: stride between plane seeds — any value > the vector dimension keeps
+#: per-plane component streams disjoint
+_SEED_STRIDE = 1000003
+
+
+def _lcg_component(s: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in
+    [-1000, 1000] from a double-round LCG over the seed index. Pure
+    positive-int64 arithmetic (no overflow at any reachable seed), so
+    any SQL engine reproduces it bit-exactly — this is what lets the
+    LSH pipeline carry a DuckDB oracle."""
+    a = F.lit(_LCG_A).cast("long")  # force int64 arithmetic: the raw
+    c = F.lit(_LCG_C).cast("long")  # int literals would multiply in
+    m = F.lit(_LCG_M).cast("long")  # int32 and overflow under ANSI
+    h1 = (a * s.cast("long") + c) % m
+    h2 = (a * h1 + c) % m
+    return h2 % F.lit(2001).cast("long") - F.lit(1000).cast("long")
+
+
 def _plane_projection(vec: Column, plane_seed: int) -> Column:
-    """Dot product with a deterministic pseudo-random hyperplane whose
-    components derive from xxhash64(seed, i) — executors need no
-    shared state and retries agree."""
+    """Integer-exact dot product with a deterministic pseudo-random
+    hyperplane: vector components quantize to ``floor(x · 2²⁰)`` (exact
+    — the scale is a power of two) and the plane components are LCG
+    integers, so the projection is an int64 sum — order-independent,
+    no float-accumulation drift between engines or retries."""
+    s0 = plane_seed * _SEED_STRIDE
     return F.aggregate(
         F.zip_with(
             vec,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: (
-                    F.pmod(F.xxhash64(F.lit(plane_seed), i), F.lit(2001)) - 1000
-                ).cast("double")
-                / 1000.0,
-            ),
-            lambda x, h: x.cast("double") * h,
+            F.sequence(F.lit(s0), F.lit(s0) + F.size(vec) - 1),
+            lambda x, s: F.floor(x.cast("double") * F.lit(_Q)).cast("long")
+            * _lcg_component(s),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 

@@ -38,6 +38,60 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot}) / sqrt(({na}) * ({nb}))"
 
 
+# --- SQL mirror of operators.similarity's integer-exact LSH ---------------
+# (same constants: quantize by 2^20, double-round LCG components, seed
+# stride 1000003 per plane; all int64 arithmetic, so both engines agree
+# bit-exactly)
+
+
+def _lcg_sql(s: str) -> str:
+    return (
+        f"((((1103515245*((1103515245*({s}) + 12345) % 2147483648) + 12345)"
+        f" % 2147483648) % 2001) - 1000)"
+    )
+
+
+def _proj_sql(vec: str, plane_seed: int) -> str:
+    s = f"({plane_seed * 1000003} + i)"
+    return (
+        f"(SELECT SUM(CAST(floor(x * 1048576.0) AS BIGINT) * {_lcg_sql(s)})"
+        f" FROM (SELECT unnest({vec}) AS x, unnest(range(0, len({vec}))) AS i))"
+    )
+
+
+def _bucket_sql(vec: str, table: int, n_planes: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(vec, table * n_planes + p)} >= 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+def _lsh_oracle(n_tables: int, n_planes: int, threshold: float) -> str:
+    buckets = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {t} AS tbl,"
+        f" ({_bucket_sql('embedding', t, n_planes)}) AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH b AS (
+{buckets}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                         AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT id_a, id_b,
+               {_cos_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.id_a
+        JOIN embeddings eb ON eb.vec_id = cand.id_b
+    ) WHERE cos_sim > {threshold}
+    """
+
+
 @register(
     "emb_knn_bruteforce",
     oracle=f"""
@@ -78,9 +132,11 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs blocked on label (the
-    coarse-bucket equi-join shape used at 100 TB; the label plays the
-    role of an IVF cell / LSH bucket)."""
+    """Label-blocked embedding near-dup pairs — the exhaustive
+    within-block BASELINE. Quadratic inside a block, so it only holds
+    while blocks stay small; the headline 100 TB path is
+    emb_lsh_neardup_pairs (self-contained LSH blocking, no pre-existing
+    cluster structure needed)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs_blocked(
         emb, block_col="label", id_col="vec_id", vec="embedding", threshold=0.35
@@ -125,13 +181,17 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_probe=2, k=10)
 
 
-@register("emb_lsh_neardup_pairs")  # rows-only: hash-bucket blocking
+@register("emb_lsh_neardup_pairs", oracle=_lsh_oracle(8, 4, 0.35))
 def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN dedup with multi-table hyperplane LSH blocking
-    (8 tables × 4 planes) and exact cosine verification — the fully
-    self-contained 100 TB shape, no pre-existing cluster structure
-    required. Recall vs the label-blocked exhaustive pairs is asserted
-    in tests."""
+    (8 tables × 4 planes) and exact cosine verification — the headline
+    100 TB shape: candidates come from a (table, bucket) equi-join, no
+    pre-existing cluster structure required, and the cross product
+    never materializes. The projections are integer-exact (quantized
+    components × LCG hyperplanes), so the full pipeline — candidate
+    generation included — carries a DuckDB oracle rather than a
+    rows-only check. Recall vs the label-blocked exhaustive pairs is
+    additionally asserted in tests."""
     from ..operators.similarity import lsh_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
