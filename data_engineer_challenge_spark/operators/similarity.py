@@ -93,6 +93,88 @@ def neardup_pairs_blocked(
     )
 
 
+def _lit_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _cell_means(df: DataFrame, cell_col: str, vec: str) -> DataFrame:
+    """Component-wise mean vector per cell: posexplode (keeps component
+    order), mean per (cell, pos), re-assemble."""
+    return (
+        df.select(F.col(cell_col), F.posexplode(F.col(vec)).alias("pos", "val"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("val").alias("mval"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pairs"))
+        .select(
+            cell_col,
+            F.transform(F.col("pairs"), lambda p: p["mval"].cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Map-only argmax-cosine cell assignment: the centroid matrix
+    inlines as literal arrays, so assignment is one projection — no
+    join, no shuffle, whatever the corpus size. Ties break to the
+    lowest cell id via struct ordering."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine(vec_col, _lit_vec(c))).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 8,
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Deterministic seeded Lloyd k-means — the external coarse
+    quantizer for IVF.
+
+    Init picks the k rows with the smallest ``xxhash64(seed, id)``
+    (deterministic across runs/retries, no RNG state). Each iteration
+    is one map-only assignment (literal-centroid argmax, see
+    :func:`nearest_centroid`) plus one aggregation for the new means;
+    the k×dim centroid matrix round-trips through the driver per
+    iteration — it is the deliberately-small broadcast side, same as
+    the KNN query matrix. ``sample_mod=m`` trains on the deterministic
+    1/m hash-sample of rows — at 100 TB the quantizer never needs the
+    full corpus.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
+    if sample_mod:
+        base = base.filter(F.pmod(F.xxhash64(F.lit(seed + 1), "__id"), sample_mod) == 0)
+    base = base.cache()
+    init = (
+        base.withColumn("__h", F.xxhash64(F.lit(seed), "__id"))
+        .orderBy("__h")
+        .limit(k)
+        .select("__v")
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in init]
+    for _ in range(iters):
+        assigned = base.withColumn("__cell", nearest_centroid(F.col("__v"), centroids))
+        means = _cell_means(assigned, "__cell", "__v").collect()
+        new = {r["__cell"]: list(r["centroid"]) for r in means}
+        # empty cells keep their previous centroid
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    base.unpersist()
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -102,40 +184,35 @@ def ivf_topk(
     corpus_id: str = "c_id",
     vec: str = "embedding",
     coarse_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
-    Coarse quantization: corpus vectors are assigned to centroids
-    (provided via ``coarse_col``, or derived as per-``label`` mean);
-    each query probes its ``n_probe`` nearest centroids and ranks only
-    those inverted lists. Recall < 1.0 by design — the correctness
-    baseline is :func:`brute_force_topk`.
+    Coarse quantization, in priority order: ``centroids`` (an external
+    learned quantizer, e.g. :func:`kmeans_centroids` — corpus vectors
+    assign map-only to their nearest centroid), else ``coarse_col`` (a
+    pre-existing assignment column; cell centroids derive as per-cell
+    means), else the per-``label`` mean fallback. Each query probes its
+    ``n_probe`` nearest centroids and ranks only those inverted lists.
+    Recall < 1.0 by design — the correctness baseline is
+    :func:`brute_force_topk`.
     """
-    if coarse_col is None:
-        # centroid = component-wise mean per label: explode (posexplode
-        # keeps component order), mean per (label, pos), re-assemble
-        exploded = corpus.select(
-            F.col("label"), F.posexplode(F.col(vec)).alias("pos", "val")
+    if centroids is not None:
+        assigned = corpus.withColumn(
+            "__coarse", nearest_centroid(F.col(vec), centroids)
         )
-        centroids = (
-            exploded.groupBy("label", "pos")
-            .agg(F.avg("val").alias("mval"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pairs"))
-            .select(
-                "label",
-                F.transform(F.col("pairs"), lambda p: p["mval"].cast("float")).alias(
-                    "centroid"
-                ),
-            )
+        cent_df = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "label int, centroid array<float>",
         )
-        assigned = corpus.withColumnRenamed("label", "__coarse")
     else:
-        raise NotImplementedError("external coarse assignment not wired yet")
+        cell = coarse_col or "label"
+        cent_df = _cell_means(corpus, cell, vec).withColumnRenamed(cell, "label")
+        assigned = corpus.withColumn("__coarse", F.col(cell))
 
     # query → n_probe nearest centroids (centroid set is tiny: broadcast)
     q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
-    qc = q.crossJoin(F.broadcast(centroids)).select(
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
         query_id,
         "__qv",
         F.col("label").alias("__coarse"),

@@ -170,15 +170,27 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_ivf_topk")  # rows-only: approximate by construction
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: per-label centroids as the coarse quantizer,
-    n_probe=2 — each query scans ~2/10 of the corpus. Recall vs
-    emb_knn_bruteforce asserted in tests."""
+    """IVF ANN with an externally learned coarse quantizer:
+    deterministic seeded k-means (k=16, 8 Lloyd iterations), corpus
+    assignment is a map-only literal-centroid argmax, queries probe
+    their 10 nearest cells. Recall ≥ 0.9 vs emb_knn_bruteforce at
+    sf0.01 is asserted in tests — on this near-uniform synthetic
+    corpus (max pair cosine ~0.5) recall tracks the probed fraction,
+    so the probe count is the knob, exactly as on a real index."""
+    from ..operators.similarity import kmeans_centroids
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return ivf_topk(queries, emb.select(F.col("vec_id").alias("c_id"), "embedding", "label"),
-                    n_probe=2, k=10)
+    centroids = kmeans_centroids(emb, k=16, iters=8)
+    return ivf_topk(
+        queries,
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        n_probe=10,
+        k=10,
+        centroids=centroids,
+    )
 
 
 @register("emb_lsh_neardup_pairs", oracle=_lsh_oracle(8, 4, 0.35))

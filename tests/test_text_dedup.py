@@ -111,10 +111,14 @@ def test_clean_corpus_banding_covers_exhaustive_pairs(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
+    """The learned-quantizer IVF (k-means k=16, n_probe=10) must reach
+    recall ≥ 0.9 at the driver's correctness scale (sf0.01). The
+    embeddings are near-uniform on the sphere, so this is the
+    data-hardest regime for IVF — recall tracks probed fraction."""
     from data_engineer_challenge_spark import plans
 
     plans._load()
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     exact = {
         (r["q_id"], r["c_id"])
         for r in plans.REGISTRY["emb_knn_bruteforce"].builder(spark, sf).collect()
@@ -124,7 +128,21 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in plans.REGISTRY["emb_ivf_topk"].builder(spark, sf).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"ivf recall too low: {recall}"
+    assert recall >= 0.9, f"ivf recall too low: {recall}"
+
+
+def test_kmeans_quantizer_deterministic_and_sampled(spark):
+    """Same seed → identical centroids; the hash-sampled fit returns
+    the same shape (k × dim) from a fraction of the rows."""
+    from data_engineer_challenge_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_centroids(emb, k=4, iters=3)
+    b = kmeans_centroids(emb, k=4, iters=3)
+    assert a == b
+    s = kmeans_centroids(emb, k=4, iters=3, sample_mod=4)
+    assert len(s) == 4 and all(len(c) == len(a[0]) for c in s)
+    assert s != a  # fitted on a strict subset
 
 
 def test_lsh_neardup_recall_vs_label_blocked(spark):
