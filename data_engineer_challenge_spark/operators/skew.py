@@ -25,6 +25,10 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
+    if how not in ("inner", "left"):
+        # outer variants would keep each of the n_salts replicas of an
+        # unmatched small-side row — not row-identical to the plain join
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     keys = list(on)
     salt = "__salt"
     big_salted = big.withColumn(

@@ -79,6 +79,7 @@ def minhash_candidate_pairs(
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
     partitions: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -92,6 +93,18 @@ def minhash_candidate_pairs(
     within-block baseline, and hot band buckets split across blocks.
     ``partitions`` spreads the per-document hashing (the input is often
     one parquet file = one task without it).
+
+    ``max_bucket_size`` is the skew guard for power-law content: a band
+    bucket holding B documents yields B²/2 candidate pairs inside ONE
+    join key — AQE can split the partition but not the quadratic
+    blow-up, so a 10⁴-copy boilerplate passage would emit 10⁸ pairs
+    per band. Buckets larger than the cap are dropped before the
+    self-join (one window count, same shuffle key as the join). Run
+    exact dedup first (as documents_clean_corpus does): identical
+    documents collapse there, so an over-cap bucket signals degenerate
+    boilerplate, which near-dup dedup is free to skip — the cap trades
+    bounded recall loss on hot content for a hard per-bucket work
+    bound.
     """
     rows_per_band = num_hashes // bands
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -123,6 +136,15 @@ def minhash_candidate_pairs(
         "__id", *block_cols, F.posexplode(band_hashes).alias("__band", "__bh")
     )
     join_keys = [*block_cols, "__band", "__bh"]
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy(*join_keys)
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = banded.withColumnRenamed("__id", "id_a")
     right = banded.withColumnRenamed("__id", "id_b")
     cands = (

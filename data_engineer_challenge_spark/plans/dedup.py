@@ -107,7 +107,14 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive docs_ngram_jaccard_pairs is asserted in tests."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=8, threshold=0.5
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        max_bucket_size=1000,
     )
 
 
@@ -206,6 +213,10 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=16,
             threshold=0.5,
             block_cols=("lang",),
+            # skew guard: bounded per-bucket work at power-law scale;
+            # can't fire at oracle scale (buckets ≪ 1000 docs), so the
+            # exhaustive oracle still matches bit-exactly
+            max_bucket_size=1000,
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()

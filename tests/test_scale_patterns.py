@@ -26,6 +26,72 @@ def test_salted_join_row_identical(spark):
     assert salted == plain and len(plain) == 10_000
 
 
+def test_salted_join_rejects_outer_variants(spark):
+    big = spark.range(3).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full_outer")
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark):
+    """Planted skew: 10⁴ copies of one passage land every copy in the
+    same bucket of every band — uncapped, that is ~10⁸ candidate pairs
+    per band and the join never finishes at scale. With the cap the hot
+    buckets drop (bounded per-partition work), the planted honest
+    near-dup pair is still found, and no join-input partition carries
+    more than a capped bucket's worth of rows."""
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        minhash_candidate_pairs,
+    )
+
+    hot = "boilerplate terms of service apply to every page of this website forever"
+    base = (
+        "spark shuffles data between executors during wide transformations "
+        "while the optimizer prunes columns at the parquet scan"
+    )
+    near = base.replace("parquet scan", "parquet reader")
+    rows = [(i, hot) for i in range(10_000)] + [(10_001, base), (10_002, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_size=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (10_001, 10_002) in got  # honest near-dup survives the cap
+    # every hot-bucket pair was skipped: only the planted pair remains
+    assert got == {(10_001, 10_002)}
+
+    # structural check: after the cap, no (band, hash) join bucket on
+    # the self-join input exceeds the cap
+    from pyspark.sql.window import Window
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        hashed_shingles,
+        minhash_signature,
+    )
+
+    base_df = (
+        docs.repartition(8, "doc_id")
+        .select(F.col("doc_id").alias("__id"), hashed_shingles("text", 2).alias("__hs"))
+        .filter(F.size("__hs") > 0)
+        .withColumn("__sig", minhash_signature(F.col("__hs"), 32))
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("__sig")[b * 4 + r] for r in range(4)])
+            for b in range(8)
+        ]
+    )
+    banded = base_df.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    capped = (
+        banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("__band", "__bh"))
+        )
+        .filter(F.col("__bn") <= 100)
+    )
+    max_bucket = capped.groupBy("__band", "__bh").count().agg(F.max("count")).first()[0]
+    assert max_bucket is not None and max_bucket <= 100
+
+
 def test_salted_join_deterministic_salts(spark):
     big = spark.range(0, 1000).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
     small = spark.range(0, 3).select(F.col("id").alias("k"))
