@@ -6,8 +6,15 @@ The reference upserts by UPDATE-every-row-then-INSERT-anti-join
 classpath, so ``ParquetWarehouse`` implements the observable MERGE
 semantics over plain parquet: matched keys take the source row,
 unmatched target rows survive, new source rows append — one anti-join
-plus a union, staged to a new directory and atomically swapped
-(never reading and overwriting the same files in one job).
+plus a union, staged to a new directory and swapped in with a crash
+window that degrades to the previous snapshot (never an empty table).
+
+Tables created with ``overwrite_partitioned`` get a Delta-style
+key-hash partition layout (``__pkey=N`` directories): ``merge_upsert``
+then rewrites ONLY the partitions containing touched keys — at 100 TB
+a streaming micro-batch touches a handful of keys, and the full-table
+rewrite is the scale-killer. Untouched partition files stay
+byte-identical (tested).
 
 On a cluster with Delta/Iceberg available, ``merge_upsert`` is the
 single seam to replace with a real ``MERGE INTO``.
@@ -15,13 +22,23 @@ single seam to replace with a real ``MERGE INTO``.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: derived partition column for the pruned-MERGE layout
+PKEY = "__pkey"
+_META = "_wh_meta.json"  # leading underscore: invisible to parquet scans
+
+
+def _pkey_col(keys: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
 class ParquetWarehouse:
@@ -33,41 +50,123 @@ class ParquetWarehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _live_path(self, table: str) -> str:
+        """The readable snapshot: the table dir, or the ``.old`` one a
+        crashed swap left behind (degrade to the previous snapshot,
+        never to a missing table)."""
+        final = self.path(table)
+        if not os.path.isdir(final) and os.path.isdir(final + ".old"):
+            return final + ".old"
+        return final
+
     def exists(self, table: str) -> bool:
-        return os.path.isdir(self.path(table))
+        return os.path.isdir(self._live_path(table))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(self.path(table))
+        df = reader.parquet(self._live_path(table))
+        return df.drop(PKEY) if PKEY in df.columns else df
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         self._stage_and_swap(table, df)
+
+    def overwrite_partitioned(
+        self, table: str, df: DataFrame, keys: Sequence[str], n_buckets: int = 16
+    ) -> None:
+        """Write the table in the key-hash-partitioned layout that
+        makes merge_upsert partition-pruned. ``n_buckets`` bounds the
+        number of ``__pkey=N`` directories; size it so one bucket's
+        rewrite fits comfortably in a merge's time budget (more buckets
+        = finer pruning, more small files)."""
+        out = df.withColumn(PKEY, _pkey_col(keys, n_buckets))
+        self._stage_and_swap(
+            table,
+            out,
+            writer=lambda d, p: d.write.partitionBy(PKEY).mode("overwrite").parquet(p),
+            meta={"partition_keys": list(keys), "n_buckets": n_buckets},
+        )
+
+    def _meta(self, table: str) -> dict | None:
+        mp = os.path.join(self._live_path(table), _META)
+        if os.path.isfile(mp):
+            with open(mp) as fh:
+                return json.load(fh)
+        return None
 
     def merge_upsert(
         self, table: str, source: DataFrame, keys: Sequence[str]
     ) -> None:
         """MERGE semantics (K4): WHEN MATCHED UPDATE SET *,
         WHEN NOT MATCHED INSERT *. Idempotent: merging the same source
-        twice leaves the table unchanged (tested)."""
+        twice leaves the table unchanged (tested).
+
+        On a partitioned table (see :meth:`overwrite_partitioned`) only
+        the ``__pkey`` partitions containing source keys are read and
+        rewritten — partition pruning on the scan, dynamic partition
+        overwrite on the write; untouched partition files are not
+        rewritten. Unpartitioned tables fall back to the full staged
+        rewrite."""
         if not self.exists(table):
             self._stage_and_swap(table, source)
+            return
+        meta = self._meta(table)
+        if meta is not None and list(keys) == meta["partition_keys"]:
+            self._merge_pruned(table, source, keys, meta["n_buckets"])
             return
         target = self.read(table)
         kept = target.join(source.select(*keys), on=list(keys), how="left_anti")
         merged = kept.unionByName(source)
         self._stage_and_swap(table, merged)
 
-    def _stage_and_swap(self, table: str, df: DataFrame) -> None:
+    def _merge_pruned(
+        self, table: str, source: DataFrame, keys: Sequence[str], n_buckets: int
+    ) -> None:
         final = self.path(table)
+        src = source.withColumn(PKEY, _pkey_col(keys, n_buckets))
+        touched = sorted(r[0] for r in src.select(PKEY).distinct().collect())
+        # partition pruning: only touched __pkey dirs are scanned
+        tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
+        kept = tgt.drop(PKEY).join(source.select(*keys), on=list(keys), how="left_anti")
+        merged = kept.withColumn(PKEY, _pkey_col(keys, n_buckets)).unionByName(src)
+        # materialize to staging first — never read and overwrite the
+        # same partition files in one job
+        staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        try:
+            (
+                self.spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PKEY)
+                .parquet(final)
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _stage_and_swap(
+        self, table: str, df: DataFrame, writer=None, meta: dict | None = None
+    ) -> None:
+        final = self.path(table)
+        old = final + ".old"
         staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
         # writing the staging dir materializes the plan (which may read
-        # the current table) BEFORE the old data is removed
-        df.write.mode("overwrite").parquet(staging)
+        # the current table) BEFORE the old data is moved aside
+        if writer is None:
+            df.write.mode("overwrite").parquet(staging)
+        else:
+            writer(df, staging)
+        if meta is not None:
+            with open(os.path.join(staging, _META), "w") as fh:
+                json.dump(meta, fh)
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # leftover from a previous crashed swap
         if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+            os.rename(final, old)  # keep the previous snapshot until
+        os.rename(staging, final)  # the new one is in place
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
 
 def scd2_upsert(
