@@ -35,24 +35,34 @@ def asof_join(
     ``'inner'`` drops them. Right-side ties on (key, ts) resolve to the
     row latest in ``right_payload`` column order — pass a tiebreaker
     column in the payload and dedup beforehand if ties are possible.
+
+    The right row travels as ONE struct and the forward-fill carries
+    the struct (non-null for every right row, whatever its fields
+    hold), so a matched row whose payload columns are legitimately
+    NULL is still the match — nulls inside the payload neither fall
+    back to a stale earlier row nor drop the row under ``'inner'``.
     """
+    from pyspark.sql import types as T
+
     marker = "__asof_side"
     ts = "__asof_ts"
+    rrow = "__asof_row"
     payload_cols = list(right_payload)
+    rrow_type = T.StructType([right.schema[c] for c in payload_cols])
 
-    lefts = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
-    for c in payload_cols:
-        lefts = lefts.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lefts = (
+        left.withColumn(marker, F.lit(1))
+        .withColumn(ts, F.col(left_ts))
+        .withColumn(rrow, F.lit(None).cast(rrow_type))
+    )
     rights = right.select(
         *on,
         F.col(right_ts).alias(ts),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias(rrow),
     )
     left_cols = [c for c in left.columns]
-    union = lefts.select(
-        *left_cols, ts, F.col(marker), *[f"__r_{c}" for c in payload_cols]
-    ).unionByName(
+    union = lefts.select(*left_cols, ts, F.col(marker), rrow).unionByName(
         rights.select(
             *[
                 F.col(c)
@@ -62,7 +72,7 @@ def asof_join(
             ],
             ts,
             marker,
-            *[f"__r_{c}" for c in payload_cols],
+            rrow,
         ),
         allowMissingColumns=False,
     )
@@ -73,14 +83,10 @@ def asof_join(
         .orderBy(ts, marker)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = union
-    for c in payload_cols:
-        filled = filled.withColumn(
-            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+    filled = union.withColumn(rrow, F.last(rrow, ignorenulls=True).over(w))
     out = filled.filter(F.col(marker) == 1).drop(marker, ts)
     if how == "inner":
-        out = out.filter(F.col(f"__r_{payload_cols[0]}").isNotNull())
+        out = out.filter(F.col(rrow).isNotNull())
     for c in payload_cols:
-        out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
-    return out
+        out = out.withColumn(f"asof_{c}", F.col(rrow).getField(c))
+    return out.drop(rrow)

@@ -27,9 +27,12 @@ class CheckResult:
 
 def run_checks(df: DataFrame, checks: dict[str, Column]) -> list[CheckResult]:
     """``checks`` maps name → boolean Column that must hold per row.
-    One aggregation evaluates them all."""
+    One aggregation evaluates them all. A check that evaluates to NULL
+    (e.g. ``col > 0`` on a null) counts as FAILED — three-valued ``~``
+    would otherwise let null rows slip through the gate."""
     aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.count(F.when(~cond, 1)).alias(name) for name, cond in checks.items()
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(name)
+        for name, cond in checks.items()
     ]
     row = df.agg(*aggs).first()
     return [

@@ -72,6 +72,36 @@ def test_run_checks_single_pass(spark):
     assert results["always_fails"].failed_rows == results["always_fails"].total_rows
 
 
+def test_run_checks_null_condition_counts_as_failure(spark):
+    """A check evaluating to NULL (three-valued logic) must fail the
+    row — a data-quality gate that lets nulls slip through is a hole."""
+    df = spark.createDataFrame([(1,), (None,), (-1,)], "x int")
+    res = {r.name: r for r in run_checks(df, {"x_pos": F.col("x") > 0})}
+    assert res["x_pos"].failed_rows == 2  # the null AND the negative
+
+
+def test_asof_join_null_payload_is_still_the_match(spark):
+    """A right row whose payload column is legitimately NULL must be
+    the match (not fall back to a stale earlier non-null row), and must
+    survive how='inner'."""
+    from data_engineer_challenge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 20)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", 5, "old"), ("k", 15, None)], "k string, t long, v string"
+    )
+    out = {
+        (r["t"], r["asof_v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_payload=["v"], how="inner",
+        ).collect()
+    }
+    # t=10 matches the t=5 row ('old'); t=20 matches the t=15 row whose
+    # payload is genuinely NULL — not 'old', and not dropped
+    assert out == {(10, "old"), (20, None)}
+
+
 def test_unique_and_referential_checks(spark):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     customer = load_table(spark, "/root/testdata/sf0.001", "customer")
