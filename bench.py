@@ -31,9 +31,40 @@ HEADLINE = [
     "events_sessionization",
     "events_asof_last_click",
     "docs_minhash_neardup",
+    "docs_simhash_neardup",
     "documents_clean_corpus",
     "emb_knn_bruteforce",
+    "emb_lsh_neardup_pairs",
 ]
+
+
+def _bench_merge_batch(spark, sf_dir: str) -> float:
+    """Time one partition-pruned MERGE micro-batch (1000 updated keys
+    into a 32-bucket orders table) — the streaming path's steady-state
+    cost. Table build is setup, only the merge is timed."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    tmp = tempfile.mkdtemp(prefix="bench-wh-")
+    try:
+        wh = ParquetWarehouse(spark, tmp)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        wh.overwrite_partitioned("orders", orders, ["o_orderkey"], n_buckets=32)
+        batch = (
+            orders.filter(F.col("o_orderkey") % 15 == 0)
+            .limit(1000)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        )
+        t0 = time.perf_counter()
+        wh.merge_upsert("orders", batch, ["o_orderkey"])
+        return round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -63,6 +94,10 @@ def main() -> None:
         # materialize every row/column without driver-side transfer cost
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each query is timed self-contained: drop its intra-query
+        # caches so later timings don't inherit memory pressure
+        spark.catalog.clearCache()
+    timings["warehouse_merge_batch"] = _bench_merge_batch(spark, sf_dir)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

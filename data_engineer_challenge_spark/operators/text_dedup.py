@@ -165,29 +165,42 @@ def minhash_candidate_pairs(
     )
 
 
+#: literal bit masks for the 64 simhash positions; index 63 is the
+#: long's sign bit, so its mask is the (negative) minimum long
+_BIT_MASKS = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over word tokens: each token's xxhash64 votes ±1
     per bit position; the sign of each vote total sets the bit.
 
-    The bit loop unrolls in Python (shiftright needs a literal bit
-    count) — 64 folds over the token-hash array, all inside one
-    projection, map-only at any scale."""
+    One pass over the token hashes: the fold accumulator is the
+    64-wide vote array and each token updates all 64 counters via
+    ``zip_with`` against a literal mask array (the earlier form ran 64
+    separate folds = 64 traversals of the hash array; measured ~4x
+    slower at sf0.1). Map-only at any scale."""
     hashes = F.transform(word_tokens(col), lambda t: F.xxhash64(t))
-
-    def _vote_fn(bit: int):
-        # bind the bit index by closure: pyspark counts default args as
-        # lambda parameters, so `lambda acc, h, _i=i` would not work
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(i))
-        # bit 63 is the sign bit of the long
-        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # re-assemble the fingerprint: add each mask whose vote is positive
+    # (each mask appears at most once, so the sum cannot overflow)
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -203,10 +216,15 @@ def simhash_candidate_pairs(
     apart; we block on exact band match (catches hamming ≤ 3 per the
     standard 4-band scheme and most ≤ 6 cases) — recall/cost knob, with
     exact hamming verification after the join."""
-    # cache: the 64-fold simhash must not be recomputed per join side
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh")
-    ).cache()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # cache: the simhash fold must not be recomputed per join side;
+    # repartition first (a single-file input would fold on one task)
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition(par, "__id")
+        .select("__id", simhash64(F.col("__t")).alias("__sh"))
+        .cache()
+    )
     bands = sh.select(
         "__id",
         "__sh",

@@ -193,10 +193,10 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_lsh_neardup_pairs", oracle=_lsh_oracle(8, 4, 0.35))
+@register("emb_lsh_neardup_pairs", oracle=_lsh_oracle(8, 6, 0.35))
 def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN dedup with multi-table hyperplane LSH blocking
-    (8 tables × 4 planes) and exact cosine verification — the headline
+    (8 tables × 6 planes) and exact cosine verification — the headline
     100 TB shape: candidates come from a (table, bucket) equi-join, no
     pre-existing cluster structure required, and the cross product
     never materializes. The projections are integer-exact (quantized
@@ -207,7 +207,7 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=4)
+    return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=6)
 
 
 @register("emb_knn_vectorized")  # rows-only: BLAS float low bits differ
