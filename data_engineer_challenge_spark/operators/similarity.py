@@ -433,14 +433,18 @@ def brute_force_topk_vectorized(
     corpus_id: str = "c_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """BLAS-backed exact top-k: the query matrix (small by definition —
-    it is the broadcast side) ships to every executor inside a pandas
-    UDF closure; each Arrow batch of corpus vectors becomes one numpy
-    matmul, and only the per-batch top-k rows survive before the global
-    rank. ~vector-width times faster than the expression form on wide
-    embeddings; scores differ from it only in float low bits (BLAS
-    accumulation order), so the oracled query keeps the expression
-    form and this is the throughput path.
+    """Vectorized exact top-k, bit-identical to :func:`brute_force_topk`:
+    the query matrix (small by definition — it is the broadcast side)
+    ships to every executor inside a pandas UDF closure; each Arrow
+    batch of corpus vectors scores against every query at once, and
+    only the per-batch top-k rows survive before the global rank.
+
+    Scores accumulate per-DIMENSION in sequence (the fold order the
+    cosine() expression uses) while vectorizing across the
+    query×corpus grid — a plain BLAS matmul would drift in the float
+    low bits and diverge from the expression form/oracle. Per-batch
+    pre-reduction keeps the k best by the SAME (cos desc, id asc)
+    order the final window ranks by, so boundary ties survive.
     """
     import numpy as np
     import pandas as pd
@@ -448,21 +452,30 @@ def brute_force_topk_vectorized(
     q_rows = queries.select(query_id, vec).collect()
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    nq, dim = q_mat.shape
+    q_norm_sq = np.zeros(nq)
+    for i in range(dim):
+        q_norm_sq += q_mat[:, i] * q_mat[:, i]
 
     def score_batches(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             c_mat = np.array(list(pdf[vec]), dtype=np.float64)
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = q_mat @ c_norm.T  # (n_queries, batch)
+            dot = np.zeros((nq, c_mat.shape[0]))
+            c_norm_sq = np.zeros(c_mat.shape[0])
+            for i in range(dim):
+                dot += q_mat[:, i][:, None] * c_mat[:, i][None, :]
+                c_norm_sq += c_mat[:, i] * c_mat[:, i]
+            sims = dot / np.sqrt(q_norm_sq[:, None] * c_norm_sq[None, :])
             n_keep = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, n_keep - 1, axis=1)[:, :n_keep]
-            out_q, out_c, out_s = [], [], []
             cids = pdf[corpus_id].to_numpy()
-            for qi in range(sims.shape[0]):
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                order = np.lexsort((cids, -sims[qi]))[:n_keep]
                 out_q.extend([q_ids[qi]] * n_keep)
-                out_c.extend(cids[idx[qi]])
-                out_s.extend(sims[qi, idx[qi]])
+                out_c.extend(cids[order])
+                out_s.extend(sims[qi, order])
             yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cos_sim": out_s})
 
     partial = corpus.select(corpus_id, vec).mapInPandas(

@@ -126,15 +126,64 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
 
 
-@register("docs_neardup_clusters")  # rows-only: iterative algorithm
+@register(
+    "docs_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT node, canonical, node = canonical AS keep FROM (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS canonical
+        FROM reach GROUP BY src
+    )
+    """,
+)
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical survivor per
-    cluster (operators/graph.py, iterative label propagation — the
-    genuinely non-SQL-expressible tier; correctness proven by unit
-    tests on known graphs + the membership test below)."""
+    cluster (operators/graph.py, iterative label propagation). Pairs
+    come from the MinHash tier (16-band candidates, exact-Jaccard
+    verified, lang-blocked — coverage ⊇ the exhaustive pairs is
+    asserted in tests), so the whole path is the 100 TB shape; the
+    oracle recomputes the clusters independently with an exhaustive
+    pair join + a recursive-CTE transitive closure, making even this
+    iterative tier hash-checked rather than rows-only."""
     from ..operators.graph import dedup_clusters
 
-    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=32,
+        bands=16,
+        threshold=0.5,
+        block_cols=("lang",),
+        max_bucket_size=1000,
+    )
     return dedup_clusters(pairs)
 
 

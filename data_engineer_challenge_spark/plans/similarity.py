@@ -92,9 +92,7 @@ def _lsh_oracle(n_tables: int, n_planes: int, threshold: float) -> str:
     """
 
 
-@register(
-    "emb_knn_bruteforce",
-    oracle=f"""
+_KNN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS q_id, embedding qe FROM embeddings
                WHERE vec_id % 100 = 0),
          scored AS (
@@ -108,8 +106,10 @@ def _lsh_oracle(n_tables: int, n_planes: int, threshold: float) -> str:
                     ORDER BY cos_sim DESC, c_id) AS INTEGER) AS rank
         FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("emb_knn_bruteforce", oracle=_KNN_ORACLE)
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the vec_id%100==0 query set — the
     correctness baseline every ANN variant is measured against."""
@@ -210,11 +210,12 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=6)
 
 
-@register("emb_knn_vectorized")  # rows-only: BLAS float low bits differ
+@register("emb_knn_vectorized", oracle=_KNN_ORACLE)
 def emb_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput variant of emb_knn_bruteforce: numpy matmul per Arrow
-    batch (operators/similarity.brute_force_topk_vectorized). Same
-    neighbor sets as the exact query (asserted in tests)."""
+    """Throughput variant of emb_knn_bruteforce: numpy scoring per
+    Arrow batch with per-dimension-sequential accumulation
+    (operators/similarity.brute_force_topk_vectorized) — bit-identical
+    to the expression form, so it shares the same DuckDB oracle."""
     from ..operators.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -200,16 +200,19 @@ def test_neardup_clusters_consistent_with_pairs(spark):
 
 
 def test_vectorized_knn_matches_expression_knn(spark):
+    """Bit-exact equality, cos_sim included: the vectorized path
+    accumulates per-dimension in the same order as the expression
+    fold, so the two forms share one oracle."""
     from data_engineer_challenge_spark import plans
 
     plans._load()
     sf = "/root/testdata/sf0.001"
     exact = {
-        (r["q_id"], r["c_id"])
+        (r["q_id"], r["c_id"], r["rank"], r["cos_sim"])
         for r in plans.REGISTRY["emb_knn_bruteforce"].builder(spark, sf).collect()
     }
     fast = {
-        (r["q_id"], r["c_id"])
+        (r["q_id"], r["c_id"], r["rank"], r["cos_sim"])
         for r in plans.REGISTRY["emb_knn_vectorized"].builder(spark, sf).collect()
     }
     assert fast == exact
