@@ -50,12 +50,90 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     per slot is ~2x cheaper than re-hashing the shingle string
     num_hashes times (measured at sf0.1). Null-free input required;
     empty shingle sets get a signature of nulls (callers filter them
-    first)."""
+    first).
+
+    Expression form, kept for the single-signature API; the pair
+    pipeline uses :func:`minhash_bands_vectorized` (same math family,
+    Arrow-vectorized — higher-order-function expressions evaluate
+    interpreted, which dominated the pipeline's runtime)."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(F.lit(j), h)))
             for j in range(num_hashes)
         ]
+    )
+
+
+#: affine minhash family parameters: positive 31-bit masked base hash,
+#: per-slot (a_j, b_j) from a double-round LCG, modulus 2^31
+_MH_A, _MH_C, _MH_M = 1103515245, 12345, 1 << 31
+
+
+def minhash_bands_vectorized(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    block_cols: tuple[str, ...] = (),
+    id_col: str = "__id",
+    hashes_col: str = "__hs",
+) -> DataFrame:
+    """(id, blocks…, band, band_hash) rows for the LSH band join, one
+    Arrow pass per batch: all ``num_hashes`` minhash slots compute as
+    affine maps ``(a_j·h + b_j) mod 2³¹`` over the 31-bit-masked
+    shingle hashes with ``np.minimum.reduceat`` folding per document,
+    and band hashes FNV-fold the per-band slots. Pure integer math —
+    deterministic across runs/executors/platforms. The banding
+    *family* differs from the expression form's xxhash64 slots, but
+    any min-wise independent family gives the same collision
+    probabilities; coverage vs the exhaustive baseline is asserted in
+    tests (and the clean-corpus oracle would catch a recall hole)."""
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    # per-slot affine parameters from the shared double-round LCG
+    seeds = np.arange(num_hashes, dtype=np.int64)
+    a = (_MH_A * ((_MH_A * seeds + _MH_C) % _MH_M) + _MH_C) % _MH_M
+    a = (a | 1).astype(np.int64)  # odd multipliers
+    b = (_MH_A * (seeds + num_hashes) + _MH_C) % _MH_M
+    fnv = np.uint64(1099511628211)
+
+    out_fields = [f"{id_col} long"]
+    for c in block_cols:
+        out_fields.append(f"{c} {df.schema[c].dataType.simpleString()}")
+    out_fields += ["__band int", "__bh long"]
+    schema = ", ".join(out_fields)
+
+    def bandify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf[hashes_col].map(len).to_numpy()
+            offsets = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            flat = np.concatenate(list(pdf[hashes_col])).astype(np.int64)
+            hm = flat & 0x7FFFFFFF  # positive 31-bit base hash
+            sig = np.empty((len(pdf), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                sig[:, j] = np.minimum.reduceat((a[j] * hm + b[j]) % _MH_M, offsets)
+            # FNV-fold each band's slots into one int64 band hash
+            bh = np.empty((len(pdf), bands), dtype=np.uint64)
+            for bd in range(bands):
+                h = np.full(len(pdf), np.uint64(bd + 0xCBF29CE4), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    h = (h * fnv) ^ sig[:, bd * rows_per_band + r].astype(np.uint64)
+                bh[:, bd] = h
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                "__band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                "__bh": bh.reshape(-1).view(np.int64),
+            }
+            for c in block_cols:
+                out[c] = np.repeat(pdf[c].to_numpy(), bands)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *block_cols, hashes_col).mapInPandas(
+        bandify, schema=schema
     )
 
 
@@ -106,34 +184,22 @@ def minhash_candidate_pairs(
     bounded recall loss on hot content for a hard per-bucket work
     bound.
     """
-    rows_per_band = num_hashes // bands
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
     blocks = [F.col(c) for c in block_cols]
-    # materialize hashed shingles BEFORE deriving the signature:
-    # projection collapse would otherwise inline the tokenizer into
-    # each of the num_hashes min-hash expressions (a 32x re-tokenize),
-    # and the self-join would recompute everything again per side
+    # materialize hashed shingles once (cached): the self-join and the
+    # verification stage would otherwise re-tokenize per use
     base = (
         df.select(F.col(id_col).alias("__id"), *blocks, F.col(text_col).alias("__text"))
         .repartition(par, "__id")
         .withColumn("__hs", hashed_shingles(F.col("__text"), shingle_n))
         .filter(F.size("__hs") > 0)
         .select("__id", *block_cols, "__hs")
-        .withColumn("__sig", minhash_signature(F.col("__hs"), num_hashes))
         .cache()
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
     )
     # band join carries only (blocks, band, hash, id) — the shingle
     # arrays never enter the shuffle
-    banded = base.select(
-        "__id", *block_cols, F.posexplode(band_hashes).alias("__band", "__bh")
+    banded = minhash_bands_vectorized(
+        base, num_hashes=num_hashes, bands=bands, block_cols=block_cols
     )
     join_keys = [*block_cols, "__band", "__bh"]
     if max_bucket_size is not None:

@@ -66,22 +66,15 @@ def test_minhash_bucket_cap_bounds_hot_bucket(spark):
     from pyspark.sql.window import Window
     from data_engineer_challenge_spark.operators.text_dedup import (
         hashed_shingles,
-        minhash_signature,
+        minhash_bands_vectorized,
     )
 
     base_df = (
         docs.repartition(8, "doc_id")
         .select(F.col("doc_id").alias("__id"), hashed_shingles("text", 2).alias("__hs"))
         .filter(F.size("__hs") > 0)
-        .withColumn("__sig", minhash_signature(F.col("__hs"), 32))
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col("__sig")[b * 4 + r] for r in range(4)])
-            for b in range(8)
-        ]
-    )
-    banded = base_df.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    banded = minhash_bands_vectorized(base_df, num_hashes=32, bands=8)
     capped = (
         banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("__band", "__bh"))
