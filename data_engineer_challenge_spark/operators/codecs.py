@@ -1,0 +1,158 @@
+"""Pure-stdlib media codecs for the multimodal tier (SURVEY §2.10).
+
+The container ships no Pillow/ffmpeg/librosa, but three formats need
+no external library at all: uncompressed BMP and binary PPM images
+(struct + numpy) and PCM WAV audio (the stdlib ``wave`` module). These
+make the multimodal pipeline genuinely runnable end-to-end; compressed
+formats (JPEG/PNG/MP3/H.264) remain the documented injection seam —
+:func:`stdlib_decode` raises ``NotImplementedError`` for them exactly
+like the bare seam did for everything.
+
+All features are deterministic arithmetic over the decoded samples, so
+tests assert exact values (a solid-color image's channel mean IS the
+color).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+FEATURE_DIM = 16
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (h, w, 3) uint8 RGB array."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    _size, w, h, _planes, bpp, comp = struct.unpack_from("<iiihhI", data, 14)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_px = bpp // 8
+    row_size = (bytes_px * w + 3) // 4 * 4
+    rows = np.frombuffer(data, np.uint8, row_size * h, pix_off).reshape(h, row_size)
+    px = rows[:, : w * bytes_px].reshape(h, w, bytes_px)
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) → RGB
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8 RGB array."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' comments run to end of line
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    pos += 1  # single whitespace after maxval
+    return np.frombuffer(data, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, mono float64 samples in [-1, 1])."""
+    with wave.open(io.BytesIO(data)) as wf:
+        rate = wf.getframerate()
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    a = np.frombuffer(raw, dtype).astype(np.float64).reshape(-1, ch).mean(axis=1)
+    if sw == 1:
+        a = (a - 128.0) / 128.0
+    else:
+        a = a / float(1 << (8 * sw - 1))
+    return rate, a
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — the deterministic, library-free
+    downsample for thumbnailing / fixed-grid features."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """16-dim deterministic feature vector: per-channel mean (3) and
+    std (3), a 3×3 luma grid (9), aspect ratio (1)."""
+    f = img.astype(np.float64) / 255.0
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cells = [
+        float(c.mean())
+        for row in np.array_split(luma, 3, axis=0)
+        for c in np.array_split(row, 3, axis=1)
+    ]
+    aspect = img.shape[1] / img.shape[0]
+    return [*means.tolist(), *stds.tolist(), *cells, float(aspect)]
+
+
+def audio_features(rate: int, samples: np.ndarray) -> list[float]:
+    """16-dim deterministic feature vector: duration (1), overall RMS
+    (1), zero-crossing rate (1), 13 windowed RMS values."""
+    duration = len(samples) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    zcr = (
+        float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+        if len(samples) > 1
+        else 0.0
+    )
+    windows = [
+        float(np.sqrt(np.mean(w**2))) if len(w) else 0.0
+        for w in np.array_split(samples, 13)
+    ]
+    return [duration, rms, zcr, *windows]
+
+
+def stdlib_decode(payload: bytes, kind: str) -> list[float]:
+    """DecodeFn over the formats this environment can honestly decode:
+    BMP/PPM images, PCM WAV audio. Anything else (JPEG, PNG, MP3,
+    video codecs) raises ``NotImplementedError`` — that part of the
+    seam still wants an injected Pillow/ffmpeg-backed callable."""
+    if payload[:2] == b"BM":
+        return image_features(decode_bmp(payload))
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
+    if payload[:4] == b"RIFF":
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        f"no stdlib codec for kind={kind!r} magic={payload[:4]!r} — "
+        "inject a DecodeFn for compressed formats"
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP bytes (round-trip partner of
+    :func:`decode_bmp`; also the test-fixture generator)."""
+    h, w = img.shape[:2]
+    row_size = (3 * w + 3) // 4 * 4
+    pix = np.zeros((h, row_size), dtype=np.uint8)
+    pix[:, : 3 * w] = img[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    data = pix.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<iiihhIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data

@@ -3,10 +3,12 @@ generalizes the binary-document source, SURVEY §2.1 S2-S4).
 
 Media are opaque ``binary`` columns plus a typed metadata struct; the
 Spark-side plumbing — schema, Arrow batch shape, partition sizing — is
-real and tested, while the codec step is a seam: the container ships no
-image/audio libraries, so decoders raise ``NotImplementedError`` unless
-a deterministic fake is injected (tests do exactly that, mirroring how
-a production deployment injects Pillow/ffmpeg-backed callables).
+real and tested. The default codec is ``operators.codecs.stdlib_decode``:
+genuinely decodes uncompressed BMP/PPM images and PCM WAV audio with
+zero external dependencies (struct + numpy + the stdlib ``wave``
+module), and raises ``NotImplementedError`` for compressed formats —
+that remaining seam is where a production deployment injects a
+Pillow/ffmpeg-backed callable (tests also exercise injected fakes).
 
 Scale shape: decode/feature steps run via ``mapInPandas`` so one Arrow
 batch of binary payloads crosses to Python per partition; outputs drop
@@ -47,16 +49,15 @@ MEDIA_SCHEMA = T.StructType(
 DecodeFn = Callable[[bytes, str], list[float]]
 
 
-def _no_decoder(payload: bytes, kind: str) -> list[float]:
-    raise NotImplementedError(
-        "no media codec in this environment — inject a DecodeFn "
-        "(e.g. Pillow/librosa-backed) or use a deterministic fake"
-    )
+def _default_decoder(payload: bytes, kind: str) -> list[float]:
+    from .codecs import stdlib_decode
+
+    return stdlib_decode(payload, kind)
 
 
 def extract_features(
     media: DataFrame,
-    decode: DecodeFn = _no_decoder,
+    decode: DecodeFn = _default_decoder,
     feature_dim: int = 16,
 ) -> DataFrame:
     """media rows → (media_id, kind, feature array<float>).
