@@ -61,9 +61,13 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the convergence check above materialized `updated`, so the
+        # previous round's cache is dead weight from here on
+        labels.unpersist()
         labels = updated
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("node", "component")
 
 

@@ -112,6 +112,38 @@ def bucketed_tables(spark, tmp_path_factory):
     return "b_lineitem", "b_orders"
 
 
+def test_flagship_plan_broadcasts_and_prunes(spark):
+    """Physical-plan regression for the headline star join: every dim
+    join broadcasts (no sort-merge), and the lineitem scan is pruned to
+    the three columns the query touches."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["flagship_regional_revenue"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    li_scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert li_scans, plan
+    for scan in li_scans:
+        cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+        assert len(cols) <= 3, f"lineitem scan reads too many columns: {cols}"
+
+
+def test_q1_aggregate_is_partial_then_final(spark):
+    """The Q1 aggregation must combine map-side: two HashAggregate
+    levels with one Exchange between them, not a raw-row shuffle."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["q1_pricing_summary"].builder(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning" in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, bucketed_tables):
     li_name, o_name = bucketed_tables
     li = spark.table(li_name)
