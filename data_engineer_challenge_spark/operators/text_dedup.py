@@ -261,6 +261,43 @@ def minhash_candidate_pairs(
 _BIT_MASKS = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
 
 
+def md5_token_hash(t: Column) -> Column:
+    """60-bit positive token hash both engines compute identically:
+    the first 15 hex chars of md5(utf8) parsed as an integer — Spark
+    ``conv(..., 16, 10)``, DuckDB ``CAST('0x...' AS BIGINT)``. The
+    cross-engine reproducibility is what lets SimHash carry a full
+    DuckDB oracle (xxhash64 exists only in Spark)."""
+    return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(toks: Column) -> Column:
+    """60-bit SimHash over a token array using :func:`md5_token_hash`:
+    each token votes ±1 per bit position (occurrence-weighted), the
+    sign of each vote total sets the bit. Positive int64 — no sign-bit
+    special case — and SQL-reproducible. Single pass over the token
+    hashes, same fold shape as :func:`simhash64`."""
+    hashes = F.transform(toks, md5_token_hash)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over word tokens: each token's xxhash64 votes ±1
     per bit position; the sign of each vote total sets the bit.
@@ -301,19 +338,24 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup pairs blocked on 16-bit bands.
+    """SimHash near-dup pairs blocked on 15-bit bands of the 60-bit
+    md5-based fingerprint (:func:`simhash60` — SQL-reproducible, so
+    the whole pipeline carries a DuckDB oracle).
 
     Pigeonhole: hamming ≤ 6 over 4 bands ⇒ at least one band is ≤ 1
     apart; we block on exact band match (catches hamming ≤ 3 per the
     standard 4-band scheme and most ≤ 6 cases) — recall/cost knob, with
-    exact hamming verification after the join."""
+    exact hamming verification after the join. Token-less documents
+    carry no signal and are excluded (both engines)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # cache: the simhash fold must not be recomputed per join side;
     # repartition first (a single-file input would fold on one task)
     sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(par, "__id")
-        .select("__id", simhash64(F.col("__t")).alias("__sh"))
+        .select("__id", word_tokens(F.col("__t")).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("__id", simhash60(F.col("__toks")).alias("__sh"))
         .cache()
     )
     bands = sh.select(
@@ -322,7 +364,7 @@ def simhash_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("__sh"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("__sh"), 15 * b).bitwiseAND(F.lit(0x7FFF))
                     for b in range(4)
                 ]
             )

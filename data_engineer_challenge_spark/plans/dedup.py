@@ -142,10 +142,48 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_simhash_neardup")  # rows-only: banded hamming join
+@register(
+    "docs_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t
+              FROM documents)
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM toks, (SELECT unnest(range(0, 60)) AS b)
+        GROUP BY doc_id, b
+    ),
+    fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sh, b AS band, (sh >> (15 * b)) & 32767 AS bv
+        FROM fp, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                        a.sh AS sha, c.sh AS shb
+        FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv
+                                 AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 6
+    """,
+)
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup pairs (64-bit fingerprint, 4×16-bit
-    band blocking, hamming ≤ 6 verified)."""
+    """SimHash-banded near-dup pairs (60-bit md5-based fingerprint,
+    4×15-bit band blocking, hamming ≤ 6 verified). The token hash is
+    engine-reproducible (md5 hex → int), so fingerprinting, banding,
+    the candidate equi-join and the hamming verify all mirror into the
+    DuckDB oracle — the full approximate pipeline is hash-checked, not
+    rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
 
