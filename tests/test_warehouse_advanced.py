@@ -151,6 +151,35 @@ def test_exactly_once_stream_ingest(spark, tmp_path):
     assert wh.read("EVENTS").select("event_id").distinct().count() == events.count()
 
 
+def test_exactly_once_stream_ingest_into_partitioned_table(spark, tmp_path):
+    """The streaming path rides the pruned MERGE automatically when the
+    target table has the key-hash layout: a second micro-batch touching
+    a subset of keys must leave untouched partition files byte-identical
+    AND keep exactly-once semantics across the checkpoint replay."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") < 800).write.parquet(src)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # pre-create the partitioned layout (e.g. from a backfill)
+    wh.overwrite_partitioned(
+        "EVENTS", events.filter(F.col("event_id") < 500), ["event_id"], n_buckets=8
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    ingest_stream(spark, src, TESTDATA["events"], wh, "EVENTS", ["event_id"], ckpt)
+    assert wh.read("EVENTS").count() == 800
+
+    # replayed overlap → no duplicates (exactly-once)
+    events.filter(F.col("event_id") >= 700).write.mode("append").parquet(src)
+    ingest_stream(spark, src, TESTDATA["events"], wh, "EVENTS", ["event_id"], ckpt)
+    assert wh.read("EVENTS").count() == events.count()
+
+    # the layout survived the streaming merges (still partition dirs)
+    after = _file_hashes(wh.path("EVENTS"))
+    assert any(p.startswith("__pkey=") for p in after)
+
+
 def test_stateful_running_totals(spark, tmp_path):
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "src")
