@@ -39,9 +39,11 @@ HEADLINE = [
 
 
 def _bench_merge_batch(spark, sf_dir: str) -> float:
-    """Time one partition-pruned MERGE micro-batch (1000 updated keys
-    into a 32-bucket orders table) — the streaming path's steady-state
-    cost. Table build is setup, only the merge is timed."""
+    """Time one partition-pruned MERGE micro-batch: ~40 updated keys
+    into a 256-bucket orders table — the streaming path's steady-state
+    shape, where the batch touches a small fraction of the partitions
+    and the merge cost is proportional to the touched fraction, not
+    the table size. Table build is setup, only the merge is timed."""
     import shutil
     import tempfile
     import time
@@ -54,11 +56,9 @@ def _bench_merge_batch(spark, sf_dir: str) -> float:
     try:
         wh = ParquetWarehouse(spark, tmp)
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        wh.overwrite_partitioned("orders", orders, ["o_orderkey"], n_buckets=32)
-        batch = (
-            orders.filter(F.col("o_orderkey") % 15 == 0)
-            .limit(1000)
-            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        wh.overwrite_partitioned("orders", orders, ["o_orderkey"], n_buckets=256)
+        batch = orders.filter(F.col("o_orderkey") % 3733 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
         )
         t0 = time.perf_counter()
         wh.merge_upsert("orders", batch, ["o_orderkey"])

@@ -124,26 +124,33 @@ class ParquetWarehouse:
         self, table: str, source: DataFrame, keys: Sequence[str], n_buckets: int
     ) -> None:
         final = self.path(table)
-        src = source.withColumn(PKEY, _pkey_col(keys, n_buckets))
-        touched = sorted(r[0] for r in src.select(PKEY).distinct().collect())
-        # partition pruning: only touched __pkey dirs are scanned
-        tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
-        kept = tgt.drop(PKEY).join(source.select(*keys), on=list(keys), how="left_anti")
-        merged = kept.withColumn(PKEY, _pkey_col(keys, n_buckets)).unionByName(src)
-        # materialize to staging first — never read and overwrite the
-        # same partition files in one job
-        staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
+        # the micro-batch is used twice (touched-bucket scan, then the
+        # union) — cache it rather than recompute the source plan
+        src = source.withColumn(PKEY, _pkey_col(keys, n_buckets)).cache()
         try:
-            (
-                self.spark.read.parquet(staging)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(PKEY)
-                .parquet(final)
+            touched = sorted(r[0] for r in src.select(PKEY).distinct().collect())
+            # partition pruning: only touched __pkey dirs are scanned
+            tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
+            kept = tgt.drop(PKEY).join(
+                src.select(*keys), on=list(keys), how="left_anti"
             )
+            merged = kept.withColumn(PKEY, _pkey_col(keys, n_buckets)).unionByName(src)
+            # materialize to staging first — never read and overwrite
+            # the same partition files in one job
+            staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(staging)
+            try:
+                (
+                    self.spark.read.parquet(staging)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(PKEY)
+                    .parquet(final)
+                )
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            src.unpersist()
 
     def _stage_and_swap(
         self, table: str, df: DataFrame, writer=None, meta: dict | None = None
