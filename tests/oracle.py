@@ -53,6 +53,18 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
         f"column mismatch: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
+    # dtype-family check: an int column on one side vs float on the
+    # other hashes differently in the driver even when values compare
+    # equal in Python (the round-1 DuckDB-HUGEINT lesson). Nullable int
+    # columns widen to float on BOTH sides, so a genuine family split
+    # only appears when neither side carries nulls.
+    for c in got.columns:
+        kinds = {got[c].dtype.kind, want[c].dtype.kind}
+        if kinds == {"i", "f"} and not (got[c].isna().any() or want[c].isna().any()):
+            raise AssertionError(
+                f"dtype family mismatch on {c!r}: spark={got[c].dtype} "
+                f"duckdb={want[c].dtype} (cast the oracle, e.g. HUGEINT→BIGINT)"
+            )
     got_rows, want_rows = _canon(got), _canon(want)
     for i, (g, w) in enumerate(zip(got_rows, want_rows)):
         assert g == w, f"row {i} differs:\n  spark : {g}\n  duckdb: {w}"
