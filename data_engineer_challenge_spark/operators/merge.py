@@ -129,6 +129,10 @@ class ParquetWarehouse:
         src = source.withColumn(PKEY, _pkey_col(keys, n_buckets)).cache()
         try:
             touched = sorted(r[0] for r in src.select(PKEY).distinct().collect())
+            if not touched:
+                return  # empty micro-batch (a streaming replay tick):
+                # nothing to merge, and an empty staging dir would fail
+                # schema inference on the re-read
             # partition pruning: only touched __pkey dirs are scanned
             tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
             kept = tgt.drop(PKEY).join(

@@ -69,6 +69,21 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in wh.read("t").collect()} == want
 
 
+def test_partitioned_merge_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (e.g. a streaming replay tick with nothing
+    new) must leave the partitioned table untouched, not crash on an
+    empty staging dir."""
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=4)
+    before = _file_hashes(wh.path("t"))
+    wh.merge_upsert("t", base.filter(F.lit(False)), ["k"])
+    assert _file_hashes(wh.path("t")) == before
+    assert wh.read("t").count() == 100
+
+
 def test_stage_and_swap_crash_window_falls_back_to_old(spark, tmp_path):
     """A crash between 'move old aside' and 'move staging in' must
     degrade reads to the previous snapshot, not an empty/missing
