@@ -88,7 +88,9 @@ def minhash_bands_vectorized(
     affine maps ``(a_j·h + b_j) mod 2³¹`` over the 31-bit-masked
     shingle hashes with ``np.minimum.reduceat`` folding per document,
     and band hashes FNV-fold the per-band slots. Pure integer math —
-    deterministic across runs/executors/platforms. The banding
+    deterministic across runs/executors/platforms. Rows must carry
+    non-empty hash arrays (``np.minimum.reduceat`` mis-reads a
+    zero-length segment); callers filter empties first. The banding
     *family* differs from the expression form's xxhash64 slots, but
     any min-wise independent family gives the same collision
     probabilities; coverage vs the exhaustive baseline is asserted in
