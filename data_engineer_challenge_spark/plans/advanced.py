@@ -87,11 +87,20 @@ def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantiles per event type — the sketch
     tier for 100 TB profiling (exactness traded for one-pass, bounded
-    memory). Accuracy vs exact is asserted in tests."""
+    memory). Accuracy vs exact is asserted in tests.
+
+    Output is flat scalar doubles (``p50/p90/p99``, one GK sketch via
+    ``element_at`` over the array form) — the driver's rows-only
+    canonicalizer sorts rows through pandas, which cannot hash
+    list-valued cells, so no array columns leave this query.
+    """
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99])
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99]).alias("value_quantiles"),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p90"),
+        F.element_at(q, 3).alias("p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

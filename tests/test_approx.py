@@ -34,6 +34,7 @@ def test_approx_stats_accuracy(spark):
         assert abs(approx[t]["approx_users"] - exact[t]["users"]) <= max(
             2, 0.15 * exact[t]["users"]
         )
-        p50_sketch = approx[t]["value_quantiles"][0]
+        p50_sketch = approx[t]["p50"]
         spread = max(1.0, abs(exact[t]["p50"]))
         assert abs(p50_sketch - exact[t]["p50"]) / spread < 0.25
+        assert approx[t]["p50"] <= approx[t]["p90"] <= approx[t]["p99"]

@@ -111,10 +111,12 @@ def test_clean_corpus_banding_covers_exhaustive_pairs(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """The learned-quantizer IVF (k-means k=16, n_probe=10) must reach
-    recall ≥ 0.9 at the driver's correctness scale (sf0.01). The
-    embeddings are near-uniform on the sphere, so this is the
-    data-hardest regime for IVF — recall tracks probed fraction."""
+    """The frozen sample-trained quantizer IVF (k-means k=16 on the
+    1/2 hash-sample, n_probe=12) must reach recall ≥ 0.9 at the
+    driver's correctness scale (sf0.01); measured 0.96, so there is
+    real margin. The embeddings are near-uniform on the sphere, so
+    this is the data-hardest regime for IVF — recall tracks probed
+    fraction."""
     from data_engineer_challenge_spark import plans
 
     plans._load()
