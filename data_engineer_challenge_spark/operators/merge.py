@@ -8,6 +8,8 @@ semantics over plain parquet: matched keys take the source row,
 unmatched target rows survive, new source rows append — one anti-join
 plus a union, staged to a new directory and swapped in with a crash
 window that degrades to the previous snapshot (never an empty table).
+The partition-pruned MERGE path has a different, per-partition crash
+window — see ``_merge_pruned``; replaying the micro-batch heals it.
 
 Tables created with ``overwrite_partitioned`` get a Delta-style
 key-hash partition layout (``__pkey=N`` directories): ``merge_upsert``
@@ -95,24 +97,49 @@ class ParquetWarehouse:
                 return json.load(fh)
         return None
 
+    def _recover_swap(self, table: str) -> None:
+        """Heal a crashed :meth:`_stage_and_swap`: if only the ``.old``
+        snapshot survived (crash between the two renames), restore it
+        as the live table. Reads degrade through :meth:`_live_path`
+        without this, but in-place paths (the pruned MERGE) operate on
+        ``path(table)`` directly and need the real directory back."""
+        final = self.path(table)
+        old = final + ".old"
+        if not os.path.isdir(final) and os.path.isdir(old):
+            os.rename(old, final)
+
     def merge_upsert(
         self, table: str, source: DataFrame, keys: Sequence[str]
     ) -> None:
         """MERGE semantics (K4): WHEN MATCHED UPDATE SET *,
         WHEN NOT MATCHED INSERT *. Idempotent: merging the same source
-        twice leaves the table unchanged (tested).
+        twice leaves the table unchanged (tested), which is also the
+        crash-recovery contract of the pruned path — see
+        :meth:`_merge_pruned`.
 
         On a partitioned table (see :meth:`overwrite_partitioned`) only
         the ``__pkey`` partitions containing source keys are read and
         rewritten — partition pruning on the scan, dynamic partition
         overwrite on the write; untouched partition files are not
-        rewritten. Unpartitioned tables fall back to the full staged
-        rewrite."""
+        rewritten. A partitioned table must be merged on its partition
+        keys: anything else would silently rewrite the table without
+        its layout, so it raises. Unpartitioned tables use the full
+        staged rewrite."""
+        self._recover_swap(table)
         if not self.exists(table):
             self._stage_and_swap(table, source)
             return
         meta = self._meta(table)
-        if meta is not None and list(keys) == meta["partition_keys"]:
+        if meta is not None:
+            if list(keys) != meta["partition_keys"]:
+                raise ValueError(
+                    f"table {table!r} is partitioned on "
+                    f"{meta['partition_keys']} but merge_upsert was "
+                    f"called with keys {list(keys)}; merging on other "
+                    "keys would drop the partition layout (rebuild via "
+                    "overwrite_partitioned if the key change is "
+                    "intentional)"
+                )
             self._merge_pruned(table, source, keys, meta["n_buckets"])
             return
         target = self.read(table)
@@ -123,6 +150,17 @@ class ParquetWarehouse:
     def _merge_pruned(
         self, table: str, source: DataFrame, keys: Sequence[str], n_buckets: int
     ) -> None:
+        """Crash contract: the dynamic partition overwrite commits one
+        partition directory at a time, so — unlike
+        :meth:`_stage_and_swap`'s whole-table ``.old`` window — a crash
+        mid-commit leaves some touched partitions merged and others on
+        their previous content. Every partition is always a consistent
+        snapshot (old or new, never half-written: each directory swap
+        is itself staged by the committer), and the merge is idempotent
+        on the keys, so replaying the same micro-batch converges to the
+        fully-merged table (tested). This per-partition window is the
+        price of not rewriting 100 TB per batch; a transactional format
+        (Delta/Iceberg) closes it with a metadata commit."""
         final = self.path(table)
         # the micro-batch is used twice (touched-bucket scan, then the
         # union) — cache it rather than recompute the source plan

@@ -104,6 +104,95 @@ def test_stage_and_swap_crash_window_falls_back_to_old(spark, tmp_path):
     assert not os.path.isdir(wh.path("t") + ".old")
 
 
+def test_pruned_merge_recovers_crashed_swap(spark, tmp_path):
+    """A crashed whole-table swap leaves only ``t.old``; the next
+    pruned merge must restore the snapshot and merge into it instead of
+    raising on the missing live directory (ADVICE r2: the pruned path
+    reads path(table) directly, bypassing _live_path)."""
+    import os
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=4)
+    os.rename(wh.path("t"), wh.path("t") + ".old")  # crash window
+
+    src = spark.createDataFrame([(1, 111), (500, 555)], "k long, v long")
+    wh.merge_upsert("t", src, ["k"])
+
+    assert not os.path.isdir(wh.path("t") + ".old")
+    got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert len(got) == 101 and got[1] == 111 and got[500] == 555
+
+
+def test_pruned_merge_partial_commit_replay_converges(spark, tmp_path):
+    """The pruned merge's crash window is per-partition: a crash during
+    the dynamic partition overwrite leaves some touched partitions
+    merged and others on their previous content. Replaying the same
+    micro-batch must converge to the fully-merged table (the
+    idempotence contract documented on _merge_pruned)."""
+    import os
+    import shutil
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=8)
+    pre = str(tmp_path / "pre")  # pre-merge snapshot, to roll back from
+    shutil.copytree(wh.path("t"), pre)
+    before = _file_hashes(wh.path("t"))
+
+    src = spark.createDataFrame(
+        [(1, 111), (2, 222), (3, 333), (5000, 555)], "k long, v long"
+    )
+    wh.merge_upsert("t", src, ["k"])
+    expected = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+
+    # simulate the mid-commit crash: roll ONE touched partition back to
+    # its pre-merge content, keep the others merged
+    touched = sorted(
+        p.split("/")[0]
+        for p in {q for q in before if before[q] != _file_hashes(wh.path("t")).get(q)}
+        | (set(before) ^ set(_file_hashes(wh.path("t"))))
+        if p.startswith("__pkey=")
+    )
+    assert touched, "merge should have rewritten at least one partition"
+    victim = touched[0]
+    shutil.rmtree(os.path.join(wh.path("t"), victim))
+    shutil.copytree(os.path.join(pre, victim), os.path.join(wh.path("t"), victim))
+    assert sorted(
+        (r["k"], r["v"]) for r in wh.read("t").collect()
+    ) != expected, "rollback should have un-merged something"
+
+    wh.merge_upsert("t", src, ["k"])  # the replay
+    assert sorted((r["k"], r["v"]) for r in wh.read("t").collect()) == expected
+
+
+def test_partitioned_merge_key_mismatch_raises(spark, tmp_path):
+    """Merging a partitioned table on keys other than its partition
+    keys must raise instead of silently rewriting the table without its
+    layout (ADVICE r2)."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("other"), (F.col("id") * 2).alias("v")
+    )
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="partitioned on"):
+        wh.merge_upsert("t", base, ["other"])
+    # and the layout survived the failed call
+    assert wh._meta("t")["partition_keys"] == ["k"]
+
+
 def test_scd2_versioning(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path))
     keys, cols = ["pid"], ["name", "city"]
