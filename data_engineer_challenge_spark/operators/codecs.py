@@ -97,7 +97,16 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def image_features(img: np.ndarray) -> list[float]:
     """16-dim deterministic feature vector: per-channel mean (3) and
-    std (3), a 3×3 luma grid (9), aspect ratio (1)."""
+    std (3), a 3×3 luma grid (9), aspect ratio (1).
+
+    Images narrower/shorter than 3 px are upsampled to 3×3 first —
+    ``np.array_split`` would otherwise yield empty chunks whose mean is
+    NaN, silently poisoning any downstream cosine math. The aspect
+    ratio is taken from the original shape. Features are always
+    finite (tested)."""
+    aspect = img.shape[1] / img.shape[0]
+    if img.shape[0] < 3 or img.shape[1] < 3:
+        img = resize_nearest(img, max(3, img.shape[0]), max(3, img.shape[1]))
     f = img.astype(np.float64) / 255.0
     means = f.mean(axis=(0, 1))
     stds = f.std(axis=(0, 1))
@@ -107,7 +116,6 @@ def image_features(img: np.ndarray) -> list[float]:
         for row in np.array_split(luma, 3, axis=0)
         for c in np.array_split(row, 3, axis=1)
     ]
-    aspect = img.shape[1] / img.shape[0]
     return [*means.tolist(), *stds.tolist(), *cells, float(aspect)]
 
 

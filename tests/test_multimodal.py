@@ -88,8 +88,22 @@ def test_stdlib_decode_end_to_end_in_spark(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
     out = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
     assert set(out) == {1, 2, 3} and all(len(f) == 16 for f in out.values())
+    # finite everywhere — the 2x1 PPM used to emit NaN luma-grid cells
+    assert all(np.isfinite(f).all() for f in out.values())
     assert abs(out[1][0] - 128 / 255) < 1e-6  # BMP mean channel
     assert out[3][1] == 0.0  # silent WAV RMS
+
+
+def test_image_features_finite_on_tiny_images():
+    """Sub-3x3 images must produce finite features (the 3x3 luma grid
+    upsamples first instead of averaging empty chunks to NaN) and keep
+    their true aspect ratio."""
+    for h, w in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 1), (1, 3)]:
+        img = np.full((h, w, 3), 100, dtype=np.uint8)
+        feats = image_features(img)
+        assert len(feats) == 16
+        assert np.isfinite(feats).all(), (h, w, feats)
+        assert feats[15] == w / h
 
 
 def fake_decode(payload: bytes, kind: str) -> list[float]:
