@@ -116,28 +116,32 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
     """,
 )
 def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (32 hashes, 8 bands × 4 rows,
-    Jaccard ≥ 0.5 verified, hot buckets capped). Candidate generation
+    """MinHash-LSH near-dup pairs (63 hashes, 21 bands × 3 rows,
+    Jaccard ≥ 0.8 verified, hot buckets capped). Candidate generation
     is a band-bucket equi-join — no all-pairs product at any scale.
     The oracle is the GLOBAL exhaustive Jaccard join (no blocking):
     banding recall ⊇ true pairs makes the approximate pipeline
-    hash-match it exactly (coverage asserted in tests; 4-row bands
-    keep the random-pair candidate rate ~j⁴ — the 2-row variant
-    generated ~30× the candidates on this unblocked corpus for no
-    extra recall at its j ≥ 0.89 duplicates)."""
+    hash-match it exactly. The banding is sized FROM the threshold so
+    that equality is data-independent, not a fixture accident (ADVICE
+    r2): a pair at exactly j = 0.8 is missed with probability
+    (1 − 0.8³)²¹ ≈ 3e-7, vanishing further above it — no possible
+    corpus puts a true pair in a flake zone. 3-row bands keep the
+    random-pair candidate rate ~21·j³ (≈0.3% at the j ≈ 0.05
+    background), so the verify stage still touches only a sliver of
+    the cross product."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
         docs,
         "doc_id",
         "text",
         shingle_n=2,
-        num_hashes=32,
-        bands=8,
-        threshold=0.5,
+        num_hashes=63,
+        bands=21,
+        threshold=0.8,
         max_bucket_size=1000,
     )
 
