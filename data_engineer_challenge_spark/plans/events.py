@@ -86,52 +86,61 @@ def events_sliding_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionization",
-    oracle="""
-    SELECT user_id, session_id,
-           COUNT(*) AS n_events,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end
-    FROM (
-        SELECT user_id, ts,
-               -- DuckDB SUM(int) over a window yields HUGEINT (hashes as
-               -- float); Spark yields BIGINT — cast so both emit int64.
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               -- DuckDB SUM(int) over a window yields HUGEINT (hashes
+               -- as float); Spark yields BIGINT — cast to int64.
                CAST(SUM(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS session_id
-        FROM (
-            SELECT user_id, event_id, ts,
-                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             IS NULL
-                             OR date_diff('second',
-                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                 ts) > 1800
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-        )
+               ) AS BIGINT) AS sid
+        FROM tagged
     )
-    GROUP BY user_id, session_id
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {dec_sum_sql('value')} AS total_value
+    FROM s
+    GROUP BY user_id, sid
     """,
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min): lag + cumulative-sum session
-    IDs — the standard batch form; the streaming form uses
-    ``session_window`` (streaming/windows.py)."""
+    """Gap-based sessionization (30 min) through Spark's native
+    ``session_window`` — the SAME operator the streaming twin uses
+    (streaming/windows.py session_counts), here in batch mode, so the
+    batch/stream parity claim is driver-checked, not just unit-tested.
+    The classic lag+cumsum formulation is kept as a tested equivalence
+    in tests/test_plans.py (parity on the full events table).
+
+    Semantics edge worth pinning: ``session_window`` merges two events
+    iff their gap is STRICTLY below the 30 min gap (window end =
+    last ts + gap, exclusive), and the oracle mirrors that with exact
+    timestamp-interval arithmetic — the events table carries
+    sub-second timestamps, so a second-truncating date_diff would
+    mis-bucket boundary pairs."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(cum))
-        .groupBy("user_id", "session_id")
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
         )
     )
 

@@ -100,11 +100,13 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {dec_sum_sql('l_quantity')} AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+               AS sum_qty,
            {dec_sum_sql('l_extendedprice')} AS sum_base_price,
            {dec_sum_sql(REVENUE_SQL)} AS sum_disc_price,
            {dec_sum_sql(CHARGE_SQL)} AS sum_charge,
-           {dec_avg_sql('l_quantity')} AS avg_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty,
            {dec_avg_sql('l_extendedprice')} AS avg_price,
            {dec_avg_sql('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
@@ -115,18 +117,25 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide groupBy-agg (engine surface for SURVEY §2.6)."""
+    """Wide groupBy-agg (engine surface for SURVEY §2.6).
+
+    ``l_quantity`` is integer-valued, so its sum/avg ride exact long
+    arithmetic (order-independent for free, stays in whole-stage
+    codegen) instead of the decimal cast-sum the genuinely fractional
+    money columns need — primitive types wherever exactness allows.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    qty_sum = F.sum(F.col("l_quantity").cast("long"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
+            qty_sum.cast("double").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
             dec_sum(revenue_expr()).alias("sum_disc_price"),
             dec_sum(charge_expr()).alias("sum_charge"),
-            dec_avg("l_quantity").alias("avg_qty"),
+            (qty_sum.cast("double") / F.count("l_quantity")).alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

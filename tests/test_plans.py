@@ -83,6 +83,43 @@ def test_partitioned_windows_everywhere(spark):
         assert not bad, f"{name} contains an unpartitioned window: {bad[:1]}"
 
 
+def test_sessionization_native_vs_lag_cumsum(spark):
+    """The native session_window query must produce exactly the
+    sessions the classic lag+cumsum formulation produces (same user,
+    same start, same event count) — the two batch forms are
+    interchangeable, and the streaming twin shares the native
+    operator. Both sides use strictly-less-than-gap merge semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_engineer_challenge_spark.tables import load_table
+
+    df = plans.REGISTRY["events_sessionization"].builder(spark, SF_SMOKE)
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in df.collect()
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap_s.isNull() | (gap_s >= 1800.0), 1).otherwise(0)
+    classic = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    assert native == sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in classic.collect()
+    )
+
+
 def test_no_cartesian_products(spark):
     """Every registered query must avoid CartesianProduct /
     BroadcastNestedLoopJoin except the deliberate broadcast cross join
