@@ -83,6 +83,18 @@ def test_partitioned_windows_everywhere(spark):
         assert not bad, f"{name} contains an unpartitioned window: {bad[:1]}"
 
 
+def test_ivf_plan_is_map_only_assignment(spark):
+    """The IVF scale contract: corpus cell assignment is a map-side
+    literal-centroid argmax (no join, no corpus shuffle), the probe
+    set joins in via broadcast hash, and the final top-k pre-reduces
+    with WindowGroupLimit before any exchange. The only nested-loop
+    join is the deliberate queries x 16-literal-centroid cross."""
+    p = _plan(spark, "emb_ivf_topk")
+    assert "SortMergeJoin" not in p  # corpus is never sort-shuffled
+    assert "BroadcastHashJoin" in p  # probes -> inverted lists
+    assert "WindowGroupLimit" in p  # per-partition top-k pre-reduction
+
+
 def test_sessionization_native_vs_lag_cumsum(spark):
     """The native session_window query must produce exactly the
     sessions the classic lag+cumsum formulation produces (same user,
