@@ -35,6 +35,9 @@ HEADLINE = [
     "documents_clean_corpus",
     "emb_knn_bruteforce",
     "emb_lsh_neardup_pairs",
+    # r3 additions (extra coverage; r2-overlap entries stay comparable)
+    "emb_ivf_topk",
+    "events_approx_stats",
 ]
 
 

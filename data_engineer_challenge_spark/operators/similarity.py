@@ -232,6 +232,106 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """One-pass IVF top-k, bit-identical to :func:`ivf_topk` with an
+    external ``centroids`` quantizer — and the better 100 TB shape:
+    the query set and the centroid matrix are both driver-sized, so
+    probe selection happens on the driver and cell assignment +
+    scoring fuse into a SINGLE ``mapInPandas`` over the corpus. Zero
+    joins, zero corpus shuffle — the only exchange is the final
+    per-query rank over the per-batch top-k survivors (the same
+    pre-reduction :func:`brute_force_topk_vectorized` uses).
+
+    All cosine math accumulates per-DIMENSION in sequence (the fold
+    order the expression form and the DuckDB oracle use), vectorized
+    across rows — so this path shares emb_ivf_topk's exact oracle.
+    Ties break identically: assignment argmax to the lowest cell
+    (np.argmax keeps the first max), ranks by (cos desc, id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)  # (K, dim)
+    n_cells, dim = cent.shape
+    cent_norm_sq = np.zeros(n_cells)
+    for i in range(dim):
+        cent_norm_sq += cent[:, i] * cent[:, i]
+
+    q_rows = queries.select(query_id, vec).collect()
+    q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
+    nq = len(q_ids)
+    q_norm_sq = np.zeros(nq)
+    for i in range(dim):
+        q_norm_sq += q_mat[:, i] * q_mat[:, i]
+
+    # driver-side probe selection: per query, the n_probe nearest
+    # cells by (cos desc, cell asc) — mirrors the window in ivf_topk
+    dot_qc = np.zeros((nq, n_cells))
+    for i in range(dim):
+        dot_qc += q_mat[:, i][:, None] * cent[:, i][None, :]
+    sims_qc = dot_qc / np.sqrt(q_norm_sq[:, None] * cent_norm_sq[None, :])
+    cells = np.arange(n_cells)
+    probers_by_cell: list[list[int]] = [[] for _ in range(n_cells)]
+    for qi in range(nq):
+        for cell in np.lexsort((cells, -sims_qc[qi]))[:n_probe]:
+            probers_by_cell[cell].append(qi)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            cids = pdf[corpus_id].to_numpy()
+            # cell assignment: argmax cosine vs the centroid matrix
+            dot_cc = np.zeros((len(cids), n_cells))
+            c_norm_sq = np.zeros(len(cids))
+            for i in range(dim):
+                dot_cc += c_mat[:, i][:, None] * cent[:, i][None, :]
+                c_norm_sq += c_mat[:, i] * c_mat[:, i]
+            sims_cc = dot_cc / np.sqrt(c_norm_sq[:, None] * cent_norm_sq[None, :])
+            assigned = np.argmax(sims_cc, axis=1)  # first max = lowest cell
+
+            out_q, out_c, out_s = [], [], []
+            for cell in np.unique(assigned):
+                qidx = probers_by_cell[cell]
+                if not qidx:
+                    continue
+                mask = assigned == cell
+                sub = c_mat[mask]
+                sub_ids = cids[mask]
+                dot = np.zeros((len(qidx), len(sub_ids)))
+                for i in range(dim):
+                    dot += q_mat[qidx, i][:, None] * sub[:, i][None, :]
+                sims = dot / np.sqrt(
+                    q_norm_sq[qidx][:, None] * c_norm_sq[mask][None, :]
+                )
+                n_keep = min(k, len(sub_ids))
+                for row, qi in enumerate(qidx):
+                    order = np.lexsort((sub_ids, -sims[row]))[:n_keep]
+                    out_q.extend([q_ids[qi]] * n_keep)
+                    out_c.extend(sub_ids[order])
+                    out_s.extend(sims[row, order])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "cos_sim": out_s}
+            )
+
+    partial = corpus.select(corpus_id, vec).mapInPandas(
+        score_batches, schema=f"{query_id} long, {corpus_id} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 #: quantization scale for LSH projections — a power of two, so
 #: ``x * _Q`` only shifts the float exponent and ``floor`` is exact and
 #: engine-independent

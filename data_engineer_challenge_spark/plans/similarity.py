@@ -233,17 +233,26 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs emb_knn_bruteforce at sf0.01 is additionally asserted in tests
     (measured 0.96 at n_probe=12: on this near-uniform synthetic
     corpus recall tracks the probed fraction, so the probe count is
-    the knob, exactly as on a real index)."""
+    the knob, exactly as on a real index).
+
+    Runs through the fused one-pass form (ivf_topk_vectorized):
+    probe selection happens on the driver (queries × centroids are
+    both driver-sized), assignment + scoring are one Arrow pass over
+    the corpus — zero joins, zero corpus shuffle; accumulation is
+    per-dimension-sequential, so it stays bit-identical to the
+    expression form and shares its oracle (equivalence tested)."""
+    from ..operators.similarity import ivf_topk_vectorized
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return ivf_topk(
+    return ivf_topk_vectorized(
         queries,
         emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        centroids=_IVF_CENTROIDS,
         n_probe=12,
         k=10,
-        centroids=_IVF_CENTROIDS,
     )
 
 

@@ -83,15 +83,15 @@ def test_partitioned_windows_everywhere(spark):
         assert not bad, f"{name} contains an unpartitioned window: {bad[:1]}"
 
 
-def test_ivf_plan_is_map_only_assignment(spark):
-    """The IVF scale contract: corpus cell assignment is a map-side
-    literal-centroid argmax (no join, no corpus shuffle), the probe
-    set joins in via broadcast hash, and the final top-k pre-reduces
-    with WindowGroupLimit before any exchange. The only nested-loop
-    join is the deliberate queries x 16-literal-centroid cross."""
+def test_ivf_plan_is_fused_single_pass(spark):
+    """The IVF scale contract: probe selection is driver-side (queries
+    and centroids are both driver-sized), so assignment + scoring fuse
+    into ONE Arrow pass over the corpus — the plan must contain no
+    join of any kind and no corpus shuffle; the only exchange is the
+    final per-query rank, pre-reduced by WindowGroupLimit."""
     p = _plan(spark, "emb_ivf_topk")
-    assert "SortMergeJoin" not in p  # corpus is never sort-shuffled
-    assert "BroadcastHashJoin" in p  # probes -> inverted lists
+    assert "Join" not in p  # zero joins: the corpus never co-locates
+    assert "MapInPandas" in p  # the single fused Arrow pass
     assert "WindowGroupLimit" in p  # per-partition top-k pre-reduction
 
 
@@ -136,7 +136,7 @@ def test_no_cartesian_products(spark):
     """Every registered query must avoid CartesianProduct /
     BroadcastNestedLoopJoin except the deliberate broadcast cross join
     in brute-force KNN (tiny query side)."""
-    allowed = {"emb_knn_bruteforce", "emb_ivf_topk"}
+    allowed = {"emb_knn_bruteforce"}
     for name in plans.REGISTRY:
         if name in allowed:
             continue

@@ -133,6 +133,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"ivf recall too low: {recall}"
 
 
+def test_ivf_fused_matches_expression_form(spark):
+    """The fused one-pass IVF (driver-side probes + single Arrow pass)
+    must be bit-identical to the expression form with the same frozen
+    centroids — same rows, same cos_sim doubles, same ranks."""
+    import pyspark.sql.functions as F
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.similarity import ivf_topk
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    expr = sorted(
+        map(tuple, ivf_topk(q, c, n_probe=12, k=10, centroids=CENTROIDS).collect())
+    )
+    fused = sorted(
+        map(tuple, plans.REGISTRY["emb_ivf_topk"].builder(spark, sf).collect())
+    )
+    assert expr == fused
+
+
 def test_kmeans_quantizer_deterministic_and_sampled(spark):
     """Same seed → identical centroids; the hash-sampled fit returns
     the same shape (k × dim) from a fraction of the rows."""
