@@ -236,6 +236,11 @@ def scd2_upsert(
     One pass: join current rows to the source on the key; unchanged
     rows stay; changed rows are closed (valid_to = batch) and a new
     version appends; brand-new keys start at version 1.
+
+    Scale contract: each batch rewrites the FULL history table —
+    right for the dimension-sized tables SCD2 exists for (patients,
+    products), wrong for a fact table; facts belong in
+    :meth:`ParquetWarehouse.merge_upsert`'s partition-pruned path.
     """
     from pyspark.sql import functions as F
 

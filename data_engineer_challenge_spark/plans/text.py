@@ -27,6 +27,15 @@ LANG_MARKERS = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, lowercase form):
+#: contraction suffixes, space-prefixed letter runs, digit runs, and
+#: punctuation runs — the segmentation a byte-pair encoder starts
+#: from, so its match count tracks LLM token counts far better than
+#: whitespace splitting. Plain alternation only: identical semantics
+#: under Java regex (Spark) and RE2 (DuckDB).
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
 def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words)))
 
@@ -44,12 +53,16 @@ def _hits_sql(words: list[str]) -> str:
            CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
                AS n_unique_tokens,
-           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_RE.replace("'", "''")}'))
+               AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + regex tokenizer)."""
+    """Token counting, three ways: whitespace split, word-regex
+    tokenizer, and a BPE-ish pre-tokenization count (GPT-2-style
+    segmentation — the best cheap proxy for LLM token budgets)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     return docs.select(
@@ -58,6 +71,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
