@@ -40,6 +40,11 @@ HEADLINE = [
     "events_approx_stats",
 ]
 
+#: the r2 entry set (incl. warehouse_merge_batch): summed separately so
+#: the round-over-round total compares like-for-like even as HEADLINE
+#: grows — the top-level "value" covers everything run this round
+R2_COMPARABLE = HEADLINE[:10] + ["warehouse_merge_batch"]
+
 
 def _bench_merge_batch(spark, sf_dir: str, warm_dir: str | None = None) -> float:
     """Time one partition-pruned MERGE micro-batch: ~40 updated keys
@@ -132,6 +137,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r2_comparable_subtotal": round(
+                    sum(t for n, t in timings.items() if n in R2_COMPARABLE), 4
+                ),
             }
         )
     )

@@ -99,18 +99,21 @@ def image_features(img: np.ndarray) -> list[float]:
     """16-dim deterministic feature vector: per-channel mean (3) and
     std (3), a 3×3 luma grid (9), aspect ratio (1).
 
-    Images narrower/shorter than 3 px are upsampled to 3×3 first —
-    ``np.array_split`` would otherwise yield empty chunks whose mean is
-    NaN, silently poisoning any downstream cosine math. The aspect
-    ratio is taken from the original shape. Features are always
-    finite (tested)."""
+    Means, stds and aspect are computed on the ORIGINAL image; only
+    the 3×3 luma grid sees a nearest-neighbor upsample for sub-3 px
+    inputs — ``np.array_split`` would otherwise yield empty chunks
+    whose mean is NaN, silently poisoning any downstream cosine math
+    (and upsampling duplicates rows unevenly, which would bias the
+    global stats). Features are always finite (tested)."""
     aspect = img.shape[1] / img.shape[0]
-    if img.shape[0] < 3 or img.shape[1] < 3:
-        img = resize_nearest(img, max(3, img.shape[0]), max(3, img.shape[1]))
     f = img.astype(np.float64) / 255.0
     means = f.mean(axis=(0, 1))
     stds = f.std(axis=(0, 1))
-    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    grid_img = img
+    if img.shape[0] < 3 or img.shape[1] < 3:
+        grid_img = resize_nearest(img, max(3, img.shape[0]), max(3, img.shape[1]))
+    g = grid_img.astype(np.float64) / 255.0
+    luma = 0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2]
     cells = [
         float(c.mean())
         for row in np.array_split(luma, 3, axis=0)

@@ -102,11 +102,20 @@ class ParquetWarehouse:
         snapshot survived (crash between the two renames), restore it
         as the live table. Reads degrade through :meth:`_live_path`
         without this, but in-place paths (the pruned MERGE) operate on
-        ``path(table)`` directly and need the real directory back."""
+        ``path(table)`` directly and need the real directory back.
+
+        If BOTH directories survived (crash between the final rename
+        and the ``.old`` cleanup), the ``.old`` copy is stale — drop
+        it here, because the pruned-merge path never goes through
+        :meth:`_stage_and_swap`'s own leftover cleanup and would
+        otherwise carry a full shadow copy of the table forever."""
         final = self.path(table)
         old = final + ".old"
-        if not os.path.isdir(final) and os.path.isdir(old):
-            os.rename(old, final)
+        if os.path.isdir(old):
+            if os.path.isdir(final):
+                shutil.rmtree(old)  # stale: the swap completed
+            else:
+                os.rename(old, final)
 
     def merge_upsert(
         self, table: str, source: DataFrame, keys: Sequence[str]

@@ -256,6 +256,17 @@ def ivf_topk_vectorized(
     across rows — so this path shares emb_ivf_topk's exact oracle.
     Ties break identically: assignment argmax to the lowest cell
     (np.argmax keeps the first max), ranks by (cos desc, id asc).
+
+    Precondition: no zero-norm vectors — cosine is undefined there
+    (NaN), and numpy, Spark SQL and DuckDB disagree on NaN ordering,
+    so a zero vector would silently diverge from the expression form
+    (emb_norm_stats is the QA query that catches zero norms before
+    indexing).
+
+    Note: the query set collects at plan-BUILD time (it is the
+    deliberately-small driver side, same cost class as the
+    :func:`brute_force_topk_vectorized` query matrix), so building
+    this plan runs one small Spark job.
     """
     import numpy as np
     import pandas as pd
@@ -267,6 +278,11 @@ def ivf_topk_vectorized(
         cent_norm_sq += cent[:, i] * cent[:, i]
 
     q_rows = queries.select(query_id, vec).collect()
+    if not q_rows:  # empty query set: empty result, same schema as
+        # the non-empty path (ivf_topk degrades the same way)
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cos_sim double, rank int"
+        )
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
     nq = len(q_ids)

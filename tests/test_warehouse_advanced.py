@@ -156,10 +156,11 @@ def test_pruned_merge_partial_commit_replay_converges(spark, tmp_path):
 
     # simulate the mid-commit crash: roll ONE touched partition back to
     # its pre-merge content, keep the others merged
+    after = _file_hashes(wh.path("t"))
     touched = sorted(
         p.split("/")[0]
-        for p in {q for q in before if before[q] != _file_hashes(wh.path("t")).get(q)}
-        | (set(before) ^ set(_file_hashes(wh.path("t"))))
+        for p in {q for q in before if before[q] != after.get(q)}
+        | (set(before) ^ set(after))
         if p.startswith("__pkey=")
     )
     assert touched, "merge should have rewritten at least one partition"
@@ -172,6 +173,32 @@ def test_pruned_merge_partial_commit_replay_converges(spark, tmp_path):
 
     wh.merge_upsert("t", src, ["k"])  # the replay
     assert sorted((r["k"], r["v"]) for r in wh.read("t").collect()) == expected
+
+
+def test_pruned_merge_drops_stale_old_snapshot(spark, tmp_path):
+    """A crash between 'staging -> final' and the '.old' cleanup
+    leaves BOTH directories; the pruned path never runs
+    _stage_and_swap's own leftover cleanup, so merge_upsert must drop
+    the stale shadow copy itself (a full extra copy of the table
+    otherwise persists forever)."""
+    import os
+    import shutil
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=4)
+    shutil.copytree(wh.path("t"), wh.path("t") + ".old")  # crash leftover
+
+    src = spark.createDataFrame([(1, 111)], "k long, v long")
+    wh.merge_upsert("t", src, ["k"])
+
+    assert not os.path.isdir(wh.path("t") + ".old")
+    got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert len(got) == 100 and got[1] == 111
 
 
 def test_partitioned_merge_key_mismatch_raises(spark, tmp_path):
