@@ -40,10 +40,23 @@ HEADLINE = [
     "events_approx_stats",
 ]
 
-#: the r2 entry set (incl. warehouse_merge_batch): summed separately so
-#: the round-over-round total compares like-for-like even as HEADLINE
-#: grows — the top-level "value" covers everything run this round
-R2_COMPARABLE = HEADLINE[:10] + ["warehouse_merge_batch"]
+#: the FROZEN r2 entry set: summed separately so the round-over-round
+#: total compares like-for-like even as HEADLINE grows — the top-level
+#: "value" covers everything run this round. An explicit list, not a
+#: HEADLINE slice: reordering HEADLINE must not change what this means.
+R2_COMPARABLE = [
+    "flagship_regional_revenue",
+    "q1_pricing_summary",
+    "top_orders_per_customer",
+    "events_sessionization",
+    "events_asof_last_click",
+    "docs_minhash_neardup",
+    "docs_simhash_neardup",
+    "documents_clean_corpus",
+    "emb_knn_bruteforce",
+    "emb_lsh_neardup_pairs",
+    "warehouse_merge_batch",
+]
 
 
 def _bench_merge_batch(spark, sf_dir: str, warm_dir: str | None = None) -> float:

@@ -126,10 +126,13 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the GLOBAL exhaustive Jaccard join (no blocking):
     banding recall ⊇ true pairs makes the approximate pipeline
     hash-match it exactly. The banding is sized FROM the threshold so
-    that equality is data-independent, not a fixture accident (ADVICE
-    r2): a pair at exactly j = 0.8 is missed with probability
-    (1 − 0.8³)²¹ ≈ 3e-7, vanishing further above it — no possible
-    corpus puts a true pair in a flake zone. 3-row bands keep the
+    that equality no longer leans on the fixtures' j ≥ 0.9 margin
+    (ADVICE r2): a pair at exactly j = 0.8 is missed with probability
+    (1 − 0.8³)²¹ ≈ 3e-7 under the min-wise family, vanishing further
+    above it. (With fixed seeds that probability is over corpora, not
+    runs — an adversarial corpus whose boundary pair collides in none
+    of the 21 bands still exists, it is just ~3e-7-rare rather than
+    the old config's ~0.6 at its threshold.) 3-row bands keep the
     random-pair candidate rate ~21·j³ (≈0.3% at the j ≈ 0.05
     background), so the verify stage still touches only a sliver of
     the cross product."""

@@ -90,7 +90,7 @@ def events_sliding_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -122,12 +122,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic lag+cumsum formulation is kept as a tested equivalence
     in tests/test_plans.py (parity on the full events table).
 
-    Semantics edge worth pinning: ``session_window`` merges two events
-    iff their gap is STRICTLY below the 30 min gap (window end =
-    last ts + gap, exclusive), and the oracle mirrors that with exact
-    timestamp-interval arithmetic — the events table carries
-    sub-second timestamps, so a second-truncating date_diff would
-    mis-bucket boundary pairs."""
+    Semantics edge worth pinning (verified empirically, not assumed):
+    ``session_window`` MERGES two events whose gap is exactly the
+    30 min gap — an event starting at the previous window's end joins
+    that session — so a new session starts only when the gap is
+    STRICTLY GREATER than 30 min, and the oracle mirrors that
+    (``> INTERVAL 30 MINUTE``) with exact timestamp-interval
+    arithmetic: the events table carries sub-second timestamps, so a
+    second-truncating date_diff would mis-bucket boundary pairs."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine,
-    ivf_topk,
     neardup_pairs_blocked,
     norm_sq,
 )

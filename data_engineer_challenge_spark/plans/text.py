@@ -31,9 +31,11 @@ STOPWORDS = LANG_MARKERS["en"]
 #: contraction suffixes, space-prefixed letter runs, digit runs, and
 #: punctuation runs — the segmentation a byte-pair encoder starts
 #: from, so its match count tracks LLM token counts far better than
-#: whitespace splitting. Plain alternation only: identical semantics
-#: under Java regex (Spark) and RE2 (DuckDB).
-BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+#: whitespace splitting. Plain alternation only, and whitespace is an
+#: EXPLICIT char class rather than \s: Java's \s includes U+000B
+#: (vertical tab) while RE2's does not, so \s would silently diverge
+#: between the Spark plan and the DuckDB oracle on \x0B-bearing text.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\ra-z0-9]+"
 
 
 def _hits(toks: Column, words: list[str]) -> Column:

@@ -95,12 +95,44 @@ def test_ivf_plan_is_fused_single_pass(spark):
     assert "WindowGroupLimit" in p  # per-partition top-k pre-reduction
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's boundary semantics so the DuckDB oracle can't
+    silently diverge on corpora with exact-gap pairs: session_window
+    MERGES two events exactly 30 min apart (the second event starts at
+    the first window's end and joins it); only a strictly greater gap
+    splits. The oracle's `> INTERVAL 30 MINUTE` mirrors this; the old
+    `>=` form split the boundary pair and passed only because no
+    fixture contains an exact 1800 s gap."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime.datetime(2024, 1, 1, 0, 30, 0)),  # exactly 1800 s
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime.datetime(2024, 1, 1, 0, 30, 1)),  # 1801 s
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_sessionization_native_vs_lag_cumsum(spark):
     """The native session_window query must produce exactly the
     sessions the classic lag+cumsum formulation produces (same user,
     same start, same event count) — the two batch forms are
     interchangeable, and the streaming twin shares the native
-    operator. Both sides use strictly-less-than-gap merge semantics."""
+    operator. Boundary semantics: session_window MERGES an
+    exactly-gap-sized gap (verified in test_session_window_exact_gap_
+    boundary), so the classic form starts a new session only on
+    gap > 1800 s."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -114,7 +146,7 @@ def test_sessionization_native_vs_lag_cumsum(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    is_new = F.when(gap_s.isNull() | (gap_s >= 1800.0), 1).otherwise(0)
+    is_new = F.when(gap_s.isNull() | (gap_s > 1800.0), 1).otherwise(0)
     classic = (
         ev.withColumn("is_new", is_new)
         .withColumn(
