@@ -41,9 +41,19 @@ def asof_join(
     hold), so a matched row whose payload columns are legitimately
     NULL is still the match — nulls inside the payload neither fall
     back to a stale earlier row nor drop the row under ``'inner'``.
+
+    Right rows with a NULL ``right_ts`` are dropped up front: "as of
+    an unknown time" matches nothing, and in the ascending nulls-first
+    window such a row would otherwise sort before every real row and
+    be forward-filled as a bogus match for left rows with no true
+    predecessor.
     """
     from pyspark.sql import types as T
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how={how!r}: expected 'inner' or 'left'")
+
+    right = right.filter(F.col(right_ts).isNotNull())
     marker = "__asof_side"
     ts = "__asof_ts"
     rrow = "__asof_row"

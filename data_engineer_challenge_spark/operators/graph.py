@@ -8,6 +8,14 @@ no label changes. Rounds needed ≈ graph diameter (near-dup clusters are
 tiny, so 2-4 rounds in practice). Each round is two hash joins + one
 aggregation — all distributed, no driver-side graph. For planet-scale
 graphs swap in the large-star/small-star variant; the interface stays.
+
+Lineage discipline: each round's labels reference the previous round's
+plan TWICE (the neighbor join and the convergence diff), so without
+truncation the logical plan grows exponentially with rounds and OOMs
+the driver around round ~10 regardless of data size. Every round
+therefore ends in an eager ``localCheckpoint`` — the iterative-Spark
+standard — keeping plan depth constant; orphaned checkpoint RDDs are
+freed by the ContextCleaner.
 """
 
 from __future__ import annotations
@@ -23,7 +31,15 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component =
-    minimum node id in the cluster."""
+    minimum node id in the cluster.
+
+    Raises if labels still change after ``max_iterations`` rounds —
+    min-label propagation advances one hop per round, so a cluster of
+    diameter > max_iterations would otherwise return silently WRONG
+    components (two "canonical" survivors inside one true cluster).
+    Near-dup clusters are shallow; a legitimate deeper graph should
+    raise ``max_iterations`` or switch to a large-star/small-star
+    variant, not swallow the truncation."""
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -36,7 +52,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .cache()
+        .localCheckpoint()  # constant plan depth from round 0
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -52,7 +68,10 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            # eager: materializes AND truncates lineage — the plan
+            # would otherwise double in size every round (see module
+            # docstring) since `labels` is referenced twice
+            .localCheckpoint()
         )
         changed = (
             updated.alias("u")
@@ -61,12 +80,16 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # the convergence check above materialized `updated`, so the
-        # previous round's cache is dead weight from here on
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (cluster diameter exceeds "
+            "the round budget); raise max_iterations"
+        )
     edges.unpersist()
     return labels.select("node", "component")
 

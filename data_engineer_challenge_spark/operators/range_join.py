@@ -29,7 +29,20 @@ def bucketed_range_join(
     how: str = "inner",
 ) -> DataFrame:
     """Rows of ``points`` joined to every interval with
-    ``lo <= point < hi`` (optionally also matching ``keys``)."""
+    ``lo <= point < hi`` (optionally also matching ``keys``).
+
+    Inner-join only: the containment filter runs after the bucket
+    equi-join, so an outer ``how`` would null-extend unmatched rows
+    and then silently drop them in the filter — degrading to inner
+    while claiming otherwise. Outer range-join semantics need an
+    explicit anti-join union; raise rather than lie."""
+    if how != "inner":
+        raise ValueError(
+            f"bucketed_range_join how={how!r}: only 'inner' is "
+            "supported — an outer join's null-extended rows would be "
+            "dropped by the containment filter; union a left_anti of "
+            "the matched point ids for outer semantics"
+        )
 
     def bucket_of(c: Column) -> Column:
         return F.floor(c / F.lit(bucket_width)).cast("long")

@@ -21,13 +21,31 @@ from .extractors import extract_text
 ExtractFn = Callable[[str, bytes], str]
 
 
+def _case_insensitive_glob(extensions: tuple[str, ...]) -> str:
+    """Hadoop glob matching the extensions in ANY letter case via
+    per-character ``[xX]`` classes — ``pathGlobFilter`` is
+    case-sensitive, while the snapshot-diff trigger matches
+    ``name.lower().endswith(...)``; without this a ``SCAN.PDF`` drop
+    would fire the daemon's batch but never be ingested."""
+    alts = ",".join(
+        "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in ext)
+        for ext in extensions
+    )
+    return f"*.{{{alts}}}"
+
+
 def read_binary_documents(
-    spark: SparkSession, directory: str, glob: str = "*.{pdf,docx}"
+    spark: SparkSession,
+    directory: str,
+    extensions: tuple[str, ...] = ("pdf", "docx"),
 ) -> DataFrame:
-    """(path, filename, content) for every matching file."""
+    """(path, filename, content) for every matching file, matching
+    extensions case-insensitively — consistent with the change trigger
+    (streaming/snapshot_diff.take_snapshot) and the reference's
+    ``.lower().endswith`` check (exo_2.py:18-35)."""
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
+        .option("pathGlobFilter", _case_insensitive_glob(extensions))
         .load(directory)
     )
     return df.select(

@@ -8,6 +8,8 @@ exactly what inference destroys, exo_1.py:30).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -49,17 +51,53 @@ def write_table(
 
 
 def compact(
-    spark: SparkSession, path: str, fmt: str = "parquet", target_partitions: int = 1
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_partitions: int = 1,
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """Small-file compaction: rewrite a table directory into
-    ``target_partitions`` files per partition dir (micro-batch MERGE
-    writers accumulate small files; scans degrade with file count)."""
-    df = spark.read.format(fmt).load(path)
-    staged = f"{path}.compacting"
-    df.coalesce(target_partitions).write.mode("overwrite").format(fmt).save(staged)
+    ``target_partitions`` files (per partition dir when
+    ``partition_by`` is given; micro-batch MERGE writers accumulate
+    small files and scans degrade with file count).
+
+    A partitioned layout must be declared via ``partition_by`` —
+    compacting one without it would silently flatten the directory
+    layout and destroy partition pruning, so that case raises. Sidecar
+    files (``_wh_meta.json`` etc.) are carried over. The swap keeps
+    the previous directory as ``.old`` until the new one is in place
+    (same crash contract as ParquetWarehouse._stage_and_swap: a crash
+    degrades to the previous snapshot, never a missing table)."""
+    import os
     import shutil
 
-    shutil.rmtree(path)
-    import os
-
+    part_dirs = [
+        e for e in os.listdir(path)
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    if part_dirs and not partition_by:
+        raise ValueError(
+            f"compact: {path!r} has partition dirs ({part_dirs[0]}, …) "
+            "but no partition_by was given — compacting would flatten "
+            "the layout and break partition pruning"
+        )
+    sidecars = [
+        e for e in os.listdir(path)
+        if e.startswith("_") and os.path.isfile(os.path.join(path, e))
+        and not e.endswith(".crc") and e != "_SUCCESS"
+    ]
+    df = spark.read.format(fmt).load(path)
+    staged = f"{path}.compacting"
+    writer = df.coalesce(target_partitions).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(staged)
+    for s in sidecars:
+        shutil.copy2(os.path.join(path, s), os.path.join(staged, s))
+    old = f"{path}.old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(staged, path)
+    shutil.rmtree(old)

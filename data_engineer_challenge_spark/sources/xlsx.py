@@ -45,6 +45,11 @@ def _sheet_target(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
     for sheet in wb.iter(f"{_MAIN}sheet"):
         if sheet_name is None or sheet.get("name") == sheet_name:
             target = rel_map[sheet.get(f"{_REL}id")]
+            # three legal Target forms: absolute ('/xl/worksheets/…',
+            # strip the slash), already-qualified ('xl/…'), or
+            # rels-relative ('worksheets/…', resolve under xl/)
+            if target.startswith("/"):
+                return target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     raise KeyError(f"sheet {sheet_name!r} not found")
 
@@ -66,7 +71,12 @@ def read_xlsx_rows(path: str, sheet_name: str | None = None) -> list[list[str | 
         for row in sheet_xml.iter(f"{_MAIN}row"):
             cells: list[str | None] = []
             for c in row.findall(f"{_MAIN}c"):
-                idx = _col_index(c.get("r", "A1"))
+                # the 'r' attribute is optional: a cell without it
+                # occupies the NEXT column, not A — defaulting to 'A1'
+                # would silently shift values into the wrong schema
+                # columns after any explicitly-referenced cell
+                ref = c.get("r")
+                idx = _col_index(ref) if ref else len(cells)
                 while len(cells) < idx:
                     cells.append(None)
                 ctype = c.get("t", "n")

@@ -66,12 +66,20 @@ class CdwDaemon:
         self.upload_id_document = 0
 
     def tick(self) -> TickReport:
-        """One polling cycle (script.py:68-117)."""
+        """One polling cycle (script.py:68-117).
+
+        Snapshot offsets commit AFTER the batches succeed (peek →
+        process → commit+save): a tick that throws mid-batch leaves
+        the change trigger armed, so a supervisor's retry re-sees the
+        same diff instead of silently dropping it. A retry may re-run
+        an already-succeeded pipeline from the same tick — the MERGE
+        is idempotent, so replay heals, never corrupts.
+        """
         self.batch_number += 1
         first = self.batch_number == 1
         report = TickReport(batch_number=self.batch_number)
 
-        registry_diff = self.state.poll(
+        registry_diff, registry_snap = self.state.peek(
             "registry", os.path.dirname(self.registry_path), (".xlsx",)
         )
         registry_changed = os.path.basename(self.registry_path) in (
@@ -85,7 +93,7 @@ class CdwDaemon:
             run_patient_batch(self.wh, registry, self.upload_id_patient)
             report.patients_fired = True
 
-        doc_diff = self.state.poll("documents", self.documents_dir)
+        doc_diff, doc_snap = self.state.peek("documents", self.documents_dir)
         report.doc_changes = (doc_diff.new, doc_diff.modified, doc_diff.deleted)
         if first or doc_diff.changed:
             self.upload_id_document += 1
@@ -98,10 +106,18 @@ class CdwDaemon:
                     binary = binary.filter(F.col("filename").isin(list(touched)))
                 else:
                     binary = binary.limit(0)
-            files = extract_documents(binary, self.extractor)
-            rejects = run_document_batch(self.wh, files, self.upload_id_document)
-            report.documents_fired = True
-            report.rejects = [r["filename"] for r in rejects.collect()]
+            # cache: the MERGE and the rejects collect share this
+            # lineage — without it the binaryFile scan + extraction
+            # (the most expensive stage) runs twice per tick
+            files = extract_documents(binary, self.extractor).cache()
+            try:
+                rejects = run_document_batch(
+                    self.wh, files, self.upload_id_document
+                )
+                report.documents_fired = True
+                report.rejects = [r["filename"] for r in rejects.collect()]
+            finally:
+                files.unpersist()
             if report.rejects:
                 # §2.9: quarantine sink instead of the reference's
                 # log-and-forget warning (exo_2.py:255-258)
@@ -120,6 +136,9 @@ class CdwDaemon:
 
         report.upload_id_patient = self.upload_id_patient
         report.upload_id_document = self.upload_id_document
+        # both batches succeeded: commit the offsets, then persist
+        self.state.commit("registry", registry_snap)
+        self.state.commit("documents", doc_snap)
         self.state.save()
         return report
 

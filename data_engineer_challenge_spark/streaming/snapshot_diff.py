@@ -71,12 +71,28 @@ class SnapshotState:
             json.dump(self.snapshots, f)
         os.replace(tmp, self.path)
 
+    def peek(
+        self, key: str, directory: str, extensions: tuple[str, ...] = (".pdf", ".docx")
+    ) -> tuple[DirDiff, dict[str, int]]:
+        """Diff the directory against the stored snapshot WITHOUT
+        advancing it. Callers run their batch, then pass the returned
+        snapshot to :meth:`commit` — so a batch that throws leaves the
+        trigger armed and the retry re-sees the same change (the
+        'offset is committed after the batch' rule every streaming
+        engine follows). First peek reports everything as new."""
+        cur = take_snapshot(directory, extensions)
+        return diff_snapshots(self.snapshots.get(key, {}), cur), cur
+
+    def commit(self, key: str, snapshot: dict[str, int]) -> None:
+        """Advance the stored snapshot after a successful batch (call
+        :meth:`save` to persist)."""
+        self.snapshots[key] = snapshot
+
     def poll(
         self, key: str, directory: str, extensions: tuple[str, ...] = (".pdf", ".docx")
     ) -> DirDiff:
-        """Diff the directory against the stored snapshot and advance
-        the snapshot. First poll reports everything as new."""
-        cur = take_snapshot(directory, extensions)
-        diff = diff_snapshots(self.snapshots.get(key, {}), cur)
-        self.snapshots[key] = cur
+        """peek + immediate commit — for callers with no failure
+        window between diff and processing."""
+        diff, cur = self.peek(key, directory, extensions)
+        self.commit(key, cur)
         return diff

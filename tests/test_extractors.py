@@ -120,3 +120,46 @@ def test_xlsx_shared_strings_and_sparse_rows(tmp_path):
     assert rows[1] == ["Durand"]
     assert rows[2] == [None, "42"]  # sparse: A empty, B numeric-as-text
     assert rows[3] == ["Martin"]  # multi-run shared string concatenated
+
+
+def _xlsx_edge_cases() -> bytes:
+    """Absolute rels Target + a cell that legally omits its 'r'
+    attribute (meaning 'the next column')."""
+    import io
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        # explicit C1, then an r-less cell = column D, not A
+        '<row r="1"><c r="C1" t="inlineStr"><is><t>cee</t></is></c>'
+        '<c t="inlineStr"><is><t>dee</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="/xl/worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def test_xlsx_absolute_target_and_missing_cell_ref(tmp_path):
+    """Some producers emit absolute rels Targets ('/xl/...') and omit
+    the optional cell 'r' attribute; both must parse — the r-less cell
+    lands in the NEXT column, not column A."""
+    p = tmp_path / "edge.xlsx"
+    p.write_bytes(_xlsx_edge_cases())
+    rows = read_xlsx_rows(str(p))
+    assert rows[0] == [None, None, "cee", "dee"]

@@ -102,6 +102,77 @@ def test_asof_join_null_payload_is_still_the_match(spark):
     assert out == {(10, "old"), (20, None)}
 
 
+def test_asof_join_ignores_null_right_ts_and_validates_how(spark):
+    """A right row with NULL right_ts ('as of an unknown time') must
+    never be a match — in the ascending nulls-first window it would
+    otherwise forward-fill as a bogus match for left rows with no real
+    predecessor. And an unknown `how` raises instead of silently
+    behaving as 'left'."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", None, "ghost"), ("k", 15, "future")],
+        "k string, t long, v string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        right_payload=["v"], how="inner",
+    ).collect()
+    assert out == []  # no real prior row: dropped, not matched 'ghost'
+
+    with pytest.raises(ValueError, match="how"):
+        asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_payload=["v"], how="left_outer",
+        )
+
+
+def test_range_join_rejects_outer_how(spark):
+    """bucketed_range_join would silently drop an outer join's
+    null-extended rows in the containment filter — it must raise."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    pts = spark.createDataFrame([(1.0,)], "x double")
+    iv = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(pts, iv, "x", "lo", "hi", 5.0, how="left")
+
+
+def test_compaction_partitioned(spark, tmp_path):
+    """compact() must preserve a partitioned layout when told about
+    it, and refuse to silently flatten one when not."""
+    import pytest
+
+    from data_engineer_challenge_spark.sources.formats import compact
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "part")
+    ev.repartition(4).write.partitionBy("day").parquet(path)
+    with pytest.raises(ValueError, match="partition"):
+        compact(spark, path)
+    dirs_before = {d for d in os.listdir(path) if d.startswith("day=")}
+    compact(spark, path, partition_by=["day"], target_partitions=1)
+    dirs_after = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert dirs_after == dirs_before
+    n_files = sum(
+        1
+        for d in dirs_after
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    )
+    assert n_files == len(dirs_after)  # one file per partition dir
+    assert spark.read.parquet(path).count() == ev.count()
+
+
 def test_unique_and_referential_checks(spark):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     customer = load_table(spark, "/root/testdata/sf0.001", "customer")

@@ -113,6 +113,54 @@ def test_daemon_trigger_lineage(daemon_env, spark):
     assert daemon.wh.read("DWH_DOCUMENT").count() == 2
 
 
+def test_daemon_failed_tick_keeps_trigger_armed(daemon_env, spark):
+    """Offsets commit AFTER the batch: a tick that throws mid-batch
+    must leave the change trigger armed so a supervisor's retry
+    re-sees the same files (the old poll-then-process order advanced
+    the in-memory snapshot first and silently lost the change)."""
+    daemon, root = daemon_env
+    daemon.tick()  # first batch: 1 document ingested
+    assert daemon.wh.read("DWH_DOCUMENT").count() == 1
+
+    # a new document arrives, but the batch blows up mid-extraction
+    (root / "docs" / "12345678_9.pdf").write_bytes(
+        build_pdf(["le 05/05/2005", "dr delta"])
+    )
+    boom = daemon.extractor
+
+    def exploding(name, data):
+        raise RuntimeError("transient extraction failure")
+
+    daemon.extractor = exploding
+    with pytest.raises(Exception):
+        daemon.tick()
+    daemon.extractor = boom
+
+    r = daemon.tick()  # the retry must still see the new file
+    assert r.documents_fired
+    assert daemon.wh.read("DWH_DOCUMENT").count() == 2
+
+
+def test_binary_source_matches_any_extension_case(spark, tmp_path):
+    """pathGlobFilter is case-sensitive but the snapshot trigger
+    lower()s names — the source must ingest SCAN.PDF etc. so a change
+    that fires the daemon is never silently skipped."""
+    from data_engineer_challenge_spark.sources.binary_docs import (
+        read_binary_documents,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "00230580_1.pdf").write_bytes(build_pdf(["le 01/01/2001", "dr a"]))
+    (d / "12345678_2.PDF").write_bytes(build_pdf(["le 02/02/2002", "dr b"]))
+    (d / "99999999_3.Pdf").write_bytes(build_pdf(["le 03/03/2003", "dr c"]))
+    (d / "skip.txt").write_bytes(b"z")
+    names = {
+        r["filename"] for r in read_binary_documents(spark, str(d)).collect()
+    }
+    assert names == {"00230580_1.pdf", "12345678_2.PDF", "99999999_3.Pdf"}
+
+
 def test_daemon_changed_only_mode(spark, tmp_path):
     (tmp_path / "export_patient.xlsx").write_bytes(build_xlsx(REG_ROWS))
     docs = tmp_path / "docs"

@@ -213,6 +213,27 @@ def test_connected_components_known_graph(spark):
     assert clusters[10] == (10, True) and clusters[22] == (20, False)
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """min-label propagation advances one hop per round; a cluster
+    whose diameter exceeds max_iterations must raise rather than
+    return two 'canonical' survivors inside one true cluster."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )  # diameter 8
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=3)
+    # and a sufficient budget converges to one component
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iterations=10).collect()
+    }
+    assert set(cc.values()) == {0}
+
+
 def test_neardup_clusters_consistent_with_pairs(spark):
     from data_engineer_challenge_spark import plans
 
