@@ -10,11 +10,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .cleaning import normalize_text
+from .cleaning import WS_CLASS, normalize_text
 
 _DATE_PATTERN = r"\b\d{2}/\d{2}/\d{4}\b"
-# author: "dr" then a 1- or 2-word lowercase name (reference exo_2.py:191)
-_AUTHOR_PATTERN = r"\b(dr)\s+([a-z]+(?:\s+[a-z]+)?)\b"
+# author: "dr" then a 1- or 2-word lowercase name (reference
+# exo_2.py:191); WS_CLASS not \s — see cleaning.WS_CLASS
+_AUTHOR_PATTERN = rf"\b(dr){WS_CLASS}+([a-z]+(?:{WS_CLASS}+[a-z]+)?)\b"
 
 
 def _c(col: Column | str) -> Column:
@@ -67,7 +68,7 @@ def extract_author(text: Column | str) -> Column:
     truncated = F.get(F.split(last, "dr"), 0)
     # trim+collapse mirrors the reference's `' '.join(name.split())`
     # (a name like "foo dr" truncates to "foo " — trailing space must go)
-    tidy = F.regexp_replace(F.trim(truncated), r"\s+", " ")
+    tidy = F.regexp_replace(F.trim(truncated), WS_CLASS + "+", " ")
     return F.when(
         last.isNotNull(), F.concat(F.lit("Dr "), F.initcap(tidy))
     ).otherwise(F.lit(None).cast("string"))

@@ -43,14 +43,25 @@ def _null_str():
 
 
 def shape_patients(registry: DataFrame, upload_id: int) -> tuple[DataFrame, DataFrame]:
-    """Registry rows (+ ``__row_idx``) → (DWH_PATIENT, DWH_PATIENT_IPPHIST).
+    """Registry rows (+ ``__row_idx``) → (DWH_PATIENT, DWH_PATIENT_IPPHIST)
+    for a FIRST load: dedup then dense 1..N numbering.
 
-    One deduped scan, two projections (SURVEY P1+P2 share a scan via
-    cache instead of the reference's double iterrows, exo_1.py:123-131).
+    Incremental loads must keep prior numbers — use
+    :func:`run_patient_batch`, which routes existing patients through
+    the stable-identity join before projecting with
+    :func:`_project_patient_tables`.
     """
     deduped = keep_first_dedup(registry, PATIENT_DEDUP_KEYS, ["__row_idx"])
-    with_ids = dense_ids(deduped, "PATIENT_NUM", ["__row_idx"]).cache()
+    with_ids = dense_ids(deduped, "PATIENT_NUM", ["__row_idx"])
+    return _project_patient_tables(with_ids, upload_id)
 
+
+def _project_patient_tables(
+    with_ids: DataFrame, upload_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """Numbered registry rows → the two table projections (SURVEY
+    P1+P2 share one scan instead of the reference's double iterrows,
+    exo_1.py:123-131)."""
     patient = with_ids.select(
         "PATIENT_NUM",
         F.col("NOM").alias("LASTNAME"),
@@ -101,9 +112,29 @@ def shape_documents(
         .withColumn("DOCUMENT_TYPE", filename_extension("filename"))
     )
     lookup = ipphist.select("HOSPITAL_PATIENT_ID", "PATIENT_NUM")
-    matched = lookup_join(parsed, lookup, on="HOSPITAL_PATIENT_ID", how="inner")
+    # dedup_order: if an IPP ever maps to two PATIENT_NUMs the lowest
+    # wins DETERMINISTICALLY — dropDuplicates would pick whichever row
+    # survives the shuffle, re-resolving the same document to a
+    # different patient across runs and breaking stable numbering
+    matched = lookup_join(
+        parsed,
+        lookup,
+        on="HOSPITAL_PATIENT_ID",
+        how="inner",
+        dedup_order=["PATIENT_NUM"],
+    )
     rejects = anti_join(parsed, lookup, on="HOSPITAL_PATIENT_ID").select(
         "filename", "HOSPITAL_PATIENT_ID"
+    )
+
+    # one row per business key: '0123_7.pdf' and '0123_7.docx' parse to
+    # the same (patient, ID_DOC_SOURCE); without this the stable-number
+    # join fans out and the table doubles per batch. First by filename
+    # = deterministic (and keeps .docx before .pdf, matching the
+    # reference's listdir-order last-write-wins only by accident — the
+    # contract here is determinism, not which file wins)
+    matched = keep_first_dedup(
+        matched, ["PATIENT_NUM", "ID_DOC_SOURCE"], ["filename"]
     )
 
     numbered = extend_ids(
@@ -139,10 +170,62 @@ def shape_documents(
 
 
 def run_patient_batch(wh: ParquetWarehouse, registry: DataFrame, upload_id: int) -> None:
-    """Entry point 1 (exo_1.py:173-214): shape + MERGE both tables."""
-    patient, ipphist = shape_patients(registry, upload_id)
-    wh.merge_upsert("DWH_PATIENT", patient, ["PATIENT_NUM"])
-    wh.merge_upsert("DWH_PATIENT_IPPHIST", ipphist, ["PATIENT_NUM", "HOSPITAL_PATIENT_ID"])
+    """Entry point 1 (exo_1.py:173-214): shape + MERGE both tables.
+
+    Stable identity (the patient-side analogue of the document
+    numbering below): ``PATIENT_NUM`` is a surrogate, so merging on it
+    is only sound if the same person keeps the same number across
+    batches. Rows whose demographic key (the dedup key set) already
+    exists in DWH_PATIENT reuse their stored number; genuinely new
+    patients extend the sequence from the current max. Without this, a
+    registry edit that shifts ``__row_idx`` would renumber everyone
+    and the MERGE would cross-overwrite patients (the reference's K3
+    hazard, reintroduced at upsert time).
+    """
+    deduped = keep_first_dedup(registry, PATIENT_DEDUP_KEYS, ["__row_idx"])
+    if wh.exists("DWH_PATIENT"):
+        existing = wh.read("DWH_PATIENT", DWH_PATIENT)
+        start = existing.agg(F.max("PATIENT_NUM")).first()[0] or 0
+        # stored demographic key, renamed to avoid column capture;
+        # null-safe equality — registry fields are nullable
+        known = existing.select(
+            F.col("PATIENT_NUM").alias("__known_num"),
+            F.col("LASTNAME").alias("__k_nom"),
+            F.col("FIRSTNAME").alias("__k_prenom"),
+            F.col("BIRTH_DATE").alias("__k_naissance"),
+            F.col("RESIDENCE_ADDRESS").alias("__k_adresse"),
+            F.col("PHONE_NUMBER").alias("__k_tel"),
+        )
+        cond = (
+            F.col("NOM").eqNullSafe(F.col("__k_nom"))
+            & F.col("PRENOM").eqNullSafe(F.col("__k_prenom"))
+            & parse_fr_date("DATE_NAISSANCE").eqNullSafe(F.col("__k_naissance"))
+            & F.col("ADRESSE").eqNullSafe(F.col("__k_adresse"))
+            & F.col("TEL").eqNullSafe(F.col("__k_tel"))
+        )
+        kept = (
+            deduped.join(known, cond, "inner")
+            .withColumn("PATIENT_NUM", F.col("__known_num"))
+            .drop(*[c for c in known.columns])
+        )
+        fresh = extend_ids(
+            deduped.join(known, cond, "left_anti"),
+            "PATIENT_NUM",
+            start,
+            ["__row_idx"],
+        )
+        with_ids = kept.unionByName(fresh.select(*kept.columns))
+    else:
+        with_ids = dense_ids(deduped, "PATIENT_NUM", ["__row_idx"])
+    with_ids = with_ids.cache()
+    try:
+        patient, ipphist = _project_patient_tables(with_ids, upload_id)
+        wh.merge_upsert("DWH_PATIENT", patient, ["PATIENT_NUM"])
+        wh.merge_upsert(
+            "DWH_PATIENT_IPPHIST", ipphist, ["PATIENT_NUM", "HOSPITAL_PATIENT_ID"]
+        )
+    finally:
+        with_ids.unpersist()
 
 
 def run_document_batch(
@@ -164,8 +247,11 @@ def run_document_batch(
         start = existing.agg(F.max("DOCUMENT_NUM")).first()[0] or 0
         known = existing.select(*bk, F.col("DOCUMENT_NUM").alias("__keep_num"))
         src = docs.drop("DOCUMENT_NUM")
+        # no broadcast hint: known grows with the warehouse (every
+        # document ever loaded) — let AQE pick broadcast while it is
+        # small and fall back to a shuffle join when it is not
         kept = (
-            src.join(F.broadcast(known), bk, "inner")
+            src.join(known, bk, "inner")
             .withColumnRenamed("__keep_num", "DOCUMENT_NUM")
         )
         fresh = extend_ids(

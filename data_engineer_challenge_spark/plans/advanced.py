@@ -18,7 +18,11 @@ from .helpers import dec_sum_sql, dec_sum
     SELECT p.event_id, p.user_id, p.ts,
            c.event_id AS asof_event_id, c.ts AS asof_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND c.ts <= p.ts
     """,
 )
@@ -26,13 +30,22 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase paired with the user's most
     recent prior click. Spark has no native ASOF; operators/asof.py
     implements it as one shuffle+sort (union + last(ignorenulls)),
-    verified here against DuckDB's native ASOF JOIN."""
+    verified here against DuckDB's native ASOF JOIN.
+
+    Clicks pre-dedup to one row per (user_id, ts) keeping the max
+    event_id: asof_join's docstring requires a tiebreaker when right
+    timestamps can tie, and DuckDB's ASOF picks ITS OWN arbitrary row
+    among ties — without the dedup both engines would be
+    nondeterministic and disagree on any corpus with a duplicate
+    (user, ts) click. The oracle mirrors the same dedup."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
     )
     out = asof_join(
         purchases,

@@ -44,7 +44,9 @@ _AUG_SQL = (
     "CAST(1995 + doc_id % 20 AS VARCHAR) || ' signe dr ' || lang"
 )
 
-_NORM_SQL = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
+
+_NORM_SQL = f"trim(regexp_replace(lower({{t}}), '{_WS}+', ' ', 'g'))"
 
 
 @register(
@@ -93,7 +95,8 @@ def cdw_document_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT doc_id,
                regexp_extract_all({_NORM_SQL.format(t=_AUG_SQL)},
-                                  '\\b(dr)\\s+([a-z]+(?:\\s+[a-z]+)?)\\b', 2) AS names
+                                  '\\b(dr){_WS}+([a-z]+(?:{_WS}+[a-z]+)?)\\b',
+                                  2) AS names
         FROM documents
     )
     SELECT doc_id,
@@ -101,7 +104,8 @@ def cdw_document_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                'Dr ' || array_to_string(
                    list_transform(
                        string_split(trim(regexp_replace(
-                           string_split(names[-1], 'dr')[1], '\\s+', ' ', 'g')), ' '),
+                           string_split(names[-1], 'dr')[1],
+                           '{_WS}+', ' ', 'g')), ' '),
                        w -> upper(substr(w, 1, 1)) || substr(w, 2)
                    ), ' ')
            END AS author

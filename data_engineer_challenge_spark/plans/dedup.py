@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.tokenize import TOKEN_RE
+from ..operators.dedup import keep_first_dedup
 from ..operators.text_dedup import (
     jaccard,
     minhash_candidate_pairs,
@@ -23,7 +24,9 @@ from ..operators.text_dedup import (
 from ..tables import load_table
 from . import register
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
+
+_NORM = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
 
 @register(
@@ -41,7 +44,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-content hash, keep lowest doc_id;
     n_copies records cluster size. One shuffle on the fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return (
@@ -212,7 +215,7 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -233,8 +236,9 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical survivor per
     cluster (operators/graph.py, iterative label propagation). Pairs
-    come from the MinHash tier (16-band candidates, exact-Jaccard
-    verified, lang-blocked — coverage ⊇ the exhaustive pairs is
+    come from the MinHash tier (16×2-band candidates, exact Jaccard
+    ≥ 0.8 verified, lang-blocked — banding sized from the threshold:
+    boundary-pair miss ≈ 8e-8; coverage ⊇ the exhaustive pairs is
     asserted in tests), so the whole path is the 100 TB shape; the
     oracle recomputes the clusters independently with an exhaustive
     pair join + a recursive-CTE transitive closure, making even this
@@ -249,7 +253,7 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=2,
         num_hashes=32,
         bands=16,
-        threshold=0.5,
+        threshold=0.8,
         block_cols=("lang",),
         max_bucket_size=1000,
     )
@@ -261,7 +265,7 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, text, lang,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               md5({_NORM}) AS fp,
                len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
         FROM documents
     ),
@@ -284,7 +288,7 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT b.doc_id
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
     FROM exact_kept
@@ -294,20 +298,23 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-training-corpus cleaning pipeline in one plan:
     exact dedup (keep lowest doc_id) → near-dup removal (bigram
-    Jaccard >= 0.5 within lang; higher doc_id dropped) → length filter.
+    Jaccard >= 0.8 within lang; higher doc_id dropped) → length filter.
 
     The near-dup stage generates candidates with MinHash-LSH banding
     (the 100 TB path — a band-bucket equi-join, never the
     O(n²/|langs|) within-block product the oracle runs) and
     exact-Jaccard-verifies candidates only, so the result is identical
     to the exhaustive oracle as long as banding recalls every true
-    pair. 16 bands × 2 rows over 32 hashes puts the per-pair miss
-    probability at (1-j²)¹⁶ ≈ 3e-12 for the j ≥ 0.9 dups the corpus
-    plants (tests/test_text_dedup.py asserts candidates ⊇ exhaustive
-    pairs); lang rides the band join as a hard blocking key, matching
-    the oracle's a.lang = b.lang and splitting hot band buckets."""
+    pair. The banding is sized from the VERIFY threshold, not the
+    fixtures (same policy as docs_minhash_neardup): 16 bands × 2 rows
+    over 32 hashes put the miss probability at a boundary pair
+    (j = 0.8) at (1-0.8²)¹⁶ ≈ 8e-8, and at ≈ 3e-12 for the j ≥ 0.9
+    dups the corpus actually plants (tests/test_text_dedup.py asserts
+    candidates ⊇ exhaustive pairs); lang rides the band join as a hard
+    blocking key, matching the oracle's a.lang = b.lang and splitting
+    hot band buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     # tokenize ONCE: n_tokens and the shingle stage share the token
     # array, and tokens (not raw text) ride the dedup shuffle — same
     # bytes, one regex scan instead of two
@@ -317,10 +324,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm.cast("binary")).alias("fp"),
         F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    exact_kept = (
-        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    )
+    exact_kept = keep_first_dedup(scored, ["fp"], ["doc_id"])
     near_dropped = (
         minhash_candidate_pairs(
             exact_kept,
@@ -329,7 +333,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_n=2,
             num_hashes=32,
             bands=16,
-            threshold=0.5,
+            threshold=0.8,
             block_cols=("lang",),
             # skew guard: bounded per-bucket work at power-law scale;
             # can't fire at oracle scale (buckets ≪ 1000 docs), so the

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
 from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
 from ..tables import load_table
 from . import register
@@ -55,7 +56,7 @@ def _hits_sql(words: list[str]) -> str:
            CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
                AS n_unique_tokens,
-           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(string_split_regex(text, '{_WS}+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '{BPE_RE.replace("'", "''")}'))
                AS BIGINT) AS n_bpe_tokens
     FROM documents
@@ -72,7 +73,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.split(F.col("text"), _WS + "+")).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
         .cast("long")
         .alias("n_bpe_tokens"),

@@ -7,15 +7,11 @@ call reads a partitioned/bucketed table layout unchanged.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schemas import TESTDATA, TESTDATA_TABLES
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # events.ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
 # rejects; read it as raw nanos (legacy.parquet.nanosAsLong) and divide
@@ -40,12 +36,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
-
-
-def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
-) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in names}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

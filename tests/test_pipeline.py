@@ -109,6 +109,63 @@ def test_rejects_branch(warehouse):
     assert [r["HOSPITAL_PATIENT_ID"] for r in rejects.collect()] == ["77777777"]
 
 
+def test_patient_numbers_stable_under_registry_insert(spark, tmp_path):
+    """PATIENT_NUM is a surrogate the warehouse merges on: inserting a
+    row mid-registry must NOT renumber existing patients (the dense
+    1..N of a naive reload would shift every later row and the MERGE
+    would cross-overwrite people). Existing patients keep their
+    number; the new person extends the sequence."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    reg_path = tmp_path / "export_patient.xlsx"
+    reg_path.write_bytes(build_xlsx(ROWS))
+    run_patient_batch(wh, read_patient_registry(spark, str(reg_path)), upload_id=1)
+    before = {
+        r["LASTNAME"]: r["PATIENT_NUM"] for r in wh.read("DWH_PATIENT").collect()
+    }
+    assert sorted(before.values()) == [1, 2, 3]
+
+    rows2 = ROWS[:2] + [
+        ["Nouveau", "Max", "01/01/2001", "M", None, "55555555", "9 rue X",
+         "+33 9", "31000", "Toulouse", "France", None],
+    ] + ROWS[2:]
+    reg_path.write_bytes(build_xlsx(rows2))
+    run_patient_batch(wh, read_patient_registry(spark, str(reg_path)), upload_id=2)
+
+    after = {
+        r["LASTNAME"]: r["PATIENT_NUM"] for r in wh.read("DWH_PATIENT").collect()
+    }
+    assert {k: after[k] for k in before} == before  # nobody renumbered
+    assert after["Nouveau"] == 4  # sequence extended, not recycled
+    # the IPP map stays one-to-one: no stale (IPP, old-number) pairs
+    ipp = wh.read("DWH_PATIENT_IPPHIST").collect()
+    assert len({r["HOSPITAL_PATIENT_ID"] for r in ipp}) == len(ipp)
+
+
+def test_document_business_key_collision_no_fanout(spark, tmp_path):
+    """'0123_7.pdf' and '0123_7.docx' share the merge business key
+    (PATIENT_NUM, ID_DOC_SOURCE): the batch must keep exactly one row
+    for it — deterministically — and re-runs must not double the
+    table (the fan-out the keyed MERGE contract forbids)."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    reg_path = tmp_path / "export_patient.xlsx"
+    reg_path.write_bytes(build_xlsx(ROWS))
+    run_patient_batch(wh, read_patient_registry(spark, str(reg_path)), upload_id=1)
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "00230580_7.pdf").write_bytes(build_pdf(["le 01/01/2010", "dr pdf"]))
+    (docs / "00230580_7.docx").write_bytes(
+        build_docx(textbox_runs=["le 02/02/2010", "dr docx"])
+    )
+    for upload in (1, 2):
+        files = extract_documents(read_binary_documents(spark, str(docs)))
+        run_document_batch(wh, files, upload_id=upload)
+        rows = wh.read("DWH_DOCUMENT").collect()
+        assert len(rows) == 1, f"fan-out on upload {upload}"
+        # keep-first by filename: .docx sorts before .pdf
+        assert rows[0]["DOCUMENT_TYPE"] == "docx"
+
+
 def test_idempotent_reruns_and_stable_doc_nums(warehouse, spark, corpus_dir):
     wh, _ = warehouse
     before = {
