@@ -103,7 +103,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = plans.all_queries()
-    names = [n for n in HEADLINE if n in queries] or list(queries)
+    missing = [n for n in HEADLINE if n not in queries]
+    if missing:
+        # fail LOUD: silently dropping a renamed headline entry would
+        # shrink the totals and read as a phantom speedup across rounds
+        raise SystemExit(f"bench: headline queries not in registry: {missing}")
+    names = list(HEADLINE)
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):

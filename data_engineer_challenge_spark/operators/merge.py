@@ -116,6 +116,36 @@ class ParquetWarehouse:
                 shutil.rmtree(old)  # stale: the swap completed
             else:
                 os.rename(old, final)
+        # sweep staging leftovers from crashed/failed attempts — they
+        # only ever become live via rename, so any still on disk is
+        # garbage (single-writer model, same as the swap protocol)
+        parent, base = os.path.split(final)
+        for entry in os.listdir(parent or "."):
+            if entry.startswith(base + ".staging-"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+    def _check_unique_source(
+        self, source: DataFrame, keys: Sequence[str], table: str
+    ) -> None:
+        """Real ``MERGE INTO`` raises when several source rows match
+        one target row; silently unioning both copies would leave the
+        table with duplicate keys forever. One small aggregation over
+        the (micro-batch-sized) source."""
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge_upsert into {table!r}: source has multiple rows "
+                f"for key {key_vals} — dedup the source first (e.g. "
+                "keep_first_dedup); a keyed MERGE must see at most one "
+                "source row per key"
+            )
 
     def merge_upsert(
         self, table: str, source: DataFrame, keys: Sequence[str]
@@ -133,12 +163,17 @@ class ParquetWarehouse:
         rewritten. A partitioned table must be merged on its partition
         keys: anything else would silently rewrite the table without
         its layout, so it raises. Unpartitioned tables use the full
-        staged rewrite."""
+        staged rewrite. A source with duplicate keys raises (real
+        MERGE INTO semantics) instead of silently breaking the
+        table's key invariant."""
         self._recover_swap(table)
+        meta = self._meta(table) if self.exists(table) else None
+        if meta is None:
+            # the pruned path runs the check on its cached source
+            self._check_unique_source(source, keys, table)
         if not self.exists(table):
             self._stage_and_swap(table, source)
             return
-        meta = self._meta(table)
         if meta is not None:
             if list(keys) != meta["partition_keys"]:
                 raise ValueError(
@@ -175,11 +210,20 @@ class ParquetWarehouse:
         # union) — cache it rather than recompute the source plan
         src = source.withColumn(PKEY, _pkey_col(keys, n_buckets)).cache()
         try:
+            self._check_unique_source(src, keys, table)
             touched = sorted(r[0] for r in src.select(PKEY).distinct().collect())
             if not touched:
                 return  # empty micro-batch (a streaming replay tick):
                 # nothing to merge, and an empty staging dir would fail
                 # schema inference on the re-read
+            if not any(e.startswith(f"{PKEY}=") for e in os.listdir(final)):
+                # table was created EMPTY (no partition dirs yet —
+                # the create-then-stream-into lifecycle): nothing to
+                # anti-join against, and parquet schema inference
+                # would fail on the part-file-less directory. Append
+                # the whole batch as the first partitions.
+                src.write.mode("append").partitionBy(PKEY).parquet(final)
+                return
             # partition pruning: only touched __pkey dirs are scanned
             tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
             kept = tgt.drop(PKEY).join(
@@ -210,14 +254,20 @@ class ParquetWarehouse:
         old = final + ".old"
         staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
         # writing the staging dir materializes the plan (which may read
-        # the current table) BEFORE the old data is moved aside
-        if writer is None:
-            df.write.mode("overwrite").parquet(staging)
-        else:
-            writer(df, staging)
-        if meta is not None:
-            with open(os.path.join(staging, _META), "w") as fh:
-                json.dump(meta, fh)
+        # the current table) BEFORE the old data is moved aside; a
+        # failed write must not leak a table-sized staging copy (a
+        # hard crash can still leak one — _recover_swap sweeps those)
+        try:
+            if writer is None:
+                df.write.mode("overwrite").parquet(staging)
+            else:
+                writer(df, staging)
+            if meta is not None:
+                with open(os.path.join(staging, _META), "w") as fh:
+                    json.dump(meta, fh)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if os.path.isdir(old):
             shutil.rmtree(old)  # leftover from a previous crashed swap
         if os.path.isdir(final):

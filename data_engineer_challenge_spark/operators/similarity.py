@@ -201,9 +201,14 @@ def ivf_topk(
         assigned = corpus.withColumn(
             "__coarse", nearest_centroid(F.col(vec), centroids)
         )
+        # array<double>, matching nearest_centroid's float64 literals:
+        # a float32 column here would silently round the probe-side
+        # cosines for any externally-trained (non-f32-representable)
+        # quantizer and diverge from both the assignment argmax and
+        # ivf_topk_vectorized's bit-identity claim
         cent_df = corpus.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "label int, centroid array<float>",
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "label int, centroid array<double>",
         )
     else:
         cell = coarse_col or "label"
@@ -566,6 +571,11 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select(query_id, vec).collect()
+    if not q_rows:  # empty query set: empty result, same schema as
+        # the non-empty path (brute_force_topk degrades the same way)
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cos_sim double, rank int"
+        )
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
     nq, dim = q_mat.shape

@@ -98,6 +98,14 @@ def minhash_bands_vectorized(
     import numpy as np
     import pandas as pd
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a multiple of "
+            f"bands={bands}: the trailing {num_hashes % bands} hash "
+            "slots would be silently ignored and the banding would run "
+            "at a different rows-per-band than the caller's recall "
+            "math assumes"
+        )
     rows_per_band = num_hashes // bands
     # per-slot affine parameters from the shared double-round LCG
     seeds = np.arange(num_hashes, dtype=np.int64)
@@ -208,6 +216,12 @@ def minhash_candidate_pairs(
     boilerplate, which near-dup dedup is free to skip — the cap trades
     bounded recall loss on hot content for a hard per-bucket work
     bound.
+
+    Cache lifetime: the hashed-shingle intermediate is cached and
+    deliberately NOT unpersisted here — the returned plan references
+    it lazily, so the operator cannot know when the caller is done.
+    Callers that loop (bench, a daemon) should
+    ``spark.catalog.clearCache()`` between rounds, as bench.py does.
     """
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
     blocks = [F.col(c) for c in block_cols]

@@ -201,6 +201,65 @@ def test_pruned_merge_drops_stale_old_snapshot(spark, tmp_path):
     assert len(got) == 100 and got[1] == 111
 
 
+def test_merge_raises_on_duplicate_source_keys(spark, tmp_path):
+    """Real MERGE INTO semantics: several source rows for one key must
+    raise, not silently union both copies into the table (which would
+    break the key invariant forever). Both the full-rewrite and the
+    pruned path check."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 20).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "k long, v long")
+
+    wh.overwrite("flat", base)
+    with pytest.raises(ValueError, match="multiple rows"):
+        wh.merge_upsert("flat", dup, ["k"])
+
+    wh.overwrite_partitioned("part", base, ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="multiple rows"):
+        wh.merge_upsert("part", dup, ["k"])
+
+
+def test_merge_into_empty_partitioned_table(spark, tmp_path):
+    """The create-empty-then-stream-into lifecycle: a partitioned
+    table created with zero rows has no partition dirs, so the pruned
+    merge must append the first batch instead of failing parquet
+    schema inference on a part-file-less directory."""
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    wh.overwrite_partitioned("t", empty, ["k"], n_buckets=4)
+    src = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    wh.merge_upsert("t", src, ["k"])
+    assert sorted((r["k"], r["v"]) for r in wh.read("t").collect()) == [(1, 10), (2, 20)]
+    # and a second merge goes through the normal pruned path
+    wh.merge_upsert("t", spark.createDataFrame([(2, 22)], "k long, v long"), ["k"])
+    got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: 10, 2: 22}
+
+
+def test_merge_sweeps_stale_staging_dirs(spark, tmp_path):
+    """Crashed staging writes leave <table>.staging-* copies; the next
+    merge must sweep them (they only ever go live via rename, so any
+    survivor is garbage) instead of leaking table-sized directories."""
+    import os
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    wh.overwrite("t", base)
+    stale = wh.path("t") + ".staging-deadbeef"
+    os.makedirs(stale)
+    wh.merge_upsert("t", spark.createDataFrame([(1, 11)], "k long, v long"), ["k"])
+    assert not os.path.isdir(stale)
+    assert wh.read("t").count() == 10
+
+
 def test_partitioned_merge_key_mismatch_raises(spark, tmp_path):
     """Merging a partitioned table on keys other than its partition
     keys must raise instead of silently rewriting the table without its
