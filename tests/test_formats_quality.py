@@ -173,6 +173,82 @@ def test_compaction_partitioned(spark, tmp_path):
     assert spark.read.parquet(path).count() == ev.count()
 
 
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Property check on seeded random data: for every left row the
+    as-of match must be the right row with the greatest right_ts <=
+    left_ts in the same key group (ties on ts broken by the dedup rule
+    callers apply — here right rows are unique per (k, t) by
+    construction), computed independently in plain Python."""
+    import random
+
+    from data_engineer_challenge_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    keys = ["a", "b", "c", "d"]
+    left_rows = [
+        (k, rng.randint(0, 1000)) for k in keys for _ in range(40)
+    ]
+    right_rows = list(
+        {(k, rng.randint(0, 1000)) for k in keys for _ in range(30)}
+    )
+    right_rows = [(k, t, f"{k}{t}") for k, t in right_rows]
+
+    left = spark.createDataFrame(left_rows, "k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, v string")
+    got = {
+        (r["k"], r["t"], r["asof_v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_payload=["v"], how="left",
+        ).collect()
+    }
+
+    by_key: dict[str, list[tuple[int, str]]] = {}
+    for k, t, v in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+    want = set()
+    for k, t in left_rows:
+        prior = [(rt, rv) for rt, rv in by_key.get(k, []) if rt <= t]
+        want.add((k, t, max(prior)[1] if prior else None))
+    assert got == want
+
+
+def test_range_join_matches_bruteforce_reference(spark):
+    """Property check on seeded random data: bucketed_range_join must
+    return exactly the (point, interval) pairs with lo <= p < hi —
+    bucketing is an implementation detail that may not change the
+    result, including for intervals spanning many buckets and points
+    on bucket boundaries."""
+    import random
+
+    from data_engineer_challenge_spark.operators.range_join import (
+        bucketed_range_join,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, round(rng.uniform(0, 100), 3)) for i in range(300)]
+    ivs = []
+    for i in range(60):
+        lo = round(rng.uniform(0, 95), 3)
+        ivs.append((i, lo, round(lo + rng.uniform(0.1, 30), 3)))
+
+    points = spark.createDataFrame(pts, "pid long, x double")
+    intervals = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = {
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            points, intervals, "x", "lo", "hi", bucket_width=5.0
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, x in pts
+        for iid, lo, hi in ivs
+        if lo <= x < hi
+    }
+    assert got == want and len(want) > 100
+
+
 def test_unique_and_referential_checks(spark):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     customer = load_table(spark, "/root/testdata/sf0.001", "customer")
