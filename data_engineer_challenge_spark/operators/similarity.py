@@ -488,62 +488,110 @@ def lsh_neardup_pairs(
     k=6, L=8 ⇒ ~0.98 at cos≈0.9 (true near-dups) and ~0.4 at cos≈0.4,
     with 2^6 buckets per table keeping the candidate volume ~n²/64 per
     table even on a worst-case uniform corpus. k is the recall/cost
-    knob. Candidates come from an equi-join on (table, bucket) — ids
-    only, vectors join back for verification, mirroring the MinHash
-    band-join shape."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
-        .repartition(par, "__id")  # spread the projection math — the
-        .cache()                   # input is often one file = one task
-    )
-    banded = lsh_buckets_vectorized(
-        base, id_col="__id", vec="__v", n_tables=n_tables, n_planes=n_planes
-    )
-    left = banded.toDF("id_a", "__table", "__bucket")
-    right = banded.toDF("id_b", "__table", "__bucket")
-    cands = (
-        left.join(right, ["__table", "__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    joined = cands.join(va, "id_a").join(vb, "id_b")
+    knob.
 
-    # Arrow-vectorized exact-cosine verify, bit-identical to the
-    # cosine() expression: accumulate per-DIMENSION in sequence (the
-    # fold order both engines use) while vectorizing across pairs —
-    # np.dot's pairwise/BLAS accumulation would drift in the low bits
-    # and break the oracle.
+    Verification runs WITHIN each (table, bucket) group rather than on
+    materialized candidate pairs: each vector shuffles once per table
+    (n·L rows), and the all-pairs cosine happens in-task over the
+    bucket's own vectors. The alternative — an ids-only candidate
+    equi-join plus joining both vectors back onto every pair — shuffles
+    O(candidates) vector payloads, and candidates dwarf survivors at
+    any permissive threshold (measured at sf0.1: 447k candidates →
+    1.9k survivors; the pair-join form moved ~460 MB of vectors where
+    this form moves ~8 MB). Only surviving pairs reach the cross-table
+    dedup shuffle. A hot bucket concentrates its O(s²) verify in one
+    task — the knob is n_planes (bucket count 2^k); compute is
+    row-blocked so memory stays O(block · s) even on a skewed bucket.
+
+    Cosine accumulates per-DIMENSION in sequence (the fold order both
+    engines use), vectorized across the bucket — np.dot's
+    pairwise/BLAS accumulation would drift in the low bits and break
+    the DuckDB oracle on emb_lsh_neardup_pairs, which enumerates the
+    same bucket-equality candidates in SQL."""
     import numpy as np
     import pandas as pd
 
-    def verify(batches):
+    total = n_tables * n_planes
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v")).repartition(
+        par, "__id"
+    )  # spread the projection math — the input is often one file = one task
+
+    def assign(batches):
+        # same quantization + LCG planes as lsh_buckets_vectorized,
+        # but the vector rides along so the bucket group can verify
+        # without joining payloads back onto candidate pairs
+        planes = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array(list(pdf["__va"]), dtype=np.float64)
-            b = np.array(list(pdf["__vb"]), dtype=np.float64)
-            dot = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for i in range(a.shape[1]):
-                dot += a[:, i] * b[:, i]
-                na += a[:, i] * a[:, i]
-                nb += b[:, i] * b[:, i]
-            cos = dot / np.sqrt(na * nb)
-            keep = cos > threshold
+            mat = np.array(list(pdf["__v"]), dtype=np.float64)
+            dim = mat.shape[1]
+            if dim not in planes:
+                planes[dim] = _plane_matrix(total, dim)
+            q = np.floor(mat * _Q).astype(np.int64)
+            proj = q @ planes[dim].T  # (batch × total), exact int64
+            bits = (proj >= 0).astype(np.int64).reshape(-1, n_tables, n_planes)
+            buckets = bits @ weights  # (batch × n_tables)
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cos_sim": cos[keep],
+                    "__id": np.repeat(pdf["__id"].to_numpy(), n_tables),
+                    "__table": np.tile(np.arange(n_tables), len(pdf)),
+                    "__bucket": buckets.reshape(-1),
+                    "__v": [v for v in pdf["__v"] for _ in range(n_tables)],
                 }
             )
 
-    return joined.mapInPandas(verify, schema="id_a long, id_b long, cos_sim double")
+    banded = base.mapInPandas(
+        assign, schema="__id long, __table int, __bucket long, __v array<double>"
+    )
+
+    def verify_bucket(pdf):
+        s = len(pdf)
+        if s < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.array(list(pdf["__v"]), dtype=np.float64)[order]
+        dim = mat.shape[1]
+        norm_sq = np.zeros(s)
+        for i in range(dim):
+            norm_sq += mat[:, i] * mat[:, i]
+        out_a, out_b, out_s = [], [], []
+        block = 2048  # bounds the (block × s) gram slab on hot buckets
+        for lo in range(0, s, block):
+            hi = min(lo + block, s)
+            dot = np.zeros((hi - lo, s))
+            for i in range(dim):
+                dot += mat[lo:hi, i][:, None] * mat[:, i][None, :]
+            cos = dot / np.sqrt(norm_sq[lo:hi][:, None] * norm_sq[None, :])
+            # ids sorted ascending ⇒ id_a < id_b is the strict upper
+            # triangle of the (global-row × global-col) gram matrix
+            rows, cols = np.nonzero(
+                (cos > threshold)
+                & (np.arange(s)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            out_a.extend(ids[rows + lo])
+            out_b.extend(ids[cols])
+            out_s.extend(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "id_a": np.array(out_a, dtype=np.int64),
+                "id_b": np.array(out_b, dtype=np.int64),
+                "cos_sim": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    pairs = banded.groupBy("__table", "__bucket").applyInPandas(
+        verify_bucket, schema="id_a long, id_b long, cos_sim double"
+    )
+    # a pair that collides in several tables gets the bit-identical
+    # cos_sim in each (same per-dimension fold), so any-row dedup is
+    # deterministic
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def brute_force_topk_vectorized(
