@@ -161,3 +161,21 @@ def test_bucketed_join_avoids_shuffle(spark, bucketed_tables):
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     )
     assert joined.count() == expected
+
+
+def test_lsh_pairs_plan_has_no_pair_join(spark):
+    """Physical-plan regression for emb_lsh_neardup_pairs: verification
+    runs inside the (table, bucket) groups, so the plan must contain NO
+    join operator at all — the old pair-join form shuffled O(candidates)
+    vector payloads (sf0.1: 447k candidates for 1.9k survivors). The
+    only exchanges are the bucket grouping and the surviving-pair
+    dedup."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["emb_lsh_neardup_pairs"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
