@@ -266,3 +266,53 @@ def test_vectorized_knn_matches_expression_knn(spark):
         for r in plans.REGISTRY["emb_knn_vectorized"].builder(spark, sf).collect()
     }
     assert fast == exact
+
+
+def test_lsh_pairs_match_numpy_brute_force(spark):
+    """Property check against an independent numpy reference: the LSH
+    result must equal EXACTLY the set {(a, b): a < b, same bucket in
+    >= 1 table, cos > threshold} — the reference recomputes bucket
+    assignment from the same plane matrix and exact cosine with
+    ordinary float math, so any drift in the operator's quantization,
+    bucket weighting, triangle masking, or cross-table dedup shows up
+    as a set difference. Random-ish vectors come from a seeded
+    generator (clustered so some near-dup pairs genuinely exist)."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        _Q,
+        _plane_matrix,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_tables, n_planes, threshold = 120, 8, 4, 4, 0.6
+    centers = rng.normal(size=(6, dim))
+    mat = centers[rng.integers(0, 6, n)] + rng.normal(scale=0.25, size=(n, dim))
+
+    planes = _plane_matrix(n_tables * n_planes, dim)
+    q = np.floor(mat * _Q).astype(np.int64)
+    proj = q @ planes.T
+    bits = (proj >= 0).astype(np.int64).reshape(n, n_tables, n_planes)
+    buckets = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    want = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if (buckets[a] == buckets[b]).any() and cos[a, b] > threshold
+    }
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            df, threshold=threshold, n_tables=n_tables, n_planes=n_planes
+        ).collect()
+    }
+    assert want, "fixture must produce non-trivial near-dup pairs"
+    assert got == want, f"missed={want - got} extra={got - want}"
