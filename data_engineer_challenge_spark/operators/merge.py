@@ -123,6 +123,29 @@ class ParquetWarehouse:
         for entry in os.listdir(parent or "."):
             if entry.startswith(base + ".staging-"):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        self._recover_partitions(final)
+
+    def _recover_partitions(self, final: str) -> None:
+        """Heal a crashed per-partition swap (:meth:`_merge_pruned`):
+        the old partition content is parked as a hidden
+        ``.old-__pkey=N`` dir before the new dir renames in, so a crash
+        between the two renames leaves the partition missing but its
+        previous snapshot intact — restore it here. A parked dir next
+        to a LIVE partition means the swap completed and the park is
+        stale — drop it. Hidden (dot-prefixed) dirs are invisible to
+        Spark's partition discovery, so readers never see them."""
+        if not os.path.isdir(final):
+            return
+        prefix = ".old-" + PKEY + "="
+        for entry in os.listdir(final):
+            if not entry.startswith(prefix):
+                continue
+            parked = os.path.join(final, entry)
+            live = os.path.join(final, entry[len(".old-"):])
+            if os.path.isdir(live):
+                shutil.rmtree(parked)
+            else:
+                os.rename(parked, live)
 
     def _check_unique_source(
         self, source: DataFrame, keys: Sequence[str], table: str
@@ -194,17 +217,27 @@ class ParquetWarehouse:
     def _merge_pruned(
         self, table: str, source: DataFrame, keys: Sequence[str], n_buckets: int
     ) -> None:
-        """Crash contract: the dynamic partition overwrite commits one
-        partition directory at a time, so — unlike
-        :meth:`_stage_and_swap`'s whole-table ``.old`` window — a crash
-        mid-commit leaves some touched partitions merged and others on
-        their previous content. Every partition is always a consistent
-        snapshot (old or new, never half-written: each directory swap
-        is itself staged by the committer), and the merge is idempotent
-        on the keys, so replaying the same micro-batch converges to the
-        fully-merged table (tested). This per-partition window is the
-        price of not rewriting 100 TB per batch; a transactional format
-        (Delta/Iceberg) closes it with a metadata commit."""
+        """Crash contract: the commit swaps one partition directory at
+        a time, so — unlike :meth:`_stage_and_swap`'s whole-table
+        ``.old`` window — a crash mid-commit leaves some touched
+        partitions merged and others on their previous content. Every
+        partition is always a consistent snapshot (old or new, never
+        half-written), no crash instant can destroy previous content
+        (the old dir is parked hidden before the new one renames in;
+        :meth:`_recover_partitions` restores or discards parks), and
+        the merge is idempotent on the keys, so replaying the same
+        micro-batch converges to the fully-merged table (tested). This
+        per-partition window is the price of not rewriting 100 TB per
+        batch; a transactional format (Delta/Iceberg) closes it with a
+        metadata commit.
+
+        The merged rows are written ONCE, partitioned, to a staging
+        dir (reading and overwriting the same files in one job is
+        illegal), then each touched ``__pkey=N`` dir renames into
+        place — O(touched) metadata ops. The earlier form paid a
+        second full Spark job (unpartitioned staging, re-read, dynamic
+        partition overwrite) that rewrote every merged row twice and
+        inherited the committer's delete-before-rename loss window."""
         final = self.path(table)
         # the micro-batch is used twice (touched-bucket scan, then the
         # union) — cache it rather than recompute the source plan
@@ -231,17 +264,22 @@ class ParquetWarehouse:
             )
             merged = kept.withColumn(PKEY, _pkey_col(keys, n_buckets)).unionByName(src)
             # materialize to staging first — never read and overwrite
-            # the same partition files in one job
+            # the same partition files in one job. merged only carries
+            # pkeys from `touched`, so staging holds exactly the
+            # touched partition dirs.
             staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(staging)
+            merged.write.mode("overwrite").partitionBy(PKEY).parquet(staging)
             try:
-                (
-                    self.spark.read.parquet(staging)
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy(PKEY)
-                    .parquet(final)
-                )
+                for entry in os.listdir(staging):
+                    if not entry.startswith(PKEY + "="):
+                        continue
+                    dst = os.path.join(final, entry)
+                    parked = os.path.join(final, ".old-" + entry)
+                    if os.path.isdir(dst):
+                        os.rename(dst, parked)
+                    os.rename(os.path.join(staging, entry), dst)
+                    if os.path.isdir(parked):
+                        shutil.rmtree(parked)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         finally:

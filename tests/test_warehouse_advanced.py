@@ -403,3 +403,52 @@ def test_stateful_running_totals(spark, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_pruned_merge_parked_partition_recovers(spark, tmp_path):
+    """A crash between 'park old partition dir' and 'rename new dir in'
+    leaves ``.old-__pkey=N`` with no live ``__pkey=N`` — the previous
+    snapshot must be restored (no crash instant destroys data), and a
+    stale park next to a live partition must be swept. Hidden dirs are
+    invisible to Spark reads either way."""
+    import os
+    import shutil
+
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wh.overwrite_partitioned("t", base, ["k"], n_buckets=8)
+    before = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+
+    # simulate the crash: one partition parked, nothing renamed in
+    part = next(
+        e for e in os.listdir(wh.path("t")) if e.startswith("__pkey=")
+    )
+    os.rename(
+        os.path.join(wh.path("t"), part),
+        os.path.join(wh.path("t"), ".old-" + part),
+    )
+    # a reader between crash and recovery skips the hidden dir
+    assert len(wh.read("t").collect()) < len(before)
+
+    src = spark.createDataFrame([(1, 111)], "k long, v long")
+    wh.merge_upsert("t", src, ["k"])  # recovery runs first, then merges
+    got = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+    assert got == sorted([(k, 111 if k == 1 else v) for k, v in before])
+    assert not any(
+        e.startswith(".old-") for e in os.listdir(wh.path("t"))
+    )
+
+    # stale park next to a live partition: swept, content untouched
+    shutil.copytree(
+        os.path.join(wh.path("t"), part),
+        os.path.join(wh.path("t"), ".old-" + part),
+    )
+    wh.merge_upsert("t", src, ["k"])
+    assert not any(
+        e.startswith(".old-") for e in os.listdir(wh.path("t"))
+    )
+    assert sorted((r["k"], r["v"]) for r in wh.read("t").collect()) == got
