@@ -316,3 +316,25 @@ def test_lsh_pairs_match_numpy_brute_force(spark):
     }
     assert want, "fixture must produce non-trivial near-dup pairs"
     assert got == want, f"missed={want - got} extra={got - want}"
+
+
+def test_simhash60_vectorized_matches_expression(spark):
+    """The Arrow fold must be bit-identical to the simhash60 expression
+    form on real corpus text (same md5 token hash, same votes)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.functions.tokenize import word_tokens
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        simhash60,
+        simhash60_vectorized,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("__id"), word_tokens("text").alias("__toks"))
+        .filter(F.size("__toks") > 0)
+    )
+    expr = {r["__id"]: r["sh"] for r in docs.select(
+        "__id", simhash60(F.col("__toks")).alias("sh")).collect()}
+    vect = {r["__id"]: r["__sh"] for r in simhash60_vectorized(docs).collect()}
+    assert expr == vect
