@@ -220,13 +220,18 @@ class ParquetWarehouse:
         """Crash contract: the commit swaps one partition directory at
         a time, so — unlike :meth:`_stage_and_swap`'s whole-table
         ``.old`` window — a crash mid-commit leaves some touched
-        partitions merged and others on their previous content. Every
-        partition is always a consistent snapshot (old or new, never
-        half-written), no crash instant can destroy previous content
-        (the old dir is parked hidden before the new one renames in;
-        :meth:`_recover_partitions` restores or discards parks), and
-        the merge is idempotent on the keys, so replaying the same
-        micro-batch converges to the fully-merged table (tested). This
+        partitions merged and others on their previous content. No
+        partition is ever half-written and no crash instant can
+        destroy previous content (the old dir is parked hidden before
+        the new one renames in; :meth:`_recover_partitions` restores
+        or discards parks — in-process on a mid-commit error, else on
+        the next merge), and the merge is idempotent on the keys, so
+        replaying the same micro-batch converges to the fully-merged
+        table (tested). Readers are NOT isolated from an in-flight
+        commit: between the two renames a concurrent read misses that
+        partition entirely (the park is dot-hidden) — durability, not
+        snapshot isolation; single-writer, reader-sees-commit-boundary
+        deployments need the transactional formats below. This
         per-partition window is the price of not rewriting 100 TB per
         batch; a transactional format (Delta/Iceberg) closes it with a
         metadata commit.
@@ -280,6 +285,13 @@ class ParquetWarehouse:
                     os.rename(os.path.join(staging, entry), dst)
                     if os.path.isdir(parked):
                         shutil.rmtree(parked)
+            except BaseException:
+                # a non-crash failure mid-loop (ENOSPC, EACCES) must not
+                # leave a parked partition invisible to readers until
+                # some future merge happens to heal it — restore in
+                # process, then surface the error
+                self._recover_partitions(final)
+                raise
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         finally:

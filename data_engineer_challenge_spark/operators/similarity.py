@@ -412,6 +412,21 @@ def _plane_matrix(n_planes_total: int, dim: int):
     return h2 % 2001 - 1000
 
 
+def _assign_buckets(mat, planes_matrix, n_tables: int, n_planes: int):
+    """(batch × n_tables) int64 bucket ids for a float64 vector batch —
+    THE oracle-critical math, shared by every vectorized LSH path:
+    exact power-of-two quantization, integer matmul against the LCG
+    plane matrix, sign bits weighted 2^p per table. Any change here
+    must mirror into ``_bucket_sql`` (plans/similarity.py)."""
+    import numpy as np
+
+    q = np.floor(mat * _Q).astype(np.int64)
+    proj = q @ planes_matrix.T  # (batch × tables·planes), exact int64
+    bits = (proj >= 0).astype(np.int64).reshape(-1, n_tables, n_planes)
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    return bits @ weights
+
+
 def lsh_buckets_vectorized(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -431,7 +446,6 @@ def lsh_buckets_vectorized(
     import pandas as pd
 
     total = n_tables * n_planes
-    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
     def assign(batches):
         planes = {}
@@ -442,10 +456,7 @@ def lsh_buckets_vectorized(
             dim = mat.shape[1]
             if dim not in planes:
                 planes[dim] = _plane_matrix(total, dim)
-            q = np.floor(mat * _Q).astype(np.int64)
-            proj = q @ planes[dim].T  # (batch × total), exact int64
-            bits = (proj >= 0).astype(np.int64).reshape(-1, n_tables, n_planes)
-            buckets = bits @ weights  # (batch × n_tables)
+            buckets = _assign_buckets(mat, planes[dim], n_tables, n_planes)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
@@ -502,6 +513,10 @@ def lsh_neardup_pairs(
     dedup shuffle. A hot bucket concentrates its O(s²) verify in one
     task — the knob is n_planes (bucket count 2^k); compute is
     row-blocked so memory stays O(block · s) even on a skewed bucket.
+    A pair colliding in several tables is cosine-verified once per
+    colliding table (the grams batch whole buckets; skipping
+    individual cells would cost more than recomputing them) — bounded
+    L× redundancy, traded for never shuffling candidate payloads.
 
     Cosine accumulates per-DIMENSION in sequence (the fold order both
     engines use), vectorized across the bucket — np.dot's
@@ -512,16 +527,16 @@ def lsh_neardup_pairs(
     import pandas as pd
 
     total = n_tables * n_planes
-    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v")).repartition(
         par, "__id"
     )  # spread the projection math — the input is often one file = one task
 
     def assign(batches):
-        # same quantization + LCG planes as lsh_buckets_vectorized,
-        # but the vector rides along so the bucket group can verify
-        # without joining payloads back onto candidate pairs
+        # same bucket math as lsh_buckets_vectorized (shared
+        # _assign_buckets), but the vector rides along so the bucket
+        # group can verify without joining payloads onto candidate
+        # pairs
         planes = {}
         for pdf in batches:
             if not len(pdf):
@@ -530,10 +545,7 @@ def lsh_neardup_pairs(
             dim = mat.shape[1]
             if dim not in planes:
                 planes[dim] = _plane_matrix(total, dim)
-            q = np.floor(mat * _Q).astype(np.int64)
-            proj = q @ planes[dim].T  # (batch × total), exact int64
-            bits = (proj >= 0).astype(np.int64).reshape(-1, n_tables, n_planes)
-            buckets = bits @ weights  # (batch × n_tables)
+            buckets = _assign_buckets(mat, planes[dim], n_tables, n_planes)
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(pdf["__id"].to_numpy(), n_tables),
@@ -553,8 +565,9 @@ def lsh_neardup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
-        ids = pdf["__id"].to_numpy()[order]
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
         mat = np.array(list(pdf["__v"]), dtype=np.float64)[order]
         dim = mat.shape[1]
         norm_sq = np.zeros(s)
@@ -568,11 +581,13 @@ def lsh_neardup_pairs(
             for i in range(dim):
                 dot += mat[lo:hi, i][:, None] * mat[:, i][None, :]
             cos = dot / np.sqrt(norm_sq[lo:hi][:, None] * norm_sq[None, :])
-            # ids sorted ascending ⇒ id_a < id_b is the strict upper
-            # triangle of the (global-row × global-col) gram matrix
+            # pair condition on id VALUES, not positions: with ids
+            # sorted this is the strict upper triangle, except that
+            # duplicate ids (two rows sharing a key) must not emit a
+            # self-pair — the pair-join form's id_a < id_b value
+            # filter never could
             rows, cols = np.nonzero(
-                (cos > threshold)
-                & (np.arange(s)[None, :] > np.arange(lo, hi)[:, None])
+                (cos > threshold) & (ids[None, :] > ids[lo:hi, None])
             )
             out_a.extend(ids[rows + lo])
             out_b.extend(ids[cols])

@@ -330,14 +330,18 @@ def simhash60_vectorized(
     per-token cost is one memoized md5 (the Zipfian vocabulary makes
     most lookups hits) plus one numpy op per document, versus 60
     interpreted ops per token growing linearly with document length.
-    Rows must carry non-empty token arrays (callers filter empties
-    first, matching the expression pipeline)."""
+    The memo is capped — a high-cardinality vocabulary (random
+    strings, IDs) resets it rather than growing without bound for the
+    task's lifetime. Rows must carry non-empty token arrays (callers
+    filter empties first, matching the expression pipeline). The id
+    column keeps its input type (string keys work)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
     bits = np.arange(60, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def fold(batches):
         memo: dict[str, int] = {}
@@ -345,6 +349,8 @@ def simhash60_vectorized(
         def th(t: str) -> int:
             h = memo.get(t)
             if h is None:
+                if len(memo) >= 2_000_000:  # ~100s of MB; reset, don't OOM
+                    memo.clear()
                 h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
                 memo[t] = h
             return h
@@ -359,10 +365,10 @@ def simhash60_vectorized(
                 )
                 votes = (((hs[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
                 out[i] = int(((votes > 0).astype(np.int64) << bits).sum())
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__sh": out})
+            yield pd.DataFrame({id_col: pdf[id_col], "__sh": out})
 
     return df.select(id_col, toks_col).mapInPandas(
-        fold, schema=f"{id_col} long, __sh long"
+        fold, schema=f"{id_col} {id_type}, __sh long"
     )
 
 

@@ -338,3 +338,37 @@ def test_simhash60_vectorized_matches_expression(spark):
         "__id", simhash60(F.col("__toks")).alias("sh")).collect()}
     vect = {r["__id"]: r["__sh"] for r in simhash60_vectorized(docs).collect()}
     assert expr == vect
+
+
+def test_lsh_pairs_duplicate_ids_emit_no_self_pairs(spark):
+    """Two rows sharing a vec_id land in the same bucket; the grouped
+    verify must not emit (id, id) self-pairs — the pair-join form's
+    id_a < id_b value filter never could."""
+    from data_engineer_challenge_spark.operators.similarity import lsh_neardup_pairs
+
+    v = [1.0, 0.5, -0.25, 2.0]
+    df = spark.createDataFrame(
+        [(1, v), (1, v), (2, [x + 0.01 for x in v]), (3, [-x for x in v])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = lsh_neardup_pairs(df, threshold=0.9, n_tables=4, n_planes=2).collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+
+
+def test_simhash_vectorized_preserves_string_ids(spark):
+    """The vectorized fold must carry a non-integer id column through
+    (the expression form always did)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        simhash60_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", ["alpha", "beta"]), ("doc-b", ["gamma"])],
+        "__id string, __toks array<string>",
+    )
+    got = {r["__id"]: r["__sh"] for r in simhash60_vectorized(df).collect()}
+    assert set(got) == {"doc-a", "doc-b"}
+    assert all(isinstance(v, int) for v in got.values())
