@@ -38,6 +38,7 @@ HEADLINE = [
     # r3 additions (extra coverage; r2-overlap entries stay comparable)
     "emb_ivf_topk",
     "events_approx_stats",
+    "docs_neardup_clusters",  # the iterative tier (label propagation)
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -291,9 +291,7 @@ def simhash60(toks: Column) -> Column:
     each token votes ±1 per bit position (occurrence-weighted), the
     sign of each vote total sets the bit. Positive int64 — no sign-bit
     special case — and SQL-reproducible. Single pass over the token
-    hashes, same fold shape as :func:`simhash64`. Expression form,
-    kept for the single-column API; the pair pipeline uses
-    :func:`simhash60_vectorized` (bit-identical, Arrow-vectorized)."""
+    hashes, same fold shape as :func:`simhash64`."""
     hashes = F.transform(toks, md5_token_hash)
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
     votes = F.aggregate(
@@ -313,62 +311,6 @@ def simhash60(toks: Column) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    )
-
-
-def simhash60_vectorized(
-    df: DataFrame, id_col: str = "__id", toks_col: str = "__toks"
-) -> DataFrame:
-    """(id, __sh) SimHash60 fingerprints in one Arrow pass —
-    bit-identical to :func:`simhash60` (same md5-hex→int token hash,
-    same occurrence-weighted ±1 votes, pure integer math; proven by
-    the DuckDB oracle on docs_simhash_neardup), but vectorized: the
-    expression form folds a 60-wide ``zip_with`` per token
-    interpreted. Measured ~even on this corpus's short documents and
-    ~10% ahead at 800 tokens/doc — the margin, unlike the minhash
-    case, is modest, and the form is kept for its scaling shape:
-    per-token cost is one memoized md5 (the Zipfian vocabulary makes
-    most lookups hits) plus one numpy op per document, versus 60
-    interpreted ops per token growing linearly with document length.
-    The memo is capped — a high-cardinality vocabulary (random
-    strings, IDs) resets it rather than growing without bound for the
-    task's lifetime. Rows must carry non-empty token arrays (callers
-    filter empties first, matching the expression pipeline). The id
-    column keeps its input type (string keys work)."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    bits = np.arange(60, dtype=np.int64)
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def fold(batches):
-        memo: dict[str, int] = {}
-
-        def th(t: str) -> int:
-            h = memo.get(t)
-            if h is None:
-                if len(memo) >= 2_000_000:  # ~100s of MB; reset, don't OOM
-                    memo.clear()
-                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                memo[t] = h
-            return h
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, toks in enumerate(pdf[toks_col]):
-                hs = np.fromiter(
-                    (th(t) for t in toks), dtype=np.int64, count=len(toks)
-                )
-                votes = (((hs[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
-                out[i] = int(((votes > 0).astype(np.int64) << bits).sum())
-            yield pd.DataFrame({id_col: pdf[id_col], "__sh": out})
-
-    return df.select(id_col, toks_col).mapInPandas(
-        fold, schema=f"{id_col} {id_type}, __sh long"
     )
 
 
@@ -423,13 +365,19 @@ def simhash_candidate_pairs(
     carry no signal and are excluded (both engines)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # cache: the simhash fold must not be recomputed per join side;
-    # repartition first (a single-file input would fold on one task)
-    sh = simhash60_vectorized(
+    # repartition first (a single-file input would fold on one task).
+    # The fold stays the JVM expression form deliberately: an
+    # Arrow-vectorized twin (memoized md5 + numpy votes) was built,
+    # measured no better in steady state, and showed bimodal 2-4x
+    # slow runs from the Python worker boundary — reverted.
+    sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .repartition(par, "__id")
         .select("__id", word_tokens(F.col("__t")).alias("__toks"))
         .filter(F.size("__toks") > 0)
-    ).cache()
+        .select("__id", simhash60(F.col("__toks")).alias("__sh"))
+        .cache()
+    )
     bands = sh.select(
         "__id",
         "__sh",

@@ -318,28 +318,6 @@ def test_lsh_pairs_match_numpy_brute_force(spark):
     assert got == want, f"missed={want - got} extra={got - want}"
 
 
-def test_simhash60_vectorized_matches_expression(spark):
-    """The Arrow fold must be bit-identical to the simhash60 expression
-    form on real corpus text (same md5 token hash, same votes)."""
-    from pyspark.sql import functions as F
-
-    from data_engineer_challenge_spark.functions.tokenize import word_tokens
-    from data_engineer_challenge_spark.operators.text_dedup import (
-        simhash60,
-        simhash60_vectorized,
-    )
-
-    docs = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .select(F.col("doc_id").alias("__id"), word_tokens("text").alias("__toks"))
-        .filter(F.size("__toks") > 0)
-    )
-    expr = {r["__id"]: r["sh"] for r in docs.select(
-        "__id", simhash60(F.col("__toks")).alias("sh")).collect()}
-    vect = {r["__id"]: r["__sh"] for r in simhash60_vectorized(docs).collect()}
-    assert expr == vect
-
-
 def test_lsh_pairs_duplicate_ids_emit_no_self_pairs(spark):
     """Two rows sharing a vec_id land in the same bucket; the grouped
     verify must not emit (id, id) self-pairs — the pair-join form's
@@ -354,21 +332,3 @@ def test_lsh_pairs_duplicate_ids_emit_no_self_pairs(spark):
     rows = lsh_neardup_pairs(df, threshold=0.9, n_tables=4, n_planes=2).collect()
     assert all(r["id_a"] != r["id_b"] for r in rows)
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
-
-
-def test_simhash_vectorized_preserves_string_ids(spark):
-    """The vectorized fold must carry a non-integer id column through
-    (the expression form always did)."""
-    from pyspark.sql import functions as F
-
-    from data_engineer_challenge_spark.operators.text_dedup import (
-        simhash60_vectorized,
-    )
-
-    df = spark.createDataFrame(
-        [("doc-a", ["alpha", "beta"]), ("doc-b", ["gamma"])],
-        "__id string, __toks array<string>",
-    )
-    got = {r["__id"]: r["__sh"] for r in simhash60_vectorized(df).collect()}
-    assert set(got) == {"doc-a", "doc-b"}
-    assert all(isinstance(v, int) for v in got.values())
