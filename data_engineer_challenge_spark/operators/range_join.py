@@ -43,19 +43,29 @@ def bucketed_range_join(
             "dropped by the containment filter; union a left_anti of "
             "the matched point ids for outer semantics"
         )
+    if not bucket_width > 0:  # also rejects NaN
+        raise ValueError(
+            f"bucketed_range_join bucket_width={bucket_width!r}: must "
+            "be a positive finite width — division by zero/NaN yields "
+            "NULL buckets and a silently empty join"
+        )
 
     def bucket_of(c: Column) -> Column:
         return F.floor(c / F.lit(bucket_width)).cast("long")
 
     p = points.withColumn("__bucket", bucket_of(F.col(point_col)))
-    iv = intervals.withColumn(
+    # bucket_of(hi) unconditionally: an epsilon like hi - 1e-9 drops a
+    # valid match when a bucket boundary lands inside (hi-eps, hi) and
+    # is absorbed entirely for hi ≳ 1e7 in doubles — one extra
+    # candidate bucket per interval is removed by the exact filter.
+    # Empty/inverted intervals (hi <= lo) must emit NO buckets:
+    # sequence(start, stop) steps BACKWARD when start > stop, so a
+    # degenerate interval would otherwise explode into a huge
+    # descending bucket array instead of the zero matches the
+    # containment filter implies.
+    iv = intervals.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                bucket_of(F.col(lo_col)),
-                bucket_of(F.col(hi_col) - F.lit(1e-9)),
-            )
-        ),
+        F.explode(F.sequence(bucket_of(F.col(lo_col)), bucket_of(F.col(hi_col)))),
     )
     joined = p.join(iv, [*keys, "__bucket"], how)
     return joined.filter(
