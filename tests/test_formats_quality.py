@@ -34,10 +34,15 @@ def test_partitioned_write_prunes(spark, tmp_path):
     write_table(ev, path, partition_by=["day"])
     assert any(d.startswith("day=") for d in os.listdir(path))
 
-    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    # Pick a day that exists in the fixture rather than hardcoding one:
+    # the driver regenerates testdata between rounds and individual days
+    # can be absent at small scale factors.
+    target_day = ev.groupBy("day").count().orderBy(F.desc("count")).first()["day"]
+
+    back = spark.read.parquet(path).filter(F.col("day") == target_day)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:80]
-    want = ev.filter(F.col("day") == "2024-01-05").count()
+    want = ev.filter(F.col("day") == target_day).count()
     assert back.count() == want > 0
 
 
