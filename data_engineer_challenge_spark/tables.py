@@ -7,16 +7,22 @@ call reads a partitioned/bucketed table layout unchanged.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schemas import TESTDATA, TESTDATA_TABLES
 
-# events.ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
-# rejects; read it as raw nanos (legacy.parquet.nanosAsLong) and divide
-# down to micros with exact integer division (truncation — matching how
-# DuckDB narrows ns to its µs timestamps).
+# events.ts has shipped as both TIMESTAMP(MICROS) (Spark-native) and
+# TIMESTAMP(NANOS) (which Spark's parquet reader rejects) across
+# driver testdata generations. Sniff the footer's physical unit and,
+# for nanos only, read raw int64 (legacy.parquet.nanosAsLong) and
+# truncate to micros with integer division — matching how DuckDB
+# narrows ns to its µs timestamps. Assuming one unit silently
+# corrupts the other: nanos read as micros collapses 30 days of
+# events into ~43 minutes.
 _EVENTS_RAW = T.StructType(
     [
         f if f.name != "ts" else T.StructField("ts", T.LongType())
@@ -25,17 +31,29 @@ _EVENTS_RAW = T.StructType(
 )
 
 
+@functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema
+    for col in schema:
+        if col.name == "ts":
+            return "nanoseconds" in str(col.logical_type)
+    return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}")
     # engine semantics are UTC (and the DuckDB oracle is UTC-naive);
     # set defensively in case the caller's session pinned another zone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
+        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(TESTDATA[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(TESTDATA[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
