@@ -95,26 +95,119 @@ def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_approx_stats")  # rows-only: approx sketches are
-# engine-specific by design (HLL++ / GK vs DuckDB's implementations)
+# KMV sketch size and the deterministic-sample modulus for
+# events_approx_stats — shared between the Spark plan and the oracle.
+_KMV_K = 32
+_SAMPLE_MOD = 4
+_POW60 = 1152921504606846976  # 2^60, the md5-hash value space
+
+# 60-bit md5 hash of an expression, DuckDB side (mirror of
+# operators/text_dedup.md5_token_hash).
+_H_SQL = "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "events_approx_stats",
+    oracle=f"""
+    WITH uh AS (
+        SELECT DISTINCT event_type,
+               {_H_SQL.format(c='user_id')} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM uh
+    ),
+    kmv AS (
+        SELECT event_type,
+               MAX(rn) AS n_seen,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+        FROM ranked GROUP BY event_type
+    ),
+    base AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               quantile_cont(CASE WHEN {_H_SQL.format(c='event_id')}
+                                  % {_SAMPLE_MOD} = 0 THEN value END, 0.5) AS p50,
+               quantile_cont(CASE WHEN {_H_SQL.format(c='event_id')}
+                                  % {_SAMPLE_MOD} = 0 THEN value END, 0.9) AS p90,
+               quantile_cont(CASE WHEN {_H_SQL.format(c='event_id')}
+                                  % {_SAMPLE_MOD} = 0 THEN value END, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CASE WHEN k.kth IS NOT NULL
+                THEN {_KMV_K - 1}.0 * {_POW60}.0 / CAST(k.kth + 1 AS DOUBLE)
+                ELSE CAST(k.n_seen AS DOUBLE) END AS approx_users,
+           b.p50, b.p90, b.p99, b.n_events
+    FROM base b JOIN kmv k USING (event_type)
+    """,
+)
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantiles per event type — the sketch
     tier for 100 TB profiling (exactness traded for one-pass, bounded
-    memory). Accuracy vs exact is asserted in tests.
+    state). Unlike HLL++/GK (whose sketch internals are
+    engine-specific, so a DuckDB oracle could never replay them), both
+    approximations here are deterministic integer-hash algorithms that
+    BOTH engines compute bit-identically:
 
-    Output is flat scalar doubles (``p50/p90/p99``, one GK sketch via
-    ``element_at`` over the array form) — the driver's rows-only
-    canonicalizer sorts rows through pandas, which cannot hash
-    list-valued cells, so no array columns leave this query.
+    - ``approx_users``: a KMV (k-minimum-values) distinct sketch —
+      md5-hash each user id into [0, 2^60), keep the k smallest
+      distinct hashes per group (k=_KMV_K), estimate (k-1)/normalized
+      k-th minimum (exact count when fewer than k distinct values are
+      seen). Per-group state is k longs regardless of cardinality.
+    - ``p50/p90/p99``: exact interpolated percentiles over a
+      deterministic 1-in-_SAMPLE_MOD hash-sample of rows (md5 of the
+      event id, not a seeded RNG, so any engine reproduces the same
+      sample). Sample size — and therefore sort cost — scales with
+      the sampled fraction, not the table.
+
+    Accuracy vs the exact statistics is asserted in
+    tests/test_approx.py; cross-engine equality is the driver oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.9, 0.99])
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.element_at(q, 1).alias("p50"),
-        F.element_at(q, 2).alias("p90"),
-        F.element_at(q, 3).alias("p99"),
+
+    def h(c: str):
+        return F.conv(
+            F.substring(F.md5(F.col(c).cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    from pyspark.sql.window import Window
+
+    uh = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", h("user_id").alias("h"))
+        .distinct()
+    )
+    ranked = uh.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    kmv = ranked.groupBy("event_type").agg(
+        F.max("rn").alias("n_seen"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    approx_users = F.when(
+        F.col("kth").isNotNull(),
+        F.lit(float(_KMV_K - 1) * float(_POW60)) / (F.col("kth") + 1).cast("double"),
+    ).otherwise(F.col("n_seen").cast("double"))
+
+    sval = F.when(h("event_id") % _SAMPLE_MOD == 0, F.col("value"))
+    base = ev.withColumn("sval", sval).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(sval, 0.5)").alias("p50"),
+        F.expr("percentile(sval, 0.9)").alias("p90"),
+        F.expr("percentile(sval, 0.99)").alias("p99"),
+    )
+    return base.join(F.broadcast(kmv), "event_type").select(
+        "event_type",
+        approx_users.alias("approx_users"),
+        "p50",
+        "p90",
+        "p99",
+        "n_events",
     )
 
 
