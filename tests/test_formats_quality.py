@@ -37,7 +37,14 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # Pick a day that exists in the fixture rather than hardcoding one:
     # the driver regenerates testdata between rounds and individual days
     # can be absent at small scale factors.
-    target_day = ev.groupBy("day").count().orderBy(F.desc("count")).first()["day"]
+    target_day = (
+        ev.where(F.col("day").isNotNull())
+        .groupBy("day")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["day"]
+    )
+    assert target_day is not None, "fixture has no non-null event days"
 
     back = spark.read.parquet(path).filter(F.col("day") == target_day)
     plan = back._jdf.queryExecution().executedPlan().toString()
