@@ -40,19 +40,38 @@ def connected_components(
     Near-dup clusters are shallow; a legitimate deeper graph should
     raise ``max_iterations`` or switch to a large-star/small-star
     variant, not swallow the truncation."""
+    # symmetric edge list from ONE scan of `pairs` (explode, not a
+    # two-branch union: the pair source is often an expensive
+    # candidate-generation pipeline, and each union branch would
+    # recompute it in full before the cache materializes)
     edges = (
-        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
+    # round 1 fused into initialization: a node's label after one
+    # propagation round is min(self, neighbors) — one aggregation,
+    # no join against an all-self-labels frame
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()  # constant plan depth from round 0
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "__nbr_min").alias("component"),
+        )
+        .localCheckpoint()  # constant plan depth from round 1
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -65,8 +84,12 @@ def connected_components(
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                # carried so convergence is a scan of THIS checkpoint,
+                # not another join against the previous labels
+                F.col("component").alias("__prev"),
             )
             # eager: materializes AND truncates lineage — the plan
             # would otherwise double in size every round (see module
@@ -74,13 +97,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.drop("__prev")
         if changed == 0:
             break
     else:

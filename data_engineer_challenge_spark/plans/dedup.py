@@ -236,13 +236,14 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical survivor per
     cluster (operators/graph.py, iterative label propagation). Pairs
-    come from the MinHash tier (16×2-band candidates, exact Jaccard
-    ≥ 0.8 verified, lang-blocked — banding sized from the threshold:
-    boundary-pair miss ≈ 8e-8; coverage ⊇ the exhaustive pairs is
-    asserted in tests), so the whole path is the 100 TB shape; the
-    oracle recomputes the clusters independently with an exhaustive
-    pair join + a recursive-CTE transitive closure, making even this
-    iterative tier hash-checked rather than rows-only."""
+    come from the MinHash tier (21×3-band candidates — the same
+    threshold-sized config as docs_minhash_neardup, boundary-pair miss
+    ≈ 3e-7, ~13× fewer false candidates than 2-row bands — exact
+    Jaccard ≥ 0.8 verified, lang-blocked; coverage ⊇ the exhaustive
+    pairs is asserted in tests), so the whole path is the 100 TB
+    shape; the oracle recomputes the clusters independently with an
+    exhaustive pair join + a recursive-CTE transitive closure, making
+    even this iterative tier hash-checked rather than rows-only."""
     from ..operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
@@ -251,8 +252,8 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         shingle_n=2,
-        num_hashes=32,
-        bands=16,
+        num_hashes=63,
+        bands=21,
         threshold=0.8,
         block_cols=("lang",),
         max_bucket_size=1000,
@@ -306,13 +307,15 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard-verifies candidates only, so the result is identical
     to the exhaustive oracle as long as banding recalls every true
     pair. The banding is sized from the VERIFY threshold, not the
-    fixtures (same policy as docs_minhash_neardup): 16 bands × 2 rows
-    over 32 hashes put the miss probability at a boundary pair
-    (j = 0.8) at (1-0.8²)¹⁶ ≈ 8e-8, and at ≈ 3e-12 for the j ≥ 0.9
-    dups the corpus actually plants (tests/test_text_dedup.py asserts
-    candidates ⊇ exhaustive pairs); lang rides the band join as a hard
-    blocking key, matching the oracle's a.lang = b.lang and splitting
-    hot band buckets."""
+    fixtures (same config as docs_minhash_neardup): 21 bands × 3 rows
+    over 63 hashes put the miss probability at a boundary pair
+    (j = 0.8) at (1-0.8³)²¹ ≈ 3e-7 (tests/test_text_dedup.py asserts
+    candidates ⊇ exhaustive pairs). 3-row bands matter for COST, not
+    just recall: 2-row bands admit ~13× more false candidates at this
+    corpus's background Jaccard (measured 50k vs 3.6k at sf0.1), and
+    candidate verification is the pipeline's dominant stage. lang
+    rides the band join as a hard blocking key, matching the oracle's
+    a.lang = b.lang and splitting hot band buckets."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     # tokenize ONCE: n_tokens and the shingle stage share the token
@@ -331,8 +334,8 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "toks",
             shingle_n=2,
-            num_hashes=32,
-            bands=16,
+            num_hashes=63,
+            bands=21,
             threshold=0.8,
             block_cols=("lang",),
             # skew guard: bounded per-bucket work at power-law scale;
