@@ -272,3 +272,200 @@ def docs_with_embeddings_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("n_chars").cast("double")).alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: winnowing (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03 — the MOSS algorithm). Character k-grams are hashed with
+# the engine-reproducible 60-bit md5 (same family as the SimHash/KMV
+# machinery), and each sliding window of _FP_W consecutive k-gram
+# hashes contributes its minimum — dense enough that any shared
+# substring of length k + _FP_W - 1 is guaranteed to produce a shared
+# fingerprint, sparse enough that only ~2/(w+1) of positions survive.
+# A position-wise rolling (Rabin-Karp) hash is the streaming-hardware
+# optimization of the same computation; on a set-parallel engine each
+# k-gram hashes independently in one codegen'd map stage, with
+# identical output semantics.
+# ---------------------------------------------------------------------------
+
+#: k-gram length: 16 chars. Short grams (8) collide on common phrase
+#: fragments ("of the th…") and give unrelated same-lang pairs a
+#: nonzero shared-fingerprint floor (measured p50=4 at k=8 vs p50=1 at
+#: k=16 on the sf0.01 corpus); 16 keeps only genuinely copied text.
+_FP_K = 16
+#: winnowing window: guarantee window (w=4) — every run of 4
+#: consecutive k-grams yields at least one fingerprint.
+_FP_W = 4
+#: fingerprints appearing in more than this many documents are
+#: boilerplate (the MOSS "ignore over-common" rule) and are dropped
+#: before the pair join — also the skew guard bounding any single
+#: join bucket, exactly like minhash max_bucket_size.
+_FP_CAP = 50
+#: minimum shared fingerprints for a reported overlap pair: at k=16 /
+#: w=4 the sf0.01 corpus shows unrelated pairs share ≤ ~5 and planted
+#: near-dups share ≥ ~20, so 10 cleanly separates the modes.
+_FP_MIN_SHARED = 10
+
+_FP_NORM_SQL = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
+
+_FP_SEL_SQL = f"""
+    norm AS (
+        SELECT doc_id, {_FP_NORM_SQL} AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, UNNEST(range(1, length(t) - {_FP_K - 2})) AS pos
+        FROM norm WHERE length(t) >= {_FP_K}
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER),
+                    {_FP_K})), 1, 15)) AS BIGINT) AS h
+        FROM pos
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {_FP_W - 1} PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM grams
+    )
+"""
+
+
+def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct winnowing fingerprints. Partial windows at
+    the doc head are included (the first k-gram always fingerprints) —
+    a deterministic variant that only ADDS coverage near position 1;
+    the oracle mirrors it because the trailing window min auto-clamps
+    at the partition start on both engines."""
+    from pyspark.sql.window import Window
+
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    base = docs.select("doc_id", norm.alias("t")).filter(
+        F.length("t") >= _FP_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (_FP_K - 1))).alias(
+            "pos"
+        ),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.col("t").substr(F.col("pos"), F.lit(_FP_K)).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_FP_W - 1), 0)
+    )
+    return grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+@register(
+    "doc_fingerprint_winnowing",
+    oracle=f"""
+    WITH {_FP_SEL_SQL}
+    SELECT s.doc_id, d.n_kgrams, COUNT(*) AS n_fingerprints,
+           CAST(bit_xor(fp) AS BIGINT) AS fp_xor, MIN(fp) AS fp_min
+    FROM sel s JOIN (SELECT doc_id, length(t) - {_FP_K - 1} AS n_kgrams
+                     FROM norm WHERE length(t) >= {_FP_K}) d USING (doc_id)
+    GROUP BY s.doc_id, d.n_kgrams
+    """,
+)
+def doc_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile: k-gram count, number
+    of selected fingerprints (density ~2/(w+1) of positions), and an
+    order-independent XOR signature of the fingerprint set — the
+    compact per-doc identity used for copy detection and incremental
+    re-fingerprinting.
+
+    Shape at scale: the k-gram explode is a map-only stage (rows =
+    corpus characters), the window min partitions by doc_id (one
+    shuffle), and the aggregate reuses the same key — no global sort,
+    no Python. bit_xor keeps the signature order-independent so the
+    result is partitioning-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    lengths = docs.select(
+        "doc_id", (F.length(norm) - (_FP_K - 1)).cast("long").alias("n_kgrams")
+    ).filter(F.col("n_kgrams") >= 1)
+    agg = (
+        _winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.expr("bit_xor(fp)").cast("long").alias("fp_xor"),
+            F.min("fp").alias("fp_min"),
+        )
+    )
+    return agg.join(lengths, "doc_id").select(
+        "doc_id", "n_kgrams", "n_fingerprints", "fp_xor", "fp_min"
+    )
+
+
+@register(
+    "docs_fingerprint_overlap_pairs",
+    oracle=f"""
+    WITH {_FP_SEL_SQL},
+    rare AS (
+        SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {_FP_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM sel a JOIN sel b USING (fp) JOIN rare USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= {_FP_MIN_SHARED}
+    """,
+)
+def docs_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection: pairs of documents sharing >=
+    _FP_MIN_SHARED winnowing fingerprints. A fourth near-dup tier next
+    to MinHash/SimHash/embedding-LSH, with a different signal — shared
+    *contiguous substrings* (any common run of k+w-1 chars must leave
+    a shared fingerprint) rather than bag-of-shingles similarity, so
+    it catches partial plagiarism that global Jaccard dilutes.
+
+    Shape at scale: the pair join keys on the fingerprint value and
+    carries ids only; over-common fingerprints (> _FP_CAP docs) are
+    dropped first — boilerplate suppression AND the skew bound, since
+    a fingerprint bucket of B docs yields B²/2 pair rows. The shared
+    count aggregates on (id_a, id_b) — the same banded ids-only
+    bucket-join shape as the MinHash tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    # cache AFTER the cap filter: the left/right self-join branches
+    # then reread the capped frame instead of re-running the
+    # fingerprint pipeline + fp-window once per branch
+    rare = (
+        _winnow_fingerprints(docs)
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__n") <= _FP_CAP)
+        .select("doc_id", "fp")
+        .cache()
+    )
+    left = rare.select(F.col("doc_id").alias("id_a"), "fp")
+    right = rare.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _FP_MIN_SHARED)
+    )

@@ -332,3 +332,75 @@ def test_lsh_pairs_duplicate_ids_emit_no_self_pairs(spark):
     rows = lsh_neardup_pairs(df, threshold=0.9, n_tables=4, n_planes=2).collect()
     assert all(r["id_a"] != r["id_b"] for r in rows)
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al. §2): two documents
+    sharing a substring of length >= k + w - 1 must share at least one
+    selected fingerprint; selection density over random text is ~
+    2/(w+1). Also pins the partial-prefix-window variant: the first
+    k-gram is always selected."""
+    from data_engineer_challenge_spark.plans.text import (
+        _FP_K,
+        _FP_W,
+        _winnow_fingerprints,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    blob = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    shared = blob(_FP_K + _FP_W - 1)  # minimal guaranteed-shared run
+    d1 = blob(120) + shared + blob(90)
+    d2 = blob(77) + shared + blob(133)
+    d3 = blob(260)  # unrelated
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    fps = _winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    for d, text in ((1, d1), (2, d2), (3, d3)):
+        n_grams = len(text) - _FP_K + 1
+        density = len(by_doc[d]) / n_grams
+        # ~2/(w+1) = 0.4 at w=4, wide tolerance (distinct-set collapse)
+        assert 0.2 < density < 0.6, (d, density)
+
+
+def test_fingerprint_overlap_pairs_find_planted_copy(spark):
+    """A document embedding a long copied passage from another must
+    surface in docs_fingerprint_overlap_pairs even when the rest of
+    the text is unrelated (the partial-plagiarism case bag-of-shingles
+    Jaccard dilutes)."""
+    import random
+
+    from data_engineer_challenge_spark.plans.text import (
+        _FP_MIN_SHARED,
+        docs_fingerprint_overlap_pairs,
+    )
+    from data_engineer_challenge_spark import plans
+
+    rng = random.Random(13)
+    words = lambda n: " ".join(  # noqa: E731
+        "".join(rng.choice("abcdefghij") for _ in range(5)) for _ in range(n)
+    )
+    passage = words(40)  # ~240 chars of copied text
+    a = words(30) + " " + passage
+    b = passage + " " + words(35)
+    others = [(i, words(60)) for i in range(10, 16)]
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), *others], "doc_id long, text string"
+    )
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in docs_fingerprint_overlap_pairs(spark, td).collect()
+        }
+    assert (1, 2) in out and out[(1, 2)] >= _FP_MIN_SHARED
+    assert all(p == (1, 2) for p in out), out
