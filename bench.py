@@ -39,6 +39,9 @@ HEADLINE = [
     "emb_ivf_topk",
     "events_approx_stats",
     "docs_neardup_clusters",  # the iterative tier (label propagation)
+    # r4 additions
+    "doc_fingerprint_winnowing",
+    "docs_fingerprint_overlap_pairs",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -404,3 +404,25 @@ def test_fingerprint_overlap_pairs_find_planted_copy(spark):
         }
     assert (1, 2) in out and out[(1, 2)] >= _FP_MIN_SHARED
     assert all(p == (1, 2) for p in out), out
+
+
+def test_winnowing_arrow_matches_expression_form(spark):
+    """The Arrow winnowing kernel must be bit-identical to the
+    pure-expression plan the DuckDB oracle mirrors — same md5 integer
+    math (digest[:8] >> 4 == first 15 hex digits), same window-min
+    semantics, same distinct set."""
+    from data_engineer_challenge_spark.plans.text import (
+        _winnow_fingerprints,
+        _winnow_fingerprints_expr,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(docs).collect()}
+    b = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints_expr(docs).collect()
+    }
+    assert a and a == b
