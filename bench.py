@@ -42,6 +42,7 @@ HEADLINE = [
     # r4 additions
     "doc_fingerprint_winnowing",
     "docs_fingerprint_overlap_pairs",
+    "emb_quantized_knn",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

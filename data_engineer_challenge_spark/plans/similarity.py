@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.similarity import (
     brute_force_topk,
@@ -286,3 +287,134 @@ def emb_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     return brute_force_topk_vectorized(queries, corpus, k=10)
+
+
+# --- int8 scalar quantization: the memory/bandwidth tier ------------------
+# Symmetric per-vector scalar quantization (the FAISS SQ8 / ScaNN
+# pattern): q_i = round(x_i * 127 / max|x|) ∈ [-127, 127]. All of it is
+# deterministic integer + IEEE-double math, so the full two-stage
+# retrieval (quantized shortlist → exact rescore) carries a DuckDB
+# oracle like the LSH and IVF tiers.
+
+_SQ_SHORTLIST = 30  # stage-1 candidates per query (3× the final k)
+_SQ_K = 10
+
+# BIGINT list dot product, cast out of DuckDB's HUGEINT sum
+_IDOT = (
+    "CAST((SELECT SUM(x * y)"
+    " FROM (SELECT unnest({a}) x, unnest({b}) y)) AS DOUBLE)"
+)
+
+_SQ_ORACLE = f"""
+    WITH quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / amax)
+                             AS BIGINT)) AS q
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS amax
+              FROM embeddings)
+        WHERE amax > 0
+    ),
+    qn AS (
+        SELECT vec_id, q, {_IDOT.format(a='q', b='q')} AS qnorm FROM quant
+    ),
+    scored AS (
+        SELECT qs.vec_id AS q_id, c.vec_id AS c_id,
+               {_IDOT.format(a='qs.q', b='c.q')}
+                   / sqrt(qs.qnorm * c.qnorm) AS qcos
+        FROM qn c, (SELECT * FROM qn WHERE vec_id % 100 = 0) qs
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY qcos DESC, c_id) AS srank
+            FROM scored
+        ) WHERE srank <= {_SQ_SHORTLIST}
+    )
+    SELECT q_id, c_id, cos_sim, rank FROM (
+        SELECT s.q_id, s.c_id,
+               {_cos_sql('ea.embedding', 'eb.embedding')} AS cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                    ORDER BY {_cos_sql('ea.embedding', 'eb.embedding')} DESC,
+                             s.c_id) AS INTEGER) AS rank
+        FROM short s
+        JOIN embeddings ea ON ea.vec_id = s.q_id
+        JOIN embeddings eb ON eb.vec_id = s.c_id
+    ) WHERE rank <= {_SQ_K}
+    """
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("emb_quantized_knn", oracle=_SQ_ORACLE)
+def emb_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over int8-quantized vectors — the
+    memory/bandwidth ANN tier (FAISS SQ8 / ScaNN shape): symmetric
+    per-vector scalar quantization (round(x·127/max|x|)) shrinks the
+    scanned index 4× vs float32, the shortlist stage ranks by
+    quantized cosine (integer dot products — SIMD-friendly, exact
+    integer math both engines replay bit-identically), and only the
+    _SQ_SHORTLIST survivors per query are rescored with exact float
+    cosine on the original vectors. At 100 TB the quantized index is
+    the only thing the scan touches; full-precision vectors load for
+    ~30 rows per query via the rescore join.
+
+    Zero vectors (max|x| = 0) are excluded on both sides — they have
+    no cosine direction. Recall vs the exact brute force is asserted
+    in tests; the driver oracle replays both stages in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    nz = emb.select("vec_id", "embedding", xd.alias("__xd"), amax.alias("__amax")).filter(
+        F.col("__amax") > 0
+    )
+    quant = nz.select(
+        "vec_id",
+        F.transform(
+            F.col("__xd"), lambda x: F.round(x * 127.0 / F.col("__amax")).cast("long")
+        ).alias("q"),
+    )
+    qn = quant.select(
+        "vec_id", "q", _int_dot(F.col("q"), F.col("q")).alias("qnorm")
+    )
+    queries = qn.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("__qq"),
+        F.col("qnorm").alias("__qn"),
+    )
+    corpus = qn.select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("__cq"),
+        F.col("qnorm").alias("__cn"),
+    )
+    qcos = _int_dot(F.col("__qq"), F.col("__cq")).cast("double") / F.sqrt(
+        F.col("__qn").cast("double") * F.col("__cn").cast("double")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "c_id", qcos.alias("qcos")
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("c_id"))
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= _SQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv"))
+    ce = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv"))
+    rescored = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _SQ_K)
+    )

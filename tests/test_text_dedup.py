@@ -426,3 +426,28 @@ def test_winnowing_arrow_matches_expression_form(spark):
         for r in _winnow_fingerprints_expr(docs).collect()
     }
     assert a and a == b
+
+
+def test_quantized_knn_recall_vs_bruteforce(spark):
+    """int8 quantization with a 3x shortlist must recover nearly all of
+    the exact top-10: per-query recall >= 0.8, mean recall >= 0.9 on
+    the sf0.001 corpus (64-dim vectors lose little ordering at 8
+    bits)."""
+    from data_engineer_challenge_spark import plans
+
+    from .conftest import SF_SMOKE
+
+    plans._load()
+    sf = SF_SMOKE
+    exact = {}
+    for r in plans.REGISTRY["emb_knn_bruteforce"].builder(spark, sf).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+    quant = {}
+    for r in plans.REGISTRY["emb_quantized_knn"].builder(spark, sf).collect():
+        quant.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert set(quant) == set(exact)
+    recalls = [
+        len(exact[q] & quant[q]) / len(exact[q]) for q in exact
+    ]
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
