@@ -179,3 +179,35 @@ def test_lsh_pairs_plan_has_no_pair_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_winnow_fingerprints_map_only(spark):
+    """The Arrow winnowing kernel computes per-document fingerprints
+    with NO data-dependent shuffle: the only Exchange allowed in its
+    plan is the round-robin repartition that spreads a single-file
+    scan across cores. A doc_id hash Exchange appearing here would
+    mean the window-min regressed to the shuffling expression form."""
+    from data_engineer_challenge_spark.plans.text import _winnow_fingerprints
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        _winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_quantized_knn_broadcasts_queries(spark):
+    """The int8 shortlist stage must broadcast the (small) query side —
+    a shuffle of the quantized corpus against queries would be the
+    wrong shape at any scale."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["emb_quantized_knn"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
