@@ -57,6 +57,10 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_ngram_jaccard_pairs",
+    # pytest-oracled only: this exhaustive baseline IS the semantics the
+    # minhash/clean-corpus driver oracles recompute — a driver row would
+    # duplicate those checks, and driver slots are capped at 50
+    driver=False,
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, lang,

@@ -461,6 +461,9 @@ def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_functions_showcase",
+    # pytest-oracled only: building-block showcase; the array surface is
+    # exercised by the oracled similarity/dedup entries (driver cap: 50)
+    driver=False,
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,

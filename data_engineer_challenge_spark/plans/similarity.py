@@ -273,7 +273,10 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(emb, threshold=0.35, n_tables=8, n_planes=6)
 
 
-@register("emb_knn_vectorized", oracle=_KNN_ORACLE)
+# pytest-oracled only: shares _KNN_ORACLE with emb_knn_bruteforce, so a
+# driver row would re-run the identical SQL (driver cap: 50); the
+# bit-parity claim is held by the shared-oracle pytest + recall tests
+@register("emb_knn_vectorized", oracle=_KNN_ORACLE, driver=False)
 def emb_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant of emb_knn_bruteforce: numpy scoring per
     Arrow batch with per-dimension-sequential accumulation

@@ -166,9 +166,10 @@ def test_sessionization_native_vs_lag_cumsum(spark):
 
 def test_no_cartesian_products(spark):
     """Every registered query must avoid CartesianProduct /
-    BroadcastNestedLoopJoin except the deliberate broadcast cross join
-    in brute-force KNN (tiny query side)."""
-    allowed = {"emb_knn_bruteforce"}
+    BroadcastNestedLoopJoin except the deliberate broadcast cross joins
+    in brute-force KNN and the quantized-KNN shortlist stage (tiny
+    query side in both)."""
+    allowed = {"emb_knn_bruteforce", "emb_quantized_knn"}
     for name in plans.REGISTRY:
         if name in allowed:
             continue
