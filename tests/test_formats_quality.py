@@ -269,3 +269,42 @@ def test_unique_and_referential_checks(spark):
     assert check_unique_key(dup, ["o_orderkey"]).failed_rows == 2
     fk = check_referential(orders, customer, fk="o_custkey", pk="c_custkey")
     assert fk.passed  # testdata is referentially intact
+
+
+def test_events_loader_handles_both_timestamp_units(spark, tmp_path):
+    """The driver testdata has shipped events.ts as TIMESTAMP(NANOS) in
+    some generations and TIMESTAMP(MICROS) in others. load_table sniffs
+    the parquet footer and must produce identical wall-clock timestamps
+    for both physical encodings — assuming one unit silently compresses
+    or inflates every timestamp 1000x (which broke every time-bucketed
+    events query in round 3)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineer_challenge_spark.tables import load_table
+
+    ts = [
+        datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+        datetime.datetime(2024, 1, 30, 23, 57, 12, 194062),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}']),
+    }
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(ts, pa.timestamp(unit))})
+        pq.write_table(table, str(d / "events.parquet"))
+        got = {
+            (r["event_id"], r["ts"])
+            for r in load_table(spark, str(d), "events")
+            .select("event_id", "ts")
+            .collect()
+        }
+        assert got == {(1, ts[0]), (2, ts[1])}, (unit, got)
