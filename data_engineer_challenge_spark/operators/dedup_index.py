@@ -1,0 +1,175 @@
+"""Persisted MinHash band index for INCREMENTAL near-dup dedup.
+
+The batch operators (``text_dedup.minhash_candidate_pairs``) re-band
+the whole corpus per run — right for one-shot jobs, wrong for a
+streaming ingest where each micro-batch must answer "which of these
+NEW documents near-duplicate something ALREADY INGESTED?" without
+touching the historical text again. This index stores exactly the two
+artifacts that question needs, once per ingested document:
+
+- ``bands/``    (band, bh, id) — the LSH bucket postings
+- ``shingles/`` (id, hs)       — hashed shingle sets for verification
+
+``probe(new_docs)`` bands only the incoming batch (same hash family /
+banding parameters, persisted in ``meta/`` and validated on open, so
+an index can never be probed with mismatched parameters), joins the
+batch's postings against the stored postings with the NEW side
+broadcast — the index is never shuffled — verifies exact Jaccard on
+candidate pairs only, and returns ``(new_id, dup_of, jaccard)``.
+``append(new_docs)`` adds a batch's postings + shingles, so the
+typical exactly-once ingest loop is::
+
+    dups = index.probe(batch)
+    fresh = batch.join(dups, batch.id == dups.new_id, "left_anti")
+    index.append(fresh)           # only survivors join the corpus
+    wh.merge_upsert(table, fresh, keys)
+
+At 100 TB the postings table would be written bucketed by ``bh`` so a
+probe prunes to matching buckets instead of scanning all postings;
+plain parquet keeps this self-contained here and the join shape — the
+index side never moves, batch postings broadcast — is already the
+scale posture.
+
+Reference context: the reference deduplicates only within the current
+load (exo_1.py:32-34 keep-first, exo_2.py:93-97 seen-set); an
+incremental cross-batch dedup index is part of the extended
+LLM-pipeline surface (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
+
+
+class MinHashIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 63,
+        bands: int = 21,
+        shingle_n: int = 2,
+        threshold: float = 0.8,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "threshold": threshold,
+        }
+        meta_path = os.path.join(path, "meta", "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != self.meta:
+                raise ValueError(
+                    f"MinHashIndex at {path!r} was built with {stored}; "
+                    f"reopening it with {self.meta} would band probes "
+                    "with a different hash family and silently miss "
+                    "every stored near-duplicate"
+                )
+
+    # -- internals ---------------------------------------------------
+
+    def _bands_dir(self) -> str:
+        return os.path.join(self.path, "bands")
+
+    def _shingles_dir(self) -> str:
+        return os.path.join(self.path, "shingles")
+
+    def _prepare(self, docs: DataFrame, id_col: str, text_col: str):
+        """(id, hs) + (band, bh, id) frames for a document batch."""
+        par = self.spark.sparkContext.defaultParallelism
+        base = (
+            docs.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+            )
+            .repartition(par, "id")
+            .withColumn(
+                "hs", hashed_shingles(F.col("__text"), self.meta["shingle_n"])
+            )
+            .filter(F.size("hs") > 0)
+            .select("id", "hs")
+        )
+        banded = minhash_bands_vectorized(
+            base.withColumnRenamed("id", "__id").withColumnRenamed(
+                "hs", "__hs"
+            ),
+            num_hashes=self.meta["num_hashes"],
+            bands=self.meta["bands"],
+        ).select(
+            F.col("__band").alias("band"),
+            F.col("__bh").alias("bh"),
+            F.col("__id").alias("id"),
+        )
+        return base, banded
+
+    def _write_meta(self) -> None:
+        meta_dir = os.path.join(self.path, "meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    # -- public API --------------------------------------------------
+
+    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Create the index from an initial corpus (overwrites)."""
+        base, banded = self._prepare(docs, id_col, text_col)
+        base = base.cache()  # shingle+band both consume it, one pass each
+        base.write.mode("overwrite").parquet(self._shingles_dir())
+        banded.write.mode("overwrite").parquet(self._bands_dir())
+        self._write_meta()
+
+    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Add a (probed, accepted) batch's postings + shingles."""
+        base, banded = self._prepare(docs, id_col, text_col)
+        base = base.cache()
+        base.write.mode("append").parquet(self._shingles_dir())
+        banded.write.mode("append").parquet(self._bands_dir())
+
+    def probe(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """(new_id, dup_of, jaccard) for every incoming document whose
+        exact Jaccard against some INDEXED document clears the
+        threshold. In-batch duplicates are not reported (pair the batch
+        against itself with the batch operator first, or rely on exact
+        keep-first dedup upstream as the ingest loop does)."""
+        new_base, new_banded = self._prepare(docs, id_col, text_col)
+        stored_bands = self.spark.read.parquet(self._bands_dir())
+        # the index side never shuffles: batch postings broadcast onto it
+        cands = (
+            stored_bands.join(
+                F.broadcast(
+                    new_banded.select(
+                        F.col("band"),
+                        F.col("bh"),
+                        F.col("id").alias("new_id"),
+                    )
+                ),
+                ["band", "bh"],
+            )
+            .select(F.col("new_id"), F.col("id").alias("dup_of"))
+            .dropDuplicates(["new_id", "dup_of"])
+        )
+        stored_sh = self.spark.read.parquet(self._shingles_dir()).select(
+            F.col("id").alias("dup_of"), F.col("hs").alias("__shb")
+        )
+        new_sh = new_base.select(
+            F.col("id").alias("new_id"), F.col("hs").alias("__sha")
+        )
+        return (
+            cands.join(F.broadcast(new_sh), "new_id")
+            .join(stored_sh, "dup_of")
+            .withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
+            .filter(F.col("jaccard") >= self.meta["threshold"])
+            .select("new_id", "dup_of", "jaccard")
+        )

@@ -52,3 +52,58 @@ def ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_documents_deduped(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh: ParquetWarehouse,
+    table: str,
+    index,  # operators.dedup_index.MinHashIndex
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming document ingest with CROSS-BATCH near-dup dedup: each
+    micro-batch probes the persisted MinHash index for near-duplicates
+    of anything already ingested, drops them, appends the survivors'
+    postings to the index, and MERGEs the survivors into the warehouse.
+
+    Exactly-once story: the checkpoint gives at-least-once batches; the
+    keyed MERGE is idempotent; index.append on a replayed batch writes
+    duplicate postings, which cost probe work but cannot change
+    RESULTS — probe returns near-dups of indexed content either way,
+    and a replayed batch's rows were already dropped-or-merged by key.
+    So replays converge (the weaker, documented guarantee: the index is
+    an accelerator whose duplicated postings are healed by compaction,
+    not a second source of truth)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # exact in-batch dedup first (deterministic keep-first) — the
+        # index only answers cross-batch questions
+        others = sorted(c for c in batch_df.columns if c != id_col)
+        batch = keep_first_dedup(
+            batch_df, [id_col], [F.struct(*others)] if others else [id_col]
+        )
+        dups = index.probe(batch, id_col=id_col, text_col=text_col).select(
+            F.col("new_id").alias(id_col)
+        )
+        # localCheckpoint, not cache: `fresh`'s lazy plan READS the
+        # index's postings (through probe), and index.append MUTATES
+        # them — a later re-evaluation (cache miss, eviction) would see
+        # the batch's own just-appended postings, match every survivor
+        # against itself, and silently merge an EMPTY batch. The eager
+        # checkpoint pins the survivor set before the index changes.
+        fresh = batch.join(dups, id_col, "left_anti").localCheckpoint()
+        index.append(fresh, id_col=id_col, text_col=text_col)
+        wh.merge_upsert(table, fresh, [id_col])
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -451,3 +451,51 @@ def test_quantized_knn_recall_vs_bruteforce(spark):
     ]
     assert min(recalls) >= 0.8, recalls
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_minhash_index_incremental_probe(spark, tmp_path):
+    """Incremental dedup lifecycle: build an index on a corpus, probe a
+    new micro-batch — exact copies and near-dups of INDEXED docs are
+    flagged with the right dup_of, fresh docs pass — then append the
+    survivors and verify a re-probe now catches their duplicates."""
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.tables import load_table
+
+    import pytest
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(docs)
+
+    base = {r["doc_id"]: r["text"] for r in docs.limit(3).collect()}
+    (k0, t0), (k1, t1) = list(base.items())[:2]
+    near = t1.rsplit(" ", 1)[0] + " zzz"  # drop last word, add one
+    batch = spark.createDataFrame(
+        [
+            (100001, t0),          # exact copy of an indexed doc
+            (100002, near),        # near-dup of an indexed doc
+            (100003, "totally fresh content " * 30 + "unseen words here"),
+        ],
+        "doc_id long, text string",
+    )
+    dups = {r["new_id"]: r for r in idx.probe(batch).collect()}
+    assert 100001 in dups and dups[100001]["dup_of"] == k0
+    assert dups[100001]["jaccard"] == 1.0
+    assert 100002 in dups and dups[100002]["dup_of"] == k1
+    assert 100003 not in dups
+
+    # append the survivor; its future copies must now be caught
+    fresh = batch.filter(F.col("doc_id") == 100003)
+    idx.append(fresh)
+    copy = spark.createDataFrame(
+        [(100004, "totally fresh content " * 30 + "unseen words here")],
+        "doc_id long, text string",
+    )
+    redups = {r["new_id"]: r["dup_of"] for r in idx.probe(copy).collect()}
+    assert redups == {100004: 100003}
+
+    # parameter drift is an error, not a silent recall hole
+    with pytest.raises(ValueError, match="hash family"):
+        MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=32, bands=16)

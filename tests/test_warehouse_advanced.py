@@ -452,3 +452,60 @@ def test_pruned_merge_parked_partition_recovers(spark, tmp_path):
         e.startswith(".old-") for e in os.listdir(wh.path("t"))
     )
     assert sorted((r["k"], r["v"]) for r in wh.read("t").collect()) == got
+
+
+def test_streaming_ingest_with_cross_batch_neardup_dedup(spark, tmp_path):
+    """Two streaming waves of documents: wave 2 contains an exact copy
+    and a near-dup of wave-1 content (under DIFFERENT doc_ids, so keyed
+    MERGE alone cannot catch them) plus one genuinely new doc. The
+    index-backed ingest must land wave 1 in full, drop both cross-batch
+    duplicates, and admit the fresh doc."""
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_documents_deduped,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wave1 = docs.limit(20)
+    base = {r["doc_id"]: r["text"] for r in wave1.limit(2).collect()}
+    (k0, t0), (k1, t1) = list(base.items())[:2]
+
+    src = str(tmp_path / "src")
+    wave1.write.parquet(src)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(spark.createDataFrame([], schema))  # empty index to start
+    ckpt = str(tmp_path / "ckpt")
+
+    ingest_documents_deduped(
+        spark, src, schema, wh, "DOCS", idx, ckpt
+    )
+    n1 = wh.read("DOCS").count()
+    assert n1 == wave1.count()
+
+    wave2 = spark.createDataFrame(
+        [
+            (900001, t0),                       # exact copy, new id
+            (900002, t1.rsplit(" ", 1)[0] + " zzz"),  # near-dup, new id
+            (900003, "genuinely novel material " * 25),
+        ],
+        schema,
+    )
+    wave2.write.mode("append").parquet(src)
+    ingest_documents_deduped(
+        spark, src, schema, wh, "DOCS", idx, ckpt
+    )
+    final = {r["doc_id"] for r in wh.read("DOCS").select("doc_id").collect()}
+    assert 900003 in final
+    assert 900001 not in final and 900002 not in final
+    assert len(final) == n1 + 1
