@@ -427,6 +427,25 @@ def test_winnowing_arrow_matches_expression_form(spark):
     }
     assert a and a == b
 
+    # the corpus is pure ASCII, so pin multibyte parity explicitly:
+    # k-gram positions are CHARACTER offsets in Python slicing, Spark
+    # substr and DuckDB substr alike — an accented doc must fingerprint
+    # identically through the Arrow kernel (str slice -> utf-8 encode)
+    # and the expression plan (char substr -> binary cast)
+    accented = spark.createDataFrame(
+        [
+            (1, "le médecin a prescrit une radiographie à l'hôpital ce matin"),
+            (2, "der größte Teil enthält umlaute äöü und scharfes ß überall"),
+        ],
+        "doc_id long, text string",
+    )
+    aa = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(accented).collect()}
+    bb = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints_expr(accented).collect()
+    }
+    assert aa and aa == bb
+
 
 def test_quantized_knn_recall_vs_bruteforce(spark):
     """int8 quantization with a 3x shortlist must recover nearly all of
