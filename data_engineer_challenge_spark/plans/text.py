@@ -528,3 +528,48 @@ def docs_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _FP_MIN_SHARED)
     )
+
+
+@register(
+    "docs_train_val_split",
+    # pytest-oracled only (driver surface is capped at 50): the split
+    # operator is infrastructure for the other pipelines rather than a
+    # standalone capability row
+    driver=False,
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 95 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+    )
+    """,
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/4/1 train/val/test split on a hash of the
+    stable document id — the assignment every run, engine, and rerun
+    reproduces (a seeded ``rand()`` split changes membership whenever
+    partitioning changes; a hash split never does, which is what makes
+    held-out sets trustworthy across pipeline versions). Map-only at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(b < 95, "train").when(b < 99, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

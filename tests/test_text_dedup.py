@@ -518,3 +518,31 @@ def test_minhash_index_incremental_probe(spark, tmp_path):
     # parameter drift is an error, not a silent recall hole
     with pytest.raises(ValueError, match="hash family"):
         MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=32, bands=16)
+
+
+def test_winnowing_parity_fuzz(spark):
+    """Hypothesis-style fuzz (fixed seed, no external deps): random
+    unicode-ish texts — accents, runs of whitespace, empty, shorter
+    than k, exactly k — must fingerprint identically through the Arrow
+    kernel and the expression plan."""
+    import random
+
+    from data_engineer_challenge_spark.plans.text import (
+        _FP_K,
+        _winnow_fingerprints,
+        _winnow_fingerprints_expr,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdé ïöß\t\n  xyz09"
+    rows = []
+    for i in range(40):
+        n = rng.choice([0, 3, _FP_K - 1, _FP_K, _FP_K + 1, 50, 200])
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(docs).collect()}
+    b = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints_expr(docs).collect()
+    }
+    assert a == b
