@@ -252,6 +252,12 @@ def minhash_candidate_pairs(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
+    # cache the (ids, band, hash)-only postings: the self-join's two
+    # sides otherwise each re-run the Arrow bandify + bucket-cap window
+    # (Catalyst does not reuse the exchange across the renamed
+    # branches; measured ~25% of pipeline time at sf0.1). The cached
+    # frame is narrow — n_docs × bands rows of three scalars.
+    banded = banded.cache()
     left = banded.withColumnRenamed("__id", "id_a")
     right = banded.withColumnRenamed("__id", "id_b")
     cands = (
