@@ -156,7 +156,12 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5-hash each user id into [0, 2^60), keep the k smallest
       distinct hashes per group (k=_KMV_K), estimate (k-1)/normalized
       k-th minimum (exact count when fewer than k distinct values are
-      seen). Per-group state is k longs regardless of cardinality.
+      seen). The sketch's state is k longs per group; this SQL form
+      ranks the deduped hashes through a per-group window, which is
+      fine while distinct-cardinality per group fits a task (here:
+      users × types) — at extreme cardinality swap the window for a
+      per-partition top-k mapInPandas + merge (same estimate, bounded
+      memory), keeping the oracle on this reference form.
     - ``p50/p90/p99``: exact interpolated percentiles over a
       deterministic 1-in-_SAMPLE_MOD hash-sample of rows (md5 of the
       event id, not a seeded RNG, so any engine reproduces the same
