@@ -672,3 +672,71 @@ def brute_force_topk_vectorized(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantized_shortlist_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    shortlist: int,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    qvec: str = "q",
+    qnorm: str = "qnorm",
+) -> DataFrame:
+    """Arrow twin of the int8-quantized shortlist stage, bit-identical
+    to the expression form BY CONSTRUCTION: the dot products are
+    int64 matmuls (exact — |q|<=127 over <=~2k dims cannot overflow),
+    and the only float ops (sqrt of the norm product, one division)
+    are single correctly-rounded IEEE operations identical to the JVM
+    expression's. That exactness is what lets the float cosine
+    vectorization's per-dimension-fold caveat disappear here — integer
+    math has no accumulation-order drift, so a plain matmul is safe.
+
+    Same harness as brute_force_topk_vectorized: query codes ship in
+    the UDF closure (the deliberately-small broadcast side), each
+    corpus batch scores against all queries at once, per-batch
+    pre-reduction keeps the ``shortlist`` best by the same
+    (qcos desc, id asc) order the global window ranks by."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, qvec, qnorm).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long"
+        )
+    q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[qvec] for r in q_rows], dtype=np.int64)
+    q_n = np.array([r[qnorm] for r in q_rows], dtype=np.float64)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[qvec]), dtype=np.int64)
+            c_n = pdf[qnorm].to_numpy(dtype=np.float64)
+            dots = (q_mat @ c_mat.T).astype(np.float64)  # exact ints
+            qcos = dots / np.sqrt(q_n[:, None] * c_n[None, :])
+            cids = pdf[corpus_id].to_numpy()
+            n_keep = min(shortlist, qcos.shape[1])
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((cids, -qcos[qi]))[:n_keep]
+                out_q.extend([q_ids[qi]] * n_keep)
+                out_c.extend(cids[order])
+                out_s.extend(qcos[qi, order])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "qcos": out_s}
+            )
+
+    partial = corpus.select(corpus_id, qvec, qnorm).mapInPandas(
+        score_batches, schema=f"{query_id} long, {corpus_id} long, qcos double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qcos").desc(), F.col(corpus_id)
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select(query_id, corpus_id)
+    )
