@@ -120,20 +120,26 @@ class MinHashIndex:
 
     # -- public API --------------------------------------------------
 
+    def _write(self, docs: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+        base, banded = self._prepare(docs, id_col, text_col)
+        # cache for the two writes, then RELEASE: a streaming ingest
+        # calls append() every micro-batch, and un-unpersisted caches
+        # would accumulate for the life of the session
+        base = base.cache()
+        try:
+            base.write.mode(mode).parquet(self._shingles_dir())
+            banded.write.mode(mode).parquet(self._bands_dir())
+        finally:
+            base.unpersist()
+
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Create the index from an initial corpus (overwrites)."""
-        base, banded = self._prepare(docs, id_col, text_col)
-        base = base.cache()  # shingle+band both consume it, one pass each
-        base.write.mode("overwrite").parquet(self._shingles_dir())
-        banded.write.mode("overwrite").parquet(self._bands_dir())
+        self._write(docs, id_col, text_col, "overwrite")
         self._write_meta()
 
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Add a (probed, accepted) batch's postings + shingles."""
-        base, banded = self._prepare(docs, id_col, text_col)
-        base = base.cache()
-        base.write.mode("append").parquet(self._shingles_dir())
-        banded.write.mode("append").parquet(self._bands_dir())
+        self._write(docs, id_col, text_col, "append")
 
     def probe(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
