@@ -1,0 +1,180 @@
+"""Manifest-committed parquet table: the transactional layer the
+plain directory-scan warehouse deliberately lacks.
+
+``ParquetWarehouse`` (operators/merge.py) commits by directory swap —
+durable and replay-healing, but a concurrent reader can transiently
+miss a mid-swap partition and there is no history. ``SnapshotTable``
+adds the two properties a table format (Delta/Iceberg) is actually
+for, with nothing but parquet + atomic file creation:
+
+- **Atomic commits with optimistic concurrency.** Every commit writes
+  its data into a fresh directory, then publishes manifest
+  ``_manifests/v{N}.json`` via ``O_CREAT|O_EXCL`` — the POSIX
+  mutual-exclusion primitive (HDFS/ABFS expose the same create-fails-
+  if-exists contract; S3 needs a DynamoDB-style coordinator, the one
+  real deployment caveat). Two writers racing to version N: exactly
+  one wins, the loser re-resolves and retries on N+1 — the Delta
+  commit protocol in miniature.
+- **Snapshot-isolated readers + time travel.** A reader resolves ONE
+  manifest and reads exactly the directories it lists. Commits never
+  mutate or delete published data (until ``vacuum``), so an in-flight
+  read keeps seeing its snapshot regardless of concurrent commits,
+  and ``read(version=N)`` reproduces any historical state.
+- **Crash safety for free.** A writer dying between data write and
+  manifest publish leaves an orphan directory no manifest references —
+  invisible to every reader; ``vacuum()`` sweeps it.
+
+Scale notes: a manifest lists commit DIRECTORIES (one per commit),
+not individual files, so manifest size grows with commit count, not
+data size; ``compact()`` folds the history into one directory +
+fresh commit. Reads hand Spark the directory list — partition
+pruning / predicate pushdown inside each directory is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first; caller may retry."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        os.makedirs(self._data_dir(), exist_ok=True)
+
+    # -- layout ------------------------------------------------------
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "_data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir(), f"v{version:012d}.json")
+
+    # -- version resolution ------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._manifest_dir()):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # -- commit protocol ---------------------------------------------
+
+    def _publish(self, manifest: dict, retries: int = 20) -> int:
+        """Exclusive-create the next version file; on a race, re-resolve
+        and retry (optimistic concurrency). ``base_version`` recorded in
+        the manifest is the snapshot the commit was derived from —
+        append-style commits are order-independent so retries just take
+        the next slot; replace-style commits re-derive nothing here
+        (last writer wins, as in Delta's default WriteSerializable for
+        blind overwrites)."""
+        for _ in range(retries):
+            current = self.current_version()
+            version = 0 if current is None else current + 1
+            payload = dict(manifest, version=version, base_version=current)
+            tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            try:
+                fd = os.open(
+                    self._manifest_path(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race for this version — retry
+            try:
+                with open(tmp) as src:
+                    os.write(fd, src.read().encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+                os.unlink(tmp)
+            return version
+        raise CommitConflict(
+            f"lost {retries} consecutive version races on {self.path!r}"
+        )
+
+    def _write_commit_dir(self, df: DataFrame) -> str:
+        cdir = f"c-{uuid.uuid4().hex}"
+        df.write.parquet(os.path.join(self._data_dir(), cdir))
+        return cdir
+
+    # -- public API --------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """Add rows; returns the committed version."""
+        cdir = self._write_commit_dir(df)
+        current = self.current_version()
+        dirs = [] if current is None else self._manifest(current)["dirs"]
+        return self._publish({"op": "append", "dirs": [*dirs, cdir]})
+
+    def replace(self, df: DataFrame) -> int:
+        """Replace the table contents; returns the committed version."""
+        cdir = self._write_commit_dir(df)
+        return self._publish({"op": "replace", "dirs": [cdir]})
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: resolve ONE manifest, read exactly its
+        directories. Stable under concurrent commits; ``version=``
+        time-travels."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"SnapshotTable at {self.path!r} is empty")
+        dirs = self._manifest(v)["dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"version {v} holds no data")
+        return self.spark.read.parquet(
+            *[os.path.join(self._data_dir(), d) for d in dirs]
+        )
+
+    def compact(self) -> int:
+        """Fold the accumulated commit directories into one (the
+        manifest grows with commit count, not data size — compaction
+        resets that and merges small files)."""
+        return self.replace(self.read())
+
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in self.versions()]
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data directories not referenced by the newest
+        ``keep_versions`` manifests, plus orphans from crashed commits.
+        Time travel beyond the kept window dies here — that is the
+        deliberate trade every table format makes; readers of KEPT
+        versions are unaffected (their directories stay). Returns the
+        removed directory names."""
+        vs = self.versions()
+        keep = set()
+        for v in vs[-keep_versions:] if keep_versions > 0 else []:
+            keep.update(self._manifest(v)["dirs"])
+        removed = []
+        for d in os.listdir(self._data_dir()):
+            if d not in keep:
+                shutil.rmtree(os.path.join(self._data_dir(), d))
+                removed.append(d)
+        for v in vs[:-keep_versions] if keep_versions > 0 else []:
+            os.unlink(self._manifest_path(v))
+        return sorted(removed)

@@ -1,0 +1,114 @@
+"""Manifest-committed SnapshotTable: atomicity, snapshot isolation,
+time travel, crash-orphan invisibility, vacuum, commit races."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_engineer_challenge_spark.operators.snapshot import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(i, f"r{i}") for i in rows], "id long, v string")
+
+
+def _ids(df):
+    return {r["id"] for r in df.collect()}
+
+
+def test_append_replace_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, [1, 2]))
+    v1 = t.append(_df(spark, [3]))
+    v2 = t.replace(_df(spark, [9]))
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert _ids(t.read()) == {9}
+    assert _ids(t.read(version=v1)) == {1, 2, 3}  # time travel
+    assert _ids(t.read(version=v0)) == {1, 2}
+    ops = [m["op"] for m in t.history()]
+    assert ops == ["append", "append", "replace"]
+
+
+def test_reader_snapshot_stable_under_concurrent_replace(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1, 2]))
+    snap = t.read()  # resolves the v0 manifest NOW
+    t.replace(_df(spark, [100]))
+    # the in-flight reader keeps its snapshot: commits never mutate or
+    # delete published directories
+    assert _ids(snap) == {1, 2}
+    assert _ids(t.read()) == {100}
+
+
+def test_crashed_commit_is_invisible_and_vacuumed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    # simulate a writer dying AFTER its data write, BEFORE its manifest
+    # publish: write a commit dir by hand with no manifest reference
+    orphan = t._write_commit_dir(_df(spark, [777]))
+    assert _ids(t.read()) == {1}  # invisible to readers
+    removed = t.vacuum(keep_versions=1)
+    assert orphan in removed
+    assert _ids(t.read()) == {1}  # kept version untouched
+
+
+def test_vacuum_expires_history_keeps_current(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    t.append(_df(spark, [2]))
+    t.replace(_df(spark, [3]))
+    t.vacuum(keep_versions=1)
+    assert _ids(t.read()) == {3}
+    assert t.versions() == [2]  # history expired
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+
+
+def test_commit_race_loser_retries_next_slot(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    # steal the next version slot, as a racing writer would
+    stolen = t._manifest_path(1)
+    with open(stolen, "w") as f:
+        json.dump({"op": "append", "dirs": t._manifest(0)["dirs"],
+                   "version": 1, "base_version": 0}, f)
+    v = t.append(_df(spark, [2]))
+    assert v == 2  # lost v1, landed v2
+    assert _ids(t.read()) == {1, 2}
+
+
+def test_compact_folds_dirs_preserving_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [i]))
+    assert len(t._manifest(t.current_version())["dirs"]) == 4
+    t.compact()
+    assert len(t._manifest(t.current_version())["dirs"]) == 1
+    assert _ids(t.read()) == {0, 1, 2, 3}
+
+
+def test_publish_gives_up_after_persistent_conflict(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    real_open = os.open
+
+    def always_exists(path, flags, *a, **k):
+        if path.startswith(t._manifest_dir()) and flags & os.O_EXCL:
+            raise FileExistsError(path)
+        return real_open(path, flags, *a, **k)
+
+    import data_engineer_challenge_spark.operators.snapshot as S
+
+    orig = S.os.open
+    S.os.open = always_exists
+    try:
+        with pytest.raises(CommitConflict):
+            t.append(_df(spark, [2]))
+    finally:
+        S.os.open = orig
