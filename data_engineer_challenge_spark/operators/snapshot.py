@@ -82,18 +82,28 @@ class SnapshotTable:
 
     # -- commit protocol ---------------------------------------------
 
-    def _publish(self, manifest: dict, retries: int = 20) -> int:
+    def _txn_seen(self, txn: str) -> bool:
+        return any(m.get("txn") == txn for m in self.history())
+
+    def _publish(self, build_manifest, retries: int = 20, txn: str | None = None) -> int | None:
         """Exclusive-create the next version file; on a race, re-resolve
-        and retry (optimistic concurrency). ``base_version`` recorded in
-        the manifest is the snapshot the commit was derived from —
-        append-style commits are order-independent so retries just take
-        the next slot; replace-style commits re-derive nothing here
-        (last writer wins, as in Delta's default WriteSerializable for
-        blind overwrites)."""
+        and retry (optimistic concurrency). ``build_manifest(current)``
+        is re-invoked per attempt AGAINST THE FRESH current version —
+        an append retrying with a dirs list computed before a racing
+        append landed would silently drop the racer's directory (lost
+        update); rebuilding per attempt folds every committed
+        predecessor in. ``base_version`` records the snapshot the
+        commit was derived from. Replace-style commits ignore
+        ``current`` (last writer wins, as in Delta's default
+        WriteSerializable for blind overwrites)."""
         for _ in range(retries):
             current = self.current_version()
+            if txn is not None and self._txn_seen(txn):
+                return None  # a racing replay committed our txn first
             version = 0 if current is None else current + 1
-            payload = dict(manifest, version=version, base_version=current)
+            payload = dict(
+                build_manifest(current), version=version, base_version=current
+            )
             tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(payload, f)
@@ -124,17 +134,36 @@ class SnapshotTable:
 
     # -- public API --------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
-        """Add rows; returns the committed version."""
+    def append(self, df: DataFrame, txn: str | None = None) -> int | None:
+        """Add rows; returns the committed version.
+
+        ``txn`` makes the append IDEMPOTENT for streaming sinks (the
+        Delta ``txnAppId``/``txnVersion`` pattern): pass a stable
+        batch identity (e.g. ``f"ingest-{batch_id}"``) and a replayed
+        micro-batch whose txn already appears in the retained history
+        is a silent no-op (returns None) instead of duplicating rows —
+        append alone can never be exactly-once under checkpoint
+        replay. The txn check re-runs inside the publish loop, so a
+        commit that lands between our check and our publish is still
+        honored. Retention caveat: vacuum() that expires the manifest
+        carrying a txn forgets it — keep at least the replay window."""
+        if txn is not None and self._txn_seen(txn):
+            return None
         cdir = self._write_commit_dir(df)
-        current = self.current_version()
-        dirs = [] if current is None else self._manifest(current)["dirs"]
-        return self._publish({"op": "append", "dirs": [*dirs, cdir]})
+
+        def build(current: int | None) -> dict:
+            dirs = [] if current is None else self._manifest(current)["dirs"]
+            m = {"op": "append", "dirs": [*dirs, cdir]}
+            if txn is not None:
+                m["txn"] = txn
+            return m
+
+        return self._publish(build, txn=txn)
 
     def replace(self, df: DataFrame) -> int:
         """Replace the table contents; returns the committed version."""
         cdir = self._write_commit_dir(df)
-        return self._publish({"op": "replace", "dirs": [cdir]})
+        return self._publish(lambda current: {"op": "replace", "dirs": [cdir]})
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve ONE manifest, read exactly its

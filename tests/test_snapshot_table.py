@@ -112,3 +112,60 @@ def test_publish_gives_up_after_persistent_conflict(spark, tmp_path):
             t.append(_df(spark, [2]))
     finally:
         S.os.open = orig
+
+
+def test_txn_append_is_idempotent_under_replay(spark, tmp_path):
+    """The streaming-sink pattern: a replayed micro-batch (same txn id)
+    must be a no-op instead of duplicating rows; distinct batches with
+    distinct txns all land."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v = t.append(_df(spark, [1, 2]), txn="ingest-0")
+    assert v == 0
+    assert t.append(_df(spark, [1, 2]), txn="ingest-0") is None  # replay
+    assert _ids(t.read()) == {1, 2}
+    assert t.append(_df(spark, [3]), txn="ingest-1") == 1
+    assert _ids(t.read()) == {1, 2, 3}
+    # and a replay of the FIRST batch after later commits is still a no-op
+    assert t.append(_df(spark, [1, 2]), txn="ingest-0") is None
+    assert _ids(t.read()) == {1, 2, 3}
+
+
+def test_append_race_does_not_lose_the_racers_rows(spark, tmp_path):
+    """Lost-update guard: if a racing append commits between our dirs
+    computation and our publish, the retry must fold the racer's
+    directory in — not resurrect the stale pre-race dirs list."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+
+    # interpose on the version-file creation: the FIRST attempt finds
+    # the slot taken because a racer (simulated here) just committed
+    real_open = os.open
+    state = {"raced": False}
+
+    def race_once(path, flags, *a, **k):
+        if (
+            not state["raced"]
+            and path.startswith(t._manifest_dir())
+            and flags & os.O_EXCL
+        ):
+            state["raced"] = True
+            # the racer commits row 50 into the contended slot
+            rdir = t._write_commit_dir(_df(spark, [50]))
+            base = t._manifest(t.current_version())["dirs"]
+            with open(path, "w") as f:
+                json.dump(
+                    {"op": "append", "dirs": [*base, rdir],
+                     "version": t.current_version() + 1,
+                     "base_version": t.current_version()}, f)
+            raise FileExistsError(path)
+        return real_open(path, flags, *a, **k)
+
+    import data_engineer_challenge_spark.operators.snapshot as S
+
+    S.os.open = race_once
+    try:
+        t.append(_df(spark, [2]))
+    finally:
+        S.os.open = real_open
+    # all three writers' rows survive
+    assert _ids(t.read()) == {1, 2, 50}
