@@ -107,3 +107,33 @@ def ingest_documents_deduped(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_stream_snapshot_append(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table,  # operators.snapshot.SnapshotTable
+    checkpoint_dir: str,
+    txn_prefix: str = "ingest",
+) -> None:
+    """Exactly-once APPEND-ONLY ingest into a SnapshotTable — the
+    transactional-sink variant of :func:`ingest_stream` for tables
+    with no natural merge key (event logs, raw captures). The
+    checkpoint replays batches at-least-once; the manifest's txn
+    record (``{txn_prefix}-{batch_id}``) makes each batch's append
+    idempotent, so replays are no-ops instead of duplicate rows, and
+    readers only ever see whole committed batches (snapshot
+    isolation), never a half-written directory."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn=f"{txn_prefix}-{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
