@@ -195,15 +195,20 @@ class SnapshotTable:
         deliberate trade every table format makes; readers of KEPT
         versions are unaffected (their directories stay). Returns the
         removed directory names."""
+        if keep_versions < 1:
+            # keep_versions=0 would delete every data directory while
+            # leaving manifests that reference them — a corrupt table,
+            # not an aggressive vacuum
+            raise ValueError("vacuum must keep at least 1 version")
         vs = self.versions()
         keep = set()
-        for v in vs[-keep_versions:] if keep_versions > 0 else []:
+        for v in vs[-keep_versions:]:
             keep.update(self._manifest(v)["dirs"])
         removed = []
         for d in os.listdir(self._data_dir()):
             if d not in keep:
                 shutil.rmtree(os.path.join(self._data_dir(), d))
                 removed.append(d)
-        for v in vs[:-keep_versions] if keep_versions > 0 else []:
+        for v in vs[:-keep_versions]:
             os.unlink(self._manifest_path(v))
         return sorted(removed)

@@ -212,3 +212,13 @@ def test_streaming_snapshot_append_exactly_once_under_replay(spark, tmp_path):
     _df(spark, [4]).write.mode("append").parquet(src)
     ingest_stream_snapshot_append(spark, src, schema, t, ckpt)
     assert _ids(t.read()) == {1, 2, 3, 4}
+
+
+def test_vacuum_rejects_keeping_nothing(spark, tmp_path):
+    """keep_versions=0 would delete every data dir while manifests
+    still reference them — refused."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    with pytest.raises(ValueError, match="at least 1"):
+        t.vacuum(keep_versions=0)
+    assert _ids(t.read()) == {1}
