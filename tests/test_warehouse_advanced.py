@@ -509,3 +509,57 @@ def test_streaming_ingest_with_cross_batch_neardup_dedup(spark, tmp_path):
     assert 900003 in final
     assert 900001 not in final and 900002 not in final
     assert len(final) == n1 + 1
+
+
+def test_deduped_ingest_replay_converges(spark, tmp_path):
+    """The dedup-ingest exactly-once claim: re-executing a batch (the
+    crash-between-sink-and-checkpoint case) must not change the
+    warehouse — the keyed MERGE absorbs the rows, and the index's
+    duplicated postings change probe cost, not probe answers."""
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_documents_deduped,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wave = docs.limit(15)
+    src = str(tmp_path / "src")
+    wave.write.parquet(src)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(spark.createDataFrame([], schema))
+    ckpt = str(tmp_path / "ckpt")
+
+    ingest_documents_deduped(spark, src, schema, wh, "DOCS", idx, ckpt)
+    before = {
+        tuple(r) for r in wh.read("DOCS").select("doc_id", "text").collect()
+    }
+    assert len(before) == wave.count()
+
+    # crashed-commit replay: the same batch re-executes against the
+    # sink (this is what Spark does on restart if the checkpoint commit
+    # didn't land) — emulate by re-running the whole availableNow
+    # stream with a FRESH checkpoint over the same files
+    ingest_documents_deduped(
+        spark, src, schema, wh, "DOCS", idx, str(tmp_path / "ckpt2")
+    )
+    after = {
+        tuple(r) for r in wh.read("DOCS").select("doc_id", "text").collect()
+    }
+    assert after == before  # converged: no duplicates, no flapping
+
+    # and probe answers are unchanged despite duplicated postings
+    probe = idx.probe(wave.limit(3))
+    assert {r["new_id"] for r in probe.collect()} == {
+        r["doc_id"] for r in wave.limit(3).collect()
+    }
