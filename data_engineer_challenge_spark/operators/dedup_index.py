@@ -76,6 +76,13 @@ class MinHashIndex:
                     "with a different hash family and silently miss "
                     "every stored near-duplicate"
                 )
+        else:
+            # pin the parameters BEFORE any data exists: writing meta
+            # only at the end of build() would leave a crashed
+            # mid-build index unguarded — reopening it with different
+            # parameters would pass validation and then silently miss
+            # every stored near-duplicate
+            self._write_meta()
 
     # -- internals ---------------------------------------------------
 
@@ -135,7 +142,6 @@ class MinHashIndex:
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Create the index from an initial corpus (overwrites)."""
         self._write(docs, id_col, text_col, "overwrite")
-        self._write_meta()
 
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Add a (probed, accepted) batch's postings + shingles."""
@@ -150,6 +156,13 @@ class MinHashIndex:
         against itself with the batch operator first, or rely on exact
         keep-first dedup upstream as the ingest loop does)."""
         new_base, new_banded = self._prepare(docs, id_col, text_col)
+        # cache: the candidate join consumes new_banded and the verify
+        # stage consumes new_base — without this the batch's source
+        # scan, shingle hashing and repartition all run twice per
+        # probe. Callers materialize the probe result promptly (the
+        # ingest loop localCheckpoints it), after which the session's
+        # normal cache policy reclaims this.
+        new_base = new_base.cache()
         stored_bands = self.spark.read.parquet(self._bands_dir())
         # the index side never shuffles: batch postings broadcast onto it
         cands = (

@@ -83,7 +83,12 @@ class SnapshotTable:
     # -- commit protocol ---------------------------------------------
 
     def _txn_seen(self, txn: str) -> bool:
-        return any(m.get("txn") == txn for m in self.history())
+        # newest-first with early exit: replayed txns are recent, so a
+        # long manifest history is not re-parsed end-to-end per append
+        for v in reversed(self.versions()):
+            if self._manifest(v).get("txn") == txn:
+                return True
+        return False
 
     def _publish(self, build_manifest, retries: int = 20, txn: str | None = None) -> int | None:
         """Exclusive-create the next version file; on a race, re-resolve
@@ -104,23 +109,21 @@ class SnapshotTable:
             payload = dict(
                 build_manifest(current), version=version, base_version=current
             )
+            # write + fsync the FULL payload to a tmp file, then
+            # os.link it into place: link fails with EEXIST on a race
+            # (same mutex as O_EXCL) but, unlike create-then-write, a
+            # reader can never observe an empty or partially-written
+            # manifest, and a crash can never leave one behind
             tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                fd = os.open(
-                    self._manifest_path(version),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
+                os.link(tmp, self._manifest_path(version))
             except FileExistsError:
-                os.unlink(tmp)
                 continue  # lost the race for this version — retry
-            try:
-                with open(tmp) as src:
-                    os.write(fd, src.read().encode())
-                os.fsync(fd)
             finally:
-                os.close(fd)
                 os.unlink(tmp)
             return version
         raise CommitConflict(
@@ -188,27 +191,43 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self.versions()]
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 600.0
+    ) -> list[str]:
         """Delete data directories not referenced by the newest
         ``keep_versions`` manifests, plus orphans from crashed commits.
         Time travel beyond the kept window dies here — that is the
         deliberate trade every table format makes; readers of KEPT
         versions are unaffected (their directories stay). Returns the
-        removed directory names."""
+        removed directory names.
+
+        ``min_age_seconds`` is the in-flight-commit guard (Delta's
+        retention-hours in miniature): a writer that has written its
+        data directory but not yet published its manifest looks
+        exactly like a crash orphan, so only directories older than
+        the age threshold are swept. Pass 0 only when no writer can
+        possibly be mid-commit."""
         if keep_versions < 1:
             # keep_versions=0 would delete every data directory while
             # leaving manifests that reference them — a corrupt table,
             # not an aggressive vacuum
             raise ValueError("vacuum must keep at least 1 version")
+        import time
+
+        now = time.time()
         vs = self.versions()
         keep = set()
         for v in vs[-keep_versions:]:
             keep.update(self._manifest(v)["dirs"])
         removed = []
         for d in os.listdir(self._data_dir()):
-            if d not in keep:
-                shutil.rmtree(os.path.join(self._data_dir(), d))
-                removed.append(d)
+            full = os.path.join(self._data_dir(), d)
+            if d in keep:
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue  # possibly an in-flight commit, not an orphan
+            shutil.rmtree(full)
+            removed.append(d)
         for v in vs[:-keep_versions]:
             os.unlink(self._manifest_path(v))
         return sorted(removed)

@@ -63,11 +63,15 @@ def register(
 def all_queries() -> dict[str, QueryFn]:
     _load()
     out = {n: s.builder for n, s in REGISTRY.items() if s.driver}
-    assert len(out) <= 50, (
-        f"driver surface holds {len(out)} queries but the driver only "
-        "records correctness rows for the first 50 — mark the extras "
-        "register(..., driver=False) so nothing ships unchecked"
-    )
+    if len(out) > 50:
+        # a real error, not an assert: python -O strips asserts, and a
+        # 51st driver query would silently ship with no correctness row
+        raise RuntimeError(
+            f"driver surface holds {len(out)} queries but the driver "
+            "only records correctness rows for the first 50 — mark the "
+            "extras register(..., driver=False) so nothing ships "
+            "unchecked"
+        )
     return out
 
 

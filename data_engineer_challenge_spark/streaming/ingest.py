@@ -71,13 +71,13 @@ def ingest_documents_deduped(
     postings to the index, and MERGEs the survivors into the warehouse.
 
     Exactly-once story: the checkpoint gives at-least-once batches; the
-    keyed MERGE is idempotent; index.append on a replayed batch writes
-    duplicate postings, which cost probe work but cannot change
-    RESULTS — probe returns near-dups of indexed content either way,
-    and a replayed batch's rows were already dropped-or-merged by key.
-    So replays converge (the weaker, documented guarantee: the index is
-    an accelerator whose duplicated postings are healed by compaction,
-    not a second source of truth)."""
+    keyed MERGE is idempotent and COMMITS BEFORE the index append (see
+    the ordering comment below — the reverse order permanently loses a
+    batch that crashes between the two); index.append on a replayed
+    batch writes duplicate postings, which cost probe work but cannot
+    change RESULTS. So replays converge (the weaker, documented
+    guarantee: the index is an accelerator whose duplicated postings
+    are healed by compaction, not a second source of truth)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -97,8 +97,15 @@ def ingest_documents_deduped(
         # against itself, and silently merge an EMPTY batch. The eager
         # checkpoint pins the survivor set before the index changes.
         fresh = batch.join(dups, id_col, "left_anti").localCheckpoint()
-        index.append(fresh, id_col=id_col, text_col=text_col)
+        # MERGE first, index second: a crash between the two then
+        # replays as probe-miss -> idempotent re-MERGE -> append, and
+        # the batch converges. The reverse order loses the batch
+        # forever: the replay's probe would self-match every row
+        # against its own already-appended postings, hand MERGE an
+        # empty survivor set, and the rows would exist in the index
+        # but never reach the warehouse.
         wh.merge_upsert(table, fresh, [id_col])
+        index.append(fresh, id_col=id_col, text_col=text_col)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

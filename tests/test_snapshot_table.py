@@ -53,7 +53,10 @@ def test_crashed_commit_is_invisible_and_vacuumed(spark, tmp_path):
     # publish: write a commit dir by hand with no manifest reference
     orphan = t._write_commit_dir(_df(spark, [777]))
     assert _ids(t.read()) == {1}  # invisible to readers
-    removed = t.vacuum(keep_versions=1)
+    # default retention protects a fresh dir (it could be an in-flight
+    # commit); an aged-out orphan sweeps
+    assert orphan not in t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert orphan in removed
     assert _ids(t.read()) == {1}  # kept version untouched
 
@@ -96,22 +99,22 @@ def test_compact_folds_dirs_preserving_rows(spark, tmp_path):
 def test_publish_gives_up_after_persistent_conflict(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [1]))
-    real_open = os.open
+    real_link = os.link
 
-    def always_exists(path, flags, *a, **k):
-        if path.startswith(t._manifest_dir()) and flags & os.O_EXCL:
-            raise FileExistsError(path)
-        return real_open(path, flags, *a, **k)
+    def always_exists(src, dst, *a, **k):
+        if dst.startswith(t._manifest_dir()):
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **k)
 
     import data_engineer_challenge_spark.operators.snapshot as S
 
-    orig = S.os.open
-    S.os.open = always_exists
+    orig = S.os.link
+    S.os.link = always_exists
     try:
         with pytest.raises(CommitConflict):
             t.append(_df(spark, [2]))
     finally:
-        S.os.open = orig
+        S.os.link = orig
 
 
 def test_txn_append_is_idempotent_under_replay(spark, tmp_path):
@@ -137,36 +140,32 @@ def test_append_race_does_not_lose_the_racers_rows(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [1]))
 
-    # interpose on the version-file creation: the FIRST attempt finds
-    # the slot taken because a racer (simulated here) just committed
-    real_open = os.open
+    # interpose on the manifest link: the FIRST attempt finds the slot
+    # taken because a racer (simulated here) just committed
+    real_link = os.link
     state = {"raced": False}
 
-    def race_once(path, flags, *a, **k):
-        if (
-            not state["raced"]
-            and path.startswith(t._manifest_dir())
-            and flags & os.O_EXCL
-        ):
+    def race_once(src, dst, *a, **k):
+        if not state["raced"] and dst.startswith(t._manifest_dir()):
             state["raced"] = True
             # the racer commits row 50 into the contended slot
             rdir = t._write_commit_dir(_df(spark, [50]))
             base = t._manifest(t.current_version())["dirs"]
-            with open(path, "w") as f:
+            with open(dst, "w") as f:
                 json.dump(
                     {"op": "append", "dirs": [*base, rdir],
                      "version": t.current_version() + 1,
                      "base_version": t.current_version()}, f)
-            raise FileExistsError(path)
-        return real_open(path, flags, *a, **k)
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **k)
 
     import data_engineer_challenge_spark.operators.snapshot as S
 
-    S.os.open = race_once
+    S.os.link = race_once
     try:
         t.append(_df(spark, [2]))
     finally:
-        S.os.open = real_open
+        S.os.link = real_link
     # all three writers' rows survive
     assert _ids(t.read()) == {1, 2, 50}
 
