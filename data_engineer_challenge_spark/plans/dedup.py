@@ -356,3 +356,160 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_dropped, "doc_id", "left_anti")
         .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+@register(
+    "documents_pipeline_full",
+    # pytest-oracled only (driver surface is capped at 50): the
+    # capstone COMPOSITION of stages each already driver-oracled on
+    # its own (clean-corpus dedup, quality scoring, lang-id, split)
+    driver=False,
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               md5({_NORM}) AS fp,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    exact_kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])) AS s
+        FROM exact_kept WHERE len(toks) >= 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    quality AS (
+        SELECT doc_id, lang, toks,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               0.4 * least(1.0, len(toks) / 200.0)
+                 + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                       t -> t IN ('the','a','of','is','and'))) AS DOUBLE)
+                       / len(toks))
+                 + 0.3 * least(1.0,
+                       CAST(list_sum(list_transform(toks, t -> length(t)))
+                            AS DOUBLE) / len(toks) / 6.0) AS quality_score
+        FROM exact_kept
+        WHERE len(toks) >= 20
+          AND doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+             WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+             WHEN es >= de AND es > 0 THEN 'es'
+             WHEN de > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang,
+           n_tokens, quality_score,
+           CASE WHEN b < 95 THEN 'train'
+                WHEN b < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang, n_tokens, quality_score,
+               len(list_filter(toks, t -> t IN ('the','a','of','is','and'))) AS en,
+               len(list_filter(toks, t -> t IN ('le','la','et','un','des'))) AS fr,
+               len(list_filter(toks, t -> t IN ('el','los','y','una','que'))) AS es,
+               len(list_filter(toks, t -> t IN ('der','die','und','ein','nicht'))) AS de,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS b
+        FROM quality
+        WHERE quality_score >= 0.55
+    )
+    """,
+)
+def documents_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone LLM-training-corpus pipeline: every stage this
+    engine ships, composed in the order a real pipeline runs them —
+    exact dedup (content hash, keep lowest id) → near-dup removal
+    (MinHash-banded candidates, exact-Jaccard verified, lang-blocked)
+    → length floor → quality gate (length/stopword/word-shape score ≥
+    0.55) → language-ID annotation → deterministic train/val/test
+    split. One tokenize pass feeds dedup shingles, quality features
+    and lang markers alike; each stage is individually driver-oracled
+    elsewhere (documents_clean_corpus, doc_quality_scores,
+    doc_lang_id, docs_train_val_split) and the composition is
+    hash-checked end-to-end here."""
+    from ..functions.tokenize import word_tokens
+    from ..plans.text import LANG_MARKERS, STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(norm.cast("binary")).alias("fp"),
+        word_tokens("text").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    exact_kept = keep_first_dedup(scored, ["fp"], ["doc_id"])
+    near_dropped = (
+        minhash_candidate_pairs(
+            exact_kept,
+            "doc_id",
+            "toks",
+            shingle_n=2,
+            num_hashes=63,
+            bands=21,
+            threshold=0.8,
+            block_cols=("lang",),
+            max_bucket_size=1000,
+            pre_tokenized=True,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    hits = lambda ws: F.size(F.filter(F.col("toks"), lambda t: t.isin(ws)))  # noqa: E731
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), F.length), F.lit(0), lambda a, x: a + x
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 200.0)
+        + 0.3 * (1.0 - hits(STOPWORDS).cast("double") / F.col("n_tokens"))
+        + 0.3
+        * F.least(
+            F.lit(1.0), tok_len_sum.cast("double") / F.col("n_tokens") / 6.0
+        )
+    )
+    en, fr, es, de = (hits(LANG_MARKERS[k]) for k in ("en", "fr", "es", "de"))
+    predicted = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(b < 95, "train").when(b < 99, "val").otherwise("test")
+    return (
+        exact_kept.filter(F.col("n_tokens") >= 20)
+        .join(near_dropped, "doc_id", "left_anti")
+        .withColumn("quality_score", quality)
+        .filter(F.col("quality_score") >= 0.55)
+        .select(
+            "doc_id",
+            "lang",
+            predicted.alias("predicted_lang"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality_score",
+            split.alias("split"),
+        )
+    )
