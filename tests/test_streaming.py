@@ -219,3 +219,91 @@ def test_daemon_quarantine_table(daemon_env, spark):
     q = {r["filename"]: r for r in daemon.wh.read("QUARANTINE_DOCUMENTS").collect()}
     assert "55555555_9.pdf" in q
     assert q["55555555_9.pdf"]["reason"] == "NO_MATCHING_PATIENT"
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """The 100 TB state-bounding claim, proven: in append mode with a
+    2 h watermark, an event arriving behind the watermark is DROPPED
+    from its window (the window never materializes), while on-time
+    windows finalize with exactly their on-time rows. maxFilesPerTrigger
+    forces one file per micro-batch so the watermark advances between
+    arrivals like a real stream."""
+    import time as _time
+
+    from pyspark.sql import Row, types as T
+
+    from data_engineer_challenge_spark.streaming.windows import tumbling_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import datetime
+
+    def ev(i, hhmm):
+        h, m = hhmm
+        return Row(
+            event_id=i,
+            ts=datetime.datetime(2024, 3, 1, h, m),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props=None,
+        )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # Two subtleties this test pins (both verified empirically):
+    # (1) the late criterion is WINDOW END <= watermark, not event
+    #     time — an 08:00 row after a 08:45 wm is still accepted
+    #     because its window runs to 09:00;
+    # (2) the drop filter uses the watermark as of the PREVIOUS
+    #     batch's close, so the late row must arrive two batches
+    #     after the data that advanced the wm past its window.
+    waves = [
+        [ev(1, (10, 30)), ev(2, (10, 45))],  # wm after this batch: 08:45
+        [ev(4, (13, 0))],                    # wm 08:45 active; after: 11:00
+        [ev(3, (6, 30))],                    # window end 07:00 < wm -> DROPPED
+        [ev(5, (16, 0))],                    # advances wm -> windows close
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(src / f"wave{i}")
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].hour, r["n_events"])
+            for r in spark.sql("SELECT * FROM late_sink").collect()
+        }
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert (10, 2) in rows, rows       # on-time window finalized intact
+    assert (13, 1) in rows, rows       # the later fresh row landed
+    assert all(h != 6 for h, _ in rows), rows  # the late row was dropped
+    assert dropped == 1, dropped       # and the engine COUNTED the drop
