@@ -8,7 +8,10 @@ result, which is how tests verify them (memory sink vs batch run).
 
 Watermarks bound state: late events beyond the delay are dropped, so
 state per window is finite no matter how long the stream runs — the
-property that matters at 100 TB/day ingest.
+property that matters at 100 TB/day ingest. The precise drop
+semantics (window_end <= watermark, evaluated against the previous
+batch's watermark) are pinned end-to-end in
+tests/test_streaming.py::test_watermark_drops_late_rows_append_mode.
 """
 
 from __future__ import annotations
