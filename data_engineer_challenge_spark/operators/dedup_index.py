@@ -59,6 +59,7 @@ class MinHashIndex:
     ) -> None:
         self.spark = spark
         self.path = path
+        self._cached: list = []
         self.meta = {
             "num_hashes": num_hashes,
             "bands": bands,
@@ -147,6 +148,14 @@ class MinHashIndex:
         """Add a (probed, accepted) batch's postings + shingles."""
         self._write(docs, id_col, text_col, "append")
 
+    def release(self) -> None:
+        """Unpersist the frames cached by earlier probe() calls — the
+        targeted alternative to a session-wide clearCache for callers
+        (like the streaming ingest) sharing the session with other
+        cached data."""
+        while self._cached:
+            self._cached.pop().unpersist()
+
     def probe(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
@@ -155,14 +164,21 @@ class MinHashIndex:
         threshold. In-batch duplicates are not reported (pair the batch
         against itself with the batch operator first, or rely on exact
         keep-first dedup upstream as the ingest loop does)."""
+        if not os.path.isdir(self._bands_dir()):
+            # a fresh index holds nothing to match — the documented
+            # probe-first ingest loop must work from the empty state,
+            # not crash on the missing postings directory
+            return self.spark.createDataFrame(
+                [], "new_id long, dup_of long, jaccard double"
+            )
         new_base, new_banded = self._prepare(docs, id_col, text_col)
         # cache: the candidate join consumes new_banded and the verify
         # stage consumes new_base — without this the batch's source
         # scan, shingle hashing and repartition all run twice per
-        # probe. Callers materialize the probe result promptly (the
-        # ingest loop localCheckpoints it), after which the session's
-        # normal cache policy reclaims this.
+        # probe. release() (or the caller's clearCache) frees it once
+        # the probe result is materialized.
         new_base = new_base.cache()
+        self._cached.append(new_base)
         stored_bands = self.spark.read.parquet(self._bands_dir())
         # the index side never shuffles: batch postings broadcast onto it
         cands = (

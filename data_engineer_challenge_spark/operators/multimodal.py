@@ -92,9 +92,15 @@ def sample_frames(
     no Python, no payload movement); only the per-frame decode crosses
     to Python, and only when a decoder is injected.
     """
-    ts = F.sequence(
-        F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms)
-    )
+    # endpoint EXCLUSIVE: a 5000 ms clip sampled every 1000 ms has
+    # frames at 0..4000 — a timestamp at exactly duration_ms is out of
+    # range for a real decoder (ffmpeg seek at t == duration fails).
+    # Zero/absent durations yield NO frames (the naive sequence(0, -1)
+    # would generate a DESCENDING range, not an empty one).
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    ts = F.when(
+        dur > 0, F.sequence(F.lit(0), dur - 1, F.lit(every_ms))
+    ).otherwise(F.array().cast("array<int>"))
     frames = (
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload", F.explode(ts).alias("frame_ms"))

@@ -276,6 +276,9 @@ def ivf_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    _require_long_ids(queries, query_id, "ivf_topk_vectorized")
+    _require_long_ids(corpus, corpus_id, "ivf_topk_vectorized")
+
     cent = np.array(centroids, dtype=np.float64)  # (K, dim)
     n_cells, dim = cent.shape
     cent_norm_sq = np.zeros(n_cells)
@@ -609,6 +612,22 @@ def lsh_neardup_pairs(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+_INT_ID_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _require_long_ids(df: DataFrame, col: str, fn: str) -> None:
+    """The Arrow kernels materialize ids as int64 and declare a long
+    output schema; a string/decimal id would fail deep inside numpy or
+    Arrow conversion — raise at the API boundary with the remedy
+    instead (the expression-form siblings are id-type generic)."""
+    t = df.schema[col].dataType.simpleString()
+    if t not in _INT_ID_TYPES:
+        raise ValueError(
+            f"{fn} requires an integral id column; {col!r} is {t} — "
+            "use the expression-form operator for non-integer ids"
+        )
+
+
 def brute_force_topk_vectorized(
     queries: DataFrame,
     corpus: DataFrame,
@@ -633,6 +652,8 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    _require_long_ids(queries, query_id, "brute_force_topk_vectorized")
+    _require_long_ids(corpus, corpus_id, "brute_force_topk_vectorized")
     q_rows = queries.select(query_id, vec).collect()
     if not q_rows:  # empty query set: empty result, same schema as
         # the non-empty path (brute_force_topk degrades the same way)
@@ -700,6 +721,8 @@ def quantized_shortlist_vectorized(
     import numpy as np
     import pandas as pd
 
+    _require_long_ids(queries, query_id, "quantized_shortlist_vectorized")
+    _require_long_ids(corpus, corpus_id, "quantized_shortlist_vectorized")
     q_rows = queries.select(query_id, qvec, qnorm).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(

@@ -82,13 +82,22 @@ class SnapshotTable:
 
     # -- commit protocol ---------------------------------------------
 
+    #: bound on the txn-id map carried in each manifest — the replay
+    #: window. Streaming replays concern recent batches; ids older
+    #: than the newest _TXN_WINDOW are forgotten.
+    _TXN_WINDOW = 256
+
     def _txn_seen(self, txn: str) -> bool:
-        # newest-first with early exit: replayed txns are recent, so a
-        # long manifest history is not re-parsed end-to-end per append
-        for v in reversed(self.versions()):
-            if self._manifest(v).get("txn") == txn:
-                return True
-        return False
+        # O(1): every manifest carries the rolling txn->version map
+        # (the Delta txnAppId table in miniature), so a replay check
+        # reads ONE manifest no matter how long the history is — and
+        # because the map is carried forward by every commit, it
+        # survives replace()/compact()/vacuum() unlike a scan of
+        # retained per-version txn fields would.
+        cur = self.current_version()
+        if cur is None:
+            return False
+        return txn in self._manifest(cur).get("txns", {})
 
     def _publish(self, build_manifest, retries: int = 20, txn: str | None = None) -> int | None:
         """Exclusive-create the next version file; on a race, re-resolve
@@ -109,6 +118,19 @@ class SnapshotTable:
             payload = dict(
                 build_manifest(current), version=version, base_version=current
             )
+            # carry the rolling txn map forward (trimmed to the newest
+            # _TXN_WINDOW entries by version) so _txn_seen stays O(1)
+            txns = dict(
+                {} if current is None
+                else self._manifest(current).get("txns", {})
+            )
+            if txn is not None:
+                txns[txn] = version
+            if len(txns) > self._TXN_WINDOW:
+                txns = dict(
+                    sorted(txns.items(), key=lambda kv: kv[1])[-self._TXN_WINDOW:]
+                )
+            payload["txns"] = txns
             # write + fsync the FULL payload to a tmp file, then
             # os.link it into place: link fails with EEXIST on a race
             # (same mutex as O_EXCL) but, unlike create-then-write, a
@@ -148,8 +170,9 @@ class SnapshotTable:
         append alone can never be exactly-once under checkpoint
         replay. The txn check re-runs inside the publish loop, so a
         commit that lands between our check and our publish is still
-        honored. Retention caveat: vacuum() that expires the manifest
-        carrying a txn forgets it — keep at least the replay window."""
+        honored. The txn map rides every manifest (trimmed to the
+        newest _TXN_WINDOW entries), so it survives replace/compact/
+        vacuum; only a replay older than the window is forgotten."""
         if txn is not None and self._txn_seen(txn):
             return None
         cdir = self._write_commit_dir(df)
@@ -230,4 +253,12 @@ class SnapshotTable:
             removed.append(d)
         for v in vs[:-keep_versions]:
             os.unlink(self._manifest_path(v))
+        # sweep tmp manifests from hard-crashed publishes (the finally
+        # unlink never ran); same age guard as data dirs
+        for name in os.listdir(self._manifest_dir()):
+            if ".tmp-" in name:
+                full = os.path.join(self._manifest_dir(), name)
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    os.unlink(full)
+                    removed.append(name)
         return sorted(removed)

@@ -66,11 +66,21 @@ def compact(
     compacting one without it would silently flatten the directory
     layout and destroy partition pruning, so that case raises. Sidecar
     files (``_wh_meta.json`` etc.) are carried over. The swap keeps
-    the previous directory as ``.old`` until the new one is in place
-    (same crash contract as ParquetWarehouse._stage_and_swap: a crash
-    degrades to the previous snapshot, never a missing table)."""
+    the previous directory as ``.old`` until the new one is in place.
+
+    Crash contract (weaker than ParquetWarehouse, which heals on
+    read): a crash between the two renames leaves the data ONLY at
+    ``.old`` — readers fail until the next compact() call, which
+    restores it before doing anything else (heal-on-next-compact).
+    No crash instant loses data."""
     import os
     import shutil
+
+    # heal a crashed previous swap FIRST: path missing + .old present
+    # means a compact died between its two renames
+    _old = f"{path}.old"
+    if not os.path.isdir(path) and os.path.isdir(_old):
+        os.rename(_old, path)
 
     part_dirs = [
         e for e in os.listdir(path)

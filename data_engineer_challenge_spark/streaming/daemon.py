@@ -61,9 +61,15 @@ class CdwDaemon:
         self.extractor = extractor
         self.changed_only = changed_only
         self.state = SnapshotState.load(os.path.join(warehouse_root, "_stream_state.json"))
-        self.batch_number = 0
-        self.upload_id_patient = 0
-        self.upload_id_document = 0
+        # resume counters from the committed stream state: a restart
+        # that reset them would re-stamp rows with regressed UPLOAD_ID
+        # lineage and collide (filename, upload_id) quarantine keys
+        # from earlier runs; resumed counters also mean a restart is
+        # NOT a "first" batch, so the everything-is-new reload only
+        # happens on a genuinely fresh warehouse
+        self.batch_number = self.state.counters.get("batch_number", 0)
+        self.upload_id_patient = self.state.counters.get("upload_id_patient", 0)
+        self.upload_id_document = self.state.counters.get("upload_id_document", 0)
 
     def tick(self) -> TickReport:
         """One polling cycle (script.py:68-117).
@@ -136,9 +142,13 @@ class CdwDaemon:
 
         report.upload_id_patient = self.upload_id_patient
         report.upload_id_document = self.upload_id_document
-        # both batches succeeded: commit the offsets, then persist
+        # both batches succeeded: commit the offsets AND counters,
+        # then persist
         self.state.commit("registry", registry_snap)
         self.state.commit("documents", doc_snap)
+        self.state.counters["batch_number"] = self.batch_number
+        self.state.counters["upload_id_patient"] = self.upload_id_patient
+        self.state.counters["upload_id_document"] = self.upload_id_document
         self.state.save()
         return report
 

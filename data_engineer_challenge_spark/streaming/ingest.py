@@ -106,12 +106,12 @@ def ingest_documents_deduped(
         # but never reach the warehouse.
         wh.merge_upsert(table, fresh, [id_col])
         index.append(fresh, id_col=id_col, text_col=text_col)
-        # this batch's operator caches (probe's prepared frame, the
-        # banding postings) are finished once fresh is merged+indexed;
-        # release them so a long-running stream doesn't accumulate one
-        # cached frame per micro-batch (the repo-wide caller-clears
-        # convention — same as bench.py between queries)
-        spark.catalog.clearCache()
+        # this batch's probe cache is finished once fresh is
+        # merged+indexed; release it TARGETED (not clearCache — the
+        # session may hold unrelated caches owned by other components,
+        # and a stream that evicted them every micro-batch would force
+        # their recomputation session-wide)
+        index.release()
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

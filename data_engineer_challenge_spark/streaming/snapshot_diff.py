@@ -53,22 +53,37 @@ def diff_snapshots(prev: dict[str, int], cur: dict[str, int]) -> DirDiff:
 
 @dataclass
 class SnapshotState:
-    """Persisted snapshot state (the streaming 'offset log')."""
+    """Persisted snapshot state (the streaming 'offset log').
+
+    ``counters`` persists monotonic sequence numbers (batch number,
+    upload ids) alongside the offsets: a restart that resumed offsets
+    but reset upload ids would re-stamp old warehouse rows with
+    regressed lineage values and collide quarantine keys from earlier
+    runs — the counter IS part of the stream's committed state."""
 
     path: str
     snapshots: dict[str, dict[str, int]] = field(default_factory=dict)
+    counters: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str) -> "SnapshotState":
         if os.path.exists(path):
             with open(path) as f:
-                return cls(path=path, snapshots=json.load(f))
+                raw = json.load(f)
+            if "snapshots" in raw and isinstance(raw.get("snapshots"), dict):
+                return cls(
+                    path=path,
+                    snapshots=raw["snapshots"],
+                    counters=raw.get("counters", {}),
+                )
+            # pre-counter file format: the whole document is snapshots
+            return cls(path=path, snapshots=raw)
         return cls(path=path)
 
     def save(self) -> None:
         tmp = f"{self.path}.tmp"
         with open(tmp, "w") as f:
-            json.dump(self.snapshots, f)
+            json.dump({"snapshots": self.snapshots, "counters": self.counters}, f)
         os.replace(tmp, self.path)
 
     def peek(

@@ -308,3 +308,24 @@ def test_events_loader_handles_both_timestamp_units(spark, tmp_path):
             .collect()
         }
         assert got == {(1, ts[0]), (2, ts[1])}, (unit, got)
+
+
+def test_compact_heals_crashed_swap(spark, tmp_path):
+    """A compact() crash between its two renames leaves the data only
+    at .old; the next compact() must restore it before proceeding
+    (heal-on-next-compact), never losing rows."""
+    import shutil
+
+    from data_engineer_challenge_spark.sources.formats import compact
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "t")
+    nation.repartition(4).write.parquet(path)
+    n = nation.count()
+    # simulate the crash window: path renamed away, staged never landed
+    shutil.move(path, path + ".old")
+    assert not os.path.isdir(path)
+    compact(spark, path, target_partitions=1)
+    assert spark.read.parquet(path).count() == n
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files == 1

@@ -307,3 +307,38 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     assert (13, 1) in rows, rows       # the later fresh row landed
     assert all(h != 6 for h, _ in rows), rows  # the late row was dropped
     assert dropped == 1, dropped       # and the engine COUNTED the drop
+
+
+def test_daemon_restart_resumes_counters(daemon_env, spark):
+    """A restarted daemon must resume batch/upload counters from the
+    committed stream state: resetting them would re-stamp warehouse
+    rows with regressed UPLOAD_ID lineage and collide quarantine keys
+    from earlier runs — and a restart with committed offsets is NOT a
+    'first' batch, so nothing force-reloads."""
+    from data_engineer_challenge_spark.streaming.daemon import CdwDaemon
+
+    daemon, root = daemon_env
+    r1 = daemon.tick()
+    assert r1.batch_number == 1 and r1.upload_id_patient == 1
+
+    # a second tick with a registry touch advances the patient counter
+    import os, time
+
+    time.sleep(0.01)
+    os.utime(str(root / "export_patient.xlsx"))
+    r2 = daemon.tick()
+    assert r2.upload_id_patient == 2
+
+    # "restart": a NEW daemon over the same warehouse root
+    daemon2 = CdwDaemon(
+        spark,
+        warehouse_root=str(root / "wh"),
+        registry_path=str(root / "export_patient.xlsx"),
+        documents_dir=str(root / "docs"),
+    )
+    assert daemon2.batch_number == r2.batch_number
+    assert daemon2.upload_id_patient == 2
+    r3 = daemon2.tick()  # nothing changed on disk
+    assert r3.batch_number == r2.batch_number + 1
+    assert not r3.patients_fired and not r3.documents_fired  # no force-reload
+    assert r3.upload_id_patient == 2  # counter resumed, not reset
