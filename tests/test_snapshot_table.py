@@ -265,3 +265,21 @@ def test_random_walk_matches_model(spark, tmp_path):
         last_version = v
         got = sorted(r["id"] for r in t.read().collect())
         assert got == sorted(model), (step, op, got, model)
+
+
+def test_txn_window_trims_oldest(spark, tmp_path, monkeypatch):
+    """The rolling txn map is bounded by _TXN_WINDOW: the newest ids
+    survive every commit, the oldest fall out — so a replay INSIDE the
+    window absorbs and a replay OLDER than the window (the documented
+    trade) would land again. Pins the trim so the bound is real, not
+    aspirational."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    monkeypatch.setattr(SnapshotTable, "_TXN_WINDOW", 3)
+    for i in range(5):
+        t.append(_df(spark, [i]), txn=f"b-{i}")
+    txns = t._manifest(t.current_version())["txns"]
+    assert set(txns) == {"b-2", "b-3", "b-4"}  # newest 3 kept
+    # inside the window: absorbed
+    assert t.append(_df(spark, [99]), txn="b-3") is None
+    # older than the window: forgotten -> lands again (documented)
+    assert t.append(_df(spark, [0]), txn="b-0") is not None
