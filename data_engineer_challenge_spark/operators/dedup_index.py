@@ -24,11 +24,17 @@ typical exactly-once ingest loop is::
     index.append(fresh)           # only survivors join the corpus
     wh.merge_upsert(table, fresh, keys)
 
-At 100 TB the postings table would be written bucketed by ``bh`` so a
-probe prunes to matching buckets instead of scanning all postings;
-plain parquet keeps this self-contained here and the join shape — the
-index side never moves, batch postings broadcast — is already the
-scale posture.
+The postings table is written hash-partitioned on the band hash —
+``bands/bh_bucket=<pmod(hash(bh), bh_buckets)>/`` — the same key-hash
+directory layout ParquetWarehouse uses (operators/merge.py). A probe
+first computes which buckets the batch's own postings hash into (a
+driver-side list of at most ``bh_buckets`` ints, same bounded shape
+as the warehouse's touched-bucket collect) and reads ONLY those
+partitions: the stored-postings FileScan carries a non-empty
+``PartitionFilters`` (pinned by a plan-shape test), so at 100 TB a
+small batch touches a small fraction of the postings files instead
+of scanning all of them. The join shape on the surviving buckets is
+unchanged — the index side never moves, batch postings broadcast.
 
 Reference context: the reference deduplicates only within the current
 load (exo_1.py:32-34 keep-first, exo_2.py:93-97 seen-set); an
@@ -44,6 +50,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .similarity import _require_long_ids
 from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
 
 
@@ -56,6 +63,7 @@ class MinHashIndex:
         bands: int = 21,
         shingle_n: int = 2,
         threshold: float = 0.8,
+        bh_buckets: int = 32,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -65,6 +73,7 @@ class MinHashIndex:
             "bands": bands,
             "shingle_n": shingle_n,
             "threshold": threshold,
+            "bh_buckets": bh_buckets,
         }
         meta_path = os.path.join(path, "meta", "meta.json")
         if os.path.exists(meta_path):
@@ -93,8 +102,15 @@ class MinHashIndex:
     def _shingles_dir(self) -> str:
         return os.path.join(self.path, "shingles")
 
+    def _bucket_expr(self):
+        """Partition key for a posting: ``pmod(hash(bh), bh_buckets)``.
+        Spark's ``hash`` (Murmur3) of a long is stable across sessions,
+        so buckets written by one process prune correctly in another."""
+        return F.pmod(F.hash(F.col("bh")), F.lit(self.meta["bh_buckets"]))
+
     def _prepare(self, docs: DataFrame, id_col: str, text_col: str):
-        """(id, hs) + (band, bh, id) frames for a document batch."""
+        """(id, hs) + (band, bh, id, bh_bucket) frames for a batch."""
+        _require_long_ids(docs, id_col, "MinHashIndex")
         par = self.spark.sparkContext.defaultParallelism
         base = (
             docs.select(
@@ -117,7 +133,7 @@ class MinHashIndex:
             F.col("__band").alias("band"),
             F.col("__bh").alias("bh"),
             F.col("__id").alias("id"),
-        )
+        ).withColumn("bh_bucket", self._bucket_expr())
         return base, banded
 
     def _write_meta(self) -> None:
@@ -136,7 +152,11 @@ class MinHashIndex:
         base = base.cache()
         try:
             base.write.mode(mode).parquet(self._shingles_dir())
-            banded.write.mode(mode).parquet(self._bands_dir())
+            # hash-partitioned postings: probes prune to the buckets
+            # their own band hashes land in (see module docstring)
+            banded.write.partitionBy("bh_bucket").mode(mode).parquet(
+                self._bands_dir()
+            )
         finally:
             base.unpersist()
 
@@ -168,6 +188,7 @@ class MinHashIndex:
             # a fresh index holds nothing to match — the documented
             # probe-first ingest loop must work from the empty state,
             # not crash on the missing postings directory
+            _require_long_ids(docs, id_col, "MinHashIndex")
             return self.spark.createDataFrame(
                 [], "new_id long, dup_of long, jaccard double"
             )
@@ -179,7 +200,28 @@ class MinHashIndex:
         # the probe result is materialized.
         new_base = new_base.cache()
         self._cached.append(new_base)
-        stored_bands = self.spark.read.parquet(self._bands_dir())
+        new_banded = new_banded.cache()
+        self._cached.append(new_banded)
+        # which posting buckets can this batch possibly match? A
+        # driver-side list of ≤ bh_buckets ints (bounded by parameter,
+        # not by data) — the same touched-bucket collect the warehouse
+        # MERGE does. Filtering the stored read on the PARTITION column
+        # turns it into partition pruning: the FileScan lists only the
+        # matching bh_bucket= directories (PartitionFilters non-empty,
+        # pinned by a plan-shape test).
+        touched = sorted(
+            r[0]
+            for r in new_banded.select("bh_bucket").distinct().collect()
+        )
+        # explicit schema: a partitioned write of an EMPTY batch (every
+        # doc deduped away) leaves bands/ with no schema-bearing file,
+        # and schema inference would fail where "no postings yet" is a
+        # legal state of the ingest loop
+        stored_bands = (
+            self.spark.read.schema("band int, bh long, id long, bh_bucket int")
+            .parquet(self._bands_dir())
+            .filter(F.col("bh_bucket").isin(touched))
+        )
         # the index side never shuffles: batch postings broadcast onto it
         cands = (
             stored_bands.join(

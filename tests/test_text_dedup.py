@@ -499,7 +499,14 @@ def test_minhash_index_incremental_probe(spark, tmp_path):
         ],
         "doc_id long, text string",
     )
-    dups = {r["new_id"]: r for r in idx.probe(batch).collect()}
+    # probe reports EVERY indexed match over threshold (the corpus has
+    # its own near-dup families, so an exact copy of doc A also matches
+    # A's near-dups) — assert on the best match per new doc, which is
+    # row-order independent
+    dups: dict = {}
+    for r in idx.probe(batch).collect():
+        if r["new_id"] not in dups or r["jaccard"] > dups[r["new_id"]]["jaccard"]:
+            dups[r["new_id"]] = r
     assert 100001 in dups and dups[100001]["dup_of"] == k0
     assert dups[100001]["jaccard"] == 1.0
     assert 100002 in dups and dups[100002]["dup_of"] == k1
@@ -518,6 +525,60 @@ def test_minhash_index_incremental_probe(spark, tmp_path):
     # parameter drift is an error, not a silent recall hole
     with pytest.raises(ValueError, match="hash family"):
         MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=32, bands=16)
+
+
+def test_minhash_index_probe_prunes_posting_buckets(spark, tmp_path):
+    """The 100 TB layout claim, made literal: postings are written
+    hash-partitioned as bands/bh_bucket=<pmod(hash(bh), N)>/ and a
+    probe reads ONLY the buckets its own band hashes land in — the
+    stored-postings FileScan must carry a non-empty PartitionFilters
+    on bh_bucket, and a one-document probe must touch a strict subset
+    of the bucket directories on disk."""
+    import os
+
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(docs)
+
+    # layout: the postings dir is partitioned by bucket, and the whole
+    # corpus populates (nearly) all of them
+    bucket_dirs = [
+        d
+        for d in os.listdir(tmp_path / "idx" / "bands")
+        if d.startswith("bh_bucket=")
+    ]
+    assert len(bucket_dirs) > 1
+
+    one = docs.limit(1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    probed = idx.probe(one)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the stored-bands scan prunes on the partition column — a
+    # non-empty PartitionFilters naming bh_bucket in the FileScan.
+    # (Identify the scan by its column list, not its path: plan
+    # strings truncate long Locations at 100 chars.)
+    [bands_scan] = [
+        seg
+        for seg in plan.split("FileScan parquet")[1:]
+        if seg.lstrip().startswith("[band#")
+    ]
+    pf = bands_scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bh_bucket" in pf and pf.strip(), plan
+    # ...to a strict subset: one doc emits `bands` postings, hashing
+    # into at most `bands` buckets — fewer than the corpus populated.
+    # Recompute the touched set with the index's own bucket expression.
+    _, one_banded = idx._prepare(one, "doc_id", "text")
+    touched = {r[0] for r in one_banded.select("bh_bucket").distinct().collect()}
+    assert touched and len(touched) < len(bucket_dirs), (touched, bucket_dirs)
+    # and correctness is unchanged: the renamed copy still matches its
+    # indexed original through the pruned scan
+    assert probed.count() >= 1
 
 
 def test_winnowing_parity_fuzz(spark):
