@@ -276,16 +276,16 @@ def docs_with_embeddings_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Document fingerprinting: winnowing (Schleimer/Wilkerson/Aiken,
-# SIGMOD'03 — the MOSS algorithm). Character k-grams are hashed with
-# the engine-reproducible 60-bit md5 (same family as the SimHash/KMV
-# machinery), and each sliding window of _FP_W consecutive k-gram
-# hashes contributes its minimum — dense enough that any shared
-# substring of length k + _FP_W - 1 is guaranteed to produce a shared
-# fingerprint, sparse enough that only ~2/(w+1) of positions survive.
-# A position-wise rolling (Rabin-Karp) hash is the streaming-hardware
-# optimization of the same computation; on a set-parallel engine each
-# k-gram hashes independently in one codegen'd map stage, with
-# identical output semantics.
+# SIGMOD'03 — the MOSS algorithm). Character k-grams are hashed, and
+# each sliding window of _FP_W consecutive k-gram hashes contributes
+# its minimum — dense enough that any shared substring of length
+# k + _FP_W - 1 is guaranteed to produce a shared fingerprint, sparse
+# enough that only ~2/(w+1) of positions survive. The production hash
+# is a Rabin-Karp-style polynomial over codepoints mod 2^61-1
+# (vectorizes to K numpy sweeps per batch AND replays exactly in the
+# DuckDB oracle's HUGEINT arithmetic); an md5 tier (the
+# engine-reproducible 60-bit family SimHash/KMV use) remains as the
+# cross-engine md5 anchor. The selection guarantees are hash-agnostic.
 # ---------------------------------------------------------------------------
 
 #: k-gram length: 16 chars. Short grams (8) collide on common phrase
@@ -308,6 +308,27 @@ _FP_MIN_SHARED = 10
 
 _FP_NORM_SQL = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
+#: production k-gram hash: polynomial rolling hash over codepoints,
+#: mod the Mersenne prime 2^61-1. Chosen over md5 for the hot path
+#: because it vectorizes — one numpy multiply-add sweep per k-gram
+#: OFFSET (16 sweeps per batch) instead of one interpreted md5 call
+#: per CHARACTER POSITION — while staying exactly replayable in SQL:
+#: DuckDB evaluates Sum(code_j * B^(K-1-j)) in HUGEINT and reduces
+#: % P, landing on the identical 61-bit integer.
+_POLY_P = (1 << 61) - 1
+_POLY_B = 1_000_003
+_POLY_POW = tuple(pow(_POLY_B, _FP_K - 1 - j, _POLY_P) for j in range(_FP_K))
+
+_POLY_H_SQL = (
+    "("
+    + " + ".join(
+        f"CAST(unicode(substr(t, CAST(pos + {j} AS INTEGER), 1)) AS HUGEINT)"
+        f" * {c}"
+        for j, c in enumerate(_POLY_POW)
+    )
+    + f") % {_POLY_P}"
+)
+
 _FP_SEL_SQL = f"""
     norm AS (
         SELECT doc_id, {_FP_NORM_SQL} AS t FROM documents
@@ -318,8 +339,7 @@ _FP_SEL_SQL = f"""
     ),
     grams AS (
         SELECT doc_id, pos,
-               CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER),
-                    {_FP_K})), 1, 15)) AS BIGINT) AS h
+               CAST({_POLY_H_SQL} AS BIGINT) AS h
         FROM pos
     ),
     sel AS (
@@ -332,6 +352,55 @@ _FP_SEL_SQL = f"""
 """
 
 
+def _poly_rolling_hashes(codes, np):
+    """Vectorized k-gram hashes over a codepoint array: K multiply-add
+    sweeps in exact mod-(2^61-1) arithmetic (the 30/31-bit split keeps
+    every intermediate under 2^63 — no uint64 overflow, no Python loop
+    over positions). Returns int64 in [0, 2^61-1) for every position,
+    bit-equal to the oracle's HUGEINT evaluation of the polynomial.
+
+    The caller passes the WHOLE Arrow batch's documents concatenated:
+    each position's hash depends only on its own K characters, so the
+    per-document hash slices are read back by offset afterwards — the
+    sweeps amortize over the batch instead of paying numpy dispatch
+    per document (positions straddling a document boundary are
+    computed and discarded by the slicing; K-1 waste rows per doc)."""
+    n = len(codes) - (_FP_K - 1)
+    m61 = np.uint64(_POLY_P)
+    m30 = np.uint64((1 << 30) - 1)
+    s31 = np.uint64(31)
+    s30 = np.uint64(30)
+    s61 = np.uint64(61)
+    acc = np.zeros(n, dtype=np.uint64)
+    t1 = np.empty(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    last = len(_POLY_POW) - 1
+    for j, c in enumerate(_POLY_POW):
+        seg = codes[j : j + n]  # codepoints < 2^21
+        # (seg * (c>>31)) * 2^31 mod P via 2^61 === 1 (mod P),
+        # all in-place on two scratch buffers (the kernel is
+        # memory-bound: every avoided temporary is an avoided pass)
+        np.multiply(seg, np.uint64(c >> 31), out=t1)  # < 2^51
+        np.bitwise_and(t1, m30, out=tmp)
+        np.left_shift(tmp, s31, out=tmp)
+        np.right_shift(t1, s30, out=t1)
+        np.add(t1, tmp, out=t1)  # < 2^61 + 2^21
+        acc += t1
+        np.multiply(seg, np.uint64(c & 0x7FFFFFFF), out=t1)  # < 2^52
+        acc += t1
+        if j % 2 == 1 or j == last:
+            # fold every OTHER sweep: two unfolded terms keep
+            # acc < 3 * 2^61 < 2^64, and halving the folds saves
+            # three array passes per skipped sweep
+            np.bitwise_and(acc, m61, out=tmp)
+            np.right_shift(acc, s61, out=acc)
+            np.add(acc, tmp, out=acc)
+    np.bitwise_and(acc, m61, out=tmp)
+    np.right_shift(acc, s61, out=acc)
+    np.add(acc, tmp, out=acc)
+    return np.where(acc >= m61, acc - m61, acc).astype(np.int64)
+
+
 def _winnow_norm(docs: DataFrame) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     return docs.select("doc_id", norm.alias("t")).filter(
@@ -339,24 +408,35 @@ def _winnow_norm(docs: DataFrame) -> DataFrame:
     )
 
 
-def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def _winnow_fingerprints(docs: DataFrame, tier: str = "poly") -> DataFrame:
     """(doc_id, fp) distinct winnowing fingerprints — one Arrow pass,
     MAP-ONLY: the sliding window-min is per-document state, so with
     whole documents in hand no shuffle or global window is needed at
     all (the expression form below pays a doc_id shuffle for its
-    window). Per batch: 60-bit md5 k-gram hashes (identical integer
-    math to the oracle's ``concat('0x', substr(md5(...), 1, 15))`` —
-    ``digest()[:8] >> 4`` IS the first 15 hex digits), vectorized
-    trailing-min over W shifted views, per-doc ``np.unique``.
-    Bit-parity with :func:`_winnow_fingerprints_expr` is asserted in
-    tests/test_text_dedup.py; measured 4.7× faster at sf0.1 (0.8 s vs
-    3.8 s — the expression form explodes every k-gram through
-    substr+md5+conv and then shuffles).
+    window). Per batch: k-gram hashes, vectorized trailing-min over W
+    shifted views, per-doc ``np.unique``.
+
+    Two hash tiers, same selection machinery (the winnowing guarantees
+    — density ~2/(w+1), every k+w-1 shared run leaves a shared
+    fingerprint — are hash-agnostic):
+
+    - ``poly`` (production, default): :func:`_poly_kgram_hashes` — no
+      per-position interpreter work at all; the inner loop is K numpy
+      sweeps over the whole document. This is what the driver queries
+      run, and the oracle replays the identical polynomial in HUGEINT.
+    - ``md5``: one interpreted ``hashlib.md5`` call per position
+      (``digest()[:8] >> 4`` IS the first 15 hex digits, the same
+      60-bit integer the SimHash/KMV family uses). Kept as the
+      cross-engine md5 anchor, bit-parity-tested against
+      :func:`_winnow_fingerprints_expr`; per-character interpreter
+      cost makes it the slow tier at 100 TB.
 
     Partial windows at the doc head are included (the first k-gram
     always fingerprints) — a deterministic variant that only ADDS
     coverage near position 1; the oracle mirrors it because its
     trailing window min auto-clamps at the partition start."""
+    if tier not in ("poly", "md5"):
+        raise ValueError(f"unknown winnowing hash tier {tier!r}")
     base = _winnow_norm(docs).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
@@ -368,18 +448,35 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["t"].tolist()
+            if tier == "poly":
+                # hash the whole batch in one shot: one utf-32 decode
+                # + K sweeps over the concatenation, sliced back per
+                # document below
+                lens = np.array([len(t) for t in texts], dtype=np.int64)
+                codes = np.frombuffer(
+                    "".join(texts).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                batch_hs = _poly_rolling_hashes(codes, np)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             ids, fps = [], []
-            for did, t in zip(pdf["doc_id"].to_numpy(), pdf["t"]):
+            for i, (did, t) in enumerate(zip(pdf["doc_id"].to_numpy(), texts)):
                 n = len(t) - (_FP_K - 1)
-                hs = np.empty(n, dtype=np.int64)
-                md5 = hashlib.md5
-                for i in range(n):
-                    hs[i] = (
-                        int.from_bytes(
-                            md5(t[i : i + _FP_K].encode()).digest()[:8], "big"
+                if tier == "poly":
+                    hs = batch_hs[starts[i] : starts[i] + n]
+                else:
+                    hs = np.empty(n, dtype=np.int64)
+                    md5 = hashlib.md5
+                    for p in range(n):
+                        hs[p] = (
+                            int.from_bytes(
+                                md5(t[p : p + _FP_K].encode()).digest()[:8],
+                                "big",
+                            )
+                            >> 4
                         )
-                        >> 4
-                    )
                 m = hs.copy()
                 for j in range(1, _FP_W):
                     np.minimum(m[j:], hs[:-j], out=m[j:])
@@ -395,11 +492,11 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def _winnow_fingerprints_expr(docs: DataFrame) -> DataFrame:
-    """Pure-expression twin of :func:`_winnow_fingerprints` — the
-    exact plan the DuckDB oracle mirrors (explode k-gram positions →
-    md5/conv hash → trailing window min → distinct). Kept as the
-    cross-engine reference implementation and parity-test anchor; the
-    Arrow kernel is the production path."""
+    """Pure-expression md5 twin of the kernel's ``md5`` tier (explode
+    k-gram positions → md5/conv hash → trailing window min →
+    distinct). Kept as the in-Spark md5 parity anchor; the driver
+    oracle now replays the ``poly`` tier's polynomial directly
+    (``_POLY_H_SQL``), and the Arrow kernel is the production path."""
     from pyspark.sql.window import Window
 
     base = _winnow_norm(docs)

@@ -407,10 +407,10 @@ def test_fingerprint_overlap_pairs_find_planted_copy(spark):
 
 
 def test_winnowing_arrow_matches_expression_form(spark):
-    """The Arrow winnowing kernel must be bit-identical to the
-    pure-expression plan the DuckDB oracle mirrors — same md5 integer
-    math (digest[:8] >> 4 == first 15 hex digits), same window-min
-    semantics, same distinct set."""
+    """The md5-tier Arrow winnowing kernel must be bit-identical to the
+    pure-expression md5 plan — same md5 integer math (digest[:8] >> 4
+    == first 15 hex digits), same window-min semantics, same distinct
+    set. (The production poly tier has its own parity test below.)"""
     from data_engineer_challenge_spark.plans.text import (
         _winnow_fingerprints,
         _winnow_fingerprints_expr,
@@ -420,7 +420,10 @@ def test_winnowing_arrow_matches_expression_form(spark):
     from .conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    a = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(docs).collect()}
+    a = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints(docs, tier="md5").collect()
+    }
     b = {
         (r["doc_id"], r["fp"])
         for r in _winnow_fingerprints_expr(docs).collect()
@@ -439,12 +442,58 @@ def test_winnowing_arrow_matches_expression_form(spark):
         ],
         "doc_id long, text string",
     )
-    aa = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(accented).collect()}
+    aa = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints(accented, tier="md5").collect()
+    }
     bb = {
         (r["doc_id"], r["fp"])
         for r in _winnow_fingerprints_expr(accented).collect()
     }
     assert aa and aa == bb
+
+
+def test_winnowing_poly_tier_matches_reference_math(spark):
+    """The production poly tier's vectorized mod-(2^61-1) arithmetic
+    must equal a from-first-principles Python evaluation of the same
+    polynomial (arbitrary-precision ints, no numpy) run through the
+    same window-min selection — on multibyte text too, since the
+    kernel reads codepoints via utf-32 decode while the oracle uses
+    DuckDB unicode(substr(...))."""
+    from data_engineer_challenge_spark.plans.text import (
+        _FP_K,
+        _FP_W,
+        _POLY_P,
+        _POLY_POW,
+        _winnow_fingerprints,
+        _winnow_norm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "le médecin a prescrit une radiographie à l'hôpital ce matin"),
+            (2, "der größte Teil enthält umlaute äöü und scharfes ß überall"),
+            (3, "plain ascii filler text repeated a few times " * 4),
+            (4, "x" * _FP_K),  # exactly one k-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in _winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    want = {}
+    for r in _winnow_norm(docs).collect():
+        t = r["t"]
+        hs = [
+            sum(ord(t[i + j]) * c for j, c in enumerate(_POLY_POW)) % _POLY_P
+            for i in range(len(t) - _FP_K + 1)
+        ]
+        sel = {
+            min(hs[max(0, i - (_FP_W - 1)) : i + 1]) for i in range(len(hs))
+        }
+        want[r["doc_id"]] = sel
+    assert got == want and got[4] and all(got.values())
 
 
 def test_quantized_knn_recall_vs_bruteforce(spark):
@@ -601,9 +650,36 @@ def test_winnowing_parity_fuzz(spark):
         n = rng.choice([0, 3, _FP_K - 1, _FP_K, _FP_K + 1, 50, 200])
         rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    a = {(r["doc_id"], r["fp"]) for r in _winnow_fingerprints(docs).collect()}
+    a = {
+        (r["doc_id"], r["fp"])
+        for r in _winnow_fingerprints(docs, tier="md5").collect()
+    }
     b = {
         (r["doc_id"], r["fp"])
         for r in _winnow_fingerprints_expr(docs).collect()
     }
     assert a == b
+
+    # same fuzz corpus through the production poly tier vs the
+    # arbitrary-precision reference polynomial
+    from data_engineer_challenge_spark.plans.text import (
+        _FP_W,
+        _POLY_P,
+        _POLY_POW,
+        _winnow_norm,
+    )
+
+    got = {}
+    for r in _winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {}
+    for r in _winnow_norm(docs).collect():
+        t = r["t"]
+        hs = [
+            sum(ord(t[i + j]) * c for j, c in enumerate(_POLY_POW)) % _POLY_P
+            for i in range(len(t) - _FP_K + 1)
+        ]
+        want[r["doc_id"]] = {
+            min(hs[max(0, i - (_FP_W - 1)) : i + 1]) for i in range(len(hs))
+        }
+    assert got == want
