@@ -9,12 +9,14 @@ for, with nothing but parquet + atomic file creation:
 
 - **Atomic commits with optimistic concurrency.** Every commit writes
   its data into a fresh directory, then publishes manifest
-  ``_manifests/v{N}.json`` via ``O_CREAT|O_EXCL`` — the POSIX
-  mutual-exclusion primitive (HDFS/ABFS expose the same create-fails-
-  if-exists contract; S3 needs a DynamoDB-style coordinator, the one
-  real deployment caveat). Two writers racing to version N: exactly
-  one wins, the loser re-resolves and retries on N+1 — the Delta
-  commit protocol in miniature.
+  ``_manifests/v{N}.json`` through an exclusive-create commit
+  coordinator (default: POSIX hard-link; HDFS/ABFS expose the same
+  create-fails-if-exists contract). Object stores without that
+  contract inject their own coordinator via the ``commit_coordinator``
+  seam — S3 conditional PUT or a DynamoDB lock table, the same
+  abstraction Delta's LogStore provides. Two writers racing to
+  version N: exactly one wins, the loser re-resolves and retries on
+  N+1 — the Delta commit protocol in miniature.
 - **Snapshot-isolated readers + time travel.** A reader resolves ONE
   manifest and reads exactly the directories it lists. Commits never
   mutate or delete published data (until ``vacuum``), so an in-flight
@@ -45,10 +47,36 @@ class CommitConflict(Exception):
     """Another writer published this version first; caller may retry."""
 
 
+def _posix_exclusive_link(tmp: str, dst: str) -> bool:
+    """Default commit coordinator: POSIX hard-link, which fails with
+    EEXIST if another writer already published ``dst`` — the same
+    create-fails-if-exists contract HDFS and ABFS expose. Returns
+    whether this writer won the version."""
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        return False
+    return True
+
+
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_coordinator=None,
+    ) -> None:
+        """``commit_coordinator`` is the mutual-exclusion seam:
+        ``(tmp_manifest_path, final_manifest_path) -> bool`` must
+        atomically publish the fully-written tmp manifest at the final
+        path iff no other writer has, returning whether it won. The
+        default is POSIX/HDFS-style exclusive link; on object stores
+        without that contract inject one backed by, e.g., S3
+        conditional PUT (If-None-Match) or a DynamoDB lock table —
+        exactly the seam Delta's LogStore abstracts."""
         self.spark = spark
         self.path = path
+        self._commit = commit_coordinator or _posix_exclusive_link
         os.makedirs(self._manifest_dir(), exist_ok=True)
         os.makedirs(self._data_dir(), exist_ok=True)
 
@@ -142,11 +170,21 @@ class SnapshotTable:
                 f.flush()
                 os.fsync(f.fileno())
             try:
-                os.link(tmp, self._manifest_path(version))
-            except FileExistsError:
-                continue  # lost the race for this version — retry
+                won = self._commit(tmp, self._manifest_path(version))
             finally:
                 os.unlink(tmp)
+            if not won:
+                continue  # lost the race for this version — retry
+            # fsync the manifest DIRECTORY too: the file's bytes are
+            # durable (fsync'd above) but the directory entry created
+            # by link() is not until the directory inode is flushed —
+            # without this a power-loss crash could forget an already
+            # acknowledged commit
+            dfd = os.open(self._manifest_dir(), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return version
         raise CommitConflict(
             f"lost {retries} consecutive version races on {self.path!r}"

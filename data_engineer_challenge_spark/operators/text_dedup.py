@@ -179,6 +179,22 @@ def hashed_shingles(col: Column | str, n: int = 2, pre_tokenized: bool = False) 
     return F.array_distinct(combined)
 
 
+#: frames cached by minhash_candidate_pairs, pending release — the
+#: operator returns lazy plans over them, so only the caller knows
+#: when they can go (see the docstring's cache-lifetime note)
+_CACHED_FRAMES: list = []
+
+
+def release_cached() -> None:
+    """Unpersist every frame minhash_candidate_pairs has cached so
+    far — the targeted alternative to a session-wide clearCache for
+    long-lived callers sharing the session with other cached data.
+    Safe to call any time after the returned DataFrames have been
+    materialized (or abandoned)."""
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -217,10 +233,13 @@ def minhash_candidate_pairs(
     bounded recall loss on hot content for a hard per-bucket work
     bound.
 
-    Cache lifetime: the hashed-shingle intermediate is cached and
-    deliberately NOT unpersisted here — the returned plan references
-    it lazily, so the operator cannot know when the caller is done.
-    Callers that loop (bench, a daemon) should
+    Cache lifetime: the hashed-shingle and banded-postings
+    intermediates are cached and deliberately NOT unpersisted here —
+    the returned plan references them lazily, so the operator cannot
+    know when the caller is done. Both are tracked in a module
+    registry: long-lived callers (a daemon, a bench loop) call
+    :func:`release_cached` after materializing the result — the
+    targeted equivalent of ``MinHashIndex.release()`` — or a blanket
     ``spark.catalog.clearCache()`` between rounds, as bench.py does.
     """
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -237,6 +256,7 @@ def minhash_candidate_pairs(
         .select("__id", *block_cols, "__hs")
         .cache()
     )
+    _CACHED_FRAMES.append(base)
     # band join carries only (blocks, band, hash, id) — the shingle
     # arrays never enter the shuffle
     banded = minhash_bands_vectorized(
@@ -258,6 +278,7 @@ def minhash_candidate_pairs(
     # branches; measured ~25% of pipeline time at sf0.1). The cached
     # frame is narrow — n_docs × bands rows of three scalars.
     banded = banded.cache()
+    _CACHED_FRAMES.append(banded)
     left = banded.withColumnRenamed("__id", "id_a")
     right = banded.withColumnRenamed("__id", "id_b")
     cands = (
@@ -384,6 +405,8 @@ def simhash_candidate_pairs(
         .select("__id", simhash60(F.col("__toks")).alias("__sh"))
         .cache()
     )
+    _CACHED_FRAMES.append(sh)  # released via release_cached(), same
+    # lifetime contract as the minhash postings cache
     bands = sh.select(
         "__id",
         "__sh",

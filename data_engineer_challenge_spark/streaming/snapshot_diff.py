@@ -70,20 +70,43 @@ class SnapshotState:
         if os.path.exists(path):
             with open(path) as f:
                 raw = json.load(f)
-            if "snapshots" in raw and isinstance(raw.get("snapshots"), dict):
+            # an explicit version marker, not shape-sniffing: the old
+            # sniff ("does a 'snapshots' key exist?") would misread a
+            # legacy file that happened to track a directory literally
+            # named 'snapshots', silently dropping every other
+            # directory's offsets on upgrade
+            if raw.get("v") == 2:
                 return cls(
                     path=path,
                     snapshots=raw["snapshots"],
                     counters=raw.get("counters", {}),
                 )
-            # pre-counter file format: the whole document is snapshots
+            # marker-less {"snapshots": ..., "counters": ...} shape
+            # (written briefly before the marker existed): recognized
+            # only when nothing but those keys is present AND the
+            # snapshots values are per-directory dicts — a legacy file
+            # tracking a directory literally named "snapshots" fails
+            # both tests (its values are file mtimes, and it usually
+            # tracks other directories too) and falls through intact
+            if set(raw) <= {"snapshots", "counters"} and all(
+                isinstance(v, dict) for v in raw.get("snapshots", {}).values()
+            ):
+                return cls(
+                    path=path,
+                    snapshots=raw.get("snapshots", {}),
+                    counters=raw.get("counters", {}),
+                )
+            # pre-marker file format: the whole document is snapshots
             return cls(path=path, snapshots=raw)
         return cls(path=path)
 
     def save(self) -> None:
         tmp = f"{self.path}.tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshots": self.snapshots, "counters": self.counters}, f)
+            json.dump(
+                {"v": 2, "snapshots": self.snapshots, "counters": self.counters},
+                f,
+            )
         os.replace(tmp, self.path)
 
     def peek(

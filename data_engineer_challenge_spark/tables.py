@@ -8,6 +8,7 @@ call reads a partitioned/bucketed table layout unchanged.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +33,7 @@ _EVENTS_RAW = T.StructType(
 
 
 @functools.lru_cache(maxsize=None)
-def _events_ts_is_nanos(path: str) -> bool:
+def _sniff_events_nanos(path: str, mtime_ns: int, size: int) -> bool:
     import pyarrow.parquet as pq
 
     schema = pq.ParquetFile(path).schema
@@ -40,6 +41,15 @@ def _events_ts_is_nanos(path: str) -> bool:
         if col.name == "ts":
             return "nanoseconds" in str(col.logical_type)
     return False
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    # cache keyed on (path, mtime, size), not path alone: the driver
+    # regenerates testdata between rounds, and a same-path regeneration
+    # that flips the timestamp unit must not reuse a stale verdict —
+    # that would silently mis-scale every events timestamp by 1000x
+    st = os.stat(path)
+    return _sniff_events_nanos(path, st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -283,3 +283,31 @@ def test_txn_window_trims_oldest(spark, tmp_path, monkeypatch):
     assert t.append(_df(spark, [99]), txn="b-3") is None
     # older than the window: forgotten -> lands again (documented)
     assert t.append(_df(spark, [0]), txn="b-0") is not None
+
+
+def test_commit_coordinator_seam(spark, tmp_path):
+    """The mutual-exclusion primitive is injectable (the S3/DynamoDB
+    deployment seam): a coordinator that always reports a lost race
+    must surface CommitConflict without ever publishing; a counting
+    pass-through coordinator must be the one actually used."""
+    from data_engineer_challenge_spark.operators.snapshot import (
+        _posix_exclusive_link,
+    )
+
+    calls = []
+
+    def counting(tmp, dst):
+        calls.append(dst)
+        return _posix_exclusive_link(tmp, dst)
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), commit_coordinator=counting)
+    t.append(_df(spark, [1]))
+    assert len(calls) == 1 and calls[0].endswith("v000000000000.json")
+    assert _ids(t.read()) == {1}
+
+    always_loses = SnapshotTable(
+        spark, str(tmp_path / "t2"), commit_coordinator=lambda tmp, dst: False
+    )
+    with pytest.raises(CommitConflict):
+        always_loses.append(_df(spark, [2]))
+    assert always_loses.current_version() is None  # nothing published

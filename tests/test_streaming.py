@@ -342,3 +342,39 @@ def test_daemon_restart_resumes_counters(daemon_env, spark):
     assert r3.batch_number == r2.batch_number + 1
     assert not r3.patients_fired and not r3.documents_fired  # no force-reload
     assert r3.upload_id_patient == 2  # counter resumed, not reset
+
+
+def test_snapshot_state_format_versioning(tmp_path):
+    """SnapshotState.load must tell the three on-disk generations
+    apart by the explicit v-marker, not shape-sniffing: a LEGACY file
+    that happens to track a directory literally named 'snapshots' must
+    keep every directory's offsets."""
+    import json
+
+    # current format round-trips with the marker
+    p = str(tmp_path / "v2.json")
+    st = SnapshotState.load(p)
+    st.snapshots["docs"] = {"a.pdf": 1}
+    st.counters["batch"] = 7
+    st.save()
+    with open(p) as f:
+        assert json.load(f)["v"] == 2
+    st2 = SnapshotState.load(p)
+    assert st2.snapshots == {"docs": {"a.pdf": 1}} and st2.counters == {"batch": 7}
+
+    # legacy (pre-counters): whole document is {dir: {file: mtime}},
+    # including a directory named 'snapshots'
+    legacy = {"snapshots": {"a.pdf": 1}, "other": {"b.pdf": 2}}
+    lp = str(tmp_path / "legacy.json")
+    with open(lp, "w") as f:
+        json.dump(legacy, f)
+    st3 = SnapshotState.load(lp)
+    assert st3.snapshots == legacy and st3.counters == {}
+
+    # marker-less intermediate shape ({"snapshots":..., "counters":...})
+    mid = {"snapshots": {"docs": {"a.pdf": 1}}, "counters": {"batch": 3}}
+    mp = str(tmp_path / "mid.json")
+    with open(mp, "w") as f:
+        json.dump(mid, f)
+    st4 = SnapshotState.load(mp)
+    assert st4.snapshots == {"docs": {"a.pdf": 1}} and st4.counters == {"batch": 3}
