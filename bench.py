@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_fingerprint_winnowing",
     "docs_fingerprint_overlap_pairs",
     "emb_quantized_knn",
+    # r5 addition: transactional commit/time-travel (cost model:
+    # one write of the source rows + manifest commits + version read)
+    "snapshot_time_travel",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -24,16 +24,24 @@ typical exactly-once ingest loop is::
     index.append(fresh)           # only survivors join the corpus
     wh.merge_upsert(table, fresh, keys)
 
-The postings table is written hash-partitioned on the band hash —
-``bands/bh_bucket=<pmod(hash(bh), bh_buckets)>/`` — the same key-hash
-directory layout ParquetWarehouse uses (operators/merge.py). A probe
-first computes which buckets the batch's own postings hash into (a
-driver-side list of at most ``bh_buckets`` ints, same bounded shape
-as the warehouse's touched-bucket collect) and reads ONLY those
-partitions: the stored-postings FileScan carries a non-empty
-``PartitionFilters`` (pinned by a plan-shape test), so at 100 TB a
-small batch touches a small fraction of the postings files instead
-of scanning all of them. The join shape on the surviving buckets is
+Both stored tables are written hash-partitioned so probes prune
+instead of scanning — the same key-hash directory layout
+ParquetWarehouse uses (operators/merge.py):
+
+- ``bands/bh_bucket=<pmod(hash(bh), bh_buckets)>/``: a probe first
+  computes which buckets the batch's own postings hash into (a
+  driver-side list of at most ``bh_buckets`` ints, same bounded shape
+  as the warehouse's touched-bucket collect) and reads ONLY those
+  partitions.
+- ``shingles/id_bucket=<pmod(hash(id), bh_buckets)>/``: after the
+  candidate join, the probe materializes the (small) candidate pair
+  set once, collects the id-buckets its ``dup_of`` side hashes into,
+  and reads only those shingle partitions for Jaccard verification —
+  the shingles table carries full shingle sets per document, so at
+  100 TB an unpruned verify scan would dwarf the postings scan.
+
+Both FileScans carry non-empty ``PartitionFilters`` (pinned by a
+plan-shape test). The join shape on the surviving buckets is
 unchanged — the index side never moves, batch postings broadcast.
 
 Reference context: the reference deduplicates only within the current
@@ -102,11 +110,11 @@ class MinHashIndex:
     def _shingles_dir(self) -> str:
         return os.path.join(self.path, "shingles")
 
-    def _bucket_expr(self):
-        """Partition key for a posting: ``pmod(hash(bh), bh_buckets)``.
+    def _bucket_expr(self, col: str = "bh"):
+        """Partition key for a stored row: ``pmod(hash(col), N)``.
         Spark's ``hash`` (Murmur3) of a long is stable across sessions,
         so buckets written by one process prune correctly in another."""
-        return F.pmod(F.hash(F.col("bh")), F.lit(self.meta["bh_buckets"]))
+        return F.pmod(F.hash(F.col(col)), F.lit(self.meta["bh_buckets"]))
 
     def _prepare(self, docs: DataFrame, id_col: str, text_col: str):
         """(id, hs) + (band, bh, id, bh_bucket) frames for a batch."""
@@ -151,9 +159,11 @@ class MinHashIndex:
         # would accumulate for the life of the session
         base = base.cache()
         try:
-            base.write.mode(mode).parquet(self._shingles_dir())
-            # hash-partitioned postings: probes prune to the buckets
-            # their own band hashes land in (see module docstring)
+            # hash-partitioned layouts: probes prune both stored
+            # tables to the buckets they can match (module docstring)
+            base.withColumn("id_bucket", self._bucket_expr("id")).write.partitionBy(
+                "id_bucket"
+            ).mode(mode).parquet(self._shingles_dir())
             banded.write.partitionBy("bh_bucket").mode(mode).parquet(
                 self._bands_dir()
             )
@@ -236,9 +246,25 @@ class MinHashIndex:
             )
             .select(F.col("new_id"), F.col("id").alias("dup_of"))
             .dropDuplicates(["new_id", "dup_of"])
+            .cache()
         )
-        stored_sh = self.spark.read.parquet(self._shingles_dir()).select(
-            F.col("id").alias("dup_of"), F.col("hs").alias("__shb")
+        self._cached.append(cands)
+        # prune the shingle verify scan the same way: the candidate
+        # pair set is materialized once (narrow: two longs per band
+        # collision) and the dup_of side's id-buckets — again at most
+        # bh_buckets ints — select which shingle partitions can hold a
+        # verification target
+        sh_touched = sorted(
+            r[0]
+            for r in cands.select(
+                self._bucket_expr("dup_of").alias("b")
+            ).distinct().collect()
+        )
+        stored_sh = (
+            self.spark.read.schema("id long, hs array<bigint>, id_bucket int")
+            .parquet(self._shingles_dir())
+            .filter(F.col("id_bucket").isin(sh_touched))
+            .select(F.col("id").alias("dup_of"), F.col("hs").alias("__shb"))
         )
         new_sh = new_base.select(
             F.col("id").alias("new_id"), F.col("hs").alias("__sha")

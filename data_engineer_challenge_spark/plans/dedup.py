@@ -513,3 +513,56 @@ def documents_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.alias("split"),
         )
     )
+
+
+@register(
+    "dedup_index_probe",
+    # pytest-oracled (driver surface is capped at 50): this is the
+    # INCREMENTAL dedup path — MinHashIndex.probe's bucket-pruned
+    # candidate join + Jaccard verify — under a full DuckDB hash check
+    driver=False,
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    )
+    SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup under the hash check: build a
+    MinHashIndex on 80% of the corpus (doc_id % 5 != 0), probe the
+    remaining 20% as an incoming micro-batch, and return every
+    (new_id, dup_of, jaccard) match — exactly what the streaming
+    ingest's probe → left_anti → append loop consumes.
+
+    The oracle replays the semantics exhaustively: all cross-half
+    pairs with exact bigram-shingle Jaccard >= 0.8. Equality holds for
+    the same reason docs_minhash_neardup matches ITS exhaustive
+    oracle — the threshold-sized 21x3 banding misses a boundary pair
+    with probability ~3e-7 — and because probe() verifies exact
+    Jaccard on candidates. The hash check therefore covers the whole
+    bucket-pruned probe path end to end: partitioned postings write,
+    touched-bucket pruning on BOTH stored scans, broadcast candidate
+    join, and the verify join.
+
+    Fresh throwaway index per call (driver and bench call queries
+    repeatedly); cost is one banding pass over each half."""
+    import tempfile
+
+    from ..operators.dedup_index import MinHashIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="probe_idx_"))
+    idx.build(docs.filter(F.col("doc_id") % 5 != 0))
+    return idx.probe(docs.filter(F.col("doc_id") % 5 == 0))

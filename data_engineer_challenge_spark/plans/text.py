@@ -670,3 +670,177 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing and split decontamination — the two steps
+# between "clean corpus" and "tensors": concatenate documents into
+# fixed-length training sequences, and prove the held-out splits share
+# no copied text with train. Both are shard/fingerprint-parallel (no
+# global sort, no all-pairs) and exactly SQL-replayable.
+# ---------------------------------------------------------------------------
+
+#: training sequence length (tokens) for docs_pack_sequences
+_PACK_LEN = 2048
+#: number of packing shards: each shard packs independently (one
+#: window per shard — the parallel unit at 100 TB; a GLOBAL document
+#: order would funnel the cumsum through one task)
+_PACK_SHARDS = 8
+
+_MD5_LONG_SQL = "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "docs_pack_sequences",
+    # pytest-oracled (driver surface capped at 50): packing is pipeline
+    # infrastructure, like docs_train_val_split
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_MD5_LONG_SQL.format(c='doc_id')} % {_PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_before // {_PACK_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {_PACK_LEN} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing: documents are concatenated
+    in a deterministic order and split into fixed _PACK_LEN-token
+    sequences (documents may straddle a boundary — the standard
+    concat-then-chunk regime). Each document's placement is
+    ``(shard, seq_id, seq_offset)``.
+
+    Shape at scale: documents hash (md5 of the stable id — the same
+    engine-reproducible family as the split assignment) into
+    _PACK_SHARDS independent shards; each shard runs ONE running-sum
+    window over its own documents ordered by id. Packing is
+    embarrassingly parallel across shards — the global-concatenation
+    order no one actually needs is the one thing this refuses to
+    compute, because it would serialize the cumsum through a single
+    task. Determinism: placement is a pure function of (doc ids,
+    token counts), invariant across partitioning and reruns — the
+    property that makes a training run resumable and auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    md5l = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = docs.select(
+        "doc_id",
+        (md5l % _PACK_SHARDS).alias("shard"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum.alias("__cum"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"__cum div {_PACK_LEN}").alias("seq_id"),
+        (F.col("__cum") % _PACK_LEN).alias("seq_offset"),
+    )
+
+
+@register(
+    "split_contamination_pairs",
+    # pytest-oracled: decontamination audit over the winnowing
+    # fingerprint machinery (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH {_FP_SEL_SQL},
+    assign AS (
+        SELECT doc_id,
+               CASE WHEN {_MD5_LONG_SQL.format(c='doc_id')} % 100 < 95
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM documents
+    ),
+    rare AS (
+        SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {_FP_CAP}
+    )
+    SELECT a.doc_id AS train_id, b.doc_id AS heldout_id,
+           COUNT(*) AS n_shared
+    FROM sel a JOIN sel b USING (fp) JOIN rare USING (fp)
+         JOIN assign sa ON sa.doc_id = a.doc_id
+         JOIN assign sb ON sb.doc_id = b.doc_id
+    WHERE sa.split = 'train' AND sb.split = 'heldout'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_FP_MIN_SHARED}
+    """,
+)
+def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out contamination audit: pairs (train doc, held-out
+    doc) sharing >= _FP_MIN_SHARED winnowing fingerprints — copied
+    passages crossing the split boundary, the leak that silently
+    inflates eval numbers. The split is the same deterministic md5
+    bucket assignment as docs_train_val_split (val+test fused into
+    'heldout' — contamination severity does not depend on which
+    held-out slice leaked).
+
+    Shape at scale: identical to docs_fingerprint_overlap_pairs — the
+    fingerprint equi-join carries ids only, over-common fingerprints
+    are dropped first (boilerplate suppression AND the per-bucket skew
+    bound) — plus a broadcast-size split assignment derived from the
+    id, so the cross-split restriction is a filter, not a new join
+    against data."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    md5l = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = F.when((md5l % 100) < 95, "train").otherwise("heldout")
+    assign = docs.select("doc_id", split.alias("split"))
+    rare = (
+        _winnow_fingerprints(docs)
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__n") <= _FP_CAP)
+        .select("doc_id", "fp")
+        .join(assign, "doc_id")
+        .cache()
+    )
+    left = rare.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    right = rare.filter(F.col("split") == "heldout").select(
+        F.col("doc_id").alias("heldout_id"), "fp"
+    )
+    return (
+        left.join(right, "fp")
+        .groupBy("train_id", "heldout_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _FP_MIN_SHARED)
+    )

@@ -612,13 +612,28 @@ def test_minhash_index_probe_prunes_posting_buckets(spark, tmp_path):
     # non-empty PartitionFilters naming bh_bucket in the FileScan.
     # (Identify the scan by its column list, not its path: plan
     # strings truncate long Locations at 100 chars.)
-    [bands_scan] = [
+    # (a cached subtree can render its scan more than once in the
+    # plan string — every occurrence must carry the filter)
+    bands_scans = [
         seg
         for seg in plan.split("FileScan parquet")[1:]
         if seg.lstrip().startswith("[band#")
     ]
-    pf = bands_scan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "bh_bucket" in pf and pf.strip(), plan
+    assert bands_scans, plan
+    for seg in bands_scans:
+        pf = seg.split("PartitionFilters: [")[1].split("]")[0]
+        assert "bh_bucket" in pf and pf.strip(), plan
+    # ...and so does the shingle VERIFY scan (id_bucket pruning from
+    # the materialized candidate set)
+    sh_scans = [
+        seg
+        for seg in plan.split("FileScan parquet")[1:]
+        if seg.lstrip().startswith("[id#")
+    ]
+    assert sh_scans, plan
+    for seg in sh_scans:
+        spf = seg.split("PartitionFilters: [")[1].split("]")[0]
+        assert "id_bucket" in spf and spf.strip(), plan
     # ...to a strict subset: one doc emits `bands` postings, hashing
     # into at most `bands` buckets — fewer than the corpus populated.
     # Recompute the touched set with the index's own bucket expression.
