@@ -31,6 +31,19 @@ not individual files, so manifest size grows with commit count, not
 data size; ``compact()`` folds the history into one directory +
 fresh commit. Reads hand Spark the directory list — partition
 pruning / predicate pushdown inside each directory is unchanged.
+
+Data skipping (the Delta/Iceberg stats tier): every commit records
+per-directory column min/max/null-count stats in the manifest,
+harvested from the parquet FOOTERS the write already produced (a
+metadata-only pass — no data is re-read, the same way Iceberg
+collects its manifest stats). ``read(where=...)`` resolves the
+manifest, drops every directory whose stats PROVE the predicate
+cannot match, and applies the exact predicate to the survivors — so
+semantics never depend on the stats, only IO does. ``delete_where``
+uses the same proof to leave untouched directories in place
+(copy-on-write rewrites only the overlapping ones), and
+``read_changes`` turns an append-only version range into a change
+feed for incremental downstream pipelines.
 """
 
 from __future__ import annotations
@@ -40,7 +53,15 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: predicate ops understood by the stats pruner; every triple is
+#: (column, op, literal) and triples are AND-ed. Kept deliberately
+#: small — a triple either PROVES a directory irrelevant or it
+#: doesn't, and anything the pruner can't reason about still
+#: evaluates exactly on the surviving rows.
+_OPS = ("=", "<", "<=", ">", ">=")
 
 
 class CommitConflict(Exception):
@@ -57,6 +78,113 @@ def _posix_exclusive_link(tmp: str, dst: str) -> bool:
     except FileExistsError:
         return False
     return True
+
+
+def _footer_stats(path: str) -> dict:
+    """Harvest per-column min/max/null-count for one commit directory
+    from its parquet footers. Metadata-only: reads row-group headers,
+    never data pages — O(files), the cost Iceberg pays to build its
+    manifests. Only JSON-safe, totally-ordered stat types (int, float,
+    str, bool) are kept; a column whose stats are missing in ANY row
+    group is dropped entirely (an incomplete min/max could wrongly
+    prune). Returns {"rows": N, "cols": {col: {"min","max","nulls"}}}.
+    """
+    import pyarrow.parquet as pq
+
+    ok_types = (int, float, str, bool)
+    cols: dict[str, dict] = {}
+    dead: set[str] = set()
+    rows = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                col = c.path_in_schema
+                if "." in col or col in dead:
+                    continue  # nested leaves: skip (names ambiguous)
+                st = c.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, ok_types)
+                    or not isinstance(st.max, ok_types)
+                ):
+                    dead.add(col)
+                    cols.pop(col, None)
+                    continue
+                cur = cols.get(col)
+                nulls = st.null_count if st.has_null_count else 0
+                if cur is None:
+                    cols[col] = {"min": st.min, "max": st.max, "nulls": nulls}
+                else:
+                    cur["min"] = min(cur["min"], st.min)
+                    cur["max"] = max(cur["max"], st.max)
+                    cur["nulls"] += nulls
+    return {"rows": rows, "cols": cols}
+
+
+def _check_where(where) -> list:
+    where = [tuple(t) for t in (where or [])]
+    for t in where:
+        if len(t) != 3 or t[1] not in _OPS:
+            raise ValueError(
+                f"predicate triple {t!r}: want (column, op, literal) "
+                f"with op in {_OPS}"
+            )
+    return where
+
+
+def _dir_may_match(stats: dict | None, where: list) -> bool:
+    """False only when the stats PROVE no row in the directory can
+    satisfy the AND of the triples. Missing stats (old manifest, type
+    the harvester skipped, incomparable literal) always keep the
+    directory — skipping is an optimization, never a semantics bet."""
+    if not where:
+        return True
+    if not stats:
+        return True
+    if stats.get("rows") == 0:
+        return False
+    for col, op, val in where:
+        st = stats.get("cols", {}).get(col)
+        if st is None:
+            continue
+        lo, hi = st["min"], st["max"]
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable literal type: no proof, keep
+    return True
+
+
+def _where_column(where: list) -> Column:
+    """The EXACT predicate the pruner approximates, as a Spark filter
+    applied to every surviving row."""
+    out = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        out = out & {
+            "=": c == val,
+            "<": c < val,
+            "<=": c <= val,
+            ">": c > val,
+            ">=": c >= val,
+        }[op]
+    return out
 
 
 class SnapshotTable:
@@ -190,10 +318,21 @@ class SnapshotTable:
             f"lost {retries} consecutive version races on {self.path!r}"
         )
 
-    def _write_commit_dir(self, df: DataFrame) -> str:
+    def _write_commit_dir(self, df: DataFrame) -> tuple[str, dict]:
         cdir = f"c-{uuid.uuid4().hex}"
-        df.write.parquet(os.path.join(self._data_dir(), cdir))
-        return cdir
+        full = os.path.join(self._data_dir(), cdir)
+        df.write.parquet(full)
+        return cdir, _footer_stats(full)
+
+    def _carried_stats(self, current: int | None, dirs: list[str]) -> dict:
+        """Predecessor stats restricted to the directories the new
+        manifest actually lists (dirs a replace/delete dropped must not
+        ride along). Directories committed before the stats tier simply
+        have no entry — the pruner keeps them unconditionally."""
+        if current is None:
+            return {}
+        prior = self._manifest(current).get("stats", {})
+        return {d: prior[d] for d in dirs if d in prior}
 
     # -- public API --------------------------------------------------
 
@@ -213,11 +352,15 @@ class SnapshotTable:
         vacuum; only a replay older than the window is forgotten."""
         if txn is not None and self._txn_seen(txn):
             return None
-        cdir = self._write_commit_dir(df)
+        cdir, cstats = self._write_commit_dir(df)
 
         def build(current: int | None) -> dict:
             dirs = [] if current is None else self._manifest(current)["dirs"]
-            m = {"op": "append", "dirs": [*dirs, cdir]}
+            m = {
+                "op": "append",
+                "dirs": [*dirs, cdir],
+                "stats": {**self._carried_stats(current, dirs), cdir: cstats},
+            }
             if txn is not None:
                 m["txn"] = txn
             return m
@@ -226,21 +369,141 @@ class SnapshotTable:
 
     def replace(self, df: DataFrame) -> int:
         """Replace the table contents; returns the committed version."""
-        cdir = self._write_commit_dir(df)
-        return self._publish(lambda current: {"op": "replace", "dirs": [cdir]})
+        cdir, cstats = self._write_commit_dir(df)
+        return self._publish(
+            lambda current: {
+                "op": "replace", "dirs": [cdir], "stats": {cdir: cstats},
+            }
+        )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, where: list | None = None
+    ) -> DataFrame:
         """Snapshot read: resolve ONE manifest, read exactly its
         directories. Stable under concurrent commits; ``version=``
-        time-travels."""
+        time-travels.
+
+        ``where`` — an AND-ed list of ``(column, op, literal)`` triples,
+        op in ``=, <, <=, >, >=`` — turns on manifest data skipping:
+        directories whose recorded min/max PROVE the predicate false
+        are never handed to Spark at all (their footers aren't even
+        opened), and the exact predicate then filters the survivors,
+        so the result is identical to ``read(version).filter(...)``
+        with strictly less IO. At 100 TB this is the difference
+        between "scan the table" and "scan the commits that can
+        contain the key range" — the same stats tier Delta/Iceberg
+        reads ship. Verify with ``df.inputFiles()``: only surviving
+        directories appear."""
+        where = _check_where(where)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"SnapshotTable at {self.path!r} is empty")
-        dirs = self._manifest(v)["dirs"]
+        m = self._manifest(v)
+        dirs = m["dirs"]
         if not dirs:
             raise FileNotFoundError(f"version {v} holds no data")
+        if not where:
+            return self.spark.read.parquet(
+                *[os.path.join(self._data_dir(), d) for d in dirs]
+            )
+        stats = m.get("stats", {})
+        kept = [d for d in dirs if _dir_may_match(stats.get(d), where)]
+        if not kept:
+            # the stats prove NO directory can hold a matching row;
+            # preserve the schema from any one directory, return no rows
+            return (
+                self.spark.read.parquet(
+                    os.path.join(self._data_dir(), dirs[0])
+                ).where(F.lit(False))
+            )
         return self.spark.read.parquet(
-            *[os.path.join(self._data_dir(), d) for d in dirs]
+            *[os.path.join(self._data_dir(), d) for d in kept]
+        ).where(_where_column(where))
+
+    def delete_where(self, where: list) -> int:
+        """Copy-on-write DELETE: directories whose stats prove they
+        hold no matching row are carried into the new version AS-IS
+        (no read, no write — at scale, almost all of them); only the
+        overlapping directories are rewritten without the matching
+        rows. Commit cost is ∝ data that might contain deletes, not
+        table size — the shape a GDPR erasure or retention sweep needs.
+        Returns the committed version."""
+        where = _check_where(where)
+        if not where:
+            raise ValueError("delete_where requires at least one triple")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"SnapshotTable at {self.path!r} is empty")
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        keep_dirs = [
+            d for d in m["dirs"] if not _dir_may_match(stats.get(d), where)
+        ]
+        touch_dirs = [d for d in m["dirs"] if d not in set(keep_dirs)]
+        new: list[tuple[str, dict]] = []
+        if touch_dirs:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self._data_dir(), d) for d in touch_dirs]
+            ).where(~_where_column(where))
+            new.append(self._write_commit_dir(survivors))
+        dirs = [*keep_dirs, *[d for d, _ in new]]
+
+        def build(current: int | None) -> dict:
+            if current != v:
+                # a commit landed after the snapshot this delete was
+                # computed from — blindly publishing would drop its
+                # rows (lost update). Serializable conflict: caller
+                # re-runs delete_where against the fresh state.
+                raise CommitConflict(
+                    f"delete_where derived from version {v} but current "
+                    f"is now {current}; re-run against the fresh snapshot"
+                )
+            return {
+                "op": "delete",
+                "dirs": dirs,
+                "rewrote": len(touch_dirs),
+                "stats": {
+                    **self._carried_stats(v, keep_dirs),
+                    **dict(new),
+                },
+            }
+
+        return self._publish(build)
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed over an APPEND-ONLY version range: the rows
+        added strictly after ``from_version`` up to ``to_version``
+        (default: current) — i.e. read only the commit directories
+        those versions introduced. This is what lets a downstream
+        incremental pipeline process each batch exactly once instead
+        of re-scanning the table per tick. If any commit in the range
+        is not an append (replace/delete rewrote history), there IS no
+        row-level delta to hand out and this raises — the caller falls
+        back to a full re-read, the same contract Delta's change feed
+        enforces when CDF data is absent."""
+        to_version = (
+            self.current_version() if to_version is None else to_version
+        )
+        if to_version is None or from_version > to_version:
+            raise ValueError(
+                f"bad change range ({from_version}, {to_version}]"
+            )
+        new_dirs: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            m = self._manifest(v)
+            if m["op"] != "append":
+                raise ValueError(
+                    f"version {v} is {m['op']!r}, not append: no row-level "
+                    "change feed across it — re-read the snapshot"
+                )
+            base = set(self._manifest(v - 1)["dirs"]) if v > 0 else set()
+            new_dirs.extend(d for d in m["dirs"] if d not in base)
+        if not new_dirs:
+            return self.read(to_version).where(F.lit(False))
+        return self.spark.read.parquet(
+            *[os.path.join(self._data_dir(), d) for d in new_dirs]
         )
 
     def compact(self) -> int:

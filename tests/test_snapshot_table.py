@@ -51,7 +51,7 @@ def test_crashed_commit_is_invisible_and_vacuumed(spark, tmp_path):
     t.append(_df(spark, [1]))
     # simulate a writer dying AFTER its data write, BEFORE its manifest
     # publish: write a commit dir by hand with no manifest reference
-    orphan = t._write_commit_dir(_df(spark, [777]))
+    orphan, _ = t._write_commit_dir(_df(spark, [777]))
     assert _ids(t.read()) == {1}  # invisible to readers
     # default retention protects a fresh dir (it could be an in-flight
     # commit); an aged-out orphan sweeps
@@ -149,7 +149,7 @@ def test_append_race_does_not_lose_the_racers_rows(spark, tmp_path):
         if not state["raced"] and dst.startswith(t._manifest_dir()):
             state["raced"] = True
             # the racer commits row 50 into the contended slot
-            rdir = t._write_commit_dir(_df(spark, [50]))
+            rdir, _ = t._write_commit_dir(_df(spark, [50]))
             base = t._manifest(t.current_version())["dirs"]
             with open(dst, "w") as f:
                 json.dump(
@@ -311,3 +311,135 @@ def test_commit_coordinator_seam(spark, tmp_path):
     with pytest.raises(CommitConflict):
         always_loses.append(_df(spark, [2]))
     assert always_loses.current_version() is None  # nothing published
+
+
+# -- data skipping / delete_where / change feed ----------------------
+
+
+def _keyed(spark, lo, hi):
+    """Rows with id in [lo, hi) — one commit per key range, so the
+    manifest stats give each directory a disjoint [min, max]."""
+    return spark.createDataFrame(
+        [(i, f"r{i}") for i in range(lo, hi)], "id long, v string"
+    )
+
+
+def test_commit_stats_recorded_from_footers(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 100))
+    st = t.history()[-1]["stats"]
+    (dstats,) = st.values()
+    assert dstats["rows"] == 100
+    assert dstats["cols"]["id"] == {"min": 0, "max": 99, "nulls": 0}
+    assert dstats["cols"]["v"]["min"] == "r0"
+
+
+def test_read_where_prunes_directories_and_matches_filter(spark, tmp_path):
+    """The hard evidence: a stats-pruned read's inputFiles() touch ONLY
+    the directories whose [min,max] overlaps the predicate, and the
+    rows equal the unpruned read + exact filter."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 100))
+    t.append(_keyed(spark, 100, 200))
+    t.append(_keyed(spark, 200, 300))
+    dirs = t.history()[-1]["dirs"]
+
+    got = t.read(where=[("id", ">=", 120), ("id", "<", 180)])
+    assert {os.path.basename(os.path.dirname(f)) for f in got.inputFiles()} == {
+        dirs[1]
+    }
+    want = {r["id"] for r in t.read().where("id >= 120 AND id < 180").collect()}
+    assert _ids(got) == want == set(range(120, 180))
+
+    # equality point-lookup prunes to one directory too
+    one = t.read(where=[("id", "=", 250)])
+    assert {os.path.basename(os.path.dirname(f)) for f in one.inputFiles()} == {
+        dirs[2]
+    }
+    assert _ids(one) == {250}
+
+    # a predicate no directory can satisfy: zero rows, correct schema
+    none = t.read(where=[("id", ">", 10_000)])
+    assert none.columns == ["id", "v"]
+    assert none.count() == 0
+
+    # string stats prune as well
+    sv = t.read(where=[("v", "=", "r42")])
+    assert _ids(sv) == {42}
+    assert {os.path.basename(os.path.dirname(f)) for f in sv.inputFiles()} <= {
+        dirs[0]
+    }
+
+
+def test_read_where_keeps_dirs_without_stats(spark, tmp_path):
+    """Directories committed before the stats tier (manifest carries no
+    entry) are NEVER pruned — skipping must be a proof, not a guess."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 50))
+    # simulate a legacy manifest: strip the stats map in place
+    mp = t._manifest_path(0)
+    m = json.load(open(mp))
+    del m["stats"]
+    os.unlink(mp)
+    json.dump(m, open(mp, "w"))
+    got = t.read(where=[("id", ">", 10_000)])
+    assert got.count() == 0  # exact filter still applies
+    assert len(got.inputFiles()) > 0  # but the dir was scanned, not skipped
+
+
+def test_delete_where_rewrites_only_overlapping_dirs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 100))
+    t.append(_keyed(spark, 100, 200))
+    t.append(_keyed(spark, 200, 300))
+    before = t.history()[-1]["dirs"]
+    v = t.delete_where([("id", ">=", 150), ("id", "<", 160)])
+    m = t.history()[-1]
+    assert m["op"] == "delete" and m["version"] == v
+    # dirs 0 and 2 carried AS-IS (same directory names — zero IO);
+    # dir 1 replaced by exactly one rewritten directory
+    assert before[0] in m["dirs"] and before[2] in m["dirs"]
+    assert before[1] not in m["dirs"]
+    assert m["rewrote"] == 1 and len(m["dirs"]) == 3
+    assert _ids(t.read()) == set(range(0, 300)) - set(range(150, 160))
+    # time travel still sees the pre-delete snapshot
+    assert _ids(t.read(version=v - 1)) == set(range(0, 300))
+    # the rewritten directory's stats were harvested on write
+    new_dir = next(d for d in m["dirs"] if d not in before)
+    assert m["stats"][new_dir]["cols"]["id"] == {
+        "min": 100, "max": 199, "nulls": 0,
+    }
+
+
+def test_delete_where_conflicts_with_concurrent_commit(spark, tmp_path):
+    """A commit landing between delete_where's snapshot resolution and
+    its publish must fail the delete (serializable), not silently drop
+    the racer's rows."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))
+    real_publish = t._publish
+
+    def racing_publish(build, **kw):
+        t2 = SnapshotTable(spark, t.path)
+        t2.append(_keyed(spark, 100, 110))  # the racer lands first
+        return real_publish(build, **kw)
+
+    t._publish = racing_publish
+    with pytest.raises(CommitConflict):
+        t.delete_where([("id", "<", 5)])
+    # nothing lost: racer's rows and the would-be-deleted rows intact
+    assert _ids(t.read()) == set(range(0, 10)) | set(range(100, 110))
+
+
+def test_read_changes_append_only_feed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))  # v0
+    t.append(_keyed(spark, 10, 20))  # v1
+    t.append(_keyed(spark, 20, 30))  # v2
+    assert _ids(t.read_changes(0)) == set(range(10, 30))
+    assert _ids(t.read_changes(0, 1)) == set(range(10, 20))
+    assert t.read_changes(2).count() == 0  # empty range, schema intact
+    t.replace(_keyed(spark, 0, 5))  # v3: history rewritten
+    with pytest.raises(ValueError, match="not append"):
+        t.read_changes(1)
+    assert _ids(t.read_changes(3, 3)) == set()  # post-replace empty range ok
