@@ -322,3 +322,39 @@ def events_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: Misra-Gries capacity for events_heavy_hitters: the per-task state
+#: bound AND the support threshold (keys with count > n/capacity are
+#: reported). A power of two keeps n/capacity exactly representable,
+#: so the Spark and DuckDB HAVING comparisons agree bit-for-bit.
+_HH_CAPACITY = 128
+
+
+@register(
+    "events_heavy_hitters",
+    # pytest-oracled (driver surface capped at 50): the sketch tier's
+    # second bounded-state member after the KMV in events_approx_stats
+    driver=False,
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           COUNT(*) / (SELECT COUNT(*) FROM events) AS share
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / {_HH_CAPACITY}
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with BOUNDED aggregation state: users whose
+    event count exceeds n/128, via per-partition Misra-Gries candidate
+    summaries (≤128 counters per task, any key cardinality) and an
+    exact broadcast-verify second pass — the two-pass shape that keeps
+    working when the naive GROUP BY's per-distinct-key hash state
+    would not (operators/frequent.py docstring for the guarantee).
+    The oracle replays the naive exact form: the outputs are provably
+    identical, which is the point — determinism and exactness survive
+    the bounded-state rewrite."""
+    from ..operators.frequent import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)

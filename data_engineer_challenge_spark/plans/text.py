@@ -844,3 +844,59 @@ def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _FP_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus rebalancing — per-stratum deterministic downsampling.
+# ---------------------------------------------------------------------------
+
+#: per-language keep-rates (percent) for docs_rebalance_sample: the
+#: dominant language is downsampled, the rest kept — the standard move
+#: when a web corpus is 10:1 English and the training mix shouldn't be.
+_REBALANCE_PCT = {"en": 25}
+_REBALANCE_DEFAULT_PCT = 100
+
+
+@register(
+    "docs_rebalance_sample",
+    # pytest-oracled (driver surface capped at 50): sampling is
+    # pipeline infrastructure, like the split assignment
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_MD5_LONG_SQL.format(c="concat('rb:', doc_id)")} % 100 <
+          CASE lang WHEN 'en' THEN {_REBALANCE_PCT['en']}
+                    ELSE {_REBALANCE_DEFAULT_PCT} END
+    """,
+)
+def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep ``pct[lang]`` % of
+    each language's documents, decided by a salted hash of the stable
+    doc id — so membership is reproducible across runs, engines, and
+    repartitioning (a seeded ``df.sample`` is none of those), and a
+    document's fate never changes when OTHER documents are added,
+    which is what makes incremental corpus rebuilds consistent.
+
+    Shape at scale: map-only — one hash + one comparison per row, no
+    shuffle, no per-stratum state; the rate table rides the closure.
+    The salt ("rb:") decorrelates this decision from the train/val
+    split hash so sampling doesn't bias split membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("rb:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pct = F.lit(_REBALANCE_DEFAULT_PCT)
+    for lang, p in _REBALANCE_PCT.items():
+        pct = F.when(F.col("lang") == lang, p).otherwise(pct)
+    return docs.where((h % 100) < pct).select("doc_id", "lang")

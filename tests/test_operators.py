@@ -45,3 +45,56 @@ def test_joins(spark):
     assert len(rows) == 2  # dedup_dim keeps one row per key; k=9 dropped
     assert anti_join(facts, dim, "k").collect()[0]["k"] == 9
     assert {r["k"] for r in semi_join(facts, dim, "k").collect()} == {1, 2}
+
+
+def test_heavy_hitters_exact_on_planted_skew(spark):
+    """Two-pass Misra-Gries + verify equals the exact GROUP BY/HAVING
+    on a corpus with planted heavies, long-tail noise, and many
+    partitions (the regime where the candidate union must not lose a
+    global heavy that is lukewarm in every single partition)."""
+    from data_engineer_challenge_spark.operators.frequent import heavy_hitters
+
+    # 2 heavies (1500 + 900 rows), 6000 tail keys with 1 row each; 32
+    # partitions spread each heavy thin: 1500/32 ≈ 47 per partition,
+    # against per-partition thresholds n_p/cap ≈ 263/16 ≈ 16
+    rows = [(1,)] * 1500 + [(2,)] * 900 + [(10_000 + i,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "k long").repartition(32)
+    got = {
+        (r["k"], r["n_rows"]) for r in heavy_hitters(df, "k", capacity=16).collect()
+    }
+    n = len(rows)
+    assert got == {(1, 1500), (2, 900)}
+    # and the shares are the exact fractions
+    shares = {
+        r["k"]: r["share"] for r in heavy_hitters(df, "k", capacity=16).collect()
+    }
+    assert shares == {1: 1500 / n, 2: 900 / n}
+
+
+def test_heavy_hitters_kernel_state_is_bounded(spark):
+    """The pass-1 kernel never yields more than ``capacity`` candidate
+    keys per partition, no matter the distinct-key count it streamed."""
+    import pandas as pd
+
+    from data_engineer_challenge_spark.operators.frequent import _mg_partition
+
+    batches = [
+        pd.DataFrame({"k": list(range(i * 1000, (i + 1) * 1000))})
+        for i in range(5)
+    ]
+    out = list(_mg_partition("k", capacity=8)(iter(batches)))
+    assert sum(len(p) for p in out) <= 8
+
+
+def test_heavy_hitters_empty_and_uniform(spark):
+    from data_engineer_challenge_spark.operators.frequent import heavy_hitters
+
+    empty = spark.createDataFrame([], "k long")
+    assert heavy_hitters(empty, "k").count() == 0
+    # perfectly uniform data above the threshold count: every key
+    # qualifies — candidates must cover all of them
+    df = spark.createDataFrame([(i % 4,) for i in range(400)], "k long")
+    got = heavy_hitters(df, "k", capacity=8)  # threshold 400/8 = 50 < 100
+    assert {(r["k"], r["n_rows"]) for r in got.collect()} == {
+        (0, 100), (1, 100), (2, 100), (3, 100),
+    }
