@@ -80,52 +80,82 @@ def _posix_exclusive_link(tmp: str, dst: str) -> bool:
     return True
 
 
-def _footer_stats(path: str) -> dict:
-    """Harvest per-column min/max/null-count for one commit directory
-    from its parquet footers. Metadata-only: reads row-group headers,
-    never data pages — O(files), the cost Iceberg pays to build its
-    manifests. Only JSON-safe, totally-ordered stat types (int, float,
-    str, bool) are kept; a column whose stats are missing in ANY row
-    group is dropped entirely (an incomplete min/max could wrongly
-    prune). Returns {"rows": N, "cols": {col: {"min","max","nulls"}}}.
-    """
+def _one_file_stats(path: str) -> dict:
+    """Min/max/null-count per column for ONE parquet file, from its
+    footer (row-group headers only — no data pages). Only JSON-safe,
+    totally-ordered stat types (int, float, str, bool) are kept; a
+    column with missing stats in ANY row group is dropped (an
+    incomplete min/max could wrongly prune)."""
     import pyarrow.parquet as pq
 
     ok_types = (int, float, str, bool)
     cols: dict[str, dict] = {}
     dead: set[str] = set()
-    rows = 0
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        meta = pq.ParquetFile(os.path.join(path, name)).metadata
-        rows += meta.num_rows
-        for rg in range(meta.num_row_groups):
-            g = meta.row_group(rg)
-            for ci in range(g.num_columns):
-                c = g.column(ci)
-                col = c.path_in_schema
-                if "." in col or col in dead:
-                    continue  # nested leaves: skip (names ambiguous)
-                st = c.statistics
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, ok_types)
-                    or not isinstance(st.max, ok_types)
-                ):
-                    dead.add(col)
-                    cols.pop(col, None)
-                    continue
-                cur = cols.get(col)
-                nulls = st.null_count if st.has_null_count else 0
-                if cur is None:
-                    cols[col] = {"min": st.min, "max": st.max, "nulls": nulls}
-                else:
-                    cur["min"] = min(cur["min"], st.min)
-                    cur["max"] = max(cur["max"], st.max)
-                    cur["nulls"] += nulls
+    meta = pq.ParquetFile(path).metadata
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            col = c.path_in_schema
+            if "." in col or col in dead:
+                continue  # nested leaves: skip (names ambiguous)
+            st = c.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, ok_types)
+                or not isinstance(st.max, ok_types)
+            ):
+                dead.add(col)
+                cols.pop(col, None)
+                continue
+            cur = cols.get(col)
+            nulls = st.null_count if st.has_null_count else 0
+            if cur is None:
+                cols[col] = {"min": st.min, "max": st.max, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], st.min)
+                cur["max"] = max(cur["max"], st.max)
+                cur["nulls"] += nulls
+    return {"rows": meta.num_rows, "cols": cols}
+
+
+def _merge_stats(parts: list[dict]) -> dict:
+    """Directory-level aggregate of per-file stats: min of mins, max of
+    maxes, summed nulls; a column absent from ANY file is dropped at
+    the directory level (its aggregate would be incomplete)."""
+    rows = sum(p["rows"] for p in parts)
+    if not parts:
+        return {"rows": 0, "cols": {}}
+    shared = set(parts[0]["cols"])
+    for p in parts[1:]:
+        shared &= set(p["cols"])
+    cols = {}
+    for col in shared:
+        ss = [p["cols"][col] for p in parts]
+        cols[col] = {
+            "min": min(s["min"] for s in ss),
+            "max": max(s["max"] for s in ss),
+            "nulls": sum(s["nulls"] for s in ss),
+        }
     return {"rows": rows, "cols": cols}
+
+
+def _footer_stats(path: str) -> dict:
+    """Harvest stats for one commit directory: per-FILE min/max/nulls
+    (the Delta-log granularity — what makes skipping work INSIDE a
+    directory after ``optimize`` clusters it) plus the directory-level
+    aggregate the coarse pruning pass reads first. Metadata-only:
+    O(files) footer reads, the cost Iceberg pays to build manifests.
+    Returns {"rows", "cols", "files": {name: {"rows", "cols"}}}."""
+    per_file = {
+        name: _one_file_stats(os.path.join(path, name))
+        for name in sorted(os.listdir(path))
+        if name.endswith(".parquet")
+    }
+    out = _merge_stats(list(per_file.values()))
+    out["files"] = per_file
+    return out
 
 
 def _check_where(where) -> list:
@@ -169,6 +199,41 @@ def _dir_may_match(stats: dict | None, where: list) -> bool:
         except TypeError:
             continue  # incomparable literal type: no proof, keep
     return True
+
+
+#: Z-order grid resolution per key: 16 bits — 65k cells per dimension,
+#: plenty to separate n_files ≤ a few thousand file ranges, while the
+#: interleaved value stays well inside a long for up to 4 keys.
+_Z_BITS = 16
+
+
+def _zvalue(cols: list[str], ranges: dict) -> Column:
+    """Bit-interleaved Z-value of ``cols`` scaled into the 2^_Z_BITS
+    grid by each column's [min, max] (from manifest stats). Pure
+    column expressions — JVM-side, codegen-friendly; NULL scales to
+    cell 0 (sorts first, same as a NULLS FIRST cluster)."""
+    k = len(cols)
+    cells = []
+    top = (1 << _Z_BITS) - 1
+    for c in cols:
+        lo, hi = ranges[c]
+        span = float(hi - lo) if hi > lo else 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        cells.append(
+            F.coalesce(
+                F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled)),
+                F.lit(0).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        for i, n in enumerate(cells):
+            bit = F.shiftright(n, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
 
 
 def _where_column(where: list) -> Column:
@@ -408,17 +473,30 @@ class SnapshotTable:
             )
         stats = m.get("stats", {})
         kept = [d for d in dirs if _dir_may_match(stats.get(d), where)]
-        if not kept:
-            # the stats prove NO directory can hold a matching row;
+        # second granularity: per-FILE stats inside each surviving
+        # directory (what optimize() clusters for). A directory whose
+        # manifest predates file stats is read whole — pruning only on
+        # proof. A dir whose files ALL prune drops out entirely.
+        paths: list[str] = []
+        for d in kept:
+            files = (stats.get(d) or {}).get("files")
+            if not files:
+                paths.append(os.path.join(self._data_dir(), d))
+                continue
+            paths.extend(
+                os.path.join(self._data_dir(), d, name)
+                for name, fst in files.items()
+                if _dir_may_match(fst, where)
+            )
+        if not paths:
+            # the stats prove NO file can hold a matching row;
             # preserve the schema from any one directory, return no rows
             return (
                 self.spark.read.parquet(
                     os.path.join(self._data_dir(), dirs[0])
                 ).where(F.lit(False))
             )
-        return self.spark.read.parquet(
-            *[os.path.join(self._data_dir(), d) for d in kept]
-        ).where(_where_column(where))
+        return self.spark.read.parquet(*paths).where(_where_column(where))
 
     def delete_where(self, where: list) -> int:
         """Copy-on-write DELETE: directories whose stats prove they
@@ -469,6 +547,97 @@ class SnapshotTable:
             }
 
         return self._publish(build)
+
+    def optimize(
+        self,
+        by: list[str] | str,
+        n_files: int = 16,
+        zorder: bool = False,
+    ) -> int:
+        """Rewrite the table CLUSTERED on ``by`` so the per-file stats
+        actually prune (Delta ``OPTIMIZE ... ZORDER BY`` in miniature).
+        Appends arrive in insertion order, so every file's [min,max]
+        on a query key tends to span the whole domain and file skipping
+        proves nothing; after clustering, each of the ``n_files`` files
+        covers a narrow key range and a point/range ``read(where=...)``
+        touches the few files whose range overlaps.
+
+        - Single key or lexicographic multi-key: ``repartitionByRange``
+          on the key(s) + ``sortWithinPartitions`` (tight row-group
+          stats inside each file).
+        - ``zorder=True`` (two or more NUMERIC keys): cluster on the
+          bit-interleaved Z-value of the keys scaled into 16-bit grid
+          cells — a range predicate on ANY single key then maps to a
+          bounded set of Z-runs, so skipping works per-key without one
+          key dominating the sort (the reason Delta Z-orders instead
+          of sorting). The grid is scaled by each key's [min,max] READ
+          FROM THE MANIFEST STATS — metadata the table already has; no
+          extra data pass.
+
+        Serializable like ``delete_where``: a commit racing past the
+        snapshot this rewrite was derived from raises CommitConflict
+        rather than being silently dropped. Returns the new version."""
+        cols = [by] if isinstance(by, str) else list(by)
+        if not cols:
+            raise ValueError("optimize requires at least one column")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"SnapshotTable at {self.path!r} is empty")
+        df = self.read(version=v)
+        if zorder:
+            if len(cols) < 2:
+                raise ValueError("zorder needs two or more columns")
+            ranges = self._stat_ranges(v, cols)
+            zcol = _zvalue(cols, ranges)
+            clustered = (
+                df.withColumn("__z", zcol)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.repartitionByRange(
+                n_files, *cols
+            ).sortWithinPartitions(*cols)
+        cdir, cstats = self._write_commit_dir(clustered)
+
+        def build(current: int | None) -> dict:
+            if current != v:
+                raise CommitConflict(
+                    f"optimize derived from version {v} but current is "
+                    f"now {current}; re-run against the fresh snapshot"
+                )
+            return {
+                "op": "optimize",
+                "dirs": [cdir],
+                "by": cols,
+                "zorder": zorder,
+                "stats": {cdir: cstats},
+            }
+
+        return self._publish(build)
+
+    def _stat_ranges(self, version: int, cols: list[str]) -> dict:
+        """[min, max] per column aggregated across every directory of
+        ``version``, from manifest stats alone. Raises if any directory
+        lacks stats for a requested column — scaling a Z-grid from a
+        partial range would silently mis-cluster."""
+        m = self._manifest(version)
+        stats = m.get("stats", {})
+        out: dict[str, tuple] = {}
+        for col in cols:
+            lo = hi = None
+            for d in m["dirs"]:
+                st = (stats.get(d) or {}).get("cols", {}).get(col)
+                if st is None or not isinstance(st["min"], (int, float)):
+                    raise ValueError(
+                        f"no numeric manifest stats for column {col!r} in "
+                        f"directory {d!r} — cannot scale the cluster grid"
+                    )
+                lo = st["min"] if lo is None else min(lo, st["min"])
+                hi = st["max"] if hi is None else max(hi, st["max"])
+            out[col] = (lo, hi)
+        return out
 
     def read_changes(
         self, from_version: int, to_version: int | None = None

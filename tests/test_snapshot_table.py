@@ -443,3 +443,92 @@ def test_read_changes_append_only_feed(spark, tmp_path):
     with pytest.raises(ValueError, match="not append"):
         t.read_changes(1)
     assert _ids(t.read_changes(3, 3)) == set()  # post-replace empty range ok
+
+
+# -- optimize: clustering + file-level skipping ----------------------
+
+
+def _nfiles(df):
+    return len(set(df.inputFiles()))
+
+
+def test_optimize_clusters_then_files_prune(spark, tmp_path):
+    """Before optimize, ids are striped across every commit (mod 3) so
+    NO directory- or file-level range proof exists and a point lookup
+    scans everything; after optimize(by='id') the same lookup touches
+    exactly the one file whose range holds the key."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for r in range(3):  # dir i holds ids ≡ i (mod 3): all dirs span 0..900
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(r, 900, 3)], "id long"
+            ).coalesce(1)
+        )
+    before = t.read(where=[("id", "=", 451)])
+    assert _nfiles(before) == 3  # stats can't prune interleaved commits
+    assert _ids(before) == {451}
+
+    v = t.optimize(by="id", n_files=8)
+    m = t.history()[-1]
+    assert m["op"] == "optimize" and len(m["dirs"]) == 1
+    assert len(m["stats"][m["dirs"][0]]["files"]) == 8
+    after = t.read(where=[("id", "=", 451)])
+    assert _nfiles(after) == 1  # file-level stats now prove 7 of 8 away
+    assert _ids(after) == {451}
+    # range scan touches only overlapping files, result identical
+    rng = t.read(where=[("id", ">=", 100), ("id", "<", 220)])
+    assert _nfiles(rng) <= 2
+    assert _ids(rng) == set(range(100, 220))
+    # and the rewrite changed no rows at all
+    assert _ids(t.read()) == set(range(0, 900))
+    assert _ids(t.read(version=v - 1)) == set(range(0, 900))  # time travel
+
+
+def test_optimize_zorder_prunes_on_both_keys(spark, tmp_path):
+    """Z-order on (x, y): a 64x64 grid. A lexicographic sort by x would
+    leave y's per-file ranges spanning the whole domain (no y pruning);
+    the Z-clustered layout must prune MOST files for a narrow range on
+    EITHER key alone."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+        )
+    )
+    t.optimize(by=["x", "y"], n_files=16, zorder=True)
+    total = _nfiles(t.read())
+    assert total == 16
+    for col in ("x", "y"):
+        got = t.read(where=[(col, ">=", 8), (col, "<", 16)])
+        assert _nfiles(got) <= total // 2, f"no skipping on {col}"
+        rows = {(r["x"], r["y"]) for r in got.collect()}
+        assert rows == {
+            (x, y)
+            for x in range(64)
+            for y in range(64)
+            if 8 <= (x if col == "x" else y) < 16
+        }
+
+
+def test_optimize_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))
+    real_publish = t._publish
+
+    def racing_publish(build, **kw):
+        SnapshotTable(spark, t.path).append(_keyed(spark, 100, 110))
+        return real_publish(build, **kw)
+
+    t._publish = racing_publish
+    with pytest.raises(CommitConflict):
+        t.optimize(by="id", n_files=2)
+    assert _ids(t.read()) == set(range(0, 10)) | set(range(100, 110))
+
+
+def test_optimize_zorder_requires_stats_and_two_cols(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))
+    with pytest.raises(ValueError, match="two or more"):
+        t.optimize(by="id", zorder=True)
+    with pytest.raises(ValueError, match="no numeric manifest stats"):
+        t.optimize(by=["id", "nope"], zorder=True)
