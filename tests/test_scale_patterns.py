@@ -211,3 +211,21 @@ def test_quantized_knn_broadcasts_queries(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_verify_pass_plan(spark):
+    """The verify pass must be the CHEAP shape: a one-column scan with
+    the candidate set pushed into the parquet reader (PushedFilters
+    In(...)), partial-aggregating only candidate rows — never a
+    full-cardinality aggregate of all keys."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["events_heavy_hitters"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("In(user_id" in l for l in scans), plan
+    assert all("ReadSchema: struct<user_id:bigint>" in l for l in scans), plan
+    assert "partial_count" in plan  # map-side combine on candidates
