@@ -900,3 +900,75 @@ def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, p in _REBALANCE_PCT.items():
         pct = F.when(F.col("lang") == lang, p).otherwise(pct)
     return docs.where((h % 100) < pct).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (the Gopher/MassiveText rules,
+# Rae et al. 2021 §A1.1, adapted to token fractions): a document
+# dominated by one repeated 2-gram, or whose 2-grams are mostly
+# duplicates, is boilerplate/spam and gets filtered before training.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_repetition_stats",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+        FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        WHERE len(ts) >= 2
+    ),
+    gc AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) + 1 AS BIGINT) AS n_tokens,
+           CAST(2 * MAX(c) AS DOUBLE) / (SUM(c) + 1) AS top_bigram_share,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+    FROM gc
+    GROUP BY doc_id
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics for quality filtering:
+    ``top_bigram_share`` (fraction of tokens covered by the single most
+    frequent 2-gram — Gopher cuts at 0.20) and ``dup_bigram_frac``
+    (fraction of 2-gram occurrences that are repeats). Documents with
+    fewer than two tokens have no 2-grams and are excluded (nothing to
+    measure).
+
+    Shape at scale: tokenize + 2-gram construction are MAP-ONLY (the
+    2-gram array is built by a ``transform`` over the token array — no
+    self-join on position); then one shuffle keyed (doc_id, gram) and
+    one keyed doc_id. ``n_tokens`` is recovered as total 2-gram
+    occurrences + 1 (each adjacent pair is counted exactly once), so
+    no join back to a per-document table is needed at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).where(
+        F.size("ts") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return gc.groupBy("doc_id").agg(
+        (F.sum("c") + 1).cast("long").alias("n_tokens"),
+        ((F.max("c") * 2).cast("double") / (F.sum("c") + 1)).alias(
+            "top_bigram_share"
+        ),
+        (
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
