@@ -122,6 +122,105 @@ def ingest_documents_deduped(
     q.awaitTermination()
 
 
+def refresh_from_changes(
+    spark: SparkSession,
+    raw,  # operators.snapshot.SnapshotTable (append-only source)
+    clean,  # operators.snapshot.SnapshotTable (deduped output)
+    index,  # operators.dedup_index.MinHashIndex
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    txn_prefix: str = "cdc",
+) -> int | None:
+    """One tick of a CHANGE-FEED-driven incremental corpus refresh: the
+    batch composition of the round's transactional pieces, no streaming
+    runtime needed.
+
+    - **Cursor**: the last processed ``raw`` version is recovered from
+      ``clean``'s own manifest txn map (txn ids are
+      ``{txn_prefix}-{raw_version}``), so the pipeline's progress is
+      committed atomically WITH its output — no side files whose loss
+      or staleness could desync cursor and data.
+    - **Delta**: ``raw.read_changes(cursor, current)`` hands over
+      exactly the rows new commits introduced — cost ∝ new data, never
+      a rescan of the raw table.
+    - **Dedup**: in-batch keep-first, then a :class:`MinHashIndex`
+      probe drops near-duplicates of anything already ingested.
+    - **Exactly-once**: the survivors append under txn
+      ``{txn_prefix}-{current}``; a replayed tick (crash after append,
+      before/during index update) is a silent no-op on ``clean`` and
+      merely re-appends index postings — which changes probe cost, not
+      probe answers (the same converging order as
+      :func:`ingest_documents_deduped`, for the same reason).
+
+    The index lags ``clean`` by design and self-heals: a crash between
+    the clean append and the index update cannot lose survivors,
+    because the next tick re-derives the index's backlog FROM CLEAN'S
+    OWN CHANGE FEED (clean is append-only, so ``clean.read_changes``
+    over the unindexed version range IS exactly the survivor set) and
+    re-appends it before processing anything new. The index-progress
+    marker is a best-effort side file under the index directory — if
+    it is lost the heal re-appends postings it already has, which
+    changes probe cost, never probe answers. Correctness (no lost
+    rows, no duplicate rows, exact cursor) rides entirely on the two
+    manifests.
+
+    Returns the committed ``clean`` version, or None if there was
+    nothing new (or a replay already committed this delta)."""
+    import json as _json
+    import os as _os
+
+    cur = raw.current_version()
+    if cur is None:
+        return None
+    marker = _os.path.join(index.path, f"_consumed_{txn_prefix}.json")
+
+    def _mark(clean_version: int) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"clean_version": clean_version}, f)
+        _os.replace(tmp, marker)
+
+    cv = clean.current_version()
+    if cv is not None:
+        # heal: index everything clean committed that the index may
+        # not have seen (crash window, lost marker — both converge)
+        indexed_v = -1
+        if _os.path.exists(marker):
+            with open(marker) as f:
+                indexed_v = _json.load(f)["clean_version"]
+        if indexed_v < cv:
+            gap = clean.read_changes(indexed_v, cv)
+            index.append(gap, id_col=id_col, text_col=text_col)
+            index.release()
+            _mark(cv)
+    cursor = -1
+    if cv is not None:
+        for txn in clean._manifest(cv).get("txns", {}):
+            if txn.startswith(f"{txn_prefix}-"):
+                cursor = max(cursor, int(txn.rsplit("-", 1)[1]))
+    if cursor >= cur:
+        return None  # nothing new
+    batch_df = raw.read_changes(cursor, cur)
+    others = sorted(c for c in batch_df.columns if c != id_col)
+    batch = keep_first_dedup(
+        batch_df, [id_col], [F.struct(*others)] if others else [id_col]
+    )
+    dups = index.probe(batch, id_col=id_col, text_col=text_col).select(
+        F.col("new_id").alias(id_col)
+    )
+    # eager pin for the same reason ingest_documents_deduped does it:
+    # `fresh` reads the index's postings through probe, and
+    # index.append below mutates them — a lazy re-evaluation would
+    # self-match every survivor and append an empty delta
+    fresh = batch.join(dups, id_col, "left_anti").localCheckpoint()
+    v = clean.append(fresh, txn=f"{txn_prefix}-{cur}")
+    if v is not None:
+        index.append(fresh, id_col=id_col, text_col=text_col)
+        index.release()
+        _mark(v)
+    return v
+
+
 def ingest_stream_snapshot_append(
     spark: SparkSession,
     source_dir: str,

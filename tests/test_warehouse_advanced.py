@@ -563,3 +563,79 @@ def test_deduped_ingest_replay_converges(spark, tmp_path):
     assert {r["new_id"] for r in probe.collect()} == {
         r["doc_id"] for r in wave.limit(3).collect()
     }
+
+
+def test_refresh_from_changes_incremental_and_crash_heal(spark, tmp_path):
+    """CDC-driven incremental corpus refresh: change-feed delta ->
+    MinHashIndex probe -> txn-idempotent append. Covers cursor
+    recovery from the manifest txn map, near-dup drops across ticks,
+    no-op ticks, and the crash window between clean-append and
+    index-append (the heal must re-index from clean's own change feed,
+    so the LATER near-dup of a survivor is still caught)."""
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+    from data_engineer_challenge_spark.streaming.ingest import (
+        refresh_from_changes,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    wave1 = docs.limit(20)
+    t0 = wave1.limit(1).collect()[0]["text"]
+
+    raw = SnapshotTable(spark, str(tmp_path / "raw"))
+    clean = SnapshotTable(spark, str(tmp_path / "clean"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(spark.createDataFrame([], schema))
+
+    # tick 1: everything is new
+    raw.append(wave1)
+    v1 = refresh_from_changes(spark, raw, clean, idx)
+    assert v1 is not None and clean.read().count() == 20
+    # idle tick: no new raw commits -> no-op, version unchanged
+    assert refresh_from_changes(spark, raw, clean, idx) is None
+    assert clean.current_version() == v1
+
+    # tick 2: near-dup of an ingested doc + one novel doc
+    raw.append(
+        spark.createDataFrame(
+            [
+                (900001, t0.rsplit(" ", 1)[0] + " zzz"),  # near-dup
+                (900002, "genuinely novel material " * 25),
+            ],
+            schema,
+        )
+    )
+    refresh_from_changes(spark, raw, clean, idx)
+    ids = {r["doc_id"] for r in clean.read().select("doc_id").collect()}
+    assert 900002 in ids and 900001 not in ids and len(ids) == 21
+
+    # crash window: novel doc committed to clean but the index append
+    # was lost — emulate by appending a survivor straight to clean
+    # (txn recorded, index never told), then feeding a near-dup of it
+    crash_doc = "survivor whose postings were lost to a crash " * 20
+    nv = raw.current_version() + 1
+    raw.append(spark.createDataFrame([(900100, crash_doc)], schema))
+    clean.append(
+        spark.createDataFrame([(900100, crash_doc)], schema),
+        txn=f"cdc-{nv}",
+    )
+    raw.append(
+        spark.createDataFrame(
+            [(900101, crash_doc.rsplit(" ", 2)[0] + " tail")], schema
+        )
+    )
+    refresh_from_changes(spark, raw, clean, idx)
+    ids = {r["doc_id"] for r in clean.read().select("doc_id").collect()}
+    # the heal indexed 900100 from clean's change feed BEFORE probing,
+    # so its near-dup was dropped — without the heal it would slip in
+    assert 900100 in ids and 900101 not in ids and len(ids) == 22
