@@ -44,6 +44,13 @@ uses the same proof to leave untouched directories in place
 (copy-on-write rewrites only the overlapping ones), and
 ``read_changes`` turns an append-only version range into a change
 feed for incremental downstream pipelines.
+
+Schema evolution: every manifest records the committed table schema;
+appends may add nullable columns (old directories read the new column
+as null) but never silently change a type. Readers pin the manifest
+schema instead of running Spark's ``mergeSchema`` footer sweep — at
+100 TB the metadata pass IS the cost, and the manifest already knows
+the answer.
 """
 
 from __future__ import annotations
@@ -389,6 +396,40 @@ class SnapshotTable:
         df.write.parquet(full)
         return cdir, _footer_stats(full)
 
+    def _evolved_schema(self, current: int | None, df: DataFrame) -> str:
+        """Schema-on-commit, the Delta shape: the manifest carries the
+        table schema as JSON, so readers NEVER pay a footer-merging
+        scan over every file (Spark's ``mergeSchema`` is O(files) of
+        footer reads — metadata at 100 TB is itself big data). An
+        append may ADD nullable columns (old rows read back as null);
+        it may not change an existing column's type or drop columns —
+        widening/renames go through an explicit rewrite, exactly the
+        strictness Delta defaults to. Returns the merged schema JSON."""
+        from pyspark.sql import types as T
+
+        if current is None:
+            return df.schema.json()
+        prior_json = self._manifest(current).get("schema")
+        if prior_json is None:
+            return df.schema.json()  # pre-schema manifests: adopt df's
+        prior = T.StructType.fromJson(json.loads(prior_json))
+        have = {f.name: f for f in prior.fields}
+        merged = list(prior.fields)
+        for f in df.schema.fields:
+            old = have.get(f.name)
+            if old is None:
+                merged.append(
+                    T.StructField(f.name, f.dataType, nullable=True)
+                )
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r} "
+                    f"from {old.dataType.simpleString()} to "
+                    f"{f.dataType.simpleString()} — rewrite the table "
+                    "explicitly (replace) if a type change is intended"
+                )
+        return T.StructType(merged).json()
+
     def _carried_stats(self, current: int | None, dirs: list[str]) -> dict:
         """Predecessor stats restricted to the directories the new
         manifest actually lists (dirs a replace/delete dropped must not
@@ -425,6 +466,9 @@ class SnapshotTable:
                 "op": "append",
                 "dirs": [*dirs, cdir],
                 "stats": {**self._carried_stats(current, dirs), cdir: cstats},
+                # inside build(): a racing append may itself have
+                # evolved the schema, so merge against the FRESH current
+                "schema": self._evolved_schema(current, df),
             }
             if txn is not None:
                 m["txn"] = txn
@@ -438,6 +482,8 @@ class SnapshotTable:
         return self._publish(
             lambda current: {
                 "op": "replace", "dirs": [cdir], "stats": {cdir: cstats},
+                # replace REDEFINES the table, schema included
+                "schema": df.schema.json(),
             }
         )
 
@@ -467,8 +513,9 @@ class SnapshotTable:
         dirs = m["dirs"]
         if not dirs:
             raise FileNotFoundError(f"version {v} holds no data")
+        reader = self._reader(m)
         if not where:
-            return self.spark.read.parquet(
+            return reader.parquet(
                 *[os.path.join(self._data_dir(), d) for d in dirs]
             )
         stats = m.get("stats", {})
@@ -492,11 +539,24 @@ class SnapshotTable:
             # the stats prove NO file can hold a matching row;
             # preserve the schema from any one directory, return no rows
             return (
-                self.spark.read.parquet(
+                reader.parquet(
                     os.path.join(self._data_dir(), dirs[0])
                 ).where(F.lit(False))
             )
-        return self.spark.read.parquet(*paths).where(_where_column(where))
+        return reader.parquet(*paths).where(_where_column(where))
+
+    def _reader(self, manifest: dict):
+        """A parquet reader pinned to the manifest's committed schema
+        (schema evolution: directories written before a column existed
+        read back with that column null — WITHOUT Spark's mergeSchema
+        footer sweep, because the manifest already knows the answer).
+        Pre-schema manifests fall back to footer inference."""
+        sj = manifest.get("schema")
+        if sj is None:
+            return self.spark.read
+        from pyspark.sql import types as T
+
+        return self.spark.read.schema(T.StructType.fromJson(json.loads(sj)))
 
     def delete_where(self, where: list) -> int:
         """Copy-on-write DELETE: directories whose stats prove they
@@ -544,6 +604,7 @@ class SnapshotTable:
                     **self._carried_stats(v, keep_dirs),
                     **dict(new),
                 },
+                "schema": m.get("schema"),
             }
 
         return self._publish(build)
@@ -613,6 +674,7 @@ class SnapshotTable:
                 "by": cols,
                 "zorder": zorder,
                 "stats": {cdir: cstats},
+                "schema": self._manifest(v).get("schema"),
             }
 
         return self._publish(build)
@@ -671,7 +733,10 @@ class SnapshotTable:
             new_dirs.extend(d for d in m["dirs"] if d not in base)
         if not new_dirs:
             return self.read(to_version).where(F.lit(False))
-        return self.spark.read.parquet(
+        # pinned to to_version's committed schema: a delta spanning a
+        # schema-evolving append reads consistently (older directories
+        # surface the new column as null)
+        return self._reader(self._manifest(to_version)).parquet(
             *[os.path.join(self._data_dir(), d) for d in new_dirs]
         )
 

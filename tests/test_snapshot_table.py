@@ -532,3 +532,47 @@ def test_optimize_zorder_requires_stats_and_two_cols(spark, tmp_path):
         t.optimize(by="id", zorder=True)
     with pytest.raises(ValueError, match="no numeric manifest stats"):
         t.optimize(by=["id", "nope"], zorder=True)
+
+
+# -- schema evolution ------------------------------------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """An append may ADD nullable columns; older directories read back
+    with the new column null, WITHOUT a mergeSchema footer sweep (the
+    manifest carries the committed schema). Time travel reproduces the
+    historical schema, and a type change is refused."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1, 2]))  # id, v
+    t.append(
+        spark.createDataFrame(
+            [(3, "r3", "fr")], "id long, v string, lang string"
+        )
+    )
+    cur = t.read()
+    assert cur.columns == ["id", "v", "lang"]
+    got = {(r["id"], r["lang"]) for r in cur.collect()}
+    assert got == {(1, None), (2, None), (3, "fr")}
+    # historical schema is the historical schema
+    assert t.read(version=0).columns == ["id", "v"]
+    # stats-pruned reads see the evolved schema too
+    assert t.read(where=[("id", "=", 1)]).columns == ["id", "v", "lang"]
+    # change feed across the evolution reads consistently
+    assert t.read_changes(0).columns == ["id", "v", "lang"]
+    # type change: refused, table intact
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.append(spark.createDataFrame([("x", "r")], "id string, v string"))
+    assert t.current_version() == 1
+
+
+def test_schema_evolution_survives_delete_and_optimize(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1, 2, 3]))
+    t.append(
+        spark.createDataFrame([(4, "r4", 9.5)], "id long, v string, score double")
+    )
+    t.delete_where([("id", "=", 2)])
+    assert t.read().columns == ["id", "v", "score"]
+    t.optimize(by="id", n_files=2)
+    got = {(r["id"], r["score"]) for r in t.read().collect()}
+    assert got == {(1, None), (3, None), (4, 9.5)}
