@@ -1,0 +1,165 @@
+"""Persisted IVF vector index with partition-pruned probes — the
+similarity-search counterpart of ``operators/dedup_index.MinHashIndex``.
+
+The batch operator (``similarity.ivf_topk``) re-assigns the whole
+corpus to centroids per run — right for one-shot jobs, wrong for a
+serving/refresh loop where each tick must answer "nearest neighbors of
+these NEW queries" without touching the historical vectors again. This
+index stores the corpus ONCE, laid out for the probe pattern:
+
+- ``postings/cid=<centroid>/`` — each vector's row written under its
+  nearest-centroid partition (Spark ``partitionBy``), so an inverted
+  list IS a partition directory.
+- ``meta/`` — the frozen coarse quantizer's fingerprint + layout
+  parameters, validated on reopen: probing with a different centroid
+  set would silently read the wrong inverted lists (same guard as
+  MinHashIndex's banding parameters).
+
+``probe(queries)`` selects each query's ``n_probe`` nearest centroids
+against the broadcast centroid table, collects the union of touched
+centroid ids (bounded by ``len(centroids)`` — same driver-bounded
+shape as the warehouse's touched-bucket lists), and reads ONLY those
+``cid=`` partitions (non-empty ``PartitionFilters``, plan-pinned).
+The index side is never shuffled; only the probed lists' candidate
+rows flow into the per-query top-k window.
+
+At 100 TB: the quantizer is trained offline on a sample and shipped as
+a constant (plans/ivf_centroids.py posture); index build is a map-only
+assignment + partitioned write; a probe touches ``n_probe/k`` of the
+data in the best case and never more than the probed partitions.
+
+Reference scope: the reference engine has no vector surface at all
+(SURVEY §2.10 — driven by BASELINE.json's "similarity search").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _require_long_ids, cosine, nearest_centroid
+
+
+class IVFVectorIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.centroids = [[float(v) for v in c] for c in centroids]
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.meta = {
+            "k": len(self.centroids),
+            "dim": len(self.centroids[0]),
+            "centroids_md5": hashlib.md5(
+                json.dumps(self.centroids).encode()
+            ).hexdigest(),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }
+        meta_path = os.path.join(path, "meta", "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != self.meta:
+                raise ValueError(
+                    f"IVFVectorIndex at {path!r} was built with {stored}; "
+                    f"reopening with {self.meta} would probe the wrong "
+                    "inverted lists"
+                )
+        else:
+            # pin parameters BEFORE any data exists (crash-mid-build
+            # guard, same rationale as MinHashIndex)
+            os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.meta, f)
+            os.replace(tmp, meta_path)
+
+    def _postings_dir(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    def _centroid_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "cid int, centroid array<double>",
+        )
+
+    def _assigned(self, corpus: DataFrame) -> DataFrame:
+        _require_long_ids(corpus, self.id_col, "IVFVectorIndex")
+        return corpus.select(
+            self.id_col,
+            self.vec_col,
+            nearest_centroid(F.col(self.vec_col), self.centroids).alias(
+                "cid"
+            ),
+        )
+
+    def build(self, corpus: DataFrame) -> None:
+        """Map-only nearest-centroid assignment + one partitioned
+        write: each inverted list lands in its own ``cid=`` directory."""
+        self._assigned(corpus).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(self._postings_dir())
+
+    def append(self, new: DataFrame) -> None:
+        """Incremental add — new vectors assign map-only and append
+        into their lists' partitions; no existing data is touched."""
+        self._assigned(new).write.mode("append").partitionBy("cid").parquet(
+            self._postings_dir()
+        )
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+        query_id: str = "q_id",
+    ) -> DataFrame:
+        """Exact-cosine top-k within each query's ``n_probe`` nearest
+        inverted lists. Returns ``(query_id, c_id, cos_sim, rank)`` with
+        the same ordering semantics as ``similarity.ivf_topk`` (ties
+        break on corpus id), so the two share an oracle for identical
+        parameters. The scan reads only touched ``cid=`` partitions."""
+        q = queries.select(
+            F.col(query_id), F.col(self.vec_col).alias("__qv")
+        )
+        qc = q.crossJoin(F.broadcast(self._centroid_df())).select(
+            query_id,
+            "__qv",
+            "cid",
+            cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+        )
+        wq = Window.partitionBy(query_id).orderBy(
+            F.col("__csim").desc(), F.col("cid")
+        )
+        probes = qc.withColumn("__pr", F.row_number().over(wq)).filter(
+            F.col("__pr") <= n_probe
+        ).select(query_id, "__qv", "cid")
+        # union of touched lists: ≤ len(centroids) ints, driver-bounded
+        touched = [r["cid"] for r in probes.select("cid").distinct().collect()]
+        postings = self.spark.read.parquet(self._postings_dir()).where(
+            F.col("cid").isin(touched)
+        )
+        scored = F.broadcast(probes).join(postings, "cid").select(
+            query_id,
+            F.col(self.id_col).alias("c_id"),
+            cosine(F.col("__qv"), F.col(self.vec_col)).alias("cos_sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("cos_sim").desc(), F.col("c_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )

@@ -414,3 +414,39 @@ def emb_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= _SQ_K)
     )
+
+
+@register(
+    "ivf_index_probe",
+    # pytest-oracled (driver surface capped at 50): the PERSISTED IVF
+    # index — partitioned inverted lists, pruned probe — must land on
+    # the exact same rows as the in-memory IVF plan, so it shares that
+    # oracle verbatim (same quantizer, n_probe, k, query set)
+    driver=False,
+    oracle=_ivf_oracle(_IVF_CENTROIDS, n_probe=12, k=10),
+)
+def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN under the hash check: build an
+    ``IVFVectorIndex`` (one map-only assignment + ``cid=`` partitioned
+    write), probe the standard query set, and return the same
+    ``(q_id, c_id, cos_sim, rank)`` surface as ``emb_ivf_topk`` — the
+    oracle is shared verbatim, so the equality proves the on-disk
+    layout + touched-partition pruning change WHERE the bytes are
+    read, not WHAT comes back. The probe's scan carries non-empty
+    PartitionFilters (plan-pinned in tests/test_text_dedup.py).
+
+    Fresh throwaway index per call (driver and bench call queries
+    repeatedly); cost is one assignment pass over the corpus."""
+    import tempfile
+
+    from ..operators.ann_index import IVFVectorIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFVectorIndex(
+        spark, tempfile.mkdtemp(prefix="ivf_idx_"), _IVF_CENTROIDS
+    )
+    idx.build(emb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return idx.probe(queries, k=10, n_probe=12)

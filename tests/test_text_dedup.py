@@ -720,3 +720,65 @@ def test_quantized_knn_recall_at_bench_scale(spark):
     recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
     assert min(recalls) >= 0.9, recalls
     assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
+def test_ivf_index_probe_prunes_partitions_and_appends(spark, tmp_path):
+    """The persisted IVF index: (1) a probe's postings scan reads ONLY
+    the touched cid= partitions (non-empty PartitionFilters + a strict
+    subset of list directories in inputFiles), (2) append adds vectors
+    to their lists without touching others, and the next probe finds
+    them, (3) reopening with a different quantizer is refused."""
+    import re as _re
+
+    from data_engineer_challenge_spark.operators.ann_index import IVFVectorIndex
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), CENTROIDS)
+    idx.build(emb)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = idx.probe(queries, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the postings scan is the one reading the partition column `cid`
+    # (tmp paths get elided in plan text, so match on the column list)
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "cid#" in l.split("Batched")[0]
+    ]
+    assert scans and all("PartitionFilters: [cid#" in l for l in scans), plan
+    # the static IN-list prunes to a STRICT subset of the inverted
+    # lists (inputFiles() reports the pre-pruning listing, so the
+    # plan's own partition filter is the honest evidence)
+    in_list = _re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert in_list, plan
+    touched = {int(x) for x in in_list.group(1).split(",")}
+    assert 0 < len(touched) < len(CENTROIDS)  # strict subset of lists
+    rows = got.collect()
+    assert rows and all(r["rank"] <= 5 for r in rows)
+
+    # append a planted vector identical to a query's: it must surface
+    # as that query's rank-1 neighbor on the next probe
+    q0 = queries.limit(1).collect()[0]
+    idx.append(
+        spark.createDataFrame(
+            [(999_999, q0["embedding"])], "vec_id long, embedding array<float>"
+        )
+    )
+    after = {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in idx.probe(queries, k=5, n_probe=2).collect()
+    }
+    # cos=1.0 ties with the query's own corpus copy; ties break on
+    # ascending c_id, so the planted twin is exactly rank 2
+    assert after[(q0["q_id"], 2)] == 999_999
+
+    # parameter guard: different centroid set refused on reopen
+    import pytest
+
+    other = [[v + 1.0 for v in c] for c in CENTROIDS]
+    with pytest.raises(ValueError, match="inverted lists"):
+        IVFVectorIndex(spark, str(tmp_path / "ivf"), other)
