@@ -229,3 +229,39 @@ def test_heavy_hitters_verify_pass_plan(spark):
     assert scans and all("In(user_id" in l for l in scans), plan
     assert all("ReadSchema: struct<user_id:bigint>" in l for l in scans), plan
     assert "partial_count" in plan  # map-side combine on candidates
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """The session enables Spark's runtime bloom-filter injection: when
+    a fact⋈dim join really shuffles (at 100 TB it does — locally we
+    must disable auto-broadcast and the 10 GB fact-scan floor to reach
+    that regime), a selective dim filter materializes as a
+    bloom_filter_agg on the dim side and a might_contain() guard on the
+    FACT side BEFORE its shuffle — rows that cannot join never cross
+    the wire."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.001"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        # the guard must sit on the FACT key, pre-shuffle
+        assert any(
+            "might_contain" in l and "l_orderkey" in l
+            for l in plan.splitlines()
+        ), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
