@@ -972,3 +972,145 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c")
         ).alias("dup_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson et al., Okapi; the Lucene idf form).
+# ---------------------------------------------------------------------------
+
+#: fixed query-term list for the registered search query (a search
+#: SERVICE parameterizes these; the oracle needs literals)
+_BM25_TERMS = ("spark", "window", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "docs_bm25_search",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, len(ts) AS dl, t.term
+        FROM toks, UNNEST(ts) AS t(term)
+        WHERE t.term IN ('spark', 'window', 'vector')
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               CAST(COUNT(*) FILTER (term = 'spark') AS BIGINT) AS tf0,
+               CAST(COUNT(*) FILTER (term = 'window') AS BIGINT) AS tf1,
+               CAST(COUNT(*) FILTER (term = 'vector') AS BIGINT) AS tf2
+        FROM hits GROUP BY doc_id, dl
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(len(ts)) / COUNT(*) AS avgdl
+        FROM toks
+    ),
+    df AS (
+        SELECT CAST(COUNT(*) FILTER (tf0 > 0) AS BIGINT) AS df0,
+               CAST(COUNT(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+               CAST(COUNT(*) FILTER (tf2 > 0) AS BIGINT) AS df2
+        FROM tf
+    ),
+    scored AS (
+        SELECT doc_id, dl, tf0, tf1, tf2,
+               ROUND(
+                 CASE WHEN tf0 = 0 THEN 0.0 ELSE
+                   ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * (tf0 * {_BM25_K1 + 1.0}) / (tf0 + {_BM25_K1} *
+                     (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) END
+               + CASE WHEN tf1 = 0 THEN 0.0 ELSE
+                   ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * (tf1 * {_BM25_K1 + 1.0}) / (tf1 + {_BM25_K1} *
+                     (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) END
+               + CASE WHEN tf2 = 0 THEN 0.0 ELSE
+                   ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * (tf2 * {_BM25_K1 + 1.0}) / (tf2 + {_BM25_K1} *
+                     (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) END
+               , 6) AS score
+        FROM tf, corpus, df
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= {_BM25_TOPK}
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Lucene idf form, k1=1.2, b=0.75)
+    for a fixed query-term set, top-{_BM25_TOPK} by score.
+
+    Shape at scale: the token explode FILTERS to the query terms
+    BEFORE any shuffle (the selective predicate is map-side, so only
+    rows containing query terms ever move), document length rides the
+    exploded rows (no join back to a doc-length table), corpus stats
+    (N, avgdl, per-term df) are scalar/tiny broadcasts, and the final
+    top-k is one WindowGroupLimit. Cross-engine determinism: per-term
+    score components are computed with an identical expression tree in
+    a FIXED term order (conditional aggregation per term, not
+    sum-over-rows, whose accumulation order would be partition-
+    dependent), so the only divergence risk is libm ln() ulps —
+    absorbed by rounding to 6 dp before ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    hits = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("dl"),
+        F.explode("ts").alias("term"),
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    aggs = [
+        F.count(F.when(F.col("term") == t, 1)).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    tf = hits.groupBy("doc_id", "dl").agg(*aggs)
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size("ts").cast("long")) / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dfs = tf.agg(
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    scored = tf.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(dfs))
+    comp = None
+    for i in range(len(_BM25_TERMS)):
+        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        tfn = (tfi * F.lit(_BM25_K1 + 1.0)) / (
+            tfi
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        term_score = F.when(tfi == 0, F.lit(0.0)).otherwise(idf * tfn)
+        comp = term_score if comp is None else comp + term_score
+    from pyspark.sql.window import Window
+
+    ranked = scored.select(
+        "doc_id", F.round(comp, 6).alias("score")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long"),
+    )
+    return ranked.where(F.col("rank") <= _BM25_TOPK)

@@ -265,3 +265,19 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_topk_compiles_to_take_ordered(spark):
+    """docs_bm25_search's global top-20 must compile to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k
+    rows per partition), never a global Sort — and the query-term
+    filter must reach the exploded stream before any shuffle."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_bm25_search"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "Sort [score" not in plan, plan
