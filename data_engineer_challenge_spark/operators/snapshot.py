@@ -129,11 +129,15 @@ def _one_file_stats(path: str) -> dict:
 
 def _merge_stats(parts: list[dict]) -> dict:
     """Directory-level aggregate of per-file stats: min of mins, max of
-    maxes, summed nulls; a column absent from ANY file is dropped at
-    the directory level (its aggregate would be incomplete)."""
+    maxes, summed nulls; a column absent from any NON-EMPTY file is
+    dropped at the directory level (its aggregate would be incomplete).
+    Zero-row files constrain nothing — Spark sometimes emits empty
+    part files for near-empty dataframes, and intersecting their empty
+    column sets would silently erase the whole directory's stats."""
     rows = sum(p["rows"] for p in parts)
+    parts = [p for p in parts if p["rows"] > 0]
     if not parts:
-        return {"rows": 0, "cols": {}}
+        return {"rows": rows, "cols": {}}
     shared = set(parts[0]["cols"])
     for p in parts[1:]:
         shared &= set(p["cols"])
@@ -580,7 +584,11 @@ class SnapshotTable:
         touch_dirs = [d for d in m["dirs"] if d not in set(keep_dirs)]
         new: list[tuple[str, dict]] = []
         if touch_dirs:
-            survivors = self.spark.read.parquet(
+            # pinned to the manifest schema: touched directories may
+            # straddle a schema evolution, and an unpinned read would
+            # adopt ONE file's footer and silently drop the columns
+            # the others carry
+            survivors = self._reader(m).parquet(
                 *[os.path.join(self._data_dir(), d) for d in touch_dirs]
             ).where(~_where_column(where))
             new.append(self._write_commit_dir(survivors))

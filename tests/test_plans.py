@@ -167,9 +167,16 @@ def test_sessionization_native_vs_lag_cumsum(spark):
 def test_no_cartesian_products(spark):
     """Every registered query must avoid CartesianProduct /
     BroadcastNestedLoopJoin except the deliberate broadcast cross joins
-    in brute-force KNN and the quantized-KNN shortlist stage (tiny
-    query side in both)."""
-    allowed = {"emb_knn_bruteforce", "emb_quantized_knn"}
+    with a bounded side: brute-force KNN and the quantized-KNN
+    shortlist (tiny query side), the IVF index probe (query side x the
+    16-row centroid table), and BM25 (two single-row corpus-stats
+    aggregates broadcast onto the per-document scores)."""
+    allowed = {
+        "emb_knn_bruteforce",
+        "emb_quantized_knn",
+        "ivf_index_probe",
+        "docs_bm25_search",
+    }
     for name in plans.REGISTRY:
         if name in allowed:
             continue

@@ -576,3 +576,45 @@ def test_schema_evolution_survives_delete_and_optimize(spark, tmp_path):
     t.optimize(by="id", n_files=2)
     got = {(r["id"], r["score"]) for r in t.read().collect()}
     assert got == {(1, None), (3, None), (4, 9.5)}
+
+
+def test_stats_survive_empty_part_files(spark, tmp_path):
+    """Spark emits zero-row part files for near-empty dataframes;
+    those must not erase the directory's stats (regression: the
+    column-set intersection across files included empty files, which
+    nondeterministically blanked stats and downgraded every
+    stats-dependent path to worst-case)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # 3 rows across the session's full default parallelism: most
+    # partitions are empty
+    t.append(
+        spark.createDataFrame([(i, f"r{i}") for i in [1, 2, 3]],
+                              "id long, v string").repartition(32)
+    )
+    st = t.history()[-1]["stats"]
+    (d,) = st.values()
+    assert d["cols"]["id"] == {"min": 1, "max": 3, "nulls": 0}
+
+
+def test_delete_rewrite_preserves_evolved_columns(spark, tmp_path):
+    """A delete whose touched set straddles a schema evolution must
+    rewrite through the manifest schema — an unpinned read would adopt
+    one file's footer and silently null the newer columns."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(1, 11)], "id long, v string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"r{i}", float(i)) for i in range(5, 16)],
+            "id long, v string, score double",
+        ).coalesce(1)
+    )
+    # id=7 lives in BOTH directories' ranges: both get rewritten
+    t.delete_where([("id", "=", 7)])
+    assert t.history()[-1]["rewrote"] == 2
+    got = {(r["id"], r["score"]) for r in t.read().collect()}
+    assert (7, None) not in got and (7, 7.0) not in got
+    assert {(5, None), (5, 5.0), (15, 15.0), (1, None)} <= got
