@@ -562,6 +562,93 @@ class SnapshotTable:
 
         return self.spark.read.schema(T.StructType.fromJson(json.loads(sj)))
 
+    def merge(
+        self, batch: DataFrame, keys: list[str], txn: str | None = None
+    ) -> int | None:
+        """Keyed MERGE (upsert): rows of ``batch`` replace same-key
+        rows and insert otherwise — Delta ``MERGE INTO`` in miniature,
+        with the stats tier doing the work: a directory whose key
+        min/max cannot intersect the batch's key envelope is carried
+        AS-IS (zero IO); only overlapping directories rewrite, as
+        (existing rows anti-join batch keys) with the batch itself
+        landing as its own new directory. Commit cost ∝ data whose key
+        range the batch touches, not table size — the same cost model
+        as ParquetWarehouse.merge_upsert, but transactional: readers
+        see the whole merge or none of it, history keeps the
+        pre-merge version, and ``txn`` makes replays no-ops (the
+        exactly-once streaming-sink contract for keyed sinks).
+
+        The batch's key envelope is its per-key [min, max] — computed
+        with one tiny aggregate on the (cached) batch. Conservative by
+        construction: a directory inside the envelope but sharing no
+        actual key rewrites to identical rows (correct, just not
+        free). Serializable: a racing commit raises CommitConflict."""
+        if not keys:
+            raise ValueError("merge requires at least one key column")
+        if txn is not None and self._txn_seen(txn):
+            return None
+        v = self.current_version()
+        if v is None:
+            return self.append(batch, txn=txn)
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        batch = batch.localCheckpoint()  # read twice: envelope + write
+        env = batch.agg(
+            *[
+                f
+                for k in keys
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).collect()[0]
+        where = []
+        for k in keys:
+            lo, hi = env[f"__lo_{k}"], env[f"__hi_{k}"]
+            if lo is None:
+                continue  # all-null key column: no envelope constraint
+            if isinstance(lo, (int, float, str, bool)):
+                where.extend([(k, ">=", lo), (k, "<=", hi)])
+        keep_dirs = [
+            d for d in m["dirs"] if not _dir_may_match(stats.get(d), where)
+        ]
+        touch_dirs = [d for d in m["dirs"] if d not in set(keep_dirs)]
+        new: list[tuple[str, dict]] = []
+        if touch_dirs:
+            existing = self._reader(m).parquet(
+                *[os.path.join(self._data_dir(), d) for d in touch_dirs]
+            )
+            survivors = existing.join(
+                F.broadcast(batch.select(*keys).distinct()), keys, "left_anti"
+            )
+            new.append(self._write_commit_dir(survivors))
+        new.append(self._write_commit_dir(batch))
+        dirs = [*keep_dirs, *[d for d, _ in new]]
+
+        def build(current: int | None) -> dict:
+            if current != v:
+                raise CommitConflict(
+                    f"merge derived from version {v} but current is now "
+                    f"{current}; re-run against the fresh snapshot"
+                )
+            out = {
+                "op": "merge",
+                "dirs": dirs,
+                "keys": keys,
+                "rewrote": len(touch_dirs),
+                "stats": {
+                    **self._carried_stats(v, keep_dirs),
+                    **dict(new),
+                },
+                "schema": self._evolved_schema(v, batch),
+            }
+            if txn is not None:
+                out["txn"] = txn
+            return out
+
+        return self._publish(build, txn=txn)
+
     def delete_where(self, where: list) -> int:
         """Copy-on-write DELETE: directories whose stats prove they
         hold no matching row are carried into the new version AS-IS

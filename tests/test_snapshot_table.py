@@ -618,3 +618,64 @@ def test_delete_rewrite_preserves_evolved_columns(spark, tmp_path):
     got = {(r["id"], r["score"]) for r in t.read().collect()}
     assert (7, None) not in got and (7, 7.0) not in got
     assert {(5, None), (5, 5.0), (15, 15.0), (1, None)} <= got
+
+
+# -- keyed MERGE -----------------------------------------------------
+
+
+def test_merge_upserts_and_carries_unaffected_dirs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 100))
+    t.append(_keyed(spark, 100, 200))
+    t.append(_keyed(spark, 200, 300))
+    before = t.history()[-1]["dirs"]
+    batch = spark.createDataFrame(
+        [(150, "UPDATED"), (155, "UPDATED"), (1000, "INSERTED")],
+        "id long, v string",
+    )
+    v = t.merge(batch, keys=["id"])
+    m = t.history()[-1]
+    assert m["op"] == "merge" and m["version"] == v
+    # the envelope [150, 1000] misses dir 0 (0..99): carried AS-IS
+    assert before[0] in m["dirs"] and m["rewrote"] == 2
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 301  # 300 originals - 0 lost + 1 insert
+    assert rows[150] == "UPDATED" and rows[155] == "UPDATED"
+    assert rows[1000] == "INSERTED" and rows[149] == "r149"
+    # pre-merge state intact under time travel
+    assert len(_ids(t.read(version=v - 1))) == 300
+
+
+def test_merge_txn_replay_is_noop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))
+    batch = spark.createDataFrame([(5, "X")], "id long, v string")
+    v = t.merge(batch, keys=["id"], txn="m-0")
+    assert v is not None
+    assert t.merge(batch, keys=["id"], txn="m-0") is None  # replay
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[5] == "X" and len(rows) == 10
+
+
+def test_merge_into_empty_table_is_append(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v = t.merge(_keyed(spark, 0, 5), keys=["id"])
+    assert v == 0 and _ids(t.read()) == set(range(5))
+
+
+def test_merge_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))
+    real_publish = t._publish
+
+    def racing_publish(build, **kw):
+        SnapshotTable(spark, t.path).append(_keyed(spark, 100, 110))
+        return real_publish(build, **kw)
+
+    t._publish = racing_publish
+    with pytest.raises(CommitConflict):
+        t.merge(
+            spark.createDataFrame([(5, "X")], "id long, v string"),
+            keys=["id"],
+        )
+    assert _ids(t.read()) == set(range(0, 10)) | set(range(100, 110))
