@@ -1,0 +1,54 @@
+"""Stream-stream event-time interval join (Structured Streaming).
+
+The attribution shape: match each right-stream event (click) to the
+left-stream events (impressions) of the same key it followed within a
+time bound. Batch engines express this as a range join
+(operators/range_join.py); on unbounded streams the same join needs
+state, and the watermark + the time-range condition are what BOUND
+that state: once the watermark passes ``left_ts + within``, a buffered
+left row can never match a future right row and Spark evicts it —
+without both constraints the join's state grows with the stream
+forever, the failure mode that kills stream-stream joins at 100 TB.
+
+The streaming join and its batch twin (same predicate on static
+frames) are asserted equivalent in tests/test_streaming.py — the
+stream-vs-batch equivalence contract every operator in streaming/
+carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Inner join: right events landing in ``[left.ts, left.ts +
+    within]`` for the same ``key``. Both inputs need an event-time
+    column ``ts``; output columns are prefixed to keep the two sides
+    apart. Works identically on static frames (no watermark applied),
+    which is what the equivalence test exploits."""
+    lcols = [F.col(c).alias(f"{left_prefix}_{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}_{c}") for c in right.columns]
+    l = left.select(*lcols)
+    r = right.select(*rcols)
+    if left.isStreaming:
+        l = l.withWatermark(f"{left_prefix}_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"{right_prefix}_ts", watermark)
+    lk, rk = f"{left_prefix}_{key}", f"{right_prefix}_{key}"
+    lts, rts = f"{left_prefix}_ts", f"{right_prefix}_ts"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)

@@ -441,3 +441,55 @@ def test_streaming_heavy_hitter_candidates(spark, tmp_path):
         "SELECT shard, COUNT(DISTINCT key) AS k FROM hh_sink GROUP BY shard"
     ).collect()
     assert all(r["k"] <= cap * 3 for r in per)  # ≤ capacity per batch emission
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (view followed by click within
+    1 h, same user) must produce exactly the rows the identical
+    predicate yields on the static frames — and the watermark +
+    range condition must let the engine actually evict join state
+    (asserted via the state-operator metrics)."""
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    from data_engineer_challenge_spark.streaming.joins import interval_join
+    from data_engineer_challenge_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    views_b = ev.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    clicks_b = ev.where("event_type = 'click'").select(
+        "user_id", "ts", "event_id"
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(views_b, clicks_b, key="user_id").collect()
+    }
+    assert want  # fixture has attributable pairs
+
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(TESTDATA["events"]).parquet(src)
+    views_s = stream.where("event_type = 'view'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks_s = stream.where("event_type = 'click'").select(
+        "user_id", "ts", "event_id"
+    )
+    q = (
+        interval_join(views_s, clicks_s, key="user_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql(
+                "SELECT l_event_id, r_event_id FROM ssj_sink"
+            ).collect()
+        }
+        stateful = [p for p in q.recentProgress if p["stateOperators"]]
+        assert stateful  # the join really carries watermarked state
+    finally:
+        q.stop()
+    assert got == want
