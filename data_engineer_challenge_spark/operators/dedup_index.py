@@ -275,4 +275,10 @@ class MinHashIndex:
             .withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
             .filter(F.col("jaccard") >= self.meta["threshold"])
             .select("new_id", "dup_of", "jaccard")
+            # the documented heal/replay path re-appends a batch's
+            # shingle rows (converging for ANSWERS); dedupe the match
+            # pairs so each repeated stored row doesn't multiply its
+            # pair in the output — applied on the RESULT (tiny) so the
+            # index side stays shuffle-free
+            .dropDuplicates(["new_id", "dup_of"])
         )

@@ -79,7 +79,14 @@ def heavy_hitters(
 
     The two extra scalars (total count, candidate list) are aggregate/
     bounded collects, not data collects; the verify pass streams once
-    more over the input with a broadcast ``isin`` filter."""
+    more over the input with a broadcast ``isin`` filter.
+
+    NULL keys are excluded by contract (filtered before either pass):
+    pandas ``value_counts`` and SQL ``IN`` both drop NULLs, so a NULL
+    group could never round-trip the two-pass machinery — excluding it
+    explicitly keeps the operator's output well-defined and its SQL
+    replay exact (the registered oracle filters NULLs identically)."""
+    df = df.where(F.col(col).isNotNull())
     n = df.count()
     if n == 0:
         return df.select(

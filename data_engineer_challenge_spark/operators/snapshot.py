@@ -281,6 +281,7 @@ class SnapshotTable:
         self.spark = spark
         self.path = path
         self._commit = commit_coordinator or _posix_exclusive_link
+        self._manifest_memo: dict = {}
         os.makedirs(self._manifest_dir(), exist_ok=True)
         os.makedirs(self._data_dir(), exist_ok=True)
 
@@ -309,8 +310,25 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        # memoized on (path, mtime_ns, size): manifests embed per-file
+        # stats and grow with file count, and one append/merge attempt
+        # consults the current manifest several times (txns, dirs,
+        # carried stats, schema) — re-parsing the full JSON each time
+        # is redundant I/O on the commit hot path. Published manifests
+        # are immutable, but keying on stat() keeps even hand-edited
+        # test manifests honest.
+        path = self._manifest_path(version)
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        hit = self._manifest_memo.get(version)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with open(path) as f:
+            m = json.load(f)
+        self._manifest_memo[version] = (key, m)
+        if len(self._manifest_memo) > 8:
+            self._manifest_memo.pop(min(self._manifest_memo))
+        return m
 
     # -- commit protocol ---------------------------------------------
 
@@ -587,12 +605,28 @@ class SnapshotTable:
             raise ValueError("merge requires at least one key column")
         if txn is not None and self._txn_seen(txn):
             return None
+        batch = batch.localCheckpoint()  # read 3x: validate+envelope+write
+        # a batch with duplicate keys has no well-defined upsert result
+        # (which row wins?) — refuse, as Delta does on multiple source
+        # matches, instead of silently persisting duplicate keys
+        dup = (
+            batch.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge batch contains duplicate keys on {keys}; "
+                "deduplicate deterministically first (e.g. "
+                "operators.dedup.keep_first_dedup)"
+            )
         v = self.current_version()
         if v is None:
             return self.append(batch, txn=txn)
         m = self._manifest(v)
         stats = m.get("stats", {})
-        batch = batch.localCheckpoint()  # read twice: envelope + write
         env = batch.agg(
             *[
                 f
@@ -677,7 +711,15 @@ class SnapshotTable:
             # the others carry
             survivors = self._reader(m).parquet(
                 *[os.path.join(self._data_dir(), d) for d in touch_dirs]
-            ).where(~_where_column(where))
+            )
+            # three-valued logic: for a NULL predicate column the
+            # condition is NULL and a bare ~cond would DROP the row —
+            # but DELETE must remove only rows the predicate PROVES
+            # match, so NULL-condition rows survive (SQL DELETE
+            # semantics; also what the stats-pruned directories do,
+            # keeping the two paths consistent)
+            cond = _where_column(where)
+            survivors = survivors.where(~cond | cond.isNull())
             new.append(self._write_commit_dir(survivors))
         dirs = [*keep_dirs, *[d for d, _ in new]]
 
@@ -743,6 +785,15 @@ class SnapshotTable:
         if zorder:
             if len(cols) < 2:
                 raise ValueError("zorder needs two or more columns")
+            if len(cols) > 3:
+                # 16 bits x 4 cols puts the top interleaved bit in the
+                # long's SIGN bit (b*k+i = 63): upper-range rows would
+                # z-sort negative and the clustering silently degrades
+                raise ValueError(
+                    "zorder supports at most 3 columns at 16-bit grid "
+                    "resolution (bit 15*k+k-1 must stay below the sign "
+                    "bit); cluster on the 3 most-queried keys"
+                )
             ranges = self._stat_ranges(v, cols)
             zcol = _zvalue(cols, ranges)
             clustered = (

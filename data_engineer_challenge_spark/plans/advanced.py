@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..tables import load_table, register_views
 from . import register
-from .helpers import dec_sum_sql, dec_sum
+from .helpers import dec_sum_sql, dec_sum, scratch_dir
 
 
 @register(
@@ -303,14 +303,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate across calls). Cost is one write of the source rows —
     same cost model as warehouse_merge_batch.
     """
-    import tempfile
-
     from ..operators.snapshot import SnapshotTable
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    tab = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_tt_"))
+    tab = SnapshotTable(spark, scratch_dir("snap_tt_"))
     tab.append(orders.filter(F.col("o_orderkey") % 3 == 0), txn="b0")
     v1 = tab.append(orders.filter(F.col("o_orderkey") % 3 == 1), txn="b1")
     if tab.append(orders.filter(F.col("o_orderkey") % 3 == 1), txn="b1") is not None:

@@ -23,6 +23,7 @@ from ..operators.text_dedup import (
 )
 from ..tables import load_table
 from . import register
+from .helpers import scratch_dir
 
 from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
 
@@ -558,11 +559,9 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fresh throwaway index per call (driver and bench call queries
     repeatedly); cost is one banding pass over each half."""
-    import tempfile
-
     from ..operators.dedup_index import MinHashIndex
 
     docs = load_table(spark, sf_dir, "documents")
-    idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="probe_idx_"))
+    idx = MinHashIndex(spark, scratch_dir("probe_idx_"))
     idx.build(docs.filter(F.col("doc_id") % 5 != 0))
     return idx.probe(docs.filter(F.col("doc_id") % 5 == 0))

@@ -336,12 +336,13 @@ _HH_CAPACITY = 128
     # second bounded-state member after the KMV in events_approx_stats
     driver=False,
     oracle=f"""
+    WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
     SELECT user_id,
            COUNT(*) AS n_rows,
-           COUNT(*) / (SELECT COUNT(*) FROM events) AS share
-    FROM events
+           COUNT(*) / (SELECT COUNT(*) FROM nn) AS share
+    FROM nn
     GROUP BY user_id
-    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / {_HH_CAPACITY}
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM nn) / {_HH_CAPACITY}
     """,
 )
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,3 +96,38 @@ def charge_expr() -> Column:
 
 REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
 CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + l_tax AS DECIMAL(4,2))"
+
+
+def md5_long(col: Column | str) -> Column:
+    """First 15 hex digits of md5(string(col)) as a 60-bit long — the
+    engine-reproducible hash family every deterministic assignment in
+    the registry uses (split/shard/sample membership, KMV, SimHash).
+    One definition so the subtle construction (binary cast, 15 digits)
+    cannot drift between call sites; the DuckDB twin is the modules'
+    ``_MD5_LONG_SQL`` / ``_H_SQL`` literals."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+_SCRATCH_ROOT: list = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp directory for throwaway per-invocation artifacts (the
+    index/table a registered query builds just to exercise its read
+    path). All scratch dirs live under ONE process-scoped root that is
+    removed at interpreter exit — without this, bench loops and the
+    driver harness (which re-invoke builders many times per process)
+    would leak a corpus copy into /tmp per call, since the returned
+    DataFrames read the files lazily and per-call deletion is unsafe."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

@@ -21,7 +21,7 @@ from ..operators.similarity import (
 )
 from ..tables import load_table
 from . import register
-from .helpers import dec_avg_sql
+from .helpers import dec_avg_sql, scratch_dir
 from .ivf_centroids import CENTROIDS as _IVF_CENTROIDS
 
 # cosine in SQL — EXACTLY the formula operators.similarity.cosine uses:
@@ -437,13 +437,11 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fresh throwaway index per call (driver and bench call queries
     repeatedly); cost is one assignment pass over the corpus."""
-    import tempfile
-
     from ..operators.ann_index import IVFVectorIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = IVFVectorIndex(
-        spark, tempfile.mkdtemp(prefix="ivf_idx_"), _IVF_CENTROIDS
+        spark, scratch_dir("ivf_idx_"), _IVF_CENTROIDS
     )
     idx.build(emb)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(

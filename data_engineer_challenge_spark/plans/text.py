@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
 from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
+from ..operators.text_dedup import _CACHED_FRAMES
 from ..tables import load_table
 from . import register
-from .helpers import dec_avg_sql, dec_sum, dec_sum_sql
+from .helpers import dec_avg_sql, dec_sum, dec_sum_sql, md5_long
 
 # language marker words for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
@@ -616,6 +617,7 @@ def docs_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "fp")
         .cache()
     )
+    _CACHED_FRAMES.append(rare)  # released via text_dedup.release_cached
     left = rare.select(F.col("doc_id").alias("id_a"), "fp")
     right = rare.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -655,13 +657,7 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     docs = load_table(spark, sf_dir, "documents")
     b = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.col("doc_id"))
         % 100
     )
     return docs.select(
@@ -737,13 +733,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    md5l = F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    md5l = md5_long(F.col("doc_id"))
     toks = docs.select(
         "doc_id",
         (md5l % _PACK_SHARDS).alias("shard"),
@@ -815,13 +805,7 @@ def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    md5l = F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    md5l = md5_long(F.col("doc_id"))
     split = F.when((md5l % 100) < 95, "train").otherwise("heldout")
     assign = docs.select("doc_id", split.alias("split"))
     rare = (
@@ -832,6 +816,7 @@ def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assign, "doc_id")
         .cache()
     )
+    _CACHED_FRAMES.append(rare)  # released via text_dedup.release_cached
     left = rare.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_id"), "fp"
     )
@@ -883,19 +868,7 @@ def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The salt ("rb:") decorrelates this decision from the train/val
     split hash so sampling doesn't bias split membership."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit("rb:"), F.col("doc_id").cast("string")).cast(
-                    "binary"
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_long(F.concat(F.lit("rb:"), F.col("doc_id").cast("string")))
     pct = F.lit(_REBALANCE_DEFAULT_PCT)
     for lang, p in _REBALANCE_PCT.items():
         pct = F.when(F.col("lang") == lang, p).otherwise(pct)

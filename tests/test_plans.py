@@ -67,7 +67,12 @@ def test_partitioned_windows_everywhere(spark):
                 out.append(line.strip())
         return out
 
-    allowed_global_window = {"nation_dense_ids"}
+    # nation_dense_ids: documented dimension-sized global window.
+    # docs_bm25_search: its global rank window consumes the ≤20-row
+    # output of TakeOrderedAndProject (pinned by
+    # test_bm25_topk_compiles_to_take_ordered) — the sort that touches
+    # real data is the per-partition top-k, not this window.
+    allowed_global_window = {"nation_dense_ids", "docs_bm25_search"}
     # self-check the detector on the known-global-window query
     sample = plans.REGISTRY["nation_dense_ids"].builder(spark, SF_SMOKE)
     assert unpartitioned_windows(

@@ -679,3 +679,42 @@ def test_merge_conflicts_with_concurrent_commit(spark, tmp_path):
             keys=["id"],
         )
     assert _ids(t.read()) == set(range(0, 10)) | set(range(100, 110))
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate column makes the
+    condition UNKNOWN, and UNKNOWN rows must SURVIVE the delete — in
+    rewritten directories exactly as in stats-pruned ones (regression:
+    the bare ~cond rewrite dropped them)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (None, "null-row"), (5, "target")],
+            "id long, v string",
+        ).coalesce(1)
+    )
+    t.delete_where([("id", "=", 5)])
+    got = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (None, "null-row")}
+
+
+def test_merge_rejects_duplicate_key_batches(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 5))
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(bad, keys=["id"])
+    assert _ids(t.read()) == set(range(5))  # table untouched
+
+
+def test_optimize_zorder_rejects_four_columns(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 2, 3, 4)], "a long, b long, c long, d long"
+        )
+    )
+    with pytest.raises(ValueError, match="at most 3 columns"):
+        t.optimize(by=["a", "b", "c", "d"], zorder=True)

@@ -782,3 +782,26 @@ def test_ivf_index_probe_prunes_partitions_and_appends(spark, tmp_path):
     other = [[v + 1.0 for v in c] for c in CENTROIDS]
     with pytest.raises(ValueError, match="inverted lists"):
         IVFVectorIndex(spark, str(tmp_path / "ivf"), other)
+
+
+def test_index_probe_multiplicity_stable_under_replayed_postings(spark, tmp_path):
+    """The heal/replay path re-appends a batch's postings+shingles;
+    probe answers must keep the same ROW MULTIPLICITY (one row per
+    (new_id, dup_of) pair), not one per stored copy."""
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = spark.createDataFrame([(1, BASE)], schema)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(base)
+    idx.append(base)  # replayed append: duplicate postings + shingles
+    probe = spark.createDataFrame([(2, NEAR)], schema)
+    rows = idx.probe(probe).collect()
+    assert [(r["new_id"], r["dup_of"]) for r in rows] == [(2, 1)]
