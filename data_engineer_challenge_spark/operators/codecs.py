@@ -167,3 +167,22 @@ def encode_bmp(img: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
     info = struct.pack("<iiihhIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + data
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → 8×9 nearest-neighbor
+    thumbnail → one bit per adjacent-column luma comparison. The
+    classic perceptual fingerprint: stable under re-encoding, resizing
+    and small edits, so near-identical images land within a few
+    hamming bits — the image-side analogue of SimHash for text.
+    Returns a non-negative int in [0, 2^64) stored as a Python int
+    (callers narrow to Spark long via two 32-bit halves or by masking
+    into the signed range)."""
+    f = img.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    small = resize_nearest(luma, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out

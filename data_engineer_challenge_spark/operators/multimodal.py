@@ -133,3 +133,95 @@ def media_profile(media: DataFrame) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.avg("meta.duration_ms").alias("avg_duration_ms"),
     )
+
+
+def _decode_image(payload: bytes, mime: str | None):
+    from . import codecs
+
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return codecs.decode_ppm(payload)
+    raise NotImplementedError(f"image codec for {mime!r} not built in")
+
+
+def image_dhash(
+    media: DataFrame,
+    decode_image: Callable[[bytes, str | None], "object"] | None = None,
+) -> DataFrame:
+    """Per-image 64-bit perceptual dHash (``codecs.dhash64``):
+    ``(media_id, dhash)``, map-only — decode happens once per payload
+    inside an Arrow batch and only the 8-byte hash leaves Python, so
+    raw image bytes never shuffle. ``decode_image`` is the injectable
+    codec seam (default: the stdlib BMP/PPM decoders); the hash is
+    masked into Spark's signed long range (sign bit = bit 63), exactly
+    like the text SimHash's bit-63 handling."""
+    dec = decode_image or _decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import dhash64
+
+        for pdf in batches:
+            hs = []
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                h = dhash64(dec(payload, mime))
+                hs.append(h - (1 << 64) if h >= 1 << 63 else h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hs})
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    )
+    return imgs.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    decode_image: Callable[[bytes, str | None], "object"] | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash + the same 4×16-bit
+    band-blocking the text SimHash tier uses (pigeonhole: hamming ≤ 3
+    guarantees an exact band match; up to ``max_hamming`` is caught
+    with high probability), exact hamming verification on candidates.
+    Candidates come from a band equi-join of 8-byte hashes — image
+    bytes are touched exactly once, in the map-only hash pass."""
+    from .text_dedup import hamming64
+
+    hs = image_dhash(media, decode_image=decode_image)
+    bands = hs.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band", "b.bh")
+    left = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("__ha"),
+        "band",
+        "bh",
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("__hb"),
+        "band",
+        "bh",
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

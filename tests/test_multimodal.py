@@ -162,3 +162,73 @@ def test_media_profile_prunes_payload(media):
     rows = {(r["kind"], r["mime"]): r for r in prof.collect()}
     assert rows[("image", "image/png")]["n_items"] == 2
     assert rows[("audio", "audio/wav")]["total_bytes"] == len(b"RIFFfake")
+
+
+def _gradient_bmp(w=64, h=64, shift=0, flip_px=0):
+    """Deterministic gradient image; ``shift`` nudges the luma slightly
+    (near-dup), ``flip_px`` inverts the gradient direction for the
+    first N columns (moves it away in dHash space)."""
+    x = np.arange(w, dtype=np.uint8)[None, :].repeat(h, axis=0)
+    img = np.stack([x, x, x], axis=-1).astype(np.int32) + shift
+    if flip_px:
+        img[:, :flip_px] = 255 - img[:, :flip_px]
+    return encode_bmp(np.clip(img, 0, 255).astype(np.uint8))
+
+
+def test_image_dhash_stable_under_resize_and_noise(spark):
+    """The perceptual property: a resized/slightly-brightened copy
+    hashes within a few bits; a structurally different image does
+    not."""
+    from data_engineer_challenge_spark.operators.codecs import (
+        decode_bmp,
+        dhash64,
+    )
+
+    base = dhash64(decode_bmp(_gradient_bmp()))
+    bright = dhash64(decode_bmp(_gradient_bmp(shift=14)))
+    small = dhash64(
+        decode_bmp(
+            encode_bmp(
+                __import__(
+                    "data_engineer_challenge_spark.operators.codecs",
+                    fromlist=["resize_nearest"],
+                ).resize_nearest(decode_bmp(_gradient_bmp()), 16, 16)
+            )
+        )
+    )
+    other = dhash64(decode_bmp(_gradient_bmp(flip_px=32)))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(base, bright) <= 4
+    assert ham(base, small) <= 4
+    assert ham(base, other) >= 16
+
+
+def test_image_neardup_pairs_blocked_join(spark):
+    """End-to-end on a media frame: the banded join finds the planted
+    near-dup pair (resize + brightness), skips the unrelated image,
+    and never moves payload bytes past the hash stage (schema check)."""
+    from data_engineer_challenge_spark.operators.codecs import resize_nearest
+    from data_engineer_challenge_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+    from data_engineer_challenge_spark.operators.codecs import decode_bmp
+
+    rows = [
+        (1, "image", _gradient_bmp(), ("image/bmp", 64, 64, None)),
+        (2, "image", encode_bmp(
+            resize_nearest(decode_bmp(_gradient_bmp(shift=10)), 32, 32)
+        ), ("image/bmp", 32, 32, None)),
+        (3, "image", _gradient_bmp(flip_px=32), ("image/bmp", 64, 64, None)),
+        (4, "audio", b"\x00", ("audio/wav", None, None, 100)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    hashes = image_dhash(media)
+    assert hashes.columns == ["media_id", "dhash"]  # payload dropped
+    assert hashes.count() == 3  # audio row never decoded as image
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(media, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert all(3 not in p for p in pairs)
