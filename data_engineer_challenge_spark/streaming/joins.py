@@ -52,3 +52,24 @@ def interval_join(
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond)
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    broadcast dimension snapshot — the standard "attach customer
+    attributes to the event stream" pattern. Stateless (unlike a
+    stream-stream join): the static side is re-resolved per
+    micro-batch, so a dimension refresh (e.g. a SnapshotTable
+    ``replace``) is picked up on the next batch without restarting
+    the query. Left join: events with no dimension row pass through
+    null-extended rather than vanishing (dropping them would silently
+    bias every downstream aggregate)."""
+    cols = dim_cols or [c for c in dim.columns if c != key]
+    return stream.join(
+        F.broadcast(dim.select(key, *cols)), key, "left"
+    )

@@ -493,3 +493,43 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    from data_engineer_challenge_spark.streaming.joins import enrich_with_dim
+    from data_engineer_challenge_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(0, 100, 2)],  # odd ids missing
+        "user_id long, segment string",
+    )
+    want = {
+        (r["event_id"], r["segment"])
+        for r in enrich_with_dim(ev, dim, "user_id")
+        .select("event_id", "segment")
+        .collect()
+    }
+    assert any(s is None for _, s in want)  # left join kept orphans
+
+    src = str(tmp_path / "enrich_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(TESTDATA["events"]).parquet(src)
+    q = (
+        enrich_with_dim(stream, dim, "user_id")
+        .select("event_id", "segment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM enrich_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
