@@ -892,6 +892,19 @@ class SnapshotTable:
         resets that and merges small files)."""
         return self.replace(self.read())
 
+    def maybe_compact(self, max_dirs: int = 64) -> int | None:
+        """Streaming-sink housekeeping: compact only once the current
+        version lists more than ``max_dirs`` commit directories —
+        bounding both manifest size and small-file count at an
+        amortized cost of one full rewrite per ``max_dirs`` commits
+        (the auto-compaction policy table formats run after
+        micro-batch appends). Returns the new version, or None if the
+        table is empty or under the threshold."""
+        v = self.current_version()
+        if v is None or len(self._manifest(v)["dirs"]) <= max_dirs:
+            return None
+        return self.compact()
+
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self.versions()]
 

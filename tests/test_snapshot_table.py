@@ -718,3 +718,15 @@ def test_optimize_zorder_rejects_four_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="at most 3 columns"):
         t.optimize(by=["a", "b", "c", "d"], zorder=True)
+
+
+def test_maybe_compact_threshold_policy(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [i]))
+    assert t.maybe_compact(max_dirs=8) is None  # under threshold
+    assert len(t._manifest(t.current_version())["dirs"]) == 4
+    v = t.maybe_compact(max_dirs=3)
+    assert v is not None
+    assert len(t._manifest(v)["dirs"]) == 1
+    assert _ids(t.read()) == {0, 1, 2, 3}
