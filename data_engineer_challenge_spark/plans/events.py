@@ -332,9 +332,9 @@ _HH_CAPACITY = 128
 
 @register(
     "events_heavy_hitters",
-    # pytest-oracled (driver surface capped at 50): the sketch tier's
-    # second bounded-state member after the KMV in events_approx_stats
-    driver=False,
+    # r5: promoted to the driver surface (slot from
+    # docs_with_embeddings_profile) — the sketch tier's second
+    # bounded-state member after the KMV in events_approx_stats
     oracle=f"""
     WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
     SELECT user_id,

@@ -146,6 +146,10 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_norm_stats",
+    # r5: demoted to pytest-oracled — a simple per-label aggregate
+    # whose driver slot went to docs_bm25_search (a whole capability);
+    # the local oracle replica still hash-checks it
+    driver=False,
     oracle=f"""
     SELECT label,
            COUNT(*) AS n_vectors,

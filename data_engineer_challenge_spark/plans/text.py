@@ -252,6 +252,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_with_embeddings_profile",
+    # r5: demoted to pytest-oracled — the cross-modal join shape is a
+    # two-line groupBy; its driver slot went to events_heavy_hitters
+    # (the bounded-state sketch tier); local oracle still checks it
+    driver=False,
     oracle=f"""
     SELECT d.lang, e.label,
            COUNT(*) AS n_docs,
@@ -961,8 +965,7 @@ _BM25_TOPK = 20
 
 @register(
     "docs_bm25_search",
-    # pytest-oracled (driver surface capped at 50)
-    driver=False,
+    # r5: promoted to the driver surface (slot from emb_norm_stats)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
