@@ -359,3 +359,68 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", capacity=_HH_CAPACITY)
+
+
+@register(
+    "events_daily_anomalies",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, event_type, n_events,
+               CAST(SUM(n_events) OVER win AS BIGINT) AS w_n,
+               COUNT(*) OVER win AS w_days
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n_events,
+           ROUND((n_events - w_n / w_days)
+                 / sqrt(w_n / w_days), 6) AS volume_z
+    FROM w
+    WHERE w_days >= 3
+      AND abs((n_events - w_n / w_days) / sqrt(w_n / w_days)) > 2.0
+    """,
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection per event type: each day's count
+    against the trailing-week baseline (Poisson-style z-score:
+    deviation over sqrt(mean) — variance = mean for counts, so no
+    cross-engine stddev divergence at all; every input to the final
+    arithmetic is an exact integer, making the score deterministic up
+    to the shared single-expression float evaluation, rounded at 6 dp).
+
+    Shape at scale: raw events collapse to a per-(day, type) rollup
+    FIRST (the two-level pattern of events_sliding_daily_avg), so the
+    window runs over ~days x types rows, never raw events; trailing
+    window excludes the current day (no self-contamination); warm-up
+    days (< 3 days of history) emit nothing rather than unstable
+    scores."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, -1)
+    )
+    w = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(win).alias("w_n"),
+        F.count(F.lit(1)).over(win).alias("w_days"),
+    )
+    mean = F.col("w_n") / F.col("w_days")
+    z = (F.col("n_events") - mean) / F.sqrt(mean)
+    return (
+        w.where(F.col("w_days") >= 3)
+        .where(F.abs(z) > 2.0)
+        .select(
+            "day", "event_type", "n_events", F.round(z, 6).alias("volume_z")
+        )
+    )

@@ -281,3 +281,16 @@ def test_bm25_topk_compiles_to_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=20" in plan, plan
     assert "Sort [score" not in plan, plan
+
+
+def test_assignment_queries_are_map_only(spark):
+    """The deterministic-assignment tier (split, rebalance sample)
+    must be MAP-ONLY: one scan, no Exchange of any kind — hash,
+    compare, emit."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    for name in ("docs_train_val_split", "docs_rebalance_sample"):
+        df = plans.REGISTRY[name].builder(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan)
