@@ -1090,3 +1090,76 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.where(F.col("rank") <= _BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-side chunking — the sibling of docs_pack_sequences: packing
+# concatenates documents into training sequences; chunking splits each
+# document into overlapping windows for embedding/retrieval (RAG).
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 256   # tokens per chunk
+_CHUNK_STRIDE = 192  # tokens between chunk starts (64-token overlap)
+
+
+@register(
+    "docs_chunk_windows",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_LEN}, n_tokens - i * {_CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens
+    FROM toks,
+         UNNEST(range(0, CAST(
+             greatest(1, ceil((n_tokens - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) + 1)
+             AS BIGINT))) AS r(i)
+    WHERE n_tokens > 0
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk placement for retrieval pipelines: each
+    document splits into {_CHUNK_LEN}-token windows every
+    {_CHUNK_STRIDE} tokens (64-token overlap, so no passage straddles
+    a boundary unseen). The LAST chunk is short rather than dropped —
+    truncating the tail would silently lose up to {_CHUNK_LEN}-1
+    tokens per document.
+
+    Map-only at any scale: chunk count derives from the token count
+    (one expression), the windows fan out via sequence+explode on
+    metadata — the text itself is never exploded or shuffled, the same
+    shape as the video frame fan-out in operators/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("n_tokens") - _CHUNK_LEN) / float(_CHUNK_STRIDE)
+        ) + 1,
+    ).cast("long")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_STRIDE).alias("start_tok"),
+        F.least(
+            F.lit(_CHUNK_LEN).cast("long"),
+            F.col("n_tokens") - F.col("chunk_id") * _CHUNK_STRIDE,
+        ).alias("chunk_tokens"),
+    )
