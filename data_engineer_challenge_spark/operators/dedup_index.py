@@ -273,12 +273,15 @@ class MinHashIndex:
             cands.join(F.broadcast(new_sh), "new_id")
             .join(stored_sh, "dup_of")
             .withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
+            # the documented heal/replay path re-appends a batch's
+            # shingle rows (converging for ANSWERS), and a corrected
+            # re-append can even leave DIVERGENT copies per id — fold
+            # duplicates DETERMINISTICALLY (max jaccard per pair, then
+            # threshold) rather than dropDuplicates-keeping an
+            # arbitrary copy; applied on the candidate pairs (tiny) so
+            # the index side stays shuffle-free
+            .groupBy("new_id", "dup_of")
+            .agg(F.max("jaccard").alias("jaccard"))
             .filter(F.col("jaccard") >= self.meta["threshold"])
             .select("new_id", "dup_of", "jaccard")
-            # the documented heal/replay path re-appends a batch's
-            # shingle rows (converging for ANSWERS); dedupe the match
-            # pairs so each repeated stored row doesn't multiply its
-            # pair in the output — applied on the RESULT (tiny) so the
-            # index side stays shuffle-free
-            .dropDuplicates(["new_id", "dup_of"])
         )

@@ -185,9 +185,15 @@ def image_neardup_pairs(
     with high probability), exact hamming verification on candidates.
     Candidates come from a band equi-join of 8-byte hashes — image
     bytes are touched exactly once, in the map-only hash pass."""
-    from .text_dedup import hamming64
+    from .text_dedup import _CACHED_FRAMES, hamming64
 
-    hs = image_dhash(media, decode_image=decode_image)
+    # cache before the self-join: left/right re-alias the frame, so
+    # Catalyst cannot reuse the exchange and the Python decode+hash
+    # pass would run TWICE per call (same measured trap the text
+    # simhash/minhash siblings cache around); released via
+    # text_dedup.release_cached, same lifetime contract
+    hs = image_dhash(media, decode_image=decode_image).cache()
+    _CACHED_FRAMES.append(hs)
     bands = hs.select(
         "media_id",
         "dhash",

@@ -87,15 +87,36 @@ def _posix_exclusive_link(tmp: str, dst: str) -> bool:
     return True
 
 
+def _stat_value(v):
+    """Normalize one footer stat into its JSON-safe, totally-ordered
+    form, or None if the type can't be used for pruning. Dates and
+    timestamps become ISO strings — lexicographic order IS
+    chronological order for ISO-8601, so string comparison against an
+    ISO-rendered predicate literal prunes correctly (and Spark coerces
+    the same literal back to date/timestamp for the exact filter)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # normalize to naive UTC: the session runs UTC, envelopes
+            # collect naive datetimes, and a stray "+00:00" suffix
+            # would corrupt lexicographic comparison at boundaries
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v if isinstance(v, (int, float, str, bool)) else None
+
+
 def _one_file_stats(path: str) -> dict:
     """Min/max/null-count per column for ONE parquet file, from its
-    footer (row-group headers only — no data pages). Only JSON-safe,
-    totally-ordered stat types (int, float, str, bool) are kept; a
-    column with missing stats in ANY row group is dropped (an
-    incomplete min/max could wrongly prune)."""
+    footer (row-group headers only — no data pages). Stats normalize
+    through :func:`_stat_value` (ints/floats/strings/bools as-is,
+    dates/timestamps as ISO strings); a column with missing or
+    unusable stats in ANY row group is dropped (an incomplete min/max
+    could wrongly prune)."""
     import pyarrow.parquet as pq
 
-    ok_types = (int, float, str, bool)
     cols: dict[str, dict] = {}
     dead: set[str] = set()
     meta = pq.ParquetFile(path).metadata
@@ -107,22 +128,19 @@ def _one_file_stats(path: str) -> dict:
             if "." in col or col in dead:
                 continue  # nested leaves: skip (names ambiguous)
             st = c.statistics
-            if (
-                st is None
-                or not st.has_min_max
-                or not isinstance(st.min, ok_types)
-                or not isinstance(st.max, ok_types)
-            ):
+            lo = _stat_value(st.min) if st is not None and st.has_min_max else None
+            hi = _stat_value(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
                 dead.add(col)
                 cols.pop(col, None)
                 continue
             cur = cols.get(col)
             nulls = st.null_count if st.has_null_count else 0
             if cur is None:
-                cols[col] = {"min": st.min, "max": st.max, "nulls": nulls}
+                cols[col] = {"min": lo, "max": hi, "nulls": nulls}
             else:
-                cur["min"] = min(cur["min"], st.min)
-                cur["max"] = max(cur["max"], st.max)
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
                 cur["nulls"] += nulls
     return {"rows": meta.num_rows, "cols": cols}
 
@@ -282,6 +300,12 @@ class SnapshotTable:
         self.path = path
         self._commit = commit_coordinator or _posix_exclusive_link
         self._manifest_memo: dict = {}
+        # stats-bearing timestamp encoding (see session.py): INT96
+        # carries no footer stats, so a table written with it would
+        # silently lose skipping/envelope pruning on time columns
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         os.makedirs(self._manifest_dir(), exist_ok=True)
         os.makedirs(self._data_dir(), exist_ok=True)
 
@@ -322,12 +346,19 @@ class SnapshotTable:
         key = (path, st.st_mtime_ns, st.st_size)
         hit = self._manifest_memo.get(version)
         if hit is not None and hit[0] == key:
+            self._manifest_memo.pop(version)
+            self._manifest_memo[version] = hit  # refresh LRU position
             return hit[1]
         with open(path) as f:
             m = json.load(f)
+        # true LRU: evict the least-recently-USED entry, not the
+        # lowest version — time-travel workloads re-read OLD manifests
+        # repeatedly, and min-version eviction would throw out exactly
+        # the entry just inserted
+        self._manifest_memo.pop(version, None)
         self._manifest_memo[version] = (key, m)
         if len(self._manifest_memo) > 8:
-            self._manifest_memo.pop(min(self._manifest_memo))
+            self._manifest_memo.pop(next(iter(self._manifest_memo)))
         return m
 
     # -- commit protocol ---------------------------------------------
@@ -608,9 +639,18 @@ class SnapshotTable:
         batch = batch.localCheckpoint()  # read 3x: validate+envelope+write
         # a batch with duplicate keys has no well-defined upsert result
         # (which row wins?) — refuse, as Delta does on multiple source
-        # matches, instead of silently persisting duplicate keys
+        # matches, instead of silently persisting duplicate keys.
+        # Rows with ANY null key are excluded from the check: under the
+        # merge's null-unsafe equality they match nothing and are plain
+        # inserts, so two null-key rows are not duplicates of anything
         dup = (
-            batch.groupBy(*keys)
+            batch.where(
+                F.lit(True)
+                & __import__("functools").reduce(
+                    lambda a, k: a & F.col(k).isNotNull(), keys, F.lit(True)
+                )
+            )
+            .groupBy(*keys)
             .count()
             .where(F.col("count") > 1)
             .limit(1)
@@ -638,10 +678,21 @@ class SnapshotTable:
             ]
         ).collect()[0]
         where = []
+        import datetime as _dt
+
         for k in keys:
             lo, hi = env[f"__lo_{k}"], env[f"__hi_{k}"]
             if lo is None:
                 continue  # all-null key column: no envelope constraint
+            if isinstance(lo, (_dt.date, _dt.datetime)):
+                # date/timestamp keys: the stats tier stores their
+                # min/max as ISO strings (lexicographic == chronologic)
+                # and Spark coerces the string literal back for the
+                # exact filter — so CDC-style time keys prune too
+                if isinstance(lo, _dt.datetime):
+                    lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+                else:
+                    lo, hi = lo.isoformat(), hi.isoformat()
             if isinstance(lo, (int, float, str, bool)):
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
         keep_dirs = [

@@ -389,7 +389,8 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection per event type: each day's count
-    against the trailing-week baseline (Poisson-style z-score:
+    against the trailing seven OBSERVED days of that type (Poisson-
+    style z-score:
     deviation over sqrt(mean) — variance = mean for counts, so no
     cross-engine stddev divergence at all; every input to the final
     arithmetic is an exact integer, making the score deterministic up
@@ -400,7 +401,12 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over ~days x types rows, never raw events; trailing
     window excludes the current day (no self-contamination); warm-up
     days (< 3 days of history) emit nothing rather than unstable
-    scores."""
+    scores. Scope: the baseline is the last 7 OBSERVED (day, type)
+    rows — a type that logs nothing on some days stretches its
+    baseline back in calendar time, and a fully-silent day emits no
+    row at all, so detecting outage-shaped anomalies needs a
+    calendar-densified rollup upstream (the ingest layer owns the
+    calendar; this query scores what was observed)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"

@@ -1021,7 +1021,7 @@ _BM25_TOPK = 20
 )
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (Lucene idf form, k1=1.2, b=0.75)
-    for a fixed query-term set, top-{_BM25_TOPK} by score.
+    for a fixed query-term set, top-20 (_BM25_TOPK) by score.
 
     Shape at scale: the token explode FILTERS to the query terms
     BEFORE any shuffle (the selective predicate is map-side, so only
@@ -1127,10 +1127,10 @@ _CHUNK_STRIDE = 192  # tokens between chunk starts (64-token overlap)
 )
 def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping chunk placement for retrieval pipelines: each
-    document splits into {_CHUNK_LEN}-token windows every
-    {_CHUNK_STRIDE} tokens (64-token overlap, so no passage straddles
-    a boundary unseen). The LAST chunk is short rather than dropped —
-    truncating the tail would silently lose up to {_CHUNK_LEN}-1
+    document splits into 256-token windows every 192 tokens (64-token
+    overlap, so no passage straddles a boundary unseen; constants
+    _CHUNK_LEN/_CHUNK_STRIDE). The LAST chunk is short rather than
+    dropped — truncating the tail would silently lose up to 255
     tokens per document.
 
     Map-only at any scale: chunk count derives from the token count

@@ -48,6 +48,11 @@ def get_spark(
         # — at 100 TB this is the difference between shuffling the
         # whole fact table and shuffling the ~matching fraction
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # INT64 micros, not Spark's legacy INT96: INT96 parquet columns
+        # carry NO footer statistics, which blinds every stats consumer
+        # (SnapshotTable data skipping, Iceberg-style manifests) to
+        # timestamp columns
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             str(64 * 1024 * 1024),

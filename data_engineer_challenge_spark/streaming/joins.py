@@ -69,7 +69,12 @@ def enrich_with_dim(
     the query. Left join: events with no dimension row pass through
     null-extended rather than vanishing (dropping them would silently
     bias every downstream aggregate)."""
-    cols = dim_cols or [c for c in dim.columns if c != key]
+    cols = [
+        c
+        for c in (dim.columns if dim_cols is None else dim_cols)
+        if c != key  # key joins once; repeating it would create a
+        # duplicate column and an AMBIGUOUS_REFERENCE failure
+    ]
     return stream.join(
         F.broadcast(dim.select(key, *cols)), key, "left"
     )

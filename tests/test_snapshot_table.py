@@ -844,3 +844,66 @@ def test_stats_pruning_never_lies_property(spark, tmp_path):
             )
             # soundness: pruned => provably no match
             assert may or not has_match, (trial, vals, where, stats)
+
+
+def test_merge_on_timestamp_key_prunes_and_null_keys_insert(spark, tmp_path):
+    """Date/timestamp merge keys must get the stats-pruned cost model
+    too (the envelope renders to ISO strings, which the stats tier now
+    stores), and null-key batch rows are plain inserts — not spurious
+    'duplicate key' rejections."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    d0 = dt.datetime(2024, 1, 1)
+    for month in (1, 2, 3):
+        t.append(
+            spark.createDataFrame(
+                [
+                    (dt.datetime(2024, month, 1 + i), f"m{month}r{i}")
+                    for i in range(10)
+                ],
+                "ts timestamp, v string",
+            ).coalesce(1)
+        )
+    # timestamp stats landed as ISO strings
+    st = t.history()[-1]["stats"]
+    any_dir = next(iter(st.values()))
+    assert any_dir["cols"]["ts"]["min"].startswith("202")
+
+    before = t.history()[-1]["dirs"]
+    batch = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 2, 3), "UPDATED"),
+            (None, "null-key-insert-a"),
+            (None, "null-key-insert-b"),  # two null keys: NOT duplicates
+        ],
+        "ts timestamp, v string",
+    )
+    t.merge(batch, keys=["ts"])
+    m = t.history()[-1]
+    # the February envelope leaves January and March carried as-is
+    assert before[0] in m["dirs"] and before[2] in m["dirs"]
+    assert m["rewrote"] == 1
+    rows = {r["v"] for r in t.read().collect()}
+    assert "UPDATED" in rows and "m2r2" not in rows
+    assert {"null-key-insert-a", "null-key-insert-b"} <= rows
+    assert len(rows) == 30 - 1 + 1 + 2
+
+
+def test_read_where_prunes_on_timestamp_column(spark, tmp_path):
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for month in (1, 2):
+        t.append(
+            spark.createDataFrame(
+                [(dt.datetime(2024, month, 1 + i), i) for i in range(5)],
+                "ts timestamp, x long",
+            ).coalesce(1)
+        )
+    dirs = t.history()[-1]["dirs"]
+    got = t.read(where=[("ts", ">=", "2024-02-01 00:00:00")])
+    assert {os.path.basename(os.path.dirname(f)) for f in got.inputFiles()} == {
+        dirs[1]
+    }
+    assert got.count() == 5

@@ -533,3 +533,20 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_enrich_with_dim_key_in_cols_and_empty_list(spark):
+    from data_engineer_challenge_spark.streaming.joins import enrich_with_dim
+    from data_engineer_challenge_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = spark.createDataFrame(
+        [(1, "s1")], "user_id long, segment string"
+    )
+    # key listed in dim_cols must not create a duplicate column
+    out = enrich_with_dim(ev, dim, "user_id", dim_cols=["user_id", "segment"])
+    assert out.columns.count("user_id") == 1 and "segment" in out.columns
+    assert out.count() == ev.count()
+    # explicitly-empty dim_cols attaches nothing (not everything)
+    bare = enrich_with_dim(ev, dim, "user_id", dim_cols=[])
+    assert "segment" not in bare.columns
