@@ -943,6 +943,32 @@ class SnapshotTable:
         resets that and merges small files)."""
         return self.replace(self.read())
 
+    def restore(self, version: int) -> int:
+        """Zero-copy rollback (Delta RESTORE): commit a NEW version
+        whose directory list, stats and schema are those of
+        ``version`` — no data moves, history is preserved (the bad
+        versions stay inspectable until vacuum), and concurrent
+        readers are unaffected. The restored-to directories must still
+        exist: restoring past a vacuum horizon raises."""
+        src = self._manifest(version)
+        for d in src["dirs"]:
+            if not os.path.isdir(os.path.join(self._data_dir(), d)):
+                raise FileNotFoundError(
+                    f"cannot restore to version {version}: directory "
+                    f"{d!r} was vacuumed"
+                )
+
+        def build(current: int | None) -> dict:
+            return {
+                "op": "restore",
+                "restored_from": version,
+                "dirs": src["dirs"],
+                "stats": src.get("stats", {}),
+                "schema": src.get("schema"),
+            }
+
+        return self._publish(build)
+
     def maybe_compact(self, max_dirs: int = 64) -> int | None:
         """Streaming-sink housekeeping: compact only once the current
         version lists more than ``max_dirs`` commit directories —

@@ -907,3 +907,25 @@ def test_read_where_prunes_on_timestamp_column(spark, tmp_path):
         dirs[1]
     }
     assert got.count() == 5
+
+
+def test_restore_zero_copy_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_keyed(spark, 0, 10))  # v0: good
+    t.replace(_keyed(spark, 500, 503))  # v1: the bad deploy
+    v = t.restore(0)
+    assert v == 2
+    assert _ids(t.read()) == set(range(10))
+    # zero-copy: the restored version lists v0's directories verbatim
+    assert t._manifest(v)["dirs"] == t._manifest(0)["dirs"]
+    assert t._manifest(v)["restored_from"] == 0
+    # the bad version stays inspectable (history preserved)
+    assert _ids(t.read(version=1)) == {500, 501, 502}
+    # stats + skipping survive the restore
+    got = t.read(where=[("id", "=", 3)])
+    assert _ids(got) == {3}
+    # restoring past the vacuum horizon is refused
+    t.replace(_keyed(spark, 900, 901))
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):  # manifest AND dirs gone
+        t.restore(0)
