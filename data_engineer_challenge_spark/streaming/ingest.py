@@ -122,6 +122,45 @@ def ingest_documents_deduped(
     q.awaitTermination()
 
 
+def ingest_stream_snapshot_merge(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table,  # operators.snapshot.SnapshotTable
+    keys: list[str],
+    checkpoint_dir: str,
+    txn_prefix: str = "merge",
+) -> None:
+    """Exactly-once KEYED upsert ingest into a SnapshotTable — the
+    transactional counterpart of :func:`ingest_stream` (which merges
+    into the directory-swap warehouse). Each micro-batch dedupes
+    in-batch keys deterministically, then MERGEs under txn
+    ``{txn_prefix}-{batch_id}``:
+
+    - replayed batches are silent no-ops (the txn map), so
+      at-least-once delivery becomes exactly-once;
+    - readers see each batch's updates atomically (never a
+      half-merged table) and can time-travel to any pre-batch state;
+    - the stats-pruned copy-on-write keeps per-batch cost ∝ the key
+      range the batch touches, the steady-state streaming shape."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        others = sorted(c for c in batch_df.columns if c not in keys)
+        deduped = keep_first_dedup(
+            batch_df, keys, [F.struct(*others)] if others else keys
+        )
+        table.merge(deduped, keys=keys, txn=f"{txn_prefix}-{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def refresh_from_changes(
     spark: SparkSession,
     raw,  # operators.snapshot.SnapshotTable (append-only source)

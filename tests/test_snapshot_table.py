@@ -929,3 +929,55 @@ def test_restore_zero_copy_rollback(spark, tmp_path):
     t.vacuum(keep_versions=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError):  # manifest AND dirs gone
         t.restore(0)
+
+
+def test_streaming_snapshot_merge_exactly_once(spark, tmp_path):
+    """Keyed streaming upsert into the transactional table: first wave
+    inserts, second wave updates + inserts, a crashed-commit replay
+    (fresh checkpoint over the same files) converges instead of
+    duplicating or flapping, and time travel sees each batch boundary."""
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_stream_snapshot_merge,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    src = str(tmp_path / "src")
+    _df(spark, [1, 2, 3]).write.parquet(src)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    ingest_stream_snapshot_merge(
+        spark, src, schema, t, keys=["id"], checkpoint_dir=str(tmp_path / "c1")
+    )
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == {
+        (1, "r1"), (2, "r2"), (3, "r3"),
+    }
+    v_first = t.current_version()
+
+    # wave 2: update id=2, insert id=9 (plus an in-batch dup of id=9
+    # that must resolve deterministically, not explode the merge)
+    spark.createDataFrame(
+        [(2, "UPDATED"), (9, "r9"), (9, "zzz")], schema
+    ).write.mode("append").parquet(src)
+    ingest_stream_snapshot_merge(
+        spark, src, schema, t, keys=["id"], checkpoint_dir=str(tmp_path / "c1")
+    )
+    rows = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert rows == {(1, "r1"), (2, "UPDATED"), (3, "r3"), (9, "r9")}
+
+    # crashed-commit replay: whole stream re-runs with a FRESH
+    # checkpoint over the same files — txn ids make it a no-op
+    before_versions = t.versions()
+    ingest_stream_snapshot_merge(
+        spark, src, schema, t, keys=["id"], checkpoint_dir=str(tmp_path / "c2")
+    )
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == rows
+    assert t.versions() == before_versions  # nothing committed
+
+    # batch boundaries are versions: pre-wave-2 state reproduces
+    assert {(r["id"], r["v"]) for r in t.read(version=v_first).collect()} == {
+        (1, "r1"), (2, "r2"), (3, "r3"),
+    }
