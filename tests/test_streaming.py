@@ -550,3 +550,56 @@ def test_enrich_with_dim_key_in_cols_and_empty_list(spark):
     # explicitly-empty dim_cols attaches nothing (not everything)
     bare = enrich_with_dim(ev, dim, "user_id", dim_cols=[])
     assert "segment" not in bare.columns
+
+
+def test_enrichment_picks_up_dim_refresh_between_batches(spark, tmp_path):
+    """Stream-static composition with the transactional dim: the
+    enrichment join re-resolves the SnapshotTable's CURRENT version
+    per micro-batch, so a dim replace between batches changes
+    enrichment from that batch on — no query restart."""
+    import time as _time
+
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+    from data_engineer_challenge_spark.streaming.joins import enrich_with_dim
+
+    dim = SnapshotTable(spark, str(tmp_path / "dim"))
+    dim.append(
+        spark.createDataFrame([(7, "old-segment")], "user_id long, segment string")
+    )
+
+    schema = "event_id long, user_id long"
+    src = tmp_path / "esrc"
+    src.mkdir()
+    spark.createDataFrame([(1, 7)], schema).coalesce(1).write.parquet(
+        str(src / "w0")
+    )
+    _time.sleep(1.1)
+    spark.createDataFrame([(2, 7)], schema).coalesce(1).write.parquet(
+        str(src / "w1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    seen = []
+
+    def enrich_batch(batch_df, batch_id):
+        out = enrich_with_dim(batch_df, dim.read(), "user_id")
+        seen.extend((r["event_id"], r["segment"]) for r in out.collect())
+        if batch_id == 0:
+            dim.replace(
+                spark.createDataFrame(
+                    [(7, "new-segment")], "user_id long, segment string"
+                )
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [(1, "old-segment"), (2, "new-segment")]
