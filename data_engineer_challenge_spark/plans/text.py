@@ -1163,3 +1163,29 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") - F.col("chunk_id") * _CHUNK_STRIDE,
         ).alias("chunk_tokens"),
     )
+
+
+@register(
+    "doc_bpe_token_stats",
+    # rows-only: BPE's iterative ranked merging has no tractable SQL
+    # replay (the documented oracle-exception class); correctness is
+    # held by pytest — an independently-written reference encoder,
+    # golden merges on a hand-checked corpus, and determinism tests
+    driver=False,
+    oracle=None,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword token statistics under the frozen BPE merge table
+    (plans/bpe_merges.py — trained offline, shipped as a constant,
+    exactly the IVF-centroid posture): per document, word count, BPE
+    token count, and tokens-per-word. This is the unit LLM training
+    budgets are denominated in — the word-count proxies elsewhere in
+    the registry over- or under-shoot on morphology-heavy text.
+
+    Map-only Arrow pass with a per-batch distinct-word memo
+    (operators/bpe.py)."""
+    from ..operators.bpe import bpe_token_counts
+    from .bpe_merges import MERGES
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, MERGES).withColumnRenamed("id", "doc_id")

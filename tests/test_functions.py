@@ -130,3 +130,84 @@ def test_filename_and_derives(spark):
     ]
     assert [r["dc"] for r in out] == ["1", "0", "1"]
     assert [r["mpf"] for r in out] == [1, 0, 0]
+
+
+# -- BPE tokenizer (frozen merges) -----------------------------------
+
+
+def _ref_bpe_encode(word, merges):
+    """Independently-written reference: apply merges IN TRAINING ORDER,
+    each exhaustively — the original Sennrich formulation, which must
+    agree with the rank-based inference loop in operators/bpe.py."""
+    sym = list(word)
+    for a, b in merges:
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == a and sym[i + 1] == b:
+                sym[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return sym
+
+
+def test_bpe_train_golden_and_encode_agrees_with_reference():
+    from data_engineer_challenge_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    # hand-checkable corpus: 'low'x5, 'lower'x2, 'newest'x6, 'widest'x3
+    # (the worked example from the BPE paper family)
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, 4)
+    # s+t and e+s tie at 9; the deterministic tie-break takes the
+    # lexicographically LARGER pair -> st; then e+st (9), then o+w
+    # ((l,o)/(o,w) tie at 7), then l+ow (7) — hand-verified counts
+    assert merges == [("s", "t"), ("e", "st"), ("o", "w"), ("l", "ow")]
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert bpe_encode("newest", ranks) == ["n", "e", "w", "est"]
+    assert bpe_encode("lowest", ranks) == ["low", "est"]
+    assert bpe_encode("low", ranks) == ["low"]
+    assert bpe_encode("xyz", ranks) == ["x", "y", "z"]  # unseen chars
+
+    # the rank-based inference equals the training-order reference on
+    # every word of the frozen production table
+    from data_engineer_challenge_spark.plans.bpe_merges import MERGES
+
+    pranks = {tuple(m): i for i, m in enumerate(MERGES)}
+    for w in ["shuffle", "partition", "aggregate", "window", "customer",
+              "spark", "vector", "batch", "a", "q1", "x"]:
+        assert bpe_encode(w, pranks) == _ref_bpe_encode(w, MERGES), w
+
+
+def test_bpe_train_is_deterministic():
+    from data_engineer_challenge_spark.operators.bpe import train_bpe
+
+    freqs = {"abab": 3, "baba": 3, "aabb": 2}
+    a = train_bpe(freqs, 5)
+    b = train_bpe(dict(reversed(list(freqs.items()))), 5)
+    assert a == b  # dict order must not leak into the merge list
+
+
+def test_bpe_token_counts_spark_kernel(spark):
+    from data_engineer_challenge_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_counts,
+    )
+    from data_engineer_challenge_spark.plans.bpe_merges import MERGES
+    from data_engineer_challenge_spark.functions.tokenize import TOKEN_RE
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, MERGES).collect()
+    }
+    ranks = {tuple(m): i for i, m in enumerate(MERGES)}
+    tok = re.compile(TOKEN_RE)
+    for r in docs.select("doc_id", "text").limit(25).collect():
+        ws = tok.findall(r["text"].lower())
+        want = (len(ws), sum(len(bpe_encode(w, ranks)) for w in ws))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+    # non-degenerate: subword tokens strictly exceed words somewhere
+    assert any(b > w for w, b in got.values())
