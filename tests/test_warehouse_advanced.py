@@ -639,3 +639,46 @@ def test_refresh_from_changes_incremental_and_crash_heal(spark, tmp_path):
     # the heal indexed 900100 from clean's change feed BEFORE probing,
     # so its near-dup was dropped — without the heal it would slip in
     assert 900100 in ids and 900101 not in ids and len(ids) == 22
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    """IVM over an append-only source: after several ticks the
+    maintained view must EQUAL the from-scratch aggregate, touched-
+    group folding included; idle and replayed ticks are no-ops; a
+    tick's cost model is visible in the merge manifest (directories
+    outside the delta's key envelope carried, not rewritten)."""
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"]
+    )
+
+    def wave(rows):
+        src.append(
+            spark.createDataFrame(rows, "k long, v double").coalesce(1)
+        )
+
+    wave([(1, 1.0), (1, 2.0), (2, 5.0)])
+    assert ivm.tick() is not None
+    wave([(2, 1.0), (3, 9.0)])          # touches groups 2,3 only
+    assert ivm.tick() is not None
+    assert ivm.tick() is None           # idle: nothing new
+    wave([(1, 0.5)])
+    assert ivm.tick() is not None
+
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"]) for r in view.read().collect()
+    }
+    from pyspark.sql import functions as SF
+
+    want = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in src.read()
+        .groupBy("k")
+        .agg(SF.count("*").alias("n_rows"), SF.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want == {(1, 3, 3.5), (2, 2, 6.0), (3, 1, 9.0)}
