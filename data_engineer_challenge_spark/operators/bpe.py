@@ -100,10 +100,10 @@ def bpe_token_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-document subword statistics under the frozen merge table:
-    ``(id, n_words, n_bpe_tokens, avg_word_len_bpe)``. One Arrow pass,
-    map-only; the per-batch word memo means the merge loop runs once
-    per DISTINCT word in the batch (Zipf makes that a small fraction
-    of occurrences). The merge list rides the task closure — the same
+    ``(id, n_words, n_bpe_tokens, bpe_per_word)``. One Arrow pass,
+    map-only; a per-PARTITION word memo (capped) means the merge loop
+    runs once per distinct word a task sees (Zipf makes that a small
+    fraction of occurrences). The merge list rides the task closure — the same
     broadcast-constant posture as the IVF centroids."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     base = docs.select(
@@ -114,7 +114,14 @@ def bpe_token_counts(
         import pandas as pd
 
         memo: dict[str, int] = {}
+        # per-partition memo with a hard cap: on high-cardinality text
+        # (ids, hashes) an unbounded memo would grow for the task's
+        # whole lifetime — clearing keeps the Zipf head hot and the
+        # memory bound
+        cap = 1_000_000
         for pdf in batches:
+            if len(memo) > cap:
+                memo.clear()
             ids, n_words, n_bpe = [], [], []
             for i, ws in zip(pdf["id"], pdf["ws"]):
                 total = 0

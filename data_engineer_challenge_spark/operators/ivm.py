@@ -62,20 +62,40 @@ class IncrementalAgg:
         """Fold everything the source committed since the last tick
         into the view. Returns the new target version, or None if
         nothing new (or a replay already folded this range)."""
+        from .snapshot import envelope_literal, txn_cursor
+
         cur = self.source.current_version()
         if cur is None:
             return None
-        cursor = -1
+        cursor = txn_cursor(self.target, self.txn_prefix)
         tv = self.target.current_version()
-        if tv is not None:
-            for txn in self.target._manifest(tv).get("txns", {}):
-                if txn.startswith(f"{self.txn_prefix}-"):
-                    cursor = max(cursor, int(txn.rsplit("-", 1)[1]))
         if cursor >= cur:
             return None
-        delta = self._aggregate(
-            self.source.read_changes(cursor, cur)
-        ).localCheckpoint()  # read twice: envelope (inside merge) + fold
+        raw = self.source.read_changes(cursor, cur)
+        # null group keys have no null-safe path through the semi-join
+        # + keyed merge below (null == null is never true), so a null
+        # key would silently accumulate duplicate partial rows — fail
+        # fast instead; callers coalesce to a sentinel upstream
+        nulls = raw.where(
+            __import__("functools").reduce(
+                lambda a, k: a | F.col(k).isNull(),
+                self.group_cols,
+                F.lit(False),
+            )
+        )
+        if nulls.limit(1).count():
+            raise ValueError(
+                f"null values in group columns {self.group_cols}: "
+                "additive IVM requires non-null group keys (coalesce "
+                "to a sentinel upstream)"
+            )
+        delta = self._aggregate(raw).localCheckpoint()
+        if delta.limit(1).count() == 0:
+            # empty delta (e.g. an empty streaming batch committed an
+            # empty source version): advance the cursor with an empty
+            # APPEND — folding would rewrite the whole view through an
+            # unconstrained merge for zero rows
+            return self.target.append(delta, txn=f"{self.txn_prefix}-{cur}")
         if tv is None:
             return self.target.append(
                 delta, txn=f"{self.txn_prefix}-{cur}"
@@ -94,8 +114,9 @@ class IncrementalAgg:
         ).collect()[0]
         where = []
         for k in self.group_cols:
-            lo, hi = env[f"__lo_{k}"], env[f"__hi_{k}"]
-            if lo is not None and isinstance(lo, (int, float, str, bool)):
+            lo = envelope_literal(env[f"__lo_{k}"])
+            hi = envelope_literal(env[f"__hi_{k}"])
+            if lo is not None and hi is not None:
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
         existing = self.target.read(where=where or None).join(
             F.broadcast(delta.select(*self.group_cols)),

@@ -71,6 +71,44 @@ from pyspark.sql import functions as F
 _OPS = ("=", "<", "<=", ">", ">=")
 
 
+def envelope_literal(v):
+    """A collected min/max value as a stats-comparable predicate
+    literal, or None if the type has no pruning story. Dates and
+    timestamps render to the SAME ISO-string form :func:`_stat_value`
+    stores (lexicographic == chronological), and Spark coerces the
+    string back to the native type for the exact filter — so
+    CDC-style time keys get the pruned cost model everywhere an
+    envelope is built (merge, IVM), from one definition."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v if isinstance(v, (int, float, str, bool)) else None
+
+
+def txn_cursor(table, prefix: str) -> int:
+    """Recover an integer progress cursor from ``table``'s manifest
+    txn map: the max N over txn ids of EXACTLY the form
+    ``{prefix}-{N}``. Strict parse — ids merely sharing the prefix
+    (``ivm-bootstrap``, another consumer's ``ivm-daily-3``) are
+    ignored rather than crashing the tick or cross-contaminating the
+    cursor. Returns -1 when nothing matches (process everything)."""
+    cur = table.current_version()
+    out = -1
+    if cur is None:
+        return out
+    for txn in table._manifest(cur).get("txns", {}):
+        if txn.startswith(prefix + "-"):
+            tail = txn[len(prefix) + 1 :]
+            if tail.isdigit():
+                out = max(out, int(tail))
+    return out
+
+
 class CommitConflict(Exception):
     """Another writer published this version first; caller may retry."""
 
@@ -678,22 +716,10 @@ class SnapshotTable:
             ]
         ).collect()[0]
         where = []
-        import datetime as _dt
-
         for k in keys:
-            lo, hi = env[f"__lo_{k}"], env[f"__hi_{k}"]
-            if lo is None:
-                continue  # all-null key column: no envelope constraint
-            if isinstance(lo, (_dt.date, _dt.datetime)):
-                # date/timestamp keys: the stats tier stores their
-                # min/max as ISO strings (lexicographic == chronologic)
-                # and Spark coerces the string literal back for the
-                # exact filter — so CDC-style time keys prune too
-                if isinstance(lo, _dt.datetime):
-                    lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
-                else:
-                    lo, hi = lo.isoformat(), hi.isoformat()
-            if isinstance(lo, (int, float, str, bool)):
+            lo = envelope_literal(env[f"__lo_{k}"])
+            hi = envelope_literal(env[f"__hi_{k}"])
+            if lo is not None and hi is not None:
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
         keep_dirs = [
             d for d in m["dirs"] if not _dir_may_match(stats.get(d), where)
@@ -959,6 +985,19 @@ class SnapshotTable:
                 )
 
         def build(current: int | None) -> dict:
+            # re-validate inside the publish loop: a vacuum racing the
+            # restore could sweep the old directories between the
+            # entry check and the commit — better to fail the restore
+            # than publish a current version that cannot be read.
+            # (A vacuum running AFTER the commit keeps them: its keep
+            # set is computed from the newest manifests, which now
+            # include this one.)
+            for d in src["dirs"]:
+                if not os.path.isdir(os.path.join(self._data_dir(), d)):
+                    raise FileNotFoundError(
+                        f"cannot restore to version {version}: directory "
+                        f"{d!r} was vacuumed mid-restore"
+                    )
             return {
                 "op": "restore",
                 "restored_from": version,

@@ -17,6 +17,17 @@ from ..operators.dedup import keep_first_dedup
 from ..operators.merge import ParquetWarehouse
 
 
+def _dedup_batch(batch_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic in-batch keep-first dedup: collisions resolve by
+    the row's non-key values as a total order, so a replayed batch
+    commits the SAME row the crashed original would have — values, not
+    just counts, must be replay-stable for exactly-once claims."""
+    others = sorted(c for c in batch_df.columns if c not in keys)
+    return keep_first_dedup(
+        batch_df, keys, [F.struct(*others)] if others else keys
+    )
+
+
 def ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -39,11 +50,7 @@ def ingest_stream(
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        others = sorted(c for c in batch_df.columns if c not in keys)
-        deduped = keep_first_dedup(
-            batch_df, keys, [F.struct(*others)] if others else keys
-        )
-        wh.merge_upsert(table, deduped, keys)
+        wh.merge_upsert(table, _dedup_batch(batch_df, keys), keys)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -83,10 +90,7 @@ def ingest_documents_deduped(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         # exact in-batch dedup first (deterministic keep-first) — the
         # index only answers cross-batch questions
-        others = sorted(c for c in batch_df.columns if c != id_col)
-        batch = keep_first_dedup(
-            batch_df, [id_col], [F.struct(*others)] if others else [id_col]
-        )
+        batch = _dedup_batch(batch_df, [id_col])
         dups = index.probe(batch, id_col=id_col, text_col=text_col).select(
             F.col("new_id").alias(id_col)
         )
@@ -146,11 +150,10 @@ def ingest_stream_snapshot_merge(
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        others = sorted(c for c in batch_df.columns if c not in keys)
-        deduped = keep_first_dedup(
-            batch_df, keys, [F.struct(*others)] if others else keys
+        table.merge(
+            _dedup_batch(batch_df, keys), keys=keys,
+            txn=f"{txn_prefix}-{batch_id}",
         )
-        table.merge(deduped, keys=keys, txn=f"{txn_prefix}-{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -232,18 +235,12 @@ def refresh_from_changes(
             index.append(gap, id_col=id_col, text_col=text_col)
             index.release()
             _mark(cv)
-    cursor = -1
-    if cv is not None:
-        for txn in clean._manifest(cv).get("txns", {}):
-            if txn.startswith(f"{txn_prefix}-"):
-                cursor = max(cursor, int(txn.rsplit("-", 1)[1]))
+    from ..operators.snapshot import txn_cursor
+
+    cursor = txn_cursor(clean, txn_prefix)
     if cursor >= cur:
         return None  # nothing new
-    batch_df = raw.read_changes(cursor, cur)
-    others = sorted(c for c in batch_df.columns if c != id_col)
-    batch = keep_first_dedup(
-        batch_df, [id_col], [F.struct(*others)] if others else [id_col]
-    )
+    batch = _dedup_batch(raw.read_changes(cursor, cur), [id_col])
     dups = index.probe(batch, id_col=id_col, text_col=text_col).select(
         F.col("new_id").alias(id_col)
     )

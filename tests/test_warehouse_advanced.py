@@ -682,3 +682,41 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want == {(1, 3, 3.5), (2, 2, 6.0), (3, 1, 9.0)}
+
+
+def test_incremental_agg_refuses_null_group_keys(spark, tmp_path):
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    src.append(spark.createDataFrame([(None, 1.0)], "k long, v double"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="null values in group"):
+        ivm.tick()
+
+
+def test_incremental_agg_empty_delta_advances_cursor_cheaply(spark, tmp_path):
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    src.append(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+    ivm.tick()
+    dirs_before = view.history()[-1]["dirs"]
+    # an empty source version (e.g. an empty streaming batch)
+    src.append(
+        spark.createDataFrame([], "k long, v double")
+    )
+    v = ivm.tick()
+    assert v is not None  # cursor advanced
+    m = view.history()[-1]
+    assert m["op"] == "append"  # NOT a merge: no view rewrite happened
+    assert set(dirs_before) <= set(m["dirs"])
+    assert ivm.tick() is None  # and the cursor really moved
+    got = {(r["k"], r["n_rows"]) for r in view.read().collect()}
+    assert got == {(1, 1)}
