@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _mg_partition(col: str, capacity: int):
@@ -46,14 +47,21 @@ def _mg_partition(col: str, capacity: int):
     then if more than ``capacity`` keys survive, subtract the
     (capacity+1)-th largest count from every counter and drop the
     non-positive ones — the standard mergeable-summaries reduction,
-    preserving the "global heavies survive somewhere" guarantee."""
+    preserving the "global heavies survive somewhere" guarantee.
+
+    Emits ONE row per non-empty partition: ``(part_rows, keys)`` — the
+    partition's exact row count plus the surviving candidate keys. The
+    row count rides along so the operator's total-n never needs a
+    separate scan of the input (three scans → two)."""
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
         state: dict = {}
+        part_rows = 0
         for pdf in batches:
+            part_rows += len(pdf)
             for k, c in pdf[col].value_counts().items():
                 state[k] = state.get(k, 0) + int(c)
             if len(state) > capacity:
@@ -63,8 +71,10 @@ def _mg_partition(col: str, capacity: int):
                 state = {
                     k: c - cut for k, c in state.items() if c - cut > 0
                 }
-        if state:
-            yield pd.DataFrame({col: list(state.keys())})
+        if part_rows:
+            yield pd.DataFrame(
+                {"part_rows": [part_rows], "keys": [list(state.keys())]}
+            )
 
     return fn
 
@@ -77,9 +87,17 @@ def heavy_hitters(
     ``capacity`` counters (docstring above). Returns
     ``(col, n_rows, share)`` — exact count and fraction of the total.
 
-    The two extra scalars (total count, candidate list) are aggregate/
-    bounded collects, not data collects; the verify pass streams once
-    more over the input with a broadcast ``isin`` filter.
+    Exactly TWO scans of the input: pass 1 (the MG kernel) emits one
+    tiny ``(part_rows, keys)`` row per partition, carrying both the
+    candidate set and the partition's row count — so the total ``n`` is
+    a single-row aggregate over the persisted summary, not a third
+    scan. The verify pass is a broadcast LEFT SEMI join against the
+    (distributed, never driver-collected) candidate frame: at 100 TB
+    the candidate set is capacity × tasks keys — fine to broadcast,
+    fatal to bake into the plan as IN-list literals. The summary frame
+    (≤ one row per task, ≤ capacity keys each) stays persisted so both
+    derivations read one materialization; its footprint is a few KB per
+    thousand tasks.
 
     NULL keys are excluded by contract (filtered before either pass):
     pandas ``value_counts`` and SQL ``IN`` both drop NULLs, so a NULL
@@ -87,21 +105,33 @@ def heavy_hitters(
     explicitly keeps the operator's output well-defined and its SQL
     replay exact (the registered oracle filters NULLs identically)."""
     df = df.where(F.col(col).isNotNull())
-    n = df.count()
+    key_type = df.select(col).schema[0].dataType
+    summary = df.select(col).mapInPandas(
+        _mg_partition(col, capacity),
+        schema=T.StructType(
+            [
+                T.StructField("part_rows", T.LongType()),
+                T.StructField("keys", T.ArrayType(key_type)),
+            ]
+        ),
+    ).persist()
+    # Single-row aggregate collect — this is the ONLY pass-1 action; it
+    # materializes the persisted summary for the candidate derivation.
+    n_row = summary.agg(F.sum("part_rows").alias("n")).collect()[0]
+    n = int(n_row["n"] or 0)
     if n == 0:
+        summary.unpersist()
         return df.select(
             df[col],
             F.lit(0).cast("long").alias("n_rows"),
             F.lit(0.0).alias("share"),
         ).limit(0)
-    cand_df = df.select(col).mapInPandas(
-        _mg_partition(col, capacity), schema=df.select(col).schema
-    )
-    # ≤ capacity × partitions keys by construction — driver-bounded
-    candidates = [r[0] for r in cand_df.distinct().collect()]
+    cand_df = summary.select(
+        F.explode("keys").alias(col)
+    ).distinct()
     threshold: Column = F.lit(n) / F.lit(capacity)
     return (
-        df.where(F.col(col).isin(candidates))
+        df.join(F.broadcast(cand_df), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .where(F.col("n_rows") > threshold)

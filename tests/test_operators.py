@@ -72,8 +72,9 @@ def test_heavy_hitters_exact_on_planted_skew(spark):
 
 
 def test_heavy_hitters_kernel_state_is_bounded(spark):
-    """The pass-1 kernel never yields more than ``capacity`` candidate
-    keys per partition, no matter the distinct-key count it streamed."""
+    """The pass-1 kernel emits ONE summary row per partition — the
+    exact partition row count plus at most ``capacity`` candidate keys,
+    no matter the distinct-key count it streamed."""
     import pandas as pd
 
     from data_engineer_challenge_spark.operators.frequent import _mg_partition
@@ -83,7 +84,10 @@ def test_heavy_hitters_kernel_state_is_bounded(spark):
         for i in range(5)
     ]
     out = list(_mg_partition("k", capacity=8)(iter(batches)))
-    assert sum(len(p) for p in out) <= 8
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["part_rows"] == 5000
+    assert len(row["keys"]) <= 8
 
 
 def test_heavy_hitters_empty_and_uniform(spark):

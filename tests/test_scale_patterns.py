@@ -214,10 +214,12 @@ def test_quantized_knn_broadcasts_queries(spark):
 
 
 def test_heavy_hitters_verify_pass_plan(spark):
-    """The verify pass must be the CHEAP shape: a one-column scan with
-    the candidate set pushed into the parquet reader (PushedFilters
-    In(...)), partial-aggregating only candidate rows — never a
-    full-cardinality aggregate of all keys."""
+    """The verify pass must be the CHEAP shape: a one-column scan,
+    broadcast-LEFT-SEMI-joined against the (distributed) candidate
+    frame, partial-aggregating only candidate rows — never a
+    full-cardinality aggregate of all keys, and never the candidate
+    set baked into the plan as driver-collected IN-list literals
+    (capacity × tasks literals at 100 TB = plan-size blowup)."""
     from data_engineer_challenge_spark import plans
 
     plans._load()
@@ -225,9 +227,12 @@ def test_heavy_hitters_verify_pass_plan(spark):
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "INSET" not in plan and " IN (" not in plan, plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    assert scans and all("In(user_id" in l for l in scans), plan
-    assert all("ReadSchema: struct<user_id:bigint>" in l for l in scans), plan
+    assert scans and all(
+        "ReadSchema: struct<user_id:bigint>" in l for l in scans
+    ), plan
     assert "partial_count" in plan  # map-side combine on candidates
 
 
