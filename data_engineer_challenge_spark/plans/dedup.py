@@ -518,10 +518,9 @@ def documents_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_index_probe",
-    # pytest-oracled (driver surface is capped at 50): this is the
+    # Driver row since r6 (rotated in over order_status_flags): the
     # INCREMENTAL dedup path — MinHashIndex.probe's bucket-pruned
     # candidate join + Jaccard verify — under a full DuckDB hash check
-    driver=False,
     oracle=f"""
     WITH sh AS (
         SELECT doc_id,

@@ -232,6 +232,10 @@ def customer_order_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_status_flags",
+    # pytest-oracled since r6: pure codegen'd CASE WHEN carries no
+    # scale story — its driver slot rotated to dedup_index_probe (the
+    # persisted MinHash index path, a flagship 100 TB component)
+    driver=False,
     oracle="""
     SELECT o_orderkey,
            CASE WHEN o_orderstatus = 'F' THEN '1' ELSE '0' END AS fulfilled_code,
@@ -280,6 +284,10 @@ def nation_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nations_served_union",
+    # pytest-oracled since r6: distinct+union overlaps
+    # segments_intersect_except — its driver slot rotated to
+    # ivf_index_probe (the persisted IVF inverted-list index)
+    driver=False,
     oracle="""
     SELECT n_name, relation FROM (
         SELECT DISTINCT n_name, 'customer' AS relation

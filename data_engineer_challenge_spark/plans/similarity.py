@@ -422,11 +422,11 @@ def emb_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_index_probe",
-    # pytest-oracled (driver surface capped at 50): the PERSISTED IVF
-    # index — partitioned inverted lists, pruned probe — must land on
-    # the exact same rows as the in-memory IVF plan, so it shares that
-    # oracle verbatim (same quantizer, n_probe, k, query set)
-    driver=False,
+    # Driver row since r6 (rotated in over nations_served_union): the
+    # PERSISTED IVF index — partitioned inverted lists, pruned probe —
+    # must land on the exact same rows as the in-memory IVF plan, so it
+    # shares that oracle verbatim (same quantizer, n_probe, k, query
+    # set)
     oracle=_ivf_oracle(_IVF_CENTROIDS, n_probe=12, k=10),
 )
 def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
