@@ -95,10 +95,16 @@ class IncrementalAgg:
             # empty source version): advance the cursor with an empty
             # APPEND — folding would rewrite the whole view through an
             # unconstrained merge for zero rows
-            return self.target.append(delta, txn=f"{self.txn_prefix}-{cur}")
+            return self.target.append(
+                delta,
+                txn=f"{self.txn_prefix}-{cur}",
+                cursor=(self.txn_prefix, cur),
+            )
         if tv is None:
             return self.target.append(
-                delta, txn=f"{self.txn_prefix}-{cur}"
+                delta,
+                txn=f"{self.txn_prefix}-{cur}",
+                cursor=(self.txn_prefix, cur),
             )
         # fold: existing rows for the touched groups + the delta, then
         # a keyed merge — groups outside the delta's key envelope are
@@ -135,5 +141,8 @@ class IncrementalAgg:
             )
         )
         return self.target.merge(
-            folded, keys=self.group_cols, txn=f"{self.txn_prefix}-{cur}"
+            folded,
+            keys=self.group_cols,
+            txn=f"{self.txn_prefix}-{cur}",
+            cursor=(self.txn_prefix, cur),
         )

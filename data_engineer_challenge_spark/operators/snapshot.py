@@ -78,30 +78,58 @@ def envelope_literal(v):
     stores (lexicographic == chronological), and Spark coerces the
     string back to the native type for the exact filter — so
     CDC-style time keys get the pruned cost model everywhere an
-    envelope is built (merge, IVM), from one definition."""
+    envelope is built (merge, IVM), from one definition.
+
+    Timestamps are normalized onto the UTC instant BEFORE rendering:
+    PySpark ``collect()`` materializes TimestampType as a NAIVE
+    datetime in the driver's OS-local timezone
+    (``datetime.fromtimestamp``), while :func:`_stat_value` stores
+    naive UTC from the parquet footers. ``astimezone(utc)`` converts
+    both aware values and naive OS-local values onto the same instant,
+    so an envelope built on a non-UTC driver can never "prove" an
+    overlapping directory disjoint (which would silently leave stale
+    duplicate-key rows after a merge)."""
     import datetime as _dt
+    import math
 
     if v is None:
         return None
     if isinstance(v, _dt.datetime):
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, float) and not math.isfinite(v):
+        # NaN/inf poison stats comparisons (every NaN compare is
+        # False => wrong pruning proofs) — no envelope for this key
+        return None
     return v if isinstance(v, (int, float, str, bool)) else None
 
 
 def txn_cursor(table, prefix: str) -> int:
-    """Recover an integer progress cursor from ``table``'s manifest
-    txn map: the max N over txn ids of EXACTLY the form
-    ``{prefix}-{N}``. Strict parse — ids merely sharing the prefix
-    (``ivm-bootstrap``, another consumer's ``ivm-daily-3``) are
-    ignored rather than crashing the tick or cross-contaminating the
-    cursor. Returns -1 when nothing matches (process everything)."""
+    """Recover an integer progress cursor from ``table``'s manifest.
+
+    Primary source: the dedicated ``cursors`` map ({prefix: N}),
+    carried forward by every commit and NEVER trimmed — unlike the
+    rolling txn window, whose 256-entry bound would otherwise let
+    256+ foreign commits between ticks evict every ``{prefix}-N`` id
+    and silently reset an IVM consumer to "process everything"
+    (double-counting history into the view). Fallback for manifests
+    written before the cursors field: the max N over txn ids of
+    EXACTLY the form ``{prefix}-{N}``. Strict parse — ids merely
+    sharing the prefix (``ivm-bootstrap``, another consumer's
+    ``ivm-daily-3``) are ignored rather than crashing the tick or
+    cross-contaminating the cursor. Returns -1 when nothing matches
+    (process everything)."""
     cur = table.current_version()
     out = -1
     if cur is None:
         return out
-    for txn in table._manifest(cur).get("txns", {}):
+    m = table._manifest(cur)
+    c = m.get("cursors", {}).get(prefix)
+    if c is not None:
+        out = int(c)
+    for txn in m.get("txns", {}):
         if txn.startswith(prefix + "-"):
             tail = txn[len(prefix) + 1 :]
             if tail.isdigit():
@@ -134,15 +162,24 @@ def _stat_value(v):
     the same literal back to date/timestamp for the exact filter)."""
     import datetime as _dt
 
+    import math
+
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             # normalize to naive UTC: the session runs UTC, envelopes
-            # collect naive datetimes, and a stray "+00:00" suffix
-            # would corrupt lexicographic comparison at boundaries
+            # normalize onto the UTC instant too (envelope_literal),
+            # and a stray "+00:00" suffix would corrupt lexicographic
+            # comparison at boundaries
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, float) and not math.isfinite(v):
+        # a NaN min/max makes every comparison False, flipping
+        # not(lo < val)-style proofs into WRONG pruning; json.dump
+        # would also emit non-standard NaN tokens. Drop the column's
+        # stats instead — the directory is kept, never mis-pruned.
+        return None
     return v if isinstance(v, (int, float, str, bool)) else None
 
 
@@ -338,12 +375,6 @@ class SnapshotTable:
         self.path = path
         self._commit = commit_coordinator or _posix_exclusive_link
         self._manifest_memo: dict = {}
-        # stats-bearing timestamp encoding (see session.py): INT96
-        # carries no footer stats, so a table written with it would
-        # silently lose skipping/envelope pruning on time columns
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
         os.makedirs(self._manifest_dir(), exist_ok=True)
         os.makedirs(self._data_dir(), exist_ok=True)
 
@@ -418,7 +449,13 @@ class SnapshotTable:
             return False
         return txn in self._manifest(cur).get("txns", {})
 
-    def _publish(self, build_manifest, retries: int = 20, txn: str | None = None) -> int | None:
+    def _publish(
+        self,
+        build_manifest,
+        retries: int = 20,
+        txn: str | None = None,
+        cursor: tuple[str, int] | None = None,
+    ) -> int | None:
         """Exclusive-create the next version file; on a race, re-resolve
         and retry (optimistic concurrency). ``build_manifest(current)``
         is re-invoked per attempt AGAINST THE FRESH current version —
@@ -450,6 +487,20 @@ class SnapshotTable:
                     sorted(txns.items(), key=lambda kv: kv[1])[-self._TXN_WINDOW:]
                 )
             payload["txns"] = txns
+            # the cursors map ({consumer_prefix: source_version}) is
+            # carried forward UNTRIMMED — one entry per consumer, so it
+            # cannot grow with history, and unlike the txn window it
+            # can never evict a slow consumer's progress (txn_cursor)
+            cursors = dict(
+                {} if current is None
+                else self._manifest(current).get("cursors", {})
+            )
+            if cursor is not None:
+                cursors[cursor[0]] = max(
+                    int(cursors.get(cursor[0], -1)), int(cursor[1])
+                )
+            if cursors:
+                payload["cursors"] = cursors
             # write + fsync the FULL payload to a tmp file, then
             # os.link it into place: link fails with EEXIST on a race
             # (same mutex as O_EXCL) but, unlike create-then-write, a
@@ -484,7 +535,21 @@ class SnapshotTable:
     def _write_commit_dir(self, df: DataFrame) -> tuple[str, dict]:
         cdir = f"c-{uuid.uuid4().hex}"
         full = os.path.join(self._data_dir(), cdir)
-        df.write.parquet(full)
+        # stats-bearing timestamp encoding, scoped to THIS write: INT96
+        # (the session default) carries no footer min/max, silently
+        # disabling data skipping and merge-envelope pruning on time
+        # columns. The DataFrameWriter per-write option is ignored for
+        # this setting, so set/restore the session conf around the
+        # write instead of mutating it permanently in the constructor
+        # (which would change how every other writer in the session
+        # encodes timestamps as a side effect of instantiating a table)
+        key = "spark.sql.parquet.outputTimestampType"
+        saved = self.spark.conf.get(key)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(full)
+        finally:
+            self.spark.conf.set(key, saved)
         return cdir, _footer_stats(full)
 
     def _evolved_schema(self, current: int | None, df: DataFrame) -> str:
@@ -533,8 +598,17 @@ class SnapshotTable:
 
     # -- public API --------------------------------------------------
 
-    def append(self, df: DataFrame, txn: str | None = None) -> int | None:
+    def append(
+        self,
+        df: DataFrame,
+        txn: str | None = None,
+        cursor: tuple[str, int] | None = None,
+    ) -> int | None:
         """Add rows; returns the committed version.
+
+        ``cursor=(prefix, N)`` records consumer progress in the
+        manifest's untrimmed ``cursors`` map atomically with the
+        commit (see :func:`txn_cursor`).
 
         ``txn`` makes the append IDEMPOTENT for streaming sinks (the
         Delta ``txnAppId``/``txnVersion`` pattern): pass a stable
@@ -565,7 +639,7 @@ class SnapshotTable:
                 m["txn"] = txn
             return m
 
-        return self._publish(build, txn=txn)
+        return self._publish(build, txn=txn, cursor=cursor)
 
     def replace(self, df: DataFrame) -> int:
         """Replace the table contents; returns the committed version."""
@@ -650,7 +724,11 @@ class SnapshotTable:
         return self.spark.read.schema(T.StructType.fromJson(json.loads(sj)))
 
     def merge(
-        self, batch: DataFrame, keys: list[str], txn: str | None = None
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        txn: str | None = None,
+        cursor: tuple[str, int] | None = None,
     ) -> int | None:
         """Keyed MERGE (upsert): rows of ``batch`` replace same-key
         rows and insert otherwise — Delta ``MERGE INTO`` in miniature,
@@ -702,7 +780,7 @@ class SnapshotTable:
             )
         v = self.current_version()
         if v is None:
-            return self.append(batch, txn=txn)
+            return self.append(batch, txn=txn, cursor=cursor)
         m = self._manifest(v)
         stats = m.get("stats", {})
         env = batch.agg(
@@ -758,7 +836,7 @@ class SnapshotTable:
                 out["txn"] = txn
             return out
 
-        return self._publish(build, txn=txn)
+        return self._publish(build, txn=txn, cursor=cursor)
 
     def delete_where(self, where: list) -> int:
         """Copy-on-write DELETE: directories whose stats prove they
@@ -904,16 +982,22 @@ class SnapshotTable:
 
     def _stat_ranges(self, version: int, cols: list[str]) -> dict:
         """[min, max] per column aggregated across every directory of
-        ``version``, from manifest stats alone. Raises if any directory
-        lacks stats for a requested column — scaling a Z-grid from a
-        partial range would silently mis-cluster."""
+        ``version``, from manifest stats alone. Raises if any NON-EMPTY
+        directory lacks stats for a requested column — scaling a Z-grid
+        from a partial range would silently mis-cluster. Zero-row
+        directories (an empty streaming micro-batch, IVM's empty-delta
+        cursor-advancing append) constrain nothing and are skipped —
+        they must not wedge optimize() forever."""
         m = self._manifest(version)
         stats = m.get("stats", {})
         out: dict[str, tuple] = {}
         for col in cols:
             lo = hi = None
             for d in m["dirs"]:
-                st = (stats.get(d) or {}).get("cols", {}).get(col)
+                dstats = stats.get(d) or {}
+                if dstats.get("rows") == 0:
+                    continue
+                st = dstats.get("cols", {}).get(col)
                 if st is None or not isinstance(st["min"], (int, float)):
                     raise ValueError(
                         f"no numeric manifest stats for column {col!r} in "
@@ -921,6 +1005,11 @@ class SnapshotTable:
                     )
                 lo = st["min"] if lo is None else min(lo, st["min"])
                 hi = st["max"] if hi is None else max(hi, st["max"])
+            if lo is None:
+                raise ValueError(
+                    f"no non-empty directory carries stats for column "
+                    f"{col!r} — cannot scale the cluster grid"
+                )
             out[col] = (lo, hi)
         return out
 

@@ -981,3 +981,159 @@ def test_streaming_snapshot_merge_exactly_once(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in t.read(version=v_first).collect()} == {
         (1, "r1"), (2, "r2"), (3, "r3"),
     }
+
+
+def test_envelope_literal_normalizes_os_local_timestamps():
+    """ADVICE r5: PySpark collect() hands the driver NAIVE datetimes in
+    the OS-local timezone, while footer stats are naive UTC — on a
+    non-UTC driver an unnormalized envelope shifts by the UTC offset
+    and merge could 'prove' an overlapping directory disjoint. Both
+    aware and naive OS-local values must render as the UTC instant."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        envelope_literal,
+    )
+
+    # aware: any offset converts onto the UTC instant
+    aware = dt.datetime(2024, 6, 1, 14, 30, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert envelope_literal(aware) == "2024-06-01 12:30:00"
+
+    # naive: interpreted as OS-local (what fromtimestamp produced)
+    old_tz = _os.environ.get("TZ")
+    try:
+        _os.environ["TZ"] = "America/New_York"  # UTC-4 on this date
+        _time.tzset()
+        naive_local = dt.datetime(2024, 6, 1, 8, 30)  # 12:30 UTC
+        assert envelope_literal(naive_local) == "2024-06-01 12:30:00"
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_stats_reject_non_finite_floats(spark, tmp_path):
+    """A NaN min/max makes every comparison False, flipping pruning
+    proofs — the stats tier must DROP the column (keep the directory)
+    rather than record NaN, and the manifest must stay valid JSON."""
+    import math
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        _stat_value,
+        envelope_literal,
+    )
+
+    assert _stat_value(float("nan")) is None
+    assert _stat_value(float("inf")) is None
+    assert envelope_literal(float("nan")) is None
+    assert _stat_value(1.5) == 1.5
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 3.0)], "id long, x double"
+        ).coalesce(1)
+    )
+    m = t._manifest(t.current_version())
+    (dstats,) = m["stats"].values()
+    # id keeps stats; x (NaN-poisoned, if the writer recorded min/max
+    # at all) must not carry a non-finite bound
+    assert "id" in dstats["cols"]
+    xst = dstats["cols"].get("x")
+    if xst is not None:
+        assert math.isfinite(xst["min"]) and math.isfinite(xst["max"])
+    # and a predicate on x never wrongly prunes the directory
+    got = {r["id"] for r in t.read(where=[("x", "<", 100.0)]).collect()}
+    assert got == {2}
+    json.dumps(m)  # manifest must be standard JSON (no NaN tokens)
+
+
+def test_optimize_zorder_survives_empty_commit(spark, tmp_path):
+    """ADVICE r5: a zero-row commit (empty streaming batch, IVM's
+    empty-delta cursor advance) must not wedge optimize(zorder) —
+    empty directories constrain no range and are skipped."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(100)], "a long, b long"
+        ).coalesce(1)
+    )
+    t.append(spark.createDataFrame([], "a long, b long"))  # zero rows
+    v = t.optimize(["a", "b"], zorder=True, n_files=2)
+    assert v is not None
+    assert {r["a"] for r in t.read().collect()} == set(range(100))
+
+
+def test_snapshot_writes_stats_bearing_timestamps_without_conf_leak(
+    spark, tmp_path
+):
+    """ADVICE r5: commits must carry footer timestamp stats (INT96
+    would silently disable time-column pruning) WITHOUT the
+    constructor or the write permanently mutating the shared session
+    conf — the encoding override is scoped to the commit write."""
+    import datetime as dt
+
+    key = "spark.sql.parquet.outputTimestampType"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "INT96")  # hostile session default
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        assert spark.conf.get(key) == "INT96"  # ctor: no mutation
+        t.append(
+            spark.createDataFrame(
+                [(1, dt.datetime(2024, 1, 1, 12))], "id long, ts timestamp"
+            ).coalesce(1)
+        )
+        assert spark.conf.get(key) == "INT96"  # write: restored
+        # and the commit still recorded usable timestamp stats
+        (dstats,) = t._manifest(t.current_version())["stats"].values()
+        assert dstats["cols"]["ts"]["min"].startswith("2024-01-01 12:00")
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_ivm_cursor_survives_txn_window_eviction(spark, tmp_path, monkeypatch):
+    """ADVICE r5: the IVM cursor must NOT reset to 'process everything'
+    when 256+ foreign commits on the target evict every {prefix}-N id
+    from the rolling txn window — that silent reset double-counts all
+    history into the view. The dedicated untrimmed cursors map keeps
+    progress exact."""
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import txn_cursor
+
+    monkeypatch.setattr(SnapshotTable, "_TXN_WINDOW", 3)
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    src.append(spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double"))
+    ivm.tick()
+    cursor_before = txn_cursor(view, "ivm")
+    assert cursor_before == src.current_version()
+    # 5 foreign commits on the VIEW evict every ivm-N txn id
+    for i in range(5):
+        view.append(
+            spark.createDataFrame([(100 + i, 1, 0.0)],
+                                  "k long, n_rows long, sum_v double"),
+            txn=f"other-{i}",
+        )
+    assert not any(
+        x.startswith("ivm-") for x in view._manifest(view.current_version())["txns"]
+    )
+    # the cursor survives eviction...
+    assert txn_cursor(view, "ivm") == cursor_before
+    # ...so an idle tick stays a no-op instead of re-folding history
+    assert ivm.tick() is None
+    # and the next real tick folds ONLY the delta: group 1 must not
+    # double-count its historical rows
+    src.append(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    ivm.tick()
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in view.read().collect()
+        if r["k"] < 100
+    }
+    assert got == {(1, 2, 7.0), (2, 1, 3.0)}
