@@ -1,15 +1,16 @@
-"""Incremental view maintenance: an additive groupBy aggregate kept
-up to date from a SnapshotTable's change feed.
+"""Incremental view maintenance: a groupBy aggregate kept up to date
+from a SnapshotTable's change feed — including retractions.
 
 The naive way to keep ``SELECT k, count(*), sum(v) GROUP BY k``
 current is to recompute it per tick — O(source) every time, the cost
-that makes dashboards over 100 TB tables impossible. Additive
+that makes dashboards over 100 TB tables impossible. Self-maintainable
 aggregates (COUNT / SUM — and AVG as sum/count at read time) admit
 classic IVM (Blakeley et al., SIGMOD'86): aggregate ONLY the delta,
 then fold it into the stored view. Per tick this touches:
 
-- the NEW rows (``source.read_changes`` — exactly the directories the
-  appends introduced),
+- the CHANGED rows (``source.read_changes_signed`` — exactly the
+  directories the range's commits added or removed, each row tagged
+  ``__sign`` ±1; rewritten-but-unchanged survivors cancel),
 - the view rows for the TOUCHED groups (a stats-pruned
   ``target.read(where=envelope)``),
 - and a ``target.merge`` whose copy-on-write carries every directory
@@ -17,16 +18,19 @@ then fold it into the stored view. Per tick this touches:
 
 Cost ∝ delta + touched groups, never source size or full view size.
 
-Progress rides the target's own manifest txn map (the
-refresh_from_changes pattern): the fold commits under txn
+Subtractive maintenance: COUNT folds ``sum(sign)``, SUM folds
+``sum(sign * v)`` — so source deletes (``delete_where``), keyed
+merges, even a replace, maintain the view without a full recompute of
+anything but the data those commits physically rewrote. A group whose
+folded count reaches zero is DELETED from the view (the merge's
+``deletes`` channel); a negative folded count means the feed and view
+disagree and raises rather than corrupting silently.
+
+Progress rides the target's own manifest (txn map + the untrimmed
+``cursors`` field): the fold commits under txn
 ``{prefix}-{source_version}``, so a replayed tick is a silent no-op
 and cursor-vs-data desync is impossible — correctness never depends
 on a side file.
-
-Scope: append-only sources (the change feed refuses replace/delete
-history, as it must — a retracted row would need subtractive
-maintenance, which COUNT/SUM support but this first tier does not
-wire up).
 """
 
 from __future__ import annotations
@@ -52,10 +56,16 @@ class IncrementalAgg:
         self.sum_cols = list(sum_cols)
         self.txn_prefix = txn_prefix
 
-    def _aggregate(self, df: DataFrame) -> DataFrame:
+    def _aggregate_signed(self, df: DataFrame) -> DataFrame:
+        """Sign-weighted partial aggregate of a ``__sign``-tagged
+        change feed: COUNT ← sum(sign), SUM ← sum(sign·v). A +1 feed
+        (plain appends) degenerates to the ordinary aggregate."""
         return df.groupBy(*self.group_cols).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
+            F.sum("__sign").cast("long").alias("n_rows"),
+            *[
+                F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
         )
 
     def tick(self) -> int | None:
@@ -71,7 +81,7 @@ class IncrementalAgg:
         tv = self.target.current_version()
         if cursor >= cur:
             return None
-        raw = self.source.read_changes(cursor, cur)
+        raw = self.source.read_changes_signed(cursor, cur)
         # null group keys have no null-safe path through the semi-join
         # + keyed merge below (null == null is never true), so a null
         # key would silently accumulate duplicate partial rows — fail
@@ -89,7 +99,15 @@ class IncrementalAgg:
                 "additive IVM requires non-null group keys (coalesce "
                 "to a sentinel upstream)"
             )
-        delta = self._aggregate(raw).localCheckpoint()
+        # drop groups the range did not NET-change (pure rewrites —
+        # compact/optimize/restore, merge-carried survivors): folding
+        # them would read and rewrite view rows for nothing
+        noop = (F.col("n_rows") == 0) & __import__("functools").reduce(
+            lambda a, c: a & (F.coalesce(F.col(f"sum_{c}"), F.lit(0)) == 0),
+            self.sum_cols,
+            F.lit(True),
+        )
+        delta = self._aggregate_signed(raw).where(~noop).localCheckpoint()
         if delta.limit(1).count() == 0:
             # empty delta (e.g. an empty streaming batch committed an
             # empty source version): advance the cursor with an empty
@@ -139,10 +157,22 @@ class IncrementalAgg:
                     for c in self.sum_cols
                 ],
             )
-        )
+        ).localCheckpoint()
+        # a negative folded count means the feed retracted rows the
+        # view never absorbed — corrupt state; refuse to commit it
+        if folded.where(F.col("n_rows") < 0).limit(1).count():
+            raise ValueError(
+                "subtractive fold drove a group count below zero — "
+                "change feed and view disagree (was the view edited "
+                "outside this maintainer?); rebuild the view"
+            )
         return self.target.merge(
-            folded,
+            folded.where(F.col("n_rows") > 0),
             keys=self.group_cols,
             txn=f"{self.txn_prefix}-{cur}",
             cursor=(self.txn_prefix, cur),
+            # groups whose last row was retracted leave the view
+            deletes=folded.where(F.col("n_rows") == 0).select(
+                *self.group_cols
+            ),
         )

@@ -729,6 +729,7 @@ class SnapshotTable:
         keys: list[str],
         txn: str | None = None,
         cursor: tuple[str, int] | None = None,
+        deletes: DataFrame | None = None,
     ) -> int | None:
         """Keyed MERGE (upsert): rows of ``batch`` replace same-key
         rows and insert otherwise — Delta ``MERGE INTO`` in miniature,
@@ -747,7 +748,15 @@ class SnapshotTable:
         with one tiny aggregate on the (cached) batch. Conservative by
         construction: a directory inside the envelope but sharing no
         actual key rewrites to identical rows (correct, just not
-        free). Serializable: a racing commit raises CommitConflict."""
+        free). Serializable: a racing commit raises CommitConflict.
+
+        ``deletes`` — an optional keys-only frame: existing rows with
+        those keys are REMOVED in the same atomic commit (Delta's
+        ``WHEN MATCHED THEN DELETE``), sharing the envelope/rewrite
+        machinery with the upserts; a key in both ``batch`` and
+        ``deletes`` is ambiguous and raises. This is what lets a
+        subtractive IVM consumer retire zero-count groups without a
+        second commit."""
         if not keys:
             raise ValueError("merge requires at least one key column")
         if txn is not None and self._txn_seen(txn):
@@ -778,12 +787,30 @@ class SnapshotTable:
                 "deduplicate deterministically first (e.g. "
                 "operators.dedup.keep_first_dedup)"
             )
+        if deletes is not None:
+            deletes = deletes.select(*keys).distinct().localCheckpoint()
+            if not deletes.limit(1).count():
+                deletes = None
+        if deletes is not None:
+            overlap = (
+                batch.join(deletes, keys, "left_semi").limit(1).count()
+            )
+            if overlap:
+                raise ValueError(
+                    f"merge: key(s) present in both batch and deletes "
+                    f"on {keys} — upsert-or-delete per key is ambiguous"
+                )
         v = self.current_version()
         if v is None:
             return self.append(batch, txn=txn, cursor=cursor)
         m = self._manifest(v)
         stats = m.get("stats", {})
-        env = batch.agg(
+        env_keys = (
+            batch.select(*keys)
+            if deletes is None
+            else batch.select(*keys).unionByName(deletes)
+        )
+        env = env_keys.agg(
             *[
                 f
                 for k in keys
@@ -808,8 +835,11 @@ class SnapshotTable:
             existing = self._reader(m).parquet(
                 *[os.path.join(self._data_dir(), d) for d in touch_dirs]
             )
+            drop_keys = batch.select(*keys).distinct()
+            if deletes is not None:
+                drop_keys = drop_keys.unionByName(deletes).distinct()
             survivors = existing.join(
-                F.broadcast(batch.select(*keys).distinct()), keys, "left_anti"
+                F.broadcast(drop_keys), keys, "left_anti"
             )
             new.append(self._write_commit_dir(survivors))
         new.append(self._write_commit_dir(batch))
@@ -1051,6 +1081,89 @@ class SnapshotTable:
         return self._reader(self._manifest(to_version)).parquet(
             *[os.path.join(self._data_dir(), d) for d in new_dirs]
         )
+
+    def read_changes_signed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed with RETRACTIONS over ANY version
+        range — the generalization :meth:`read_changes` refuses.
+
+        Every commit here is copy-on-write over whole directories, so
+        the exact row multiset delta of a range is::
+
+            + rows of directories the range ADDED
+            - rows of directories the range REMOVED
+
+        appended rows appear once with ``__sign = +1``; deleted or
+        replaced rows appear with ``__sign = -1``. Rows a merge/delete
+        merely REWROTE (carried survivors) appear in both an added and
+        a removed directory and cancel under any sign-weighted
+        aggregation — which is exactly how a subtractive IVM consumer
+        (``operators.ivm``) uses this feed: COUNT folds ``sum(sign)``,
+        SUM folds ``sum(sign * v)``. A pure rewrite (compact/optimize/
+        restore) nets to zero everywhere. Cost ∝ data the range's
+        commits physically added or removed, never table size.
+
+        Raises if a removed directory was already vacuumed (the
+        retraction rows are gone — re-read the snapshot), the same
+        horizon contract Delta's CDF enforces."""
+        to_version = (
+            self.current_version() if to_version is None else to_version
+        )
+        if to_version is None or from_version > to_version:
+            raise ValueError(
+                f"bad change range ({from_version}, {to_version}]"
+            )
+        # a directory's net contribution over the range is simply its
+        # presence at the endpoints (added-then-removed inside the
+        # range cancels; removed-then-restored cancels) — two manifest
+        # reads, independent of range length
+        start = (
+            set()
+            if from_version < 0
+            else set(self._manifest(from_version)["dirs"])
+        )
+        end = set(self._manifest(to_version)["dirs"])
+        plus = sorted(end - start)
+        minus = sorted(start - end)
+        reader = self._reader(self._manifest(to_version))
+
+        def load(dirs: list[str], sign: int) -> DataFrame:
+            paths = []
+            for d in dirs:
+                p = os.path.join(self._data_dir(), d)
+                if not os.path.isdir(p):
+                    raise FileNotFoundError(
+                        f"change feed needs directory {d!r}, which was "
+                        "vacuumed — re-read the snapshot instead"
+                    )
+                paths.append(p)
+            return reader.parquet(*paths).withColumn(
+                "__sign", F.lit(sign).cast("int")
+            )
+
+        if not plus and not minus:
+            sj = self._manifest(to_version).get("schema")
+            if sj is not None:
+                from pyspark.sql import types as T
+
+                empty = self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(sj))
+                )
+            else:
+                empty = self.read(to_version).limit(0)
+            return empty.withColumn(
+                "__sign", F.lit(1).cast("int")
+            ).where(F.lit(False))
+        parts = []
+        if plus:
+            parts.append(load(plus, 1))
+        if minus:
+            parts.append(load(minus, -1))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def compact(self) -> int:
         """Fold the accumulated commit directories into one (the

@@ -1137,3 +1137,95 @@ def test_ivm_cursor_survives_txn_window_eviction(spark, tmp_path, monkeypatch):
         if r["k"] < 100
     }
     assert got == {(1, 2, 7.0), (2, 1, 3.0)}
+
+
+def test_merge_with_deletes_single_commit(spark, tmp_path):
+    """merge(deletes=) removes matched keys in the SAME atomic commit
+    as the upserts (Delta's WHEN MATCHED DELETE): one version, one
+    history entry, stats-carried dirs outside the envelope untouched;
+    a key in both channels raises."""
+    schema = "id long, v string"
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1, 2, 3]).coalesce(1))
+    before = t.current_version()
+    v = t.merge(
+        spark.createDataFrame([(4, "r4"), (2, "UP")], schema),
+        keys=["id"],
+        deletes=spark.createDataFrame([(3,)], "id long"),
+    )
+    assert v == before + 1  # ONE commit for upserts + deletes
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == {
+        (1, "r1"), (2, "UP"), (4, "r4"),
+    }
+    with pytest.raises(ValueError, match="both batch and deletes"):
+        t.merge(
+            spark.createDataFrame([(5, "x")], schema),
+            keys=["id"],
+            deletes=spark.createDataFrame([(5,)], "id long"),
+        )
+    # delete-only merge (empty batch) works too
+    t.merge(
+        spark.createDataFrame([], schema),
+        keys=["id"],
+        deletes=spark.createDataFrame([(1,)], "id long"),
+    )
+    assert _ids(t.read()) == {2, 4}
+
+
+def test_read_changes_signed_retractions(spark, tmp_path):
+    """The signed feed nets each directory's endpoint presence: +1 for
+    added rows, -1 for removed rows, survivors cancel, pure rewrites
+    net zero, and a replace retracts the old table wholesale."""
+    from pyspark.sql import functions as SF
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def signed(frm, to=None):
+        df = t.read_changes_signed(frm, to)
+        return {
+            (r["id"], r["__sign"]) for r in df.collect()
+        }
+
+    t.append(_df(spark, [1, 2]).coalesce(1))          # v0
+    t.append(_df(spark, [3]).coalesce(1))              # v1
+    assert signed(-1, 1) == {(1, 1), (2, 1), (3, 1)}
+    assert signed(0, 1) == {(3, 1)}
+    t.delete_where([("id", "=", 1)])                   # v2: rewrite dir0
+    # survivor 2 cancels (+1 rewritten, -1 old); 1 is retracted
+    net = (
+        t.read_changes_signed(1, 2)
+        .groupBy("id").agg(SF.sum("__sign").alias("s"))
+        .collect()
+    )
+    assert {(r["id"], r["s"]) for r in net if r["s"] != 0} == {(1, -1)}
+    t.compact()                                        # v3: pure rewrite
+    net = (
+        t.read_changes_signed(2, 3)
+        .groupBy("id").agg(SF.sum("__sign").alias("s"))
+        .where(SF.col("s") != 0).collect()
+    )
+    assert net == []
+    t.replace(_df(spark, [9]).coalesce(1))             # v4
+    net = {
+        (r["id"], r["s"])
+        for r in t.read_changes_signed(3, 4)
+        .groupBy("id").agg(SF.sum("__sign").alias("s"))
+        .where(SF.col("s") != 0).collect()
+    }
+    assert net == {(2, -1), (3, -1), (9, 1)}
+    # empty range: empty frame with the table schema + __sign
+    empty = t.read_changes_signed(4, 4)
+    assert empty.count() == 0 and "__sign" in empty.columns
+
+
+def test_read_changes_signed_raises_past_vacuum(spark, tmp_path):
+    import shutil
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]).coalesce(1))
+    t.replace(_df(spark, [2]).coalesce(1))
+    # the retraction directory (v0's, dropped by the replace) is gone
+    (old_dir,) = t._manifest(0)["dirs"]
+    shutil.rmtree(os.path.join(t._data_dir(), old_dir))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read_changes_signed(0, 1).collect()

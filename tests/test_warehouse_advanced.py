@@ -720,3 +720,106 @@ def test_incremental_agg_empty_delta_advances_cursor_cheaply(spark, tmp_path):
     assert ivm.tick() is None  # and the cursor really moved
     got = {(r["k"], r["n_rows"]) for r in view.read().collect()}
     assert got == {(1, 1)}
+
+
+def test_incremental_agg_subtractive_delete_and_merge(spark, tmp_path):
+    """Subtractive IVM (VERDICT r5 #4): source delete_where and keyed
+    merge maintain the view through signed retractions — after every
+    tick the view EQUALS the from-scratch aggregate, and a group whose
+    last row is retracted disappears from the view entirely."""
+    from pyspark.sql import functions as SF
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+
+    def check():
+        got = {
+            (r["k"], r["n_rows"], r["sum_v"]) for r in view.read().collect()
+        }
+        want = {
+            (r["k"], r["n_rows"], r["sum_v"])
+            for r in src.read()
+            .groupBy("k")
+            .agg(SF.count("*").alias("n_rows"), SF.sum("v").alias("sum_v"))
+            .collect()
+        }
+        assert got == want, (got, want)
+        return got
+
+    src.append(
+        spark.createDataFrame(
+            [(1, 1.0), (1, 2.0), (2, 5.0), (3, 4.0)], "k long, v double"
+        ).coalesce(1)
+    )
+    assert ivm.tick() is not None
+    check()
+
+    # delete one of group 1's rows and ALL of group 3 (v >= 4 hits
+    # both 3's row and nothing else), then append to group 2
+    src.delete_where([("v", ">=", 4.0)])
+    src.append(
+        spark.createDataFrame([(2, 1.0)], "k long, v double").coalesce(1)
+    )
+    assert ivm.tick() is not None
+    got = check()
+    assert 3 not in {k for k, _, _ in got}  # zero-count group DELETED
+
+    # keyed merge: replace group 1's remaining rows via upsert
+    src.merge(
+        spark.createDataFrame([(10, 1, 9.0)], "id long, k long, v double"),
+        keys=["k"],
+    )
+    assert ivm.tick() is not None
+    # merge evolved src schema (added id); recompute ignores it
+    check()
+
+    # replayed tick stays a no-op
+    assert ivm.tick() is None
+
+
+def test_incremental_agg_ignores_pure_rewrites(spark, tmp_path):
+    """compact()/optimize() net no row-level change — the signed feed
+    cancels, so the tick advances the cursor with an EMPTY append
+    instead of re-folding (or worse, double-counting) the view."""
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    src.append(
+        spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double")
+    )
+    ivm.tick()
+    src.compact()  # pure rewrite: same rows, one directory
+    v = ivm.tick()
+    assert v is not None
+    assert view.history()[-1]["op"] == "append"  # cursor-advance only
+    assert ivm.tick() is None
+    got = {(r["k"], r["n_rows"], r["sum_v"]) for r in view.read().collect()}
+    assert got == {(1, 1, 2.0), (2, 1, 3.0)}
+
+
+def test_incremental_agg_refuses_negative_counts(spark, tmp_path):
+    """A retraction the view never absorbed (external edits to the
+    view) must raise, not silently commit a negative count."""
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    src.append(
+        spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double").coalesce(1)
+    )
+    ivm.tick()
+    view.delete_where([("k", "=", 1)])  # hostile external edit
+    src.delete_where([("k", "=", 1)])   # retraction of group 1
+    with _pytest.raises(ValueError, match="below zero"):
+        ivm.tick()
