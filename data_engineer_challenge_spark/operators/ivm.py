@@ -39,22 +39,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: hash-bucket column persisted in the maintained view (dropped by
+#: read_view): the fold's pruning key when group keys are unclustered
+BUCKET_COL = "__kb"
+
+
 class IncrementalAgg:
     def __init__(
         self,
         spark: SparkSession,
-        source,  # operators.snapshot.SnapshotTable (append-only)
+        source,  # operators.snapshot.SnapshotTable
         target,  # operators.snapshot.SnapshotTable (the maintained view)
         group_cols: list[str],
         sum_cols: list[str],
         txn_prefix: str = "ivm",
+        n_buckets: int = 64,
     ) -> None:
+        """``n_buckets`` — the view is stored with a persisted
+        ``__kb = hash(group keys) % n_buckets`` column and each commit
+        is range-clustered on it, so a tick's fold prunes the view to
+        the TOUCHED BUCKETS (an ``in``-set proof over per-file stats)
+        regardless of how the raw group keys interleave — a min/max
+        envelope over an unclustered key space spans the whole view
+        and would degrade the fold to a full read/rewrite (the
+        ``bh_bucket`` pattern from operators.dedup_index)."""
         self.spark = spark
         self.source = source
         self.target = target
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.txn_prefix = txn_prefix
+        self.n_buckets = int(n_buckets)
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*self.group_cols), F.lit(self.n_buckets)
+            ).cast("int"),
+        )
+
+    def read_view(self) -> DataFrame:
+        """The maintained view without its layout column."""
+        return self.target.read().drop(BUCKET_COL)
 
     def _aggregate_signed(self, df: DataFrame) -> DataFrame:
         """Sign-weighted partial aggregate of a ``__sign``-tagged
@@ -107,7 +134,10 @@ class IncrementalAgg:
             self.sum_cols,
             F.lit(True),
         )
-        delta = self._aggregate_signed(raw).where(~noop).localCheckpoint()
+        delta = (
+            self._with_bucket(self._aggregate_signed(raw).where(~noop))
+            .localCheckpoint()
+        )
         if delta.limit(1).count() == 0:
             # empty delta (e.g. an empty streaming batch committed an
             # empty source version): advance the cursor with an empty
@@ -119,16 +149,28 @@ class IncrementalAgg:
                 cursor=(self.txn_prefix, cur),
             )
         if tv is None:
+            # bootstrap: range-cluster on the bucket column so each
+            # file carries a tight __kb range — what every later
+            # tick's in-set proof prunes against
             return self.target.append(
-                delta,
+                delta.repartitionByRange(self.n_buckets, BUCKET_COL),
                 txn=f"{self.txn_prefix}-{cur}",
                 cursor=(self.txn_prefix, cur),
             )
         # fold: existing rows for the touched groups + the delta, then
-        # a keyed merge — groups outside the delta's key envelope are
-        # carried by merge's stats pruning without being read OR
-        # rewritten. Reading the touched groups uses the same envelope
-        # proof, so the fold never scans the whole view either.
+        # a keyed merge. The view is pruned to the TOUCHED BUCKETS
+        # (in-set stats proof — clustering-independent) plus the
+        # group-key range envelope (free extra proof when keys happen
+        # to cluster); directories outside both are carried by merge's
+        # stats pruning without being read OR rewritten.
+        # view bootstrapped before the bucketed layout? (defensive:
+        # the bucket filter would reference a missing column)
+        legacy = BUCKET_COL not in {
+            f.name for f in self.target.read().schema.fields
+        }
+        touched = sorted(
+            r[0] for r in delta.select(BUCKET_COL).distinct().collect()
+        )  # ≤ n_buckets values by construction
         env = delta.agg(
             *[
                 f
@@ -136,20 +178,25 @@ class IncrementalAgg:
                 for f in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
             ]
         ).collect()[0]
-        where = []
+        where = [] if legacy else [(BUCKET_COL, "in", touched)]
         for k in self.group_cols:
             lo = envelope_literal(env[f"__lo_{k}"])
             hi = envelope_literal(env[f"__hi_{k}"])
             if lo is not None and hi is not None:
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
-        existing = self.target.read(where=where or None).join(
+        # ALWAYS restamp the bucket on read (deterministic from the
+        # group keys): heals legacy/null rows, and guarantees the
+        # groupBy below never splits a group across bucket values
+        existing = self._with_bucket(
+            self.target.read(where=where or None).drop(BUCKET_COL)
+        ).join(
             F.broadcast(delta.select(*self.group_cols)),
             self.group_cols,
             "left_semi",
         )
         folded = (
             existing.unionByName(delta)
-            .groupBy(*self.group_cols)
+            .groupBy(*self.group_cols, BUCKET_COL)
             .agg(
                 F.sum("n_rows").alias("n_rows"),
                 *[
@@ -166,13 +213,19 @@ class IncrementalAgg:
                 "change feed and view disagree (was the view edited "
                 "outside this maintainer?); rebuild the view"
             )
+        # range-cluster the rewrite on the bucket so its files carry
+        # tight __kb stats for future in-set proofs
+        upserts = folded.where(F.col("n_rows") > 0).repartitionByRange(
+            max(len(touched), 1), BUCKET_COL
+        )
         return self.target.merge(
-            folded.where(F.col("n_rows") > 0),
+            upserts,
             keys=self.group_cols,
+            in_cols=[BUCKET_COL],
             txn=f"{self.txn_prefix}-{cur}",
             cursor=(self.txn_prefix, cur),
             # groups whose last row was retracted leave the view
             deletes=folded.where(F.col("n_rows") == 0).select(
-                *self.group_cols
+                *self.group_cols, BUCKET_COL
             ),
         )

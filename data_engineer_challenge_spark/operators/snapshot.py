@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 #: small — a triple either PROVES a directory irrelevant or it
 #: doesn't, and anything the pruner can't reason about still
 #: evaluates exactly on the surviving rows.
-_OPS = ("=", "<", "<=", ">", ">=")
+_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def envelope_literal(v):
@@ -270,6 +270,13 @@ def _check_where(where) -> list:
                 f"predicate triple {t!r}: want (column, op, literal) "
                 f"with op in {_OPS}"
             )
+        if t[1] == "in" and not (
+            isinstance(t[2], (list, tuple)) and len(t[2]) > 0
+        ):
+            raise ValueError(
+                f"predicate triple {t!r}: op 'in' wants a non-empty "
+                "list/tuple of literals"
+            )
     return where
 
 
@@ -290,6 +297,9 @@ def _dir_may_match(stats: dict | None, where: list) -> bool:
             continue
         lo, hi = st["min"], st["max"]
         try:
+            if op == "in" and all(v < lo or v > hi for v in val):
+                # no member of the set can live in [min, max] — proof
+                return False
             if op == "=" and (val < lo or val > hi):
                 return False
             if op == "<" and not (lo < val):
@@ -346,6 +356,9 @@ def _where_column(where: list) -> Column:
     out = F.lit(True)
     for col, op, val in where:
         c = F.col(col)
+        if op == "in":
+            out = out & c.isin(list(val))
+            continue
         out = out & {
             "=": c == val,
             "<": c < val,
@@ -730,6 +743,7 @@ class SnapshotTable:
         txn: str | None = None,
         cursor: tuple[str, int] | None = None,
         deletes: DataFrame | None = None,
+        in_cols: list[str] | None = None,
     ) -> int | None:
         """Keyed MERGE (upsert): rows of ``batch`` replace same-key
         rows and insert otherwise — Delta ``MERGE INTO`` in miniature,
@@ -756,7 +770,22 @@ class SnapshotTable:
         machinery with the upserts; a key in both ``batch`` and
         ``deletes`` is ambiguous and raises. This is what lets a
         subtractive IVM consumer retire zero-count groups without a
-        second commit."""
+        second commit.
+
+        ``in_cols`` — batch columns (key or layout columns, e.g. a
+        persisted hash-bucket) whose envelope should be the exact
+        DISTINCT-value set (an ``in`` triple) instead of [min, max].
+        For a low-cardinality clustering column a range envelope is
+        useless (touched buckets {3, 97} span nearly everything),
+        while the IN set prunes every directory holding none of the
+        touched buckets. Caller contracts: (a) only pass columns with
+        a bounded value domain (the distinct set is a driver collect,
+        ≤ the domain size by construction); (b) a non-key in_col must
+        be FUNCTIONALLY DEPENDENT on the keys and stamped identically
+        on every row ever written for a key — otherwise the proof
+        could prune a directory still holding that key's old rows.
+        Directories without stats for the column are always kept
+        (conservative), so pre-layout history stays correct."""
         if not keys:
             raise ValueError("merge requires at least one key column")
         if txn is not None and self._txn_seen(txn):
@@ -787,8 +816,11 @@ class SnapshotTable:
                 "deduplicate deterministically first (e.g. "
                 "operators.dedup.keep_first_dedup)"
             )
+        in_extra = [c for c in (in_cols or []) if c not in keys]
         if deletes is not None:
-            deletes = deletes.select(*keys).distinct().localCheckpoint()
+            deletes = (
+                deletes.select(*keys, *in_extra).distinct().localCheckpoint()
+            )
             if not deletes.limit(1).count():
                 deletes = None
         if deletes is not None:
@@ -806,26 +838,44 @@ class SnapshotTable:
         m = self._manifest(v)
         stats = m.get("stats", {})
         env_keys = (
-            batch.select(*keys)
+            batch.select(*keys, *in_extra)
             if deletes is None
-            else batch.select(*keys).unionByName(deletes)
+            else batch.select(*keys, *in_extra).unionByName(deletes)
         )
-        env = env_keys.agg(
-            *[
-                f
-                for k in keys
-                for f in (
-                    F.min(k).alias(f"__lo_{k}"),
-                    F.max(k).alias(f"__hi_{k}"),
-                )
-            ]
-        ).collect()[0]
+        range_keys = [k for k in keys if k not in set(in_cols or [])]
+        env = (
+            env_keys.agg(
+                *[
+                    f
+                    for k in range_keys
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ]
+            ).collect()[0]
+            if range_keys
+            else None
+        )
         where = []
-        for k in keys:
+        for k in range_keys:
             lo = envelope_literal(env[f"__lo_{k}"])
             hi = envelope_literal(env[f"__hi_{k}"])
             if lo is not None and hi is not None:
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
+        for k in in_cols or []:
+            # bounded-domain contract (docstring): the distinct set is
+            # ≤ the column's value domain, a driver-safe collect
+            vals = sorted(
+                v
+                for v in (
+                    envelope_literal(r[0])
+                    for r in env_keys.select(k).distinct().collect()
+                )
+                if v is not None
+            )
+            if vals:
+                where.append((k, "in", vals))
         keep_dirs = [
             d for d in m["dirs"] if not _dir_may_match(stats.get(d), where)
         ]
@@ -837,7 +887,9 @@ class SnapshotTable:
             )
             drop_keys = batch.select(*keys).distinct()
             if deletes is not None:
-                drop_keys = drop_keys.unionByName(deletes).distinct()
+                drop_keys = drop_keys.unionByName(
+                    deletes.select(*keys)
+                ).distinct()
             survivors = existing.join(
                 F.broadcast(drop_keys), keys, "left_anti"
             )

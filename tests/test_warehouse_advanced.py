@@ -823,3 +823,77 @@ def test_incremental_agg_refuses_negative_counts(spark, tmp_path):
     src.delete_where([("k", "=", 1)])   # retraction of group 1
     with _pytest.raises(ValueError, match="below zero"):
         ivm.tick()
+
+
+def test_incremental_agg_fold_prunes_to_touched_buckets(spark, tmp_path):
+    """VERDICT r5 #5 'done' bar: under an ADVERSARIALLY interleaved
+    key space (hash-ordered keys — every file's group-key min/max
+    spans essentially the whole domain, so the range envelope proves
+    nothing), a small-delta tick must still read a STRICT SUBSET of
+    the view's files, via the persisted __kb bucket layout and the
+    in-set stats proof."""
+    from pyspark.sql import functions as SF
+
+    from data_engineer_challenge_spark.operators.ivm import (
+        BUCKET_COL,
+        IncrementalAgg,
+    )
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=16
+    )
+    # 1000 groups; key order deliberately scrambled relative to any
+    # range clustering (the keys themselves are spread over a huge
+    # domain so min/max envelopes are useless)
+    rows = [((i * 2654435761) % 1_000_003, float(i)) for i in range(1000)]
+    src.append(spark.createDataFrame(rows, "k long, v double").coalesce(4))
+    assert ivm.tick() is not None
+
+    all_files = set(view.read().inputFiles())
+    assert len(all_files) > 4  # bucketed bootstrap: many tight files
+
+    # spy on the view reads the NEXT tick performs
+    orig_read = view.read
+    seen = []
+
+    def spy(version=None, where=None):
+        df = orig_read(version=version, where=where)
+        seen.append((where, set(df.inputFiles())))
+        return df
+
+    view.read = spy
+    try:
+        # small delta: one existing group gets one more row
+        k0 = rows[17][0]
+        src.append(
+            spark.createDataFrame([(k0, 10.0)], "k long, v double").coalesce(1)
+        )
+        assert ivm.tick() is not None
+    finally:
+        view.read = orig_read
+
+    fold_reads = [
+        (w, files)
+        for w, files in seen
+        if w and any(t[0] == BUCKET_COL and t[1] == "in" for t in w)
+    ]
+    assert fold_reads, f"no bucket-pruned fold read seen: {seen}"
+    (where, files) = fold_reads[0]
+    assert files < all_files, "fold read did not prune the view's files"
+    assert len(files) <= max(1, len(all_files) // 4)  # genuinely pruned
+
+    # and the maintained view still equals the full recompute
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"]) for r in ivm.read_view().collect()
+    }
+    want = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in src.read()
+        .groupBy("k")
+        .agg(SF.count("*").alias("n_rows"), SF.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
