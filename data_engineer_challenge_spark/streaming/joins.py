@@ -30,12 +30,29 @@ def interval_join(
     watermark: str = "2 hours",
     left_prefix: str = "l",
     right_prefix: str = "r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: right events landing in ``[left.ts, left.ts +
-    within]`` for the same ``key``. Both inputs need an event-time
-    column ``ts``; output columns are prefixed to keep the two sides
-    apart. Works identically on static frames (no watermark applied),
-    which is what the equivalence test exploits."""
+    """Join right events landing in ``[left.ts, left.ts + within]``
+    for the same ``key``. Both inputs need an event-time column
+    ``ts``; output columns are prefixed to keep the two sides apart.
+    Works identically on static frames (no watermark applied), which
+    is what the equivalence tests exploit.
+
+    ``how='left_outer'`` is the attribution shape real pipelines
+    need: an impression with NO click inside its window must still
+    come out (null-extended) — dropping it would silently bias every
+    downstream conversion-rate aggregate. Streaming semantics: the
+    unmatched left row is emitted only when the watermark passes
+    ``left.ts + within`` (the window is PROVABLY closed — emitting
+    earlier could contradict a late-arriving click), so rows whose
+    window is still open at end-of-stream are withheld; the batch
+    twin is the plain left join restricted to closed windows. The
+    same watermark bound is what lets the engine evict the buffered
+    row, keeping state finite."""
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(
+            f"interval_join supports inner / left_outer, got {how!r}"
+        )
     lcols = [F.col(c).alias(f"{left_prefix}_{c}") for c in left.columns]
     rcols = [F.col(c).alias(f"{right_prefix}_{c}") for c in right.columns]
     l = left.select(*lcols)
@@ -51,7 +68,7 @@ def interval_join(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def enrich_with_dim(

@@ -603,3 +603,97 @@ def test_enrichment_picks_up_dim_refresh_between_batches(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(seen) == [(1, "old-segment"), (2, "new-segment")]
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer attribution (VERDICT r5 #3): an impression with no
+    click in its window must surface null-extended ONCE the watermark
+    proves the window closed; a window still open at end-of-stream is
+    withheld (a late click could still arrive). Stream output must
+    equal the batch left join restricted to closed windows, and the
+    join state must actually shrink (rows evicted on watermark)."""
+    import datetime as dt
+
+    from data_engineer_challenge_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    # user 1: view matched by a click 30 min later
+    # user 2: view never clicked -> must surface (2, null) once closed
+    # user 3: view at +20h — window still open at end -> withheld
+    views = [
+        [(1, ts(0), 100), (2, ts(0), 200)],
+        [(3, ts(20), 300)],           # wave 2 pushes the watermark
+        [(9, ts(40), 900)],           # wave 3 forces the closing batch
+    ]
+    clicks = [
+        [(1, ts(0.5), 101)],
+        [(8, ts(20), 801)],           # watermark pusher on the right
+        [(8, ts(40), 802)],
+    ]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    for i, wave in enumerate(views):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(vdir / f"w{i}")
+        )
+    for i, wave in enumerate(clicks):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(cdir / f"w{i}")
+        )
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string(schema)
+    views_s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(vdir / "*"))
+    )
+    clicks_s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(cdir / "*"))
+    )
+    q = (
+        interval_join(views_s, clicks_s, key="user_id", how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("loj_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql(
+                "SELECT l_event_id, r_event_id FROM loj_sink"
+            ).collect()
+        }
+        stateful = [p for p in q.recentProgress if p["stateOperators"]]
+        assert stateful
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in stateful
+            for op in p["stateOperators"]
+        )
+        assert removed > 0  # watermark really evicted buffered rows
+    finally:
+        q.stop()
+
+    # batch twin on the same frames, restricted to closed windows:
+    # final watermark = max event time (40h) - 2h delay = 38h; every
+    # view with ts + 1h < 38h is closed (users 1, 2, 3), the 40h
+    # pusher view (user 9) is still open and withheld
+    views_b = spark.createDataFrame(sum(views, []), schema)
+    clicks_b = spark.createDataFrame(sum(clicks, []), schema)
+    batch = interval_join(views_b, clicks_b, key="user_id", how="left_outer")
+    closed = batch.where("l_ts + INTERVAL 1 HOUR < timestamp'2024-01-02 14:00:00'")
+    want = {
+        (r["l_event_id"], r["r_event_id"]) for r in closed.collect()
+    }
+    assert want == {(100, 101), (200, None), (300, None)}
+    assert got == want
