@@ -148,3 +148,78 @@ def bpe_token_counts(
         .otherwise(F.lit(0.0))
         .alias("bpe_per_word"),
     )
+
+
+def bpe_token_counts_distinct(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PRODUCTION tier of :func:`bpe_token_counts` — identical
+    output, different cost model. The memo tier amortizes the merge
+    loop per distinct word PER TASK; at 100 TB the Zipf head is shared
+    by every task, so the same hot words re-encode once per task
+    (×10⁵ tasks) and cold-cap memo clears re-encode them again. Here
+    the corpus-DISTINCT words are computed first (one shuffle on the
+    word), each is encoded EXACTLY ONCE in the Arrow kernel — total
+    Python work ∝ vocabulary, not occurrences — and the subword
+    counts join back onto the exploded words (co-partitioned with the
+    distinct's exchange) before a per-document fold. Choose this tier
+    when the corpus is large relative to its vocabulary (always, at
+    scale); the memo tier wins only when the explode+shuffle costs
+    more than the redundant encoding (small corpora, huge vocab).
+
+    Plan shape: scan → explode_outer (zero-word docs keep a null row
+    so they surface with zero counts) → distinct(w) → mapInPandas
+    encode → shuffle join on w → groupBy(id). No driver collects; the
+    vocabulary never materializes outside the cluster."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    base = docs.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("ws")
+    )
+    words = base.select(
+        "id",
+        F.size("ws").alias("n_words"),
+        F.explode_outer("ws").alias("w"),
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [
+                        len(bpe_encode(w, ranks)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    enc = (
+        words.select("w")
+        .where(F.col("w").isNotNull())
+        .distinct()
+        .mapInPandas(encode, schema="w string, n_sub long")
+    )
+    return (
+        words.join(enc, "w", "left")
+        .groupBy("id", "n_words")
+        .agg(
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(0))).alias(
+                "n_bpe_tokens"
+            )
+        )
+        .select(
+            "id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_bpe_tokens",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens") / F.col("n_words"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bpe_per_word"),
+        )
+    )

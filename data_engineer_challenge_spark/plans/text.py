@@ -1182,10 +1182,16 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets are denominated in — the word-count proxies elsewhere in
     the registry over- or under-shoot on morphology-heavy text.
 
-    Map-only Arrow pass with a per-batch distinct-word memo
-    (operators/bpe.py)."""
-    from ..operators.bpe import bpe_token_counts
+    Production tier (operators/bpe.py:bpe_token_counts_distinct):
+    corpus-distinct words are encoded EXACTLY ONCE in the Arrow
+    kernel — total Python work ∝ vocabulary, not occurrences — then
+    the counts join back and fold per document. The per-task-memo
+    tier (bpe_token_counts) remains the small-corpus path; a pytest
+    pins the two tiers bit-identical."""
+    from ..operators.bpe import bpe_token_counts_distinct
     from .bpe_merges import MERGES
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_token_counts(docs, MERGES).withColumnRenamed("id", "doc_id")
+    return bpe_token_counts_distinct(docs, MERGES).withColumnRenamed(
+        "id", "doc_id"
+    )

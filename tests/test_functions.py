@@ -211,3 +211,39 @@ def test_bpe_token_counts_spark_kernel(spark):
         assert got[r["doc_id"]] == want, r["doc_id"]
     # non-degenerate: subword tokens strictly exceed words somewhere
     assert any(b > w for w, b in got.values())
+
+
+def test_bpe_distinct_tier_identical_to_memo_tier(spark):
+    """The encode-distinct-then-join production tier must produce
+    bit-identical rows to the per-task-memo kernel (same frozen merge
+    table), including zero-word documents, and its plan must carry the
+    scale shape: exactly ONE Python boundary (the distinct-word
+    encoder), no driver collects."""
+    from data_engineer_challenge_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_token_counts_distinct,
+    )
+    from data_engineer_challenge_spark.plans.bpe_merges import MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant a zero-word doc to pin the explode_outer path
+    extra = spark.createDataFrame(
+        [(999_999, "", "en", "synthetic", 0)], docs.schema
+    )
+    docs = docs.unionByName(extra)
+    memo = {
+        tuple(r) for r in bpe_token_counts(docs, MERGES).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in bpe_token_counts_distinct(docs, MERGES).collect()
+    }
+    assert memo == dist
+    assert (999_999, 0, 0, 0.0) in dist
+    plan = (
+        bpe_token_counts_distinct(docs, MERGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1  # vocabulary-sized only
