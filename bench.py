@@ -50,6 +50,9 @@ HEADLINE = [
     "snapshot_time_travel",
     "events_heavy_hitters",
     "docs_repetition_stats",
+    # r6 addition: incremental view maintenance end to end (two
+    # appends + subtractive delete + append, four delta-sized folds)
+    "ivm_maintained_view",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -328,6 +328,85 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivm_maintained_view",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE (o_orderkey % 3 = 2) OR (o_orderkey > 1000)
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the driver's hard signal:
+    a count/sum view over a transactional source is maintained through
+    two appends, a subtractive DELETE, and a third append — four
+    ticks, each folding only the delta — and the final view must
+    hash-match the from-scratch SQL aggregate of the surviving rows.
+
+    The static-oracle trick (the ``snapshot_time_travel`` pattern):
+    every commit derives from a deterministic key predicate — batch
+    *i* holds ``o_orderkey % 3 = i``, the delete removes
+    ``o_orderkey <= 1000`` from the first two batches, and batch 2
+    lands after it — so the view's final state equals
+    ``WHERE o_orderkey % 3 = 2 OR o_orderkey > 1000`` over the source
+    table, which is exactly what DuckDB replays. The hash match
+    therefore proves, end to end: the signed change feed (the delete
+    tick consumes −1 retractions), the envelope/bucket-pruned fold,
+    the zero-count/upsert split merge, the durable cursor (the replay
+    guard below), and the decimal-exact sum arithmetic.
+
+    The summed column is cast to a wide decimal BEFORE it enters the
+    source table, so every partial sum the IVM folds is exact and
+    order-independent (the dec_sum convention — a plain double sum
+    would be accumulation-order-dependent and could never hash-match).
+
+    Fresh throwaway tables per call (driver and bench call queries
+    repeatedly); cost is ~2x snapshot_time_travel: one write of the
+    source rows plus four delta-sized view commits."""
+    from ..operators.ivm import IncrementalAgg
+    from ..operators.snapshot import SnapshotTable
+    from .helpers import DEC, OUT
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    src = SnapshotTable(spark, scratch_dir("ivm_src_"))
+    view = SnapshotTable(spark, scratch_dir("ivm_view_"))
+    ivm = IncrementalAgg(
+        spark,
+        src,
+        view,
+        group_cols=["o_orderpriority"],
+        sum_cols=["price"],
+        n_buckets=8,
+    )
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 0), txn="b0")
+    if ivm.tick() is None:
+        raise RuntimeError("bootstrap tick did not commit")
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 1), txn="b1")
+    if ivm.tick() is None:
+        raise RuntimeError("append tick did not commit")
+    src.delete_where([("o_orderkey", "<=", 1000)])
+    if ivm.tick() is None:
+        raise RuntimeError("subtractive tick did not commit")
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 2), txn="b2")
+    if ivm.tick() is None:
+        raise RuntimeError("final tick did not commit")
+    if ivm.tick() is not None:
+        raise RuntimeError("replayed tick committed — cursor broken")
+    return ivm.read_view().select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_price").cast(OUT).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "orders_price_band_range_join",
     oracle=f"""
     WITH bands AS (

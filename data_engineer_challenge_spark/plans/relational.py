@@ -339,6 +339,10 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "supplier_distinct_parts",
+    # pytest-oracled since r6: multi-distinct aggregation overlaps the
+    # cube/rollup/window coverage — its driver slot rotated to
+    # ivm_maintained_view (incremental view maintenance end to end)
+    driver=False,
     oracle=f"""
     SELECT l_suppkey,
            COUNT(DISTINCT l_partkey) AS n_parts,
