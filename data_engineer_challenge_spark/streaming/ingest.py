@@ -285,3 +285,49 @@ def ingest_stream_snapshot_append(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_stream_ivm(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table,  # operators.snapshot.SnapshotTable (the raw source table)
+    ivm,  # operators.ivm.IncrementalAgg maintaining a view OVER table
+    checkpoint_dir: str,
+    txn_prefix: str = "ingest",
+) -> None:
+    """Exactly-once ingest WITH a continuously maintained aggregate
+    view: each micro-batch appends into the source SnapshotTable
+    (txn-idempotent, as :func:`ingest_stream_snapshot_append`) and
+    then folds the new source versions into the IVM view in the same
+    foreachBatch — the dashboard table is delta-fresh after every
+    batch without ever re-scanning the source.
+
+    Crash-safety needs no two-phase dance: a replayed batch's append
+    is absorbed by the source txn record, and the tick's own durable
+    cursor (the view manifest's untrimmed ``cursors`` map) makes the
+    fold idempotent — a crash BETWEEN append and tick simply leaves
+    the cursor behind by one version, and the next batch's tick folds
+    both versions. Progress on both tables commits atomically with
+    their data; correctness never depends on the Spark checkpoint
+    agreeing with either manifest.
+
+    Caveat (all batch-id-txn sinks share it, Delta's txnAppId
+    included): txn ids derive from BATCH ids, which restart at 0 in a
+    fresh checkpoint — so ``txn_prefix`` is bound to one checkpoint
+    lineage. Re-pointing a NEW checkpoint at a table previously fed
+    under the same prefix absorbs the new batches as replays; use a
+    new prefix (or the same checkpoint) when resuming."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def append_and_fold(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn=f"{txn_prefix}-{batch_id}")
+        ivm.tick()
+
+    q = (
+        stream.writeStream.foreachBatch(append_and_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

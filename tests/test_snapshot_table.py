@@ -1229,3 +1229,80 @@ def test_read_changes_signed_raises_past_vacuum(spark, tmp_path):
     shutil.rmtree(os.path.join(t._data_dir(), old_dir))
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.read_changes_signed(0, 1).collect()
+
+
+def test_read_changes_signed_random_walk_matches_model(spark, tmp_path):
+    """Property: for EVERY version pair (a, b) along a seeded random
+    append/delete/merge/compact/optimize walk, the sign-weighted
+    multiset of read_changes_signed(a, b) must equal
+    multiset(version b) − multiset(version a) — the exact contract the
+    subtractive IVM fold consumes. Checked per row id with counts
+    (duplicates matter)."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(1234)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    next_id = 0
+    snapshots: dict[int, Counter] = {}
+    model: Counter = Counter()
+
+    def commit_state(v):
+        assert v is not None
+        snapshots[v] = Counter(model)
+
+    for step in range(14):
+        op = rng.choice(["append", "append", "delete", "merge", "compact", "optimize"])
+        if op == "append":
+            rows = [next_id + i for i in range(rng.randint(1, 3))]
+            next_id += len(rows)
+            commit_state(t.append(_df(spark, rows).coalesce(1)))
+            model.update(rows)
+            snapshots[max(snapshots)] = Counter(model)
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            v = t.delete_where([("id", "<=", cut)])
+            model = Counter({k: c for k, c in model.items() if k > cut})
+            commit_state(v)
+            snapshots[v] = Counter(model)
+        elif op == "merge" and model:
+            up = rng.sample(sorted(model), min(2, len(model)))
+            new = [next_id]
+            next_id += 1
+            v = t.merge(_df(spark, up + new).coalesce(1), keys=["id"])
+            for k in up + new:
+                model[k] = 1
+            commit_state(v)
+            snapshots[v] = Counter(model)
+        elif op == "compact" and model:
+            commit_state(t.compact())
+            snapshots[max(snapshots)] = Counter(model)
+        elif op == "optimize" and len(model) >= 2:
+            commit_state(t.optimize(["id"], n_files=2))
+            snapshots[max(snapshots)] = Counter(model)
+
+    versions = sorted(snapshots)
+    assert len(versions) >= 8
+    # every (a, b) pair, plus the from-scratch (-1, b) ranges
+    pairs = [(-1, b) for b in versions] + [
+        (a, b) for i, a in enumerate(versions) for b in versions[i:]
+    ]
+    for a, b in pairs:
+        net = {
+            r["id"]: r["s"]
+            for r in t.read_changes_signed(a, b)
+            .groupBy("id")
+            .agg(SF.sum("__sign").alias("s"))
+            .collect()
+            if r["s"] != 0
+        }
+        start = snapshots.get(a, Counter())
+        end = snapshots[b]
+        want = {
+            k: end.get(k, 0) - start.get(k, 0)
+            for k in set(start) | set(end)
+            if end.get(k, 0) - start.get(k, 0) != 0
+        }
+        assert net == want, (a, b, net, want)

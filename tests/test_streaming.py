@@ -697,3 +697,66 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     }
     assert want == {(100, 101), (200, None), (300, None)}
     assert got == want
+
+
+def test_streaming_ivm_view_stays_fresh_and_exactly_once(spark, tmp_path):
+    """ingest_stream_ivm: the aggregate view is maintained per
+    micro-batch; a fresh-checkpoint replay of the whole stream (the
+    crashed-driver shape) commits nothing on either table; a source
+    delete between runs folds subtractively on the next tick."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as T
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_stream_ivm,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    src_dir = str(tmp_path / "files")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], schema
+    ).coalesce(1).write.parquet(src_dir)
+    table = SnapshotTable(spark, str(tmp_path / "table"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm = IncrementalAgg(
+        spark, table, view, group_cols=["k"], sum_cols=["v"], n_buckets=8
+    )
+
+    def check():
+        got = {
+            (r["k"], r["n_rows"], r["sum_v"])
+            for r in ivm.read_view().collect()
+        }
+        want = {
+            (r["k"], r["n_rows"], r["sum_v"])
+            for r in table.read()
+            .groupBy("k")
+            .agg(SF.count("*").alias("n_rows"), SF.sum("v").alias("sum_v"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    ingest_stream_ivm(spark, src_dir, schema, table, ivm, str(tmp_path / "c0"))
+    check()
+    tv, vv = table.current_version(), view.current_version()
+
+    # fresh-checkpoint replay over the same files: both tables untouched
+    ingest_stream_ivm(spark, src_dir, schema, table, ivm, str(tmp_path / "c1"))
+    assert (table.current_version(), view.current_version()) == (tv, vv)
+
+    # out-of-band source delete + a new wave, resuming the ORIGINAL
+    # checkpoint (normal operation — txn ids are batch ids, so they
+    # are only meaningful within one checkpoint lineage): the next
+    # run's ticks fold the retraction AND the new rows
+    table.delete_where([("k", "=", 2)])
+    spark.createDataFrame([(3, 9.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    ingest_stream_ivm(spark, src_dir, schema, table, ivm, str(tmp_path / "c0"))
+    check()
+    got = {r["k"] for r in ivm.read_view().collect()}
+    assert got == {1, 3}  # group 2 retired subtractively
