@@ -76,6 +76,32 @@ def train_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]
     return merges
 
 
+def corpus_word_freqs(
+    docs: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> dict[str, int]:
+    """The distributed HALF of BPE training: the corpus word-frequency
+    table, computed with one explode + one shuffle on the word —
+    exactly how a 100 TB tokenizer train starts. The collect is
+    VOCABULARY-sized (and hard-bounded by ``top_k``, ordered count
+    desc with a lexicographic tie-break so truncation is
+    deterministic); :func:`train_bpe` then runs on the driver, which
+    is the industry posture — pair-merge iterations are tiny once the
+    corpus is a frequency table. The frozen production table
+    (plans/bpe_merges.py) is regenerable as
+    ``train_bpe(corpus_word_freqs(docs), 30)`` — pinned by a pytest
+    provenance test."""
+    freqs = (
+        docs.select(
+            F.explode(word_tokens(F.col(text_col))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if top_k is not None:
+        freqs = freqs.orderBy(F.col("c").desc(), "w").limit(top_k)
+    return {r["w"]: int(r["c"]) for r in freqs.collect()}
+
+
 def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Encode one word with a trained rank table: always merge the
     LOWEST-rank (earliest-learned) pair present — the standard

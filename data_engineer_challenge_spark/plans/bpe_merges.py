@@ -12,8 +12,16 @@ of thousands.
 
 Regenerate (only if the driver testdata changes):
 
-    from data_engineer_challenge_spark.operators.bpe import train_bpe
-    train_bpe(word_freqs_of_sf001_documents, 30)
+    from data_engineer_challenge_spark.operators.bpe import (
+        corpus_word_freqs, train_bpe,
+    )
+    docs = spark.read.parquet(".../sf0.01/documents.parquet")
+    train_bpe(corpus_word_freqs(docs), 30)
+
+(pinned by tests/test_functions.py::
+test_bpe_merges_provenance_from_distributed_freqs — the frozen table
+is exactly what the engine's own distributed frequency pass + the
+deterministic trainer produce.)
 """
 
 from __future__ import annotations

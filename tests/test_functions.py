@@ -247,3 +247,26 @@ def test_bpe_distinct_tier_identical_to_memo_tier(spark):
         .toString()
     )
     assert plan.count("MapInPandas") == 1  # vocabulary-sized only
+
+
+def test_bpe_merges_provenance_from_distributed_freqs(spark):
+    """The frozen production merge table is REGENERABLE from the
+    engine itself: distributed corpus word frequencies (one explode +
+    one shuffle, vocabulary-bounded collect) fed to the deterministic
+    trainer reproduce plans/bpe_merges.MERGES exactly — the
+    offline-trained constant has executable provenance, not a story."""
+    from data_engineer_challenge_spark.operators.bpe import (
+        corpus_word_freqs,
+        train_bpe,
+    )
+    from data_engineer_challenge_spark.plans.bpe_merges import MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    freqs = corpus_word_freqs(docs)
+    assert train_bpe(freqs, 30) == MERGES
+    # top_k truncation is deterministic and count-ordered
+    top = corpus_word_freqs(docs, top_k=5)
+    assert len(top) == 5
+    assert min(top.values()) >= max(
+        c for w, c in freqs.items() if w not in top
+    )
