@@ -763,3 +763,70 @@ def quantized_shortlist_vectorized(
         .filter(F.col("rank") <= shortlist)
         .select(query_id, corpus_id)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): bucket the corpus by nearest coarse-quantizer
+    centroid, then drop every row that has a LOWER-id neighbor in the
+    SAME cell with cosine above ``threshold``. Returns one row per
+    input row — ``(id_col, cell, dup_of, is_kept)`` where ``dup_of``
+    is the smallest dominating id (NULL for survivors) — so the pruned
+    corpus is ``WHERE is_kept`` and the audit trail rides along.
+
+    The keep rule is the deterministic variant of the paper's
+    "keep one example per semantic cluster": a row is dropped iff ANY
+    earlier same-cell row sits above the threshold, independent of
+    whether that earlier row itself survives. Unlike a transitive-
+    closure representative this needs no iteration, is insensitive to
+    partitioning/row order, and is plain EXISTS/GROUP BY semantics —
+    which is what makes the whole operator SQL-replayable (the
+    registered oracle mirrors the frozen centroids into DuckDB, same
+    pattern as ``ivf_topk``).
+
+    Scale shape: assignment is the map-only literal-centroid argmax
+    (no join, no shuffle); candidate generation is an equi-join on the
+    cell id, so the cross product never materializes and per-cell work
+    is quadratic only WITHIN a cell. The knob that keeps cells small
+    is quantizer granularity — SemDeDup runs k ~ 0.1% of corpus size
+    (110k clusters for LAION-440M), so per-cell membership stays
+    roughly constant as the corpus grows; at 100 TB you train more
+    centroids on the offline sample, never a bigger join. The
+    reference engine has no vector surface at all (SURVEY §2.10);
+    this exists for BASELINE.json's dedup north star."""
+    assigned = (
+        df.select(F.col(id_col), F.col(vec).alias("__v"))
+        .withColumn("cell", nearest_centroid(F.col("__v"), centroids))
+    )
+    # parallelism of the cell equi-join is bounded by the distinct-cell
+    # count — spread the probe side so the scan itself parallelizes
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = assigned.repartition(par, id_col).select(
+        F.col("cell").alias("__cell"),
+        F.col(id_col).alias("__id_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("__cell"),
+        F.col(id_col).alias("__id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    dom = (
+        a.join(b, "__cell")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) > threshold)
+        .groupBy("__id_b")
+        .agg(F.min("__id_a").alias("dup_of"))
+        .withColumnRenamed("__id_b", id_col)
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dom, id_col, "left")
+        .withColumn("is_kept", F.col("dup_of").isNull())
+    )

@@ -102,3 +102,38 @@ def test_heavy_hitters_empty_and_uniform(spark):
     assert {(r["k"], r["n_rows"]) for r in got.collect()} == {
         (0, 100), (1, 100), (2, 100), (3, 100),
     }
+
+
+def test_semantic_dedup_dominance_rule(spark):
+    """Hand-built corpus: two orthogonal clusters; within cluster 0 a
+    chain a~b, b~c with a!~c — the dominance rule drops BOTH b and c
+    (each has a lower-id neighbor above threshold: b via a, c via b),
+    and crucially the rule is independent of whether the dominator
+    itself survived. Cross-cell twins never pair."""
+    import math
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # cell 0 points live near +x, cell 1 near +y
+    s, c = math.sin(0.35), math.cos(0.35)
+    rows = [
+        (0, [1.0, 0.0]),          # a: survivor, cell 0
+        (1, [c, s]),              # b: cos(a,b)=cos(0.35)≈0.94 > 0.9 -> dropped by a
+        (2, [math.cos(0.7), math.sin(0.7)]),  # c: cos(b,c)≈0.94, cos(a,c)≈0.76 -> dropped by b
+        (10, [0.0, 1.0]),         # d: survivor, cell 1
+        (11, [0.0, 1.0]),         # e: identical to d -> dropped by d
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert got[0] == (0, None, True)
+    assert got[1] == (0, 0, False)
+    assert got[2] == (0, 1, False)   # dominated by b even though b was dropped
+    assert got[10] == (1, None, True)
+    assert got[11] == (1, 10, False)
+    # cross-cell: c (cell 0) vs d (cell 1) share no cell, never compared
