@@ -109,11 +109,18 @@ class IncrementalAgg:
         if cursor >= cur:
             return None
         raw = self.source.read_changes_signed(cursor, cur)
+        delta_all = self._with_bucket(
+            self._aggregate_signed(raw)
+        ).localCheckpoint()
         # null group keys have no null-safe path through the semi-join
         # + keyed merge below (null == null is never true), so a null
         # key would silently accumulate duplicate partial rows — fail
-        # fast instead; callers coalesce to a sentinel upstream
-        nulls = raw.where(
+        # fast instead; callers coalesce to a sentinel upstream. The
+        # check runs on the aggregated delta (one row per group, a few
+        # KB, already materialized), NOT the raw feed — a raw-side
+        # check would cost a second delta-sized scan per tick, which
+        # at 100 TB is the single biggest line in the tick's budget.
+        nulls = delta_all.where(
             __import__("functools").reduce(
                 lambda a, k: a | F.col(k).isNull(),
                 self.group_cols,
@@ -134,10 +141,7 @@ class IncrementalAgg:
             self.sum_cols,
             F.lit(True),
         )
-        delta = (
-            self._with_bucket(self._aggregate_signed(raw).where(~noop))
-            .localCheckpoint()
-        )
+        delta = delta_all.where(~noop)
         if delta.limit(1).count() == 0:
             # empty delta (e.g. an empty streaming batch committed an
             # empty source version): advance the cursor with an empty
@@ -168,16 +172,19 @@ class IncrementalAgg:
         legacy = BUCKET_COL not in {
             f.name for f in self.target.read().schema.fields
         }
-        touched = sorted(
-            r[0] for r in delta.select(BUCKET_COL).distinct().collect()
-        )  # ≤ n_buckets values by construction
+        # one driver action carries both pruning proofs: the touched
+        # bucket set (≤ n_buckets values by construction) and the
+        # group-key min/max envelope — two separate collects would be
+        # two scheduler round-trips per tick for the same tiny frame
         env = delta.agg(
+            F.collect_set(BUCKET_COL).alias("__kbs"),
             *[
                 f
                 for k in self.group_cols
                 for f in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
             ]
         ).collect()[0]
+        touched = sorted(env["__kbs"])
         where = [] if legacy else [(BUCKET_COL, "in", touched)]
         for k in self.group_cols:
             lo = envelope_literal(env[f"__lo_{k}"])
