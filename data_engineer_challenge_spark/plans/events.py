@@ -430,3 +430,54 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", "event_type", "n_events", F.round(z, 6).alias("volume_z")
         )
     )
+
+
+@register(
+    "events_distinct_sketch_rollup",
+    # r6: new capability, surface is at its 50-query cap — pytest-
+    # oracled (the local harness hash-checks it at sf0.001 every run)
+    driver=False,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type answered FROM PRE-BUILT sketches:
+    build one HLL sketch per (event_type, day) — the persisted-rollup
+    granularity — then union the daily sketches per type and estimate.
+    The raw events are scanned once to BUILD; the per-type answer
+    derives entirely from the union (operators/sketches.py), which is
+    the shape that answers arbitrary day-range profiling questions at
+    100 TB without rescanning history.
+
+    The exact COUNT(DISTINCT) oracle is valid because the corpus sits
+    in the sketch's exact coupon regime at every test scale (≤ 1,500
+    distinct users vs the lg_k=14 promotion point of ~12k — measured
+    1,500 == 1,500 == exact at sf0.1); the beyond-regime ±0.8% error
+    band is pinned separately in tests/test_approx.py with a
+    100k-distinct synthetic input. A production deployment keeps the
+    same plan and trades the oracle for the error bound."""
+    from ..operators.sketches import build_distinct_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = build_distinct_sketches(
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        ),
+        value_col="user_id",
+        group_cols=["event_type", "day"],
+    )
+    # one aggregate carries the union AND the day count — a separate
+    # n_days join would rebuild the daily sketches a second time
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(False))
+        ).alias("distinct_users"),
+    )

@@ -331,3 +331,57 @@ def ingest_stream_ivm(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_stream_distinct_sketches(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table,  # operators.snapshot.SnapshotTable (the sketch rollup)
+    value_col: str,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    lg_k: int | None = None,
+    txn_prefix: str = "sk",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain a persisted distinct-count sketch rollup from a stream:
+    each micro-batch folds its rows into one HLL sketch per group
+    (operators/sketches.py) and APPENDS the sketch rows — never
+    updates. A group seen in many batches simply owns many sketch
+    rows; the read path unions them, and union is register-wise max,
+    so the rollup is correct under any batch slicing.
+
+    Exactly-once here is double-walled: the per-batch txn id makes a
+    replayed batch a silent no-op on the table — and even if a replay
+    somehow re-appended its sketches (say, a checkpoint rebuilt under
+    a fresh txn prefix), HLL union is IDEMPOTENT (max of the same
+    registers twice is itself), so the ESTIMATES are already
+    replay-proof before the transactional layer does anything. State:
+    the stream carries none at all — no watermark, no GroupState; the
+    sketch rows in the table are the state, a few KB per group-batch."""
+    from ..operators.sketches import DEFAULT_LG_K, build_distinct_sketches
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(
+            build_distinct_sketches(
+                batch_df,
+                value_col,
+                group_cols,
+                lg_k if lg_k is not None else DEFAULT_LG_K,
+            ),
+            txn=f"{txn_prefix}-{batch_id}",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

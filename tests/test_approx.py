@@ -96,3 +96,97 @@ def test_kmv_bounded_topk_matches_window_form(spark):
         else:
             want[r["event_type"]] = float(r["n_seen"])
     assert got == want
+
+
+def test_hll_union_equals_direct_sketch(spark):
+    """Mergeability, the property the persisted rollup rests on: the
+    union of per-day sketches must estimate IDENTICALLY to one sketch
+    built over the whole input — register-wise max is order- and
+    grouping-independent. Asserted as exact equality, not a bound."""
+    from data_engineer_challenge_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = build_distinct_sketches(
+        ev, "user_id", ["event_type", "day"]
+    )
+    merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(
+            build_distinct_sketches(ev, "user_id", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    assert merged == direct and len(merged) > 0
+    # and in the exact coupon regime the estimate IS the exact count
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == exact
+
+
+def test_hll_error_bound_beyond_exact_regime(spark):
+    """Past the coupon promotion point the dense HLL estimator takes
+    over; its relative standard error at lg_k=14 is ~0.8%. Pin a 3
+    sigma bound on a 100k-distinct synthetic input — the regime the
+    oracle-backed query never enters but production would."""
+    from data_engineer_challenge_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+
+    n = 100_000
+    df = spark.range(n * 3).select(
+        (F.col("id") % n).alias("u"), (F.col("id") % 16).alias("shard")
+    )
+    sk = build_distinct_sketches(df, "u", ["shard"])
+    est = merge_distinct_estimate(sk).collect()[0]["n_distinct"]
+    assert abs(est - n) / n < 3 * 1.04 / (2**14) ** 0.5
+
+
+def test_hll_sketch_persisted_rollup_round_trip(spark, tmp_path):
+    """The rollup table is real: binary sketches survive a parquet
+    round-trip through SnapshotTable, a NEW day appends incrementally
+    (no rebuild of prior days), and the range estimate over the
+    combined table still equals the exact distinct count."""
+    from data_engineer_challenge_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    head, tail = days[:-1], days[-1]
+    tab = SnapshotTable(spark, str(tmp_path / "sk_rollup"))
+    tab.append(
+        build_distinct_sketches(
+            ev.where(F.col("day") < tail), "user_id", ["day"]
+        ),
+        txn="d0",
+    )
+    tab.append(
+        build_distinct_sketches(
+            ev.where(F.col("day") == tail), "user_id", ["day"]
+        ),
+        txn="d1",
+    )
+    est = merge_distinct_estimate(tab.read()).collect()[0]["n_distinct"]
+    exact = ev.select("user_id").distinct().count()
+    assert est == exact
+    assert tab.read().count() == len(days)  # one sketch row per day

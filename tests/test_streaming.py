@@ -818,3 +818,79 @@ def test_dedup_within_watermark_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want and len(got) == ev.count()
+
+
+def test_streaming_sketch_rollup_exact_and_replay_proof(spark, tmp_path):
+    """The streaming distinct-sketch sink: events arrive one file per
+    micro-batch, each batch appends per-(type, day) sketches, and the
+    union over ALL sketch rows still equals the exact distinct count
+    (mergeability under arbitrary batch slicing — groups straddle
+    batches, so a group owns multiple sketch rows). Then the
+    idempotence wall: re-appending identical sketches under a FRESH
+    txn (simulating a replay that defeated the txn layer) must not
+    move a single estimate."""
+    import pyspark.sql.functions as SF
+
+    from data_engineer_challenge_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_stream_distinct_sketches,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    shaped_cols = [
+        "event_type", SF.date_trunc("day", "ts").alias("day"), "user_id",
+    ]
+    # two files => two micro-batches; the second is an OVERLAPPING
+    # subset (an at-least-once redelivery): its groups end up owning
+    # two sketch rows each, which the union must absorb exactly
+    src = str(tmp_path / "sk_src")
+    for pred in ("true", "event_id % 3 = 0"):
+        ev.where(pred).select(*shaped_cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    tab = SnapshotTable(spark, str(tmp_path / "sk_tab"))
+    ingest_stream_distinct_sketches(
+        spark,
+        src,
+        ev.select(*shaped_cols).schema,
+        tab,
+        value_col="user_id",
+        group_cols=["event_type", "day"],
+        checkpoint_dir=str(tmp_path / "sk_ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    def estimates():
+        return {
+            r["event_type"]: r["n_distinct"]
+            for r in merge_distinct_estimate(
+                tab.read(), ["event_type"]
+            ).collect()
+        }
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(SF.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = estimates()
+    assert est == exact
+    # the redelivered subset's groups own TWO sketch rows each
+    n_groups = ev.select("event_type", SF.date_trunc("day", "ts")).distinct().count()
+    assert tab.read().count() > n_groups
+
+    # idempotence wall
+    tab.append(
+        build_distinct_sketches(
+            ev.select(*shaped_cols), "user_id", ["event_type", "day"]
+        ),
+        txn="rogue-replay",
+    )
+    assert estimates() == est
