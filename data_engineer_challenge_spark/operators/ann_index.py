@@ -163,3 +163,39 @@ class IVFVectorIndex:
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+
+    def semantic_dedup(self, threshold: float = 0.35) -> DataFrame:
+        """SemDeDup over the INDEX (the 100 TB form of
+        ``similarity.semantic_dedup``): the stored ``cid`` partition
+        value IS the cell assignment, so the three argmax projections
+        the standalone operator spends per run cost nothing here —
+        one build amortizes assignment across every later dedup,
+        probe, and refresh, and ``append`` keeps the index current
+        without touching historical lists. Same dominance rule, same
+        output frame ``(id, cell, dup_of, is_kept)``, decision-
+        identical to the standalone operator on the same corpus and
+        centroids (pinned in tests)."""
+        posts = self.spark.read.parquet(self._postings_dir())
+        a = posts.select(
+            "cid",
+            F.col(self.id_col).alias("__id_a"),
+            F.col(self.vec_col).alias("__va"),
+        )
+        b = posts.select(
+            "cid",
+            F.col(self.id_col).alias("__id_b"),
+            F.col(self.vec_col).alias("__vb"),
+        )
+        dom = (
+            a.join(b, "cid")
+            .filter(F.col("__id_a") < F.col("__id_b"))
+            .filter(cosine(F.col("__va"), F.col("__vb")) > threshold)
+            .groupBy("__id_b")
+            .agg(F.min("__id_a").alias("dup_of"))
+            .withColumnRenamed("__id_b", self.id_col)
+        )
+        return (
+            posts.select(self.id_col, F.col("cid").alias("cell"))
+            .join(dom, self.id_col, "left")
+            .withColumn("is_kept", F.col("dup_of").isNull())
+        )

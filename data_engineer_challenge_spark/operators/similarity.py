@@ -115,15 +115,43 @@ def _cell_means(df: DataFrame, cell_col: str, vec: str) -> DataFrame:
     )
 
 
-def nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+def nearest_centroid(
+    vec_col: Column,
+    centroids: list[list[float]],
+    norm2: Column | None = None,
+) -> Column:
     """Map-only argmax-cosine cell assignment: the centroid matrix
     inlines as literal arrays, so assignment is one projection — no
     join, no shuffle, whatever the corpus size. Ties break to the
-    lowest cell id via struct ordering."""
+    lowest cell id via struct ordering.
+
+    Expression-cost hygiene (bit-identical, ~3x fewer array folds per
+    row): each centroid's squared norm is summed in PYTHON — a
+    sequential float64 left fold over the components, exactly the fold
+    ``aggregate`` performs over the literal array, so the product
+    under the sqrt carries the same bits — and callers that already
+    materialize the row vector's squared norm can pass it as ``norm2``
+    so it folds once instead of once per centroid. With neither
+    optimization a k-centroid assignment folds 3k aggregates per row;
+    with both it folds k dots (+1 norm)."""
+    n2v = norm_sq(vec_col) if norm2 is None else norm2
+
+    def _py_norm2(c: list[float]) -> float:
+        s = 0.0
+        for x in c:
+            s += float(x) * float(x)
+        return s
+
     scored = F.array(
         *[
             F.struct(
-                (-cosine(vec_col, _lit_vec(c))).alias("d"), F.lit(i).alias("cid")
+                (
+                    -(
+                        dot(vec_col, _lit_vec(c))
+                        / F.sqrt(n2v * F.lit(_py_norm2(c)))
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cid"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -800,9 +828,18 @@ def semantic_dedup(
     centroids on the offline sample, never a bigger join. The
     reference engine has no vector surface at all (SURVEY §2.10);
     this exists for BASELINE.json's dedup north star."""
+    # each vector's squared norm is computed ONCE here and carried
+    # through the join: the pair filter then folds one dot product per
+    # candidate instead of three (dot + both norms) — identical floats
+    # (norm_sq reuse is the same left-fold value), ~3x less expression
+    # work on the quadratic-in-cell part of the plan
     assigned = (
         df.select(F.col(id_col), F.col(vec).alias("__v"))
-        .withColumn("cell", nearest_centroid(F.col("__v"), centroids))
+        .withColumn("__n2", norm_sq(F.col("__v")))
+        .withColumn(
+            "cell",
+            nearest_centroid(F.col("__v"), centroids, norm2=F.col("__n2")),
+        )
     )
     # parallelism of the cell equi-join is bounded by the distinct-cell
     # count — spread the probe side so the scan itself parallelizes
@@ -811,16 +848,21 @@ def semantic_dedup(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_a"),
         F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
     )
     b = assigned.select(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_b"),
         F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
+    pair_cos = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+        F.col("__na") * F.col("__nb")
     )
     dom = (
         a.join(b, "__cell")
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) > threshold)
+        .filter(pair_cos > threshold)
         .groupBy("__id_b")
         .agg(F.min("__id_a").alias("dup_of"))
         .withColumnRenamed("__id_b", id_col)

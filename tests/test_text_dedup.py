@@ -805,3 +805,37 @@ def test_index_probe_multiplicity_stable_under_replayed_postings(spark, tmp_path
     probe = spark.createDataFrame([(2, NEAR)], schema)
     rows = idx.probe(probe).collect()
     assert [(r["new_id"], r["dup_of"]) for r in rows] == [(2, 1)]
+
+
+def test_index_semantic_dedup_matches_standalone(spark, tmp_path):
+    """The index-resident SemDeDup must reach decision-identical
+    output to the standalone operator on the same corpus + quantizer:
+    the stored cid partition value replaces the three per-run argmax
+    projections, and everything downstream (dominance rule, audit
+    frame) is the same math."""
+    from data_engineer_challenge_spark.operators.ann_index import IVFVectorIndex
+    from data_engineer_challenge_spark.operators.similarity import semantic_dedup
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf_sd"), CENTROIDS)
+    idx.build(emb)
+    want = {
+        tuple(r)
+        for r in semantic_dedup(emb, CENTROIDS, threshold=0.35).collect()
+    }
+    got = {tuple(r) for r in idx.semantic_dedup(threshold=0.35).collect()}
+    assert got == want and len(got) == emb.count()
+    # and appended vectors join the dedup universe incrementally
+    dup = emb.orderBy("vec_id").limit(1).collect()[0]
+    idx.append(
+        spark.createDataFrame(
+            [(999_999, dup["embedding"])], "vec_id long, embedding array<float>"
+        )
+    )
+    after = {
+        r["vec_id"]: (r["dup_of"], r["is_kept"])
+        for r in idx.semantic_dedup(threshold=0.35).collect()
+    }
+    assert after[999_999] == (dup["vec_id"], False)  # exact twin dominated
