@@ -53,6 +53,11 @@ HEADLINE = [
     # r6 addition: incremental view maintenance end to end (two
     # appends + subtractive delete + append, four delta-sized folds)
     "ivm_maintained_view",
+    # r6 additions: semantic corpus pruning (map-only assignment +
+    # one cell-keyed shuffle), mergeable HLL distinct rollup (two
+    # sketch aggregation levels, no raw re-shuffle)
+    "emb_semantic_dedup",
+    "events_distinct_sketch_rollup",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round
