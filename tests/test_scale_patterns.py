@@ -299,3 +299,42 @@ def test_assignment_queries_are_map_only(spark):
         df = plans.REGISTRY[name].builder(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The SemDeDup plan's scale claims, pinned: (1) centroid
+    assignment is a pure projection — NO join anywhere carries the
+    centroid matrix (it inlines as literals), so the only joins are
+    the cell equi-join and the final id join; (2) the dominance
+    aggregate ships ids only (its exchange partitions by the pair's
+    right id, never by vectors); (3) no cartesian product."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["emb_semantic_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # assignment-by-join would scan a centroid-side relation: the only
+    # FileScans allowed are the embeddings table itself
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and all("embeddings" in l for l in scans), plan
+
+
+def test_sketch_rollup_plan_combines_map_side(spark):
+    """The distinct-sketch rollup must partial-aggregate BOTH levels
+    map-side (raw user ids never shuffle — only sketch states do) and
+    stay JVM-side end to end (no Python/Arrow eval nodes)."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["events_distinct_sketch_rollup"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, (node, plan)
