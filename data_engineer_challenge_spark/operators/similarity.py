@@ -799,6 +799,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec: str = "embedding",
     threshold: float = 0.35,
+    order_col: str | None = None,
+    order_desc: bool = False,
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): bucket the corpus by nearest coarse-quantizer
@@ -827,20 +830,52 @@ def semantic_dedup(
     roughly constant as the corpus grows; at 100 TB you train more
     centroids on the offline sample, never a bigger join. The
     reference engine has no vector surface at all (SURVEY §2.10);
-    this exists for BASELINE.json's dedup north star."""
+    this exists for BASELINE.json's dedup north star.
+
+    ``order_col`` swaps the keep priority from "lowest id" to a
+    quality rule: row *a* dominates *b* when *a*'s order value is
+    strictly better (smaller, or larger with ``order_desc=True``), or
+    equal with the smaller id — e.g. ``order_col="n_chars",
+    order_desc=True`` keeps the LONGEST document of a semantic
+    duplicate pair, the practical corpus-curation rule. ``dup_of``
+    stays "smallest dominating id" in every mode so the audit column
+    is one definition everywhere. Use an integer-typed order column:
+    the cross-engine oracle story needs bit-stable comparisons, which
+    integers give for free.
+
+    ``vectorized_assign=True`` swaps the literal-argmax projection for
+    the Arrow kernel (:func:`assign_cells_vectorized`, bit-identical —
+    test-pinned): the expression form inlines one struct per centroid,
+    fine at k=16, binding by k~160, impossible at production cell
+    counts (k ~ 10^5)."""
     # each vector's squared norm is computed ONCE here and carried
     # through the join: the pair filter then folds one dot product per
     # candidate instead of three (dot + both norms) — identical floats
     # (norm_sq reuse is the same left-fold value), ~3x less expression
     # work on the quadratic-in-cell part of the plan
-    assigned = (
-        df.select(F.col(id_col), F.col(vec).alias("__v"))
-        .withColumn("__n2", norm_sq(F.col("__v")))
-        .withColumn(
-            "cell",
-            nearest_centroid(F.col("__v"), centroids, norm2=F.col("__n2")),
+    extra = [F.col(order_col).alias("__o")] if order_col else []
+    if vectorized_assign:
+        if order_col:
+            # the kernel ships (id, vec) only; join the order column
+            # back by id (small projected frame, id-keyed)
+            raise ValueError(
+                "vectorized_assign does not carry order_col yet — "
+                "use the expression form for quality-rule dedup"
+            )
+        assigned = assign_cells_vectorized(
+            df, centroids, id_col=id_col, vec=vec
+        ).withColumnRenamed(vec, "__v")
+    else:
+        assigned = (
+            df.select(F.col(id_col), F.col(vec).alias("__v"), *extra)
+            .withColumn("__n2", norm_sq(F.col("__v")))
+            .withColumn(
+                "cell",
+                nearest_centroid(
+                    F.col("__v"), centroids, norm2=F.col("__n2")
+                ),
+            )
         )
-    )
     # parallelism of the cell equi-join is bounded by the distinct-cell
     # count — spread the probe side so the scan itself parallelizes
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -849,19 +884,27 @@ def semantic_dedup(
         F.col(id_col).alias("__id_a"),
         F.col("__v").alias("__va"),
         F.col("__n2").alias("__na"),
+        *([F.col("__o").alias("__oa")] if order_col else []),
     )
     b = assigned.select(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n2").alias("__nb"),
+        *([F.col("__o").alias("__ob")] if order_col else []),
     )
     pair_cos = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
         F.col("__na") * F.col("__nb")
     )
+    if order_col:
+        oa, ob = F.col("__oa"), F.col("__ob")
+        better = oa > ob if order_desc else oa < ob
+        dominates = better | ((oa == ob) & (F.col("__id_a") < F.col("__id_b")))
+    else:
+        dominates = F.col("__id_a") < F.col("__id_b")
     dom = (
         a.join(b, "__cell")
-        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(dominates)
         .filter(pair_cos > threshold)
         .groupBy("__id_b")
         .agg(F.min("__id_a").alias("dup_of"))
@@ -871,4 +914,63 @@ def semantic_dedup(
         assigned.select(id_col, "cell")
         .join(dom, id_col, "left")
         .withColumn("is_kept", F.col("dup_of").isNull())
+    )
+
+
+def assign_cells_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of :func:`nearest_centroid`, bit-identical by the
+    per-dimension-sequential accumulation rule every vectorized kernel
+    here follows (brute_force_topk_vectorized): dots and the row norm
+    accumulate dimension-at-a-time in fold order while vectorizing
+    across the batch×centroid grid, centroid norms are the same
+    sequential Python-float sums the expression form inlines, and the
+    argmax takes the first maximum (= lowest cell id on ties, the
+    struct-ordering rule). Returns ``(id_col, vec, __n2, cell)``.
+
+    This is the high-k scale path: the expression form inlines one
+    struct per centroid into the projection, which is fine at k=16
+    and already binding at k=160 (measured: the k=160 retrained-
+    quantizer run spends more on assignment than on 10x fewer pairs);
+    production SemDeDup runs k ~ 10^5, where only a kernel that
+    scores a batch against the whole centroid matrix at once is
+    viable. Equivalence with the expression form is test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    _require_long_ids(df, id_col, "assign_cells_vectorized")
+    c_mat = np.array(centroids, dtype=np.float64)
+    k, dim = c_mat.shape
+    c_norm_sq = np.zeros(k)
+    for i in range(dim):
+        c_norm_sq += c_mat[:, i] * c_mat[:, i]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            dots = np.zeros((v_mat.shape[0], k))
+            n2 = np.zeros(v_mat.shape[0])
+            for i in range(dim):
+                dots += v_mat[:, i][:, None] * c_mat[:, i][None, :]
+                n2 += v_mat[:, i] * v_mat[:, i]
+            cos = dots / np.sqrt(n2[:, None] * c_norm_sq[None, :])
+            cells = np.argmax(cos, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec: pdf[vec],
+                    "__n2": n2,
+                    "cell": cells,
+                }
+            )
+
+    return df.select(id_col, vec).mapInPandas(
+        assign,
+        schema=f"{id_col} long, {vec} array<float>, __n2 double, cell int",
     )

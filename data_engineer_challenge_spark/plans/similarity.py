@@ -512,3 +512,64 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return idx.probe(queries, k=10, n_probe=12)
+
+
+@register(
+    "docs_semantic_keep_longest",
+    # r6: pytest-oracled (surface at its 50 cap) — the quality-rule
+    # variant of emb_semantic_dedup over the cross-modal join
+    driver=False,
+    oracle=f"""
+    WITH cent AS (SELECT * FROM {_cent_values_sql(_IVF_CENTROIDS)}),
+    joined AS (
+        SELECT e.vec_id AS doc_id, e.embedding, d.n_chars
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    assigned AS (
+        SELECT doc_id, embedding, n_chars, cell FROM (
+            SELECT j.doc_id, j.embedding, j.n_chars, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY j.doc_id
+                        ORDER BY {_cos_sql('j.embedding', 'c.cv')} DESC,
+                                 c.cell) AS rn
+            FROM joined j CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    dom AS (
+        SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell
+         AND (a.n_chars > b.n_chars
+              OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} > 0.35
+        GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, s.cell, d.dup_of, (d.dup_of IS NULL) AS is_kept
+    FROM assigned s LEFT JOIN dom d ON s.doc_id = d.doc_id
+    """,
+)
+def docs_semantic_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule SemDeDup over the cross-modal star join
+    (documents ⋈ embeddings on doc_id = vec_id): of two semantically
+    near-duplicate documents, keep the LONGER one — the practical
+    corpus-curation rule (a truncated copy should lose to its full
+    original), expressed through semantic_dedup's ``order_col``
+    parameter with ``n_chars`` descending and id as the tie-break.
+    Integer ordering keeps the dominance comparisons bit-stable across
+    engines, so the full pipeline — join, assignment, quality
+    dominance — replays exactly in DuckDB."""
+    from ..operators.similarity import semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "doc_id", "embedding", "n_chars"
+    )
+    return semantic_dedup(
+        joined,
+        centroids=_IVF_CENTROIDS,
+        id_col="doc_id",
+        vec="embedding",
+        threshold=0.35,
+        order_col="n_chars",
+        order_desc=True,
+    )

@@ -137,3 +137,26 @@ def test_semantic_dedup_dominance_rule(spark):
     assert got[10] == (1, None, True)
     assert got[11] == (1, 10, False)
     # cross-cell: c (cell 0) vs d (cell 1) share no cell, never compared
+
+
+def test_semantic_dedup_vectorized_assign_bit_identical(spark):
+    """The Arrow assignment kernel must reproduce the expression
+    form's full audit frame EXACTLY (per-dimension-sequential
+    accumulation + first-max tie-break = struct ordering) — this is
+    the high-k scale path, so divergence here would silently change
+    which documents a production-scale quantizer drops."""
+    from data_engineer_challenge_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {tuple(r) for r in semantic_dedup(emb, CENTROIDS).collect()}
+    vect = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, CENTROIDS, vectorized_assign=True
+        ).collect()
+    }
+    assert vect == expr and len(vect) == emb.count()
