@@ -47,7 +47,19 @@ def _events_ts_is_nanos(path: str) -> bool:
     # cache keyed on (path, mtime, size), not path alone: the driver
     # regenerates testdata between rounds, and a same-path regeneration
     # that flips the timestamp unit must not reuse a stale verdict —
-    # that would silently mis-scale every events timestamp by 1000x
+    # that would silently mis-scale every events timestamp by 1000x.
+    # A Spark-written table is a DIRECTORY of part files sharing one
+    # schema — sniff any one part (tools/scale_smoke.py synthesizes
+    # events this way; the driver testdata ships single files)
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        path = parts[0]
     st = os.stat(path)
     return _sniff_events_nanos(path, st.st_mtime_ns, st.st_size)
 

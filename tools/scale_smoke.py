@@ -98,6 +98,23 @@ def build_corpus(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.parquet(f"{OUT}/embeddings.parquet")
 
+    # events x10: user/event ids offset per copy, so the distinct-user
+    # universe really grows 10x (15,000 at 10x — deliberately PAST the
+    # lg_k=14 sketch's ~12k exact-coupon promotion point, so the 10x
+    # run exercises the dense estimator the oracle regime never does)
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            ev.withColumn(
+                "event_id", F.col("event_id") + i * 100_000_000
+            ).withColumn("user_id", F.col("user_id") + i * 100_000_000)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(f"{OUT}/events.parquet")
+
 
 def timed(spark, builder, sf_dir: str) -> tuple[float, int]:
     """bench.py's frozen method: builder + noop write inside the
@@ -146,6 +163,86 @@ def minhash_funnel(spark, sf_dir: str) -> tuple[int, int]:
     return cands, surv
 
 
+def sketch_accuracy(spark, sf_dir: str) -> tuple[float, float]:
+    """(wall sec, max relative error vs exact) for the sketch rollup."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+
+    b = plans.REGISTRY["events_distinct_sketch_rollup"].builder
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    b(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    est = {
+        r["event_type"]: r["distinct_users"]
+        for r in b(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rel = max(abs(est[k] - exact[k]) / exact[k] for k in exact)
+    return round(dt, 3), rel
+
+
+def semantic_dedup_scale(spark) -> list[tuple[str, float, int, int]]:
+    """(label, sec, pairs, dropped) rows: 1x frozen k=16; 10x frozen
+    k=16 (the WRONG shape — fixed quantizer under 10x density, cells
+    go quadratic); 10x retrained k=160 (the documented k ∝ N knob:
+    per-cell density restored, cost back to ~corpus-linear)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        kmeans_centroids,
+        nearest_centroid,
+        semantic_dedup,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+
+    out = []
+
+    def run(label, sf_dir, cents, vectorized=False):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        res = semantic_dedup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            cents,
+            threshold=0.35,
+            vectorized_assign=vectorized,
+        )
+        res.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        dropped = res.where(~F.col("is_kept")).count()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned = emb.withColumn(
+            "cell", nearest_centroid(F.col("embedding"), cents)
+        )
+        sizes = assigned.groupBy("cell").count()
+        pairs = sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+        ).collect()[0][0]
+        out.append((label, round(dt, 3), int(pairs), int(dropped)))
+
+    run("warmup", "/root/testdata/sf0.001", CENTROIDS)
+    out.clear()  # warmup pays codegen outside the measurements
+    run("1x, frozen k=16", BASE, CENTROIDS)
+    run("10x, frozen k=16 (wrong shape)", OUT, CENTROIDS)
+    big = spark.read.parquet(f"{OUT}/embeddings.parquet")
+    k160 = kmeans_centroids(big, k=160, iters=4, sample_mod=4)
+    run("10x, retrained k=160, expression argmax", OUT, k160)
+    run(
+        "10x, retrained k=160, Arrow assignment kernel",
+        OUT,
+        k160,
+        vectorized=True,
+    )
+    return out
+
+
 def main() -> None:
     from data_engineer_challenge_spark import plans
     from data_engineer_challenge_spark.session import get_spark
@@ -176,6 +273,10 @@ def main() -> None:
     c1, s1 = minhash_funnel(spark, BASE)
     c10, s10 = minhash_funnel(spark, OUT)
 
+    sk1_t, sk1_e = sketch_accuracy(spark, BASE)
+    sk10_t, sk10_e = sketch_accuracy(spark, OUT)
+    sd_rows = semantic_dedup_scale(spark)
+
     with open(os.path.join(REPO_ROOT, "SCALE.md"), "w") as f:
         f.write(
             "# SCALE — synthetic 10x smoke (evidence, no gate)\n\n"
@@ -193,6 +294,11 @@ def main() -> None:
             "synthetic text the near-threshold pair mass is volatile "
             "under a re-hash, so their 10x row counts exceed 10x by "
             "data, not by engine (cross-copy pairs are 0 — verified).\n\n"
+            "\n**Reading:** wall-time ratios for 10x data sit between "
+            "~1.3x and ~3.5x — fixed-overhead-dominated, the signature "
+            "of shuffle-light partition-parallel plans before volume "
+            "binds; Jaccard-verified output rows scale exactly 10x "
+            "(rotation is a token bijection).\n\n"
             "| query | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |\n"
             "|---|---|---|---|---|---|\n"
         )
@@ -206,6 +312,34 @@ def main() -> None:
             f"| 1x | {c1} | {s1} | {s1 / max(c1, 1):.2%} |\n"
             f"| 10x | {c10} | {s10} | {s10 / max(c10, 1):.2%} |\n"
         )
+        f.write(
+            "\n## Distinct-sketch rollup accuracy across the exact/dense "
+            "boundary\n\n1x holds 1,500 distinct users (inside the "
+            "lg_k=14 exact coupon regime); 10x holds 15,000 — past the "
+            "~12k promotion point, so the DENSE estimator answers and "
+            "the error bound (±0.8% RSE) takes over from exactness. "
+            "Max relative error vs exact COUNT(DISTINCT), per event "
+            "type:\n\n"
+            "| scale | sec | max rel. error |\n|---|---|---|\n"
+            f"| 1x | {sk1_t} | {sk1_e:.3%} |\n"
+            f"| 10x | {sk10_t} | {sk10_e:.3%} |\n"
+        )
+        f.write(
+            "\n## SemDeDup: the k ∝ N knob, measured\n\nWithin-cell "
+            "work is quadratic, so a FIXED quantizer under 10x density "
+            "is deliberately the wrong shape — the documented contract "
+            "is that cell count scales with the corpus. Retraining "
+            "(seeded k-means, k=160, 1/4 hash-sample of the 10x "
+            "corpus) restores per-cell density, and the Arrow "
+            "assignment kernel (assign_cells_vectorized, bit-identical "
+            "to the expression argmax — test-pinned) is what carries "
+            "assignment once k grows past the literal-projection "
+            "regime:\n\n"
+            "| config | sec | within-cell pairs | dropped |\n"
+            "|---|---|---|---|\n"
+        )
+        for label, dt, pairs, dropped in sd_rows:
+            f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
     print("wrote SCALE.md")
 
 
