@@ -90,12 +90,12 @@ def heavy_hitters(
     Exactly TWO scans of the input: pass 1 (the MG kernel) emits one
     tiny ``(part_rows, keys)`` row per partition, carrying both the
     candidate set and the partition's row count — so the total ``n`` is
-    a single-row aggregate over the persisted summary, not a third
+    a single-row aggregate over the materialized summary, not a third
     scan. The verify pass is a broadcast LEFT SEMI join against the
     (distributed, never driver-collected) candidate frame: at 100 TB
     the candidate set is capacity × tasks keys — fine to broadcast,
     fatal to bake into the plan as IN-list literals. The summary frame
-    (≤ one row per task, ≤ capacity keys each) stays persisted so both
+    (≤ one row per task, ≤ capacity keys each) is checkpointed so both
     derivations read one materialization; its footprint is a few KB per
     thousand tasks.
 
@@ -106,6 +106,12 @@ def heavy_hitters(
     replay exact (the registered oracle filters NULLs identically)."""
     df = df.where(F.col(col).isNotNull())
     key_type = df.select(col).schema[0].dataType
+    # localCheckpoint, not persist(): both materialize the tiny
+    # summary once for its two consumers, but a CacheManager entry
+    # outlives the call (nothing can unpersist it after the lazy
+    # result frame escapes), leaking a cached block per invocation
+    # for the session lifetime; a checkpointed RDD is released by the
+    # ContextCleaner once the result frame is garbage collected.
     summary = df.select(col).mapInPandas(
         _mg_partition(col, capacity),
         schema=T.StructType(
@@ -114,13 +120,11 @@ def heavy_hitters(
                 T.StructField("keys", T.ArrayType(key_type)),
             ]
         ),
-    ).persist()
-    # Single-row aggregate collect — this is the ONLY pass-1 action; it
-    # materializes the persisted summary for the candidate derivation.
+    ).localCheckpoint()
+    # Single-row aggregate collect on the materialized summary.
     n_row = summary.agg(F.sum("part_rows").alias("n")).collect()[0]
     n = int(n_row["n"] or 0)
     if n == 0:
-        summary.unpersist()
         return df.select(
             df[col],
             F.lit(0).cast("long").alias("n_rows"),

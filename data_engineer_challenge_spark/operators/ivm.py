@@ -62,7 +62,18 @@ class IncrementalAgg:
         regardless of how the raw group keys interleave — a min/max
         envelope over an unclustered key space spans the whole view
         and would degrade the fold to a full read/rewrite (the
-        ``bh_bucket`` pattern from operators.dedup_index)."""
+        ``bh_bucket`` pattern from operators.dedup_index).
+
+        The layout parameters are PINNED in a sidecar
+        (``<view>/ivm_meta.json``, written before the first tick —
+        the IVFVectorIndex meta.json pattern): ``__kb`` stamps are
+        only sound pruning proofs while every writer uses the same
+        ``n_buckets`` and group keys, so reopening with different
+        values raises instead of silently excluding old rows from
+        folds (duplicate group rows, no error — the worst kind)."""
+        import json
+        import os
+
         self.spark = spark
         self.source = source
         self.target = target
@@ -70,6 +81,28 @@ class IncrementalAgg:
         self.sum_cols = list(sum_cols)
         self.txn_prefix = txn_prefix
         self.n_buckets = int(n_buckets)
+        meta = {
+            "n_buckets": self.n_buckets,
+            "group_cols": self.group_cols,
+            "sum_cols": self.sum_cols,
+        }
+        meta_path = os.path.join(target.path, "ivm_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != meta:
+                raise ValueError(
+                    f"IncrementalAgg view at {target.path!r} was laid "
+                    f"out with {stored}; reopening with {meta} would "
+                    "stamp mismatched __kb values and silently corrupt "
+                    "the fold's pruning proofs"
+                )
+        else:
+            os.makedirs(target.path, exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -167,11 +200,25 @@ class IncrementalAgg:
         # group-key range envelope (free extra proof when keys happen
         # to cluster); directories outside both are carried by merge's
         # stats pruning without being read OR rewritten.
-        # view bootstrapped before the bucketed layout? (defensive:
-        # the bucket filter would reference a missing column)
-        legacy = BUCKET_COL not in {
+        # view bootstrapped before the bucketed layout? Upgrade it
+        # NOW with a one-time full restamp (O(view), once): merely
+        # skipping the bucket filter for one tick is not enough —
+        # that tick's merge evolves the schema to include __kb while
+        # the old rows keep NULL stamps, and the NEXT tick's exact
+        # `__kb in touched` filter drops NULL rows before any restamp
+        # can heal them, silently losing their counts from the fold.
+        # replace() preserves the txn map and the cursors field
+        # (_publish carries both on every commit), so the upgrade
+        # cannot desync progress; a crash right after it leaves a
+        # correctly-bucketed view and an unchanged cursor.
+        if BUCKET_COL not in {
             f.name for f in self.target.read().schema.fields
-        }
+        }:
+            self.target.replace(
+                self._with_bucket(self.target.read()).repartitionByRange(
+                    self.n_buckets, BUCKET_COL
+                )
+            )
         # one driver action carries both pruning proofs: the touched
         # bucket set (≤ n_buckets values by construction) and the
         # group-key min/max envelope — two separate collects would be
@@ -185,14 +232,15 @@ class IncrementalAgg:
             ]
         ).collect()[0]
         touched = sorted(env["__kbs"])
-        where = [] if legacy else [(BUCKET_COL, "in", touched)]
+        where = [(BUCKET_COL, "in", touched)]
         for k in self.group_cols:
             lo = envelope_literal(env[f"__lo_{k}"])
             hi = envelope_literal(env[f"__hi_{k}"])
             if lo is not None and hi is not None:
                 where.extend([(k, ">=", lo), (k, "<=", hi)])
         # ALWAYS restamp the bucket on read (deterministic from the
-        # group keys): heals legacy/null rows, and guarantees the
+        # group keys — a no-op after the upgrade above, kept as a
+        # guard against any out-of-band writer) and guarantees the
         # groupBy below never splits a group across bucket values
         existing = self._with_bucket(
             self.target.read(where=where or None).drop(BUCKET_COL)

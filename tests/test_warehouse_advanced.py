@@ -897,3 +897,97 @@ def test_incremental_agg_fold_prunes_to_touched_buckets(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_agg_upgrades_legacy_unbucketed_view(spark, tmp_path):
+    """A view bootstrapped by the pre-bucketing maintainer (no __kb
+    column) must be upgraded with a one-time full restamp on the next
+    tick — merely skipping the bucket filter once is NOT enough: the
+    first new-layout merge evolves the schema while old rows keep
+    NULL stamps, and the following tick's exact `__kb in touched`
+    filter would drop them before any restamp, silently losing their
+    counts. Two post-upgrade ticks over existing groups must still
+    equal the full recompute."""
+    from pyspark.sql import functions as SF
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    src.append(
+        spark.createDataFrame(
+            [(1, 1.0), (1, 2.0), (2, 5.0)], "k long, v double"
+        ).coalesce(1),
+        txn="b0",
+    )
+    # hand-build the LEGACY bootstrap: the aggregate WITHOUT __kb,
+    # committed under the cursor/txn a pre-bucketing tick would use
+    legacy = (
+        src.read()
+        .groupBy("k")
+        .agg(
+            SF.count("*").cast("long").alias("n_rows"),
+            SF.sum("v").alias("sum_v"),
+        )
+    )
+    view.append(
+        legacy, txn=f"ivm-{src.current_version()}",
+        cursor=("ivm", src.current_version()),
+    )
+    ivm = IncrementalAgg(spark, src, view, group_cols=["k"], sum_cols=["v"])
+    assert ivm.tick() is None  # cursor is current; upgrade may still run
+
+    # two more waves touching EXISTING groups — the second tick is the
+    # one the unfixed code corrupted (old rows carried null __kb)
+    src.append(
+        spark.createDataFrame([(1, 10.0), (3, 7.0)], "k long, v double")
+        .coalesce(1)
+    )
+    assert ivm.tick() is not None
+    src.append(
+        spark.createDataFrame([(2, 1.0), (1, 0.5)], "k long, v double")
+        .coalesce(1)
+    )
+    assert ivm.tick() is not None
+
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"]) for r in ivm.read_view().collect()
+    }
+    want = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in src.read()
+        .groupBy("k")
+        .agg(SF.count("*").cast("long").alias("n_rows"), SF.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want == {(1, 4, 13.5), (2, 2, 6.0), (3, 1, 7.0)}
+
+
+def test_incremental_agg_pins_layout_parameters(spark, tmp_path):
+    """Reopening a maintained view with a different n_buckets (or key
+    set) must raise: mismatched __kb stamps silently violate merge's
+    in_cols contract — old rows get excluded from folds and the group
+    ends up with duplicate rows, with no error anywhere downstream."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=8
+    )
+    with pytest.raises(ValueError, match="laid"):
+        IncrementalAgg(
+            spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=4
+        )
+    with pytest.raises(ValueError, match="laid"):
+        IncrementalAgg(
+            spark, src, view, group_cols=["k2"], sum_cols=["v"], n_buckets=8
+        )
+    # same parameters reopen cleanly
+    IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=8
+    )
