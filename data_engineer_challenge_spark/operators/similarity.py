@@ -167,6 +167,7 @@ def kmeans_centroids(
     iters: int = 8,
     seed: int = 42,
     sample_mod: int | None = None,
+    vectorized: bool = False,
 ) -> list[list[float]]:
     """Deterministic seeded Lloyd k-means — the external coarse
     quantizer for IVF.
@@ -179,7 +180,12 @@ def kmeans_centroids(
     iteration — it is the deliberately-small broadcast side, same as
     the KNN query matrix. ``sample_mod=m`` trains on the deterministic
     1/m hash-sample of rows — at 100 TB the quantizer never needs the
-    full corpus.
+    full corpus. ``vectorized=True`` runs each iteration's assignment
+    through the Arrow kernel (:func:`assign_cells_vectorized`,
+    bit-identical — same trained centroids, test-pinned): the
+    expression argmax recompiles a k-struct projection per iteration,
+    acceptable at k=16 and the dominant cost of a k=160 retrain; at
+    production cell counts the kernel is the only viable form.
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
     if sample_mod:
@@ -194,7 +200,14 @@ def kmeans_centroids(
     )
     centroids = [list(r["__v"]) for r in init]
     for _ in range(iters):
-        assigned = base.withColumn("__cell", nearest_centroid(F.col("__v"), centroids))
+        if vectorized:
+            assigned = assign_cells_vectorized(
+                base, centroids, id_col="__id", vec="__v"
+            ).withColumnRenamed("cell", "__cell")
+        else:
+            assigned = base.withColumn(
+                "__cell", nearest_centroid(F.col("__v"), centroids)
+            )
         means = _cell_means(assigned, "__cell", "__v").collect()
         new = {r["__cell"]: list(r["centroid"]) for r in means}
         # empty cells keep their previous centroid

@@ -160,3 +160,19 @@ def test_semantic_dedup_vectorized_assign_bit_identical(spark):
         ).collect()
     }
     assert vect == expr and len(vect) == emb.count()
+
+
+def test_kmeans_vectorized_assignment_trains_identical_centroids(spark):
+    """Training with the Arrow assignment kernel must reproduce the
+    expression-form centroids EXACTLY (same init, same per-iteration
+    cell memberships, same means) — retrained quantizers must not
+    depend on which assignment engine ran."""
+    from data_engineer_challenge_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_centroids(emb, k=6, iters=3, seed=7)
+    b = kmeans_centroids(emb, k=6, iters=3, seed=7, vectorized=True)
+    assert a == b

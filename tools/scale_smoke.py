@@ -232,7 +232,7 @@ def semantic_dedup_scale(spark) -> list[tuple[str, float, int, int]]:
     run("1x, frozen k=16", BASE, CENTROIDS)
     run("10x, frozen k=16 (wrong shape)", OUT, CENTROIDS)
     big = spark.read.parquet(f"{OUT}/embeddings.parquet")
-    k160 = kmeans_centroids(big, k=160, iters=4, sample_mod=4)
+    k160 = kmeans_centroids(big, k=160, iters=4, sample_mod=4, vectorized=True)
     run("10x, retrained k=160, expression argmax", OUT, k160)
     run(
         "10x, retrained k=160, Arrow assignment kernel",
