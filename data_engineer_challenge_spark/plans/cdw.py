@@ -182,3 +182,82 @@ def cdw_fr_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fr.alias("fr_date"),
         F.try_to_date(fr, "dd/MM/yyyy").cast("timestamp").alias("reparsed"),
     )
+
+
+@register(
+    "cdw_pseudonymization",
+    # r6: pytest-oracled (surface at its 50 cap) — the privacy tier
+    # the reference's patient loader never had (exo_1.py:57-82 writes
+    # names/addresses/phones verbatim)
+    driver=False,
+    oracle="""
+    SELECT c_custkey,
+           sha256('cdw-salt-1' || c_name) AS pseudonym,
+           CASE
+               WHEN length(c_name) <= 4 THEN c_name
+               ELSE regexp_replace(
+                        substr(c_name, 1, length(c_name) - 4),
+                        '[0-9]', 'X', 'g'
+                    ) || substr(c_name, length(c_name) - 3, 4)
+           END AS name_masked,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def cdw_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-identified customer extract: salted-SHA-256 pseudonym for
+    the name (stable → joins/dedup still work), a digit-masked render
+    keeping the 4-char suffix (the phone/account-number shape — the
+    testdata customer table carries its digits in c_name), direct
+    identifiers dropped. Pure
+    column expressions (functions/redaction.py), map-only; the hash
+    and the masking regex replay bit-identically in DuckDB."""
+    from ..functions.redaction import mask_digits, pseudonym
+
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        pseudonym("c_name", "cdw-salt-1").alias("pseudonym"),
+        mask_digits("c_name", keep_last=4).alias("name_masked"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "customers_k_anonymity",
+    # r6: pytest-oracled — the audit that makes the pseudonymization
+    # claim checkable: no quasi-identifier combination may isolate
+    # fewer than k individuals
+    driver=False,
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, acctbal_band, n_members
+    FROM (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+               COUNT(*) AS n_members
+        FROM customer
+        GROUP BY 1, 2, 3
+    ) WHERE n_members < 5
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (nation, market segment, account-balance band): every emitted row
+    is a re-identification risk — a combination shared by fewer than
+    five customers. Pseudonymizing direct identifiers
+    (cdw_pseudonymization) is not enough on its own; this is the
+    check that the INDIRECT identifiers don't single people out, run
+    as one exact group-count pass (map-side combined, integer band
+    arithmetic so both engines agree exactly)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") < 5)
+    )

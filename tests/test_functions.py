@@ -270,3 +270,31 @@ def test_bpe_merges_provenance_from_distributed_freqs(spark):
     assert min(top.values()) >= max(
         c for w, c in freqs.items() if w not in top
     )
+
+
+def test_redaction_functions_edges(spark):
+    """pseudonym: NULL stays NULL (no empty-string collision), stable
+    across calls; mask_digits: short values pass through, punctuation
+    survives, only the suffix keeps digits."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.functions.redaction import (
+        mask_digits,
+        pseudonym,
+    )
+
+    df = spark.createDataFrame(
+        [("25-989-741-2988",), ("123",), (None,)], "v string"
+    )
+    rows = df.select(
+        pseudonym("v", "s").alias("p"), mask_digits("v", 4).alias("m")
+    ).collect()
+    full, short, null = rows
+    assert full["m"] == "XX-XXX-XXX-2988"
+    assert short["m"] == "123"          # <= keep_last: unchanged
+    assert null["p"] is None and null["m"] is None
+    again = df.select(pseudonym("v", "s").alias("p")).collect()
+    assert [r["p"] for r in again] == [r["p"] for r in rows]
+    # different salt, different universe
+    other = df.select(pseudonym("v", "t").alias("p")).collect()
+    assert other[0]["p"] != full["p"]
