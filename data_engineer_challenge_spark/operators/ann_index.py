@@ -164,38 +164,38 @@ class IVFVectorIndex:
             F.col("rank") <= k
         )
 
-    def semantic_dedup(self, threshold: float = 0.35) -> DataFrame:
+    def semantic_dedup(
+        self,
+        threshold: float = 0.35,
+        order_col: str | None = None,
+        order_desc: bool = False,
+    ) -> DataFrame:
         """SemDeDup over the INDEX (the 100 TB form of
         ``similarity.semantic_dedup``): the stored ``cid`` partition
         value IS the cell assignment, so the three argmax projections
         the standalone operator spends per run cost nothing here —
         one build amortizes assignment across every later dedup,
         probe, and refresh, and ``append`` keeps the index current
-        without touching historical lists. Same dominance rule, same
-        output frame ``(id, cell, dup_of, is_kept)``, decision-
-        identical to the standalone operator on the same corpus and
-        centroids (pinned in tests)."""
+        without touching historical lists. The dominance/audit stage
+        is literally shared code (``similarity._dominance_audit``) —
+        same rule, same output frame ``(id, cell, dup_of, is_kept)``,
+        decision-identical to the standalone operator on the same
+        corpus and centroids (pinned in tests) — so the quality keep
+        rule (``order_col``/``order_desc``) works here too, against a
+        column stored in the postings."""
+        from .similarity import _dominance_audit, norm_sq
+
         posts = self.spark.read.parquet(self._postings_dir())
-        a = posts.select(
-            "cid",
-            F.col(self.id_col).alias("__id_a"),
-            F.col(self.vec_col).alias("__va"),
-        )
-        b = posts.select(
-            "cid",
-            F.col(self.id_col).alias("__id_b"),
-            F.col(self.vec_col).alias("__vb"),
-        )
-        dom = (
-            a.join(b, "cid")
-            .filter(F.col("__id_a") < F.col("__id_b"))
-            .filter(cosine(F.col("__va"), F.col("__vb")) > threshold)
-            .groupBy("__id_b")
-            .agg(F.min("__id_a").alias("dup_of"))
-            .withColumnRenamed("__id_b", self.id_col)
-        )
-        return (
-            posts.select(self.id_col, F.col("cid").alias("cell"))
-            .join(dom, self.id_col, "left")
-            .withColumn("is_kept", F.col("dup_of").isNull())
+        assigned = posts.select(
+            F.col(self.id_col),
+            F.col(self.vec_col).alias("__v"),
+            F.col("cid").alias("cell"),
+            *([F.col(order_col).alias("__o")] if order_col else []),
+        ).withColumn("__n2", norm_sq(F.col("__v")))
+        return _dominance_audit(
+            assigned,
+            id_col=self.id_col,
+            threshold=threshold,
+            has_order=bool(order_col),
+            order_desc=order_desc,
         )

@@ -111,7 +111,12 @@ def heavy_hitters(
     # outlives the call (nothing can unpersist it after the lazy
     # result frame escapes), leaking a cached block per invocation
     # for the session lifetime; a checkpointed RDD is released by the
-    # ContextCleaner once the result frame is garbage collected.
+    # ContextCleaner once the result frame is garbage collected. The
+    # trade: checkpoint blocks are not lineage-recoverable, so losing
+    # an executor that held them between the two passes fails the
+    # query instead of recomputing — on a preemptible/dynamic-
+    # allocation fleet, point spark.checkpoint.dir at reliable
+    # storage and swap this for checkpoint(), same shape.
     summary = df.select(col).mapInPandas(
         _mg_partition(col, capacity),
         schema=T.StructType(

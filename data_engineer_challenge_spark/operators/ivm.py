@@ -81,28 +81,66 @@ class IncrementalAgg:
         self.sum_cols = list(sum_cols)
         self.txn_prefix = txn_prefix
         self.n_buckets = int(n_buckets)
-        meta = {
+        self._meta = {
             "n_buckets": self.n_buckets,
             "group_cols": self.group_cols,
             "sum_cols": self.sum_cols,
         }
-        meta_path = os.path.join(target.path, "ivm_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
+        self._meta_path = os.path.join(target.path, "ivm_meta.json")
+        self._needs_layout_adoption = False
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
                 stored = json.load(f)
-            if stored != meta:
+            if stored != self._meta:
                 raise ValueError(
                     f"IncrementalAgg view at {target.path!r} was laid "
-                    f"out with {stored}; reopening with {meta} would "
-                    "stamp mismatched __kb values and silently corrupt "
-                    "the fold's pruning proofs"
+                    f"out with {stored}; reopening with {self._meta} "
+                    "would stamp mismatched __kb values and silently "
+                    "corrupt the fold's pruning proofs"
                 )
+        elif target.current_version() is None:
+            # fresh view: pin the layout before any data exists
+            self._write_meta()
         else:
-            os.makedirs(target.path, exist_ok=True)
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, meta_path)
+            # a PRE-SIDECAR view with data: its stamps may come from a
+            # different n_buckets, a pre-bucketing maintainer (no __kb
+            # at all), or the half-upgraded mix of both — none of
+            # which this instance can distinguish. Writing the sidecar
+            # now would PIN the current params against unknown stamps,
+            # the exact silent corruption the sidecar exists to stop;
+            # instead the next fold restamps the whole view under this
+            # layout and only then pins it (_adopt_layout).
+            self._needs_layout_adoption = True
+
+    def _write_meta(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.target.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f)
+        os.replace(tmp, self._meta_path)
+
+    def _adopt_layout(self) -> None:
+        """One-time O(view) restamp bringing a pre-sidecar view under
+        this instance's layout, then pin it. Restamping FIRST makes
+        the ordering crash-safe: a crash after the replace but before
+        the sidecar write re-runs the (idempotent) restamp on the
+        next fold; the reverse order would pin unverified stamps.
+        replace() preserves the txn map and cursors (_publish carries
+        both on every commit), so progress cannot desync."""
+        if self.target.current_version() is not None:
+            body = self.target.read()
+            if BUCKET_COL in body.columns:
+                body = body.drop(BUCKET_COL)
+            self.target.replace(
+                self._with_bucket(body).repartitionByRange(
+                    self.n_buckets, BUCKET_COL
+                )
+            )
+        self._write_meta()
+        self._needs_layout_adoption = False
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -200,25 +238,17 @@ class IncrementalAgg:
         # group-key range envelope (free extra proof when keys happen
         # to cluster); directories outside both are carried by merge's
         # stats pruning without being read OR rewritten.
-        # view bootstrapped before the bucketed layout? Upgrade it
-        # NOW with a one-time full restamp (O(view), once): merely
-        # skipping the bucket filter for one tick is not enough —
-        # that tick's merge evolves the schema to include __kb while
-        # the old rows keep NULL stamps, and the NEXT tick's exact
-        # `__kb in touched` filter drops NULL rows before any restamp
-        # can heal them, silently losing their counts from the fold.
-        # replace() preserves the txn map and the cursors field
-        # (_publish carries both on every commit), so the upgrade
-        # cannot desync progress; a crash right after it leaves a
-        # correctly-bucketed view and an unchanged cursor.
-        if BUCKET_COL not in {
-            f.name for f in self.target.read().schema.fields
-        }:
-            self.target.replace(
-                self._with_bucket(self.target.read()).repartitionByRange(
-                    self.n_buckets, BUCKET_COL
-                )
-            )
+        # pre-sidecar view (unknown stamp provenance: unbucketed,
+        # differently-bucketed, or half-upgraded NULL-stamp mix)?
+        # Restamp + pin it before the first fold that relies on the
+        # stamps — merely skipping the bucket filter for one tick is
+        # not enough: that tick's merge evolves the schema while old
+        # rows keep NULL stamps, and the NEXT tick's exact
+        # `__kb in touched` filter drops NULL rows before any
+        # restamp-on-read can heal them, silently losing counts.
+        if self._needs_layout_adoption:
+            self._adopt_layout()
+            tv = self.target.current_version()
         # one driver action carries both pruning proofs: the touched
         # bucket set (≤ n_buckets values by construction) and the
         # group-key min/max envelope — two separate collects would be

@@ -97,6 +97,22 @@ def _lit_vec(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def _refuse_zero_norm_centroids(
+    centroids: list[list[float]], fn: str
+) -> None:
+    """A zero-norm centroid makes every cosine against it NaN, and the
+    two assignment engines disagree on NaN (numpy argmax treats NaN as
+    maximal and would send EVERY row to that cell; Spark struct
+    ordering never picks it) — refuse at the API edge instead of
+    letting the bit-identical contract silently break."""
+    for i, c in enumerate(centroids):
+        if not any(float(x) != 0.0 for x in c):
+            raise ValueError(
+                f"{fn}: centroid {i} has zero norm — cosine against it "
+                "is undefined; drop it or retrain the quantizer"
+            )
+
+
 def _cell_means(df: DataFrame, cell_col: str, vec: str) -> DataFrame:
     """Component-wise mean vector per cell: posexplode (keeps component
     order), mean per (cell, pos), re-assemble."""
@@ -141,6 +157,8 @@ def nearest_centroid(
         for x in c:
             s += float(x) * float(x)
         return s
+
+    _refuse_zero_norm_centroids(centroids, "nearest_centroid")
 
     scored = F.array(
         *[
@@ -875,9 +893,14 @@ def semantic_dedup(
                 "vectorized_assign does not carry order_col yet — "
                 "use the expression form for quality-rule dedup"
             )
+        # materialize the kernel's output once: three plan subtrees
+        # consume `assigned` (both join sides + the audit frame), and
+        # re-running the Python assignment pass 3x is exactly the cost
+        # the kernel exists to avoid. The expression form stays lazy —
+        # its recompute is cheap JVM codegen, not an Arrow round-trip.
         assigned = assign_cells_vectorized(
             df, centroids, id_col=id_col, vec=vec
-        ).withColumnRenamed(vec, "__v")
+        ).withColumnRenamed(vec, "__v").localCheckpoint()
     else:
         assigned = (
             df.select(F.col(id_col), F.col(vec).alias("__v"), *extra)
@@ -889,32 +912,65 @@ def semantic_dedup(
                 ),
             )
         )
-    # parallelism of the cell equi-join is bounded by the distinct-cell
-    # count — spread the probe side so the scan itself parallelizes
-    par = df.sparkSession.sparkContext.defaultParallelism
+    return _dominance_audit(
+        assigned,
+        id_col=id_col,
+        threshold=threshold,
+        has_order=bool(order_col),
+        order_desc=order_desc,
+    )
+
+
+def _dominance_audit(
+    assigned: DataFrame,
+    id_col: str,
+    threshold: float,
+    has_order: bool = False,
+    order_desc: bool = False,
+) -> DataFrame:
+    """Shared dominance + audit-frame stage of semantic dedup (used by
+    both the standalone operator and IVFVectorIndex.semantic_dedup —
+    one definition, so the two "decision-identical" paths cannot
+    drift). ``assigned`` must carry ``(id_col, __v, __n2, cell)`` and,
+    when ``has_order``, ``__o``.
+
+    NULL order values are defined as WORST quality: a NULL-order row
+    never dominates a non-NULL one and is dominated by any non-NULL
+    same-cell neighbor above the threshold; two NULL-order rows fall
+    back to the id tie-break. Without an explicit rule the raw
+    comparisons evaluate to SQL NULL in both orientations and a
+    NULL-quality duplicate silently survives."""
+    par = assigned.sparkSession.sparkContext.defaultParallelism
     a = assigned.repartition(par, id_col).select(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_a"),
         F.col("__v").alias("__va"),
         F.col("__n2").alias("__na"),
-        *([F.col("__o").alias("__oa")] if order_col else []),
+        *([F.col("__o").alias("__oa")] if has_order else []),
     )
     b = assigned.select(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_b"),
         F.col("__v").alias("__vb"),
         F.col("__n2").alias("__nb"),
-        *([F.col("__o").alias("__ob")] if order_col else []),
+        *([F.col("__o").alias("__ob")] if has_order else []),
     )
     pair_cos = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
         F.col("__na") * F.col("__nb")
     )
-    if order_col:
+    id_lt = F.col("__id_a") < F.col("__id_b")
+    if has_order:
         oa, ob = F.col("__oa"), F.col("__ob")
-        better = oa > ob if order_desc else oa < ob
-        dominates = better | ((oa == ob) & (F.col("__id_a") < F.col("__id_b")))
+        strict = oa > ob if order_desc else oa < ob
+        better = (oa.isNotNull() & ob.isNull()) | (
+            oa.isNotNull() & ob.isNotNull() & strict
+        )
+        tied = (oa.isNull() & ob.isNull()) | (
+            oa.isNotNull() & ob.isNotNull() & (oa == ob)
+        )
+        dominates = better | (tied & id_lt)
     else:
-        dominates = F.col("__id_a") < F.col("__id_b")
+        dominates = id_lt
     dom = (
         a.join(b, "__cell")
         .filter(dominates)
@@ -956,6 +1012,18 @@ def assign_cells_vectorized(
     import pandas as pd
 
     _require_long_ids(df, id_col, "assign_cells_vectorized")
+    _refuse_zero_norm_centroids(centroids, "assign_cells_vectorized")
+    # preserve the input element type: declaring array<float> for an
+    # array<double> input would make Arrow silently downcast the
+    # passthrough vectors while __n2 kept full precision — downstream
+    # pair cosines would mix precisions and drift from the expression
+    # form near the threshold
+    elem = df.schema[vec].dataType.elementType.simpleString()
+    if elem not in ("float", "double"):
+        raise ValueError(
+            f"assign_cells_vectorized requires float/double vector "
+            f"elements; {vec!r} is array<{elem}>"
+        )
     c_mat = np.array(centroids, dtype=np.float64)
     k, dim = c_mat.shape
     c_norm_sq = np.zeros(k)
@@ -985,5 +1053,7 @@ def assign_cells_vectorized(
 
     return df.select(id_col, vec).mapInPandas(
         assign,
-        schema=f"{id_col} long, {vec} array<float>, __n2 double, cell int",
+        schema=(
+            f"{id_col} long, {vec} array<{elem}>, __n2 double, cell int"
+        ),
     )

@@ -176,3 +176,70 @@ def test_kmeans_vectorized_assignment_trains_identical_centroids(spark):
     a = kmeans_centroids(emb, k=6, iters=3, seed=7)
     b = kmeans_centroids(emb, k=6, iters=3, seed=7, vectorized=True)
     assert a == b
+
+
+def test_semantic_dedup_guards_and_null_order(spark):
+    """Review-pinned edges: (1) a zero-norm centroid is refused by
+    BOTH assignment engines (their NaN behaviors diverge — numpy
+    argmax would send every row to the dead cell, struct ordering
+    never picks it); (2) with a quality rule, NULL order is WORST —
+    a NULL-quality duplicate is dominated by its non-NULL twin, two
+    NULL-quality twins fall back to the id tie-break (without the
+    explicit rule both dominance orientations evaluate to SQL NULL
+    and the duplicate silently survives); (3) the Arrow kernel
+    refuses non-float vector elements instead of silently casting."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        assign_cells_vectorized,
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 10),
+            (2, [1.0, 0.0], None),   # NULL quality: dominated by 1
+            (3, [0.0, 1.0], None),   # NULL pair in cell 1 ...
+            (4, [0.0, 1.0], None),   # ... falls back to id order
+        ],
+        "vec_id long, embedding array<float>, q int",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r["vec_id"]: (r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(
+            df, cents, threshold=0.9, order_col="q", order_desc=True
+        ).collect()
+    }
+    assert got[1] == (None, True)
+    assert got[2] == (1, False)    # non-NULL quality beats NULL
+    assert got[3] == (None, True)  # NULL-NULL tie: lower id wins
+    assert got[4] == (3, False)
+
+    with pytest.raises(ValueError, match="zero norm"):
+        semantic_dedup(df, [[0.0, 0.0], [0.0, 1.0]], threshold=0.9)
+    with pytest.raises(ValueError, match="zero norm"):
+        assign_cells_vectorized(df, [[0.0, 0.0], [0.0, 1.0]])
+    ints = spark.createDataFrame(
+        [(1, [1, 0])], "vec_id long, embedding array<int>"
+    )
+    with pytest.raises(ValueError, match="float/double"):
+        assign_cells_vectorized(ints, cents)
+
+
+def test_assign_cells_vectorized_preserves_double_vectors(spark):
+    """array<double> input must come back as array<double> — a silent
+    float32 downcast of the passthrough vectors would mix precisions
+    with the full-precision __n2 in downstream pair cosines."""
+    from data_engineer_challenge_spark.operators.similarity import (
+        assign_cells_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1234567890123, 0.9])], "vec_id long, embedding array<double>"
+    )
+    out = assign_cells_vectorized(df, [[1.0, 0.0], [0.0, 1.0]])
+    assert out.schema["embedding"].dataType.simpleString() == "array<double>"
+    row = out.collect()[0]
+    assert row["embedding"][0] == 0.1234567890123  # no precision loss
+    assert row["cell"] == 1

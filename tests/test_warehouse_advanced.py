@@ -991,3 +991,63 @@ def test_incremental_agg_pins_layout_parameters(spark, tmp_path):
     IncrementalAgg(
         spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=8
     )
+
+
+def test_incremental_agg_adopts_pre_sidecar_view_with_different_buckets(
+    spark, tmp_path
+):
+    """A view whose sidecar is missing but which already holds data
+    (pre-sidecar history) may carry stamps from ANY layout — writing
+    the sidecar immediately would pin current params against unknown
+    stamps. The maintainer must instead restamp the whole view under
+    its own layout on the next fold and only then pin: here the view
+    is laid out under n_buckets=8, the sidecar is removed, and a
+    reopen under n_buckets=4 must still fold to the exact full
+    recompute (the unfixed adoption left the mod-8 stamps in place
+    and produced duplicate group rows)."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from data_engineer_challenge_spark.operators.ivm import IncrementalAgg
+    from data_engineer_challenge_spark.operators.snapshot import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    ivm8 = IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=8
+    )
+    src.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, 2.0)], "k long, v double"
+        ).coalesce(1)
+    )
+    assert ivm8.tick() is not None
+    os.remove(os.path.join(view.path, "ivm_meta.json"))
+
+    ivm4 = IncrementalAgg(
+        spark, src, view, group_cols=["k"], sum_cols=["v"], n_buckets=4
+    )
+    src.append(
+        spark.createDataFrame([(1, 10.0), (2, 1.0)], "k long, v double")
+        .coalesce(1)
+    )
+    assert ivm4.tick() is not None
+    src.append(
+        spark.createDataFrame([(3, 0.5)], "k long, v double").coalesce(1)
+    )
+    assert ivm4.tick() is not None
+
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"]) for r in ivm4.read_view().collect()
+    }
+    want = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in src.read()
+        .groupBy("k")
+        .agg(SF.count("*").cast("long").alias("n_rows"), SF.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want == {(1, 2, 11.0), (2, 2, 6.0), (3, 2, 2.5)}
+    # the sidecar is pinned again after adoption
+    assert os.path.exists(os.path.join(view.path, "ivm_meta.json"))

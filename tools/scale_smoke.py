@@ -102,7 +102,11 @@ def build_corpus(spark) -> None:
     # universe really grows 10x (15,000 at 10x — deliberately PAST the
     # lg_k=14 sketch's ~12k exact-coupon promotion point, so the 10x
     # run exercises the dense estimator the oracle regime never does)
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    from data_engineer_challenge_spark.tables import load_table
+
+    # load_table, not a raw parquet read: it owns the events.ts
+    # nanos/micros footer sniff — driver testdata has shipped both
+    ev = load_table(spark, BASE, "events")
     parts = []
     for i in range(COPIES):
         parts.append(
@@ -178,7 +182,9 @@ def sketch_accuracy(spark, sf_dir: str) -> tuple[float, float]:
         r["event_type"]: r["distinct_users"]
         for r in b(spark, sf_dir).collect()
     }
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from data_engineer_challenge_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
