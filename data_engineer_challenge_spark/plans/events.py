@@ -481,3 +481,67 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.hll_union_agg("sketch", F.lit(False))
         ).alias("distinct_users"),
     )
+
+
+@register(
+    "events_calendar_densified",
+    # r6: pytest-oracled (surface at its 50 cap) — closes the seam
+    # events_daily_anomalies documents ("detecting outage-shaped
+    # anomalies needs a calendar-densified rollup upstream")
+    driver=False,
+    oracle="""
+    WITH span AS (
+        SELECT event_type,
+               MIN(date_trunc('day', ts)) AS lo,
+               MAX(date_trunc('day', ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    cal AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           (d.n_events IS NULL) AS is_gap
+    FROM cal c LEFT JOIN daily d
+      ON d.event_type = c.event_type AND d.day = c.day
+    """,
+)
+def events_calendar_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: every (event_type, day) in each type's
+    observed span gets a row, silent days explicitly zero-filled and
+    flagged — the upstream an outage detector needs (a rollup over
+    observed rows alone cannot represent "nothing arrived today").
+    The calendar derives from a per-type min/max aggregate +
+    ``sequence``/``explode`` — rows generated ∝ span days x types,
+    never a scan blowup — and the left join back to the daily rollup
+    is the only shuffle beyond the rollup itself."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    cal = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return cal.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -188,3 +188,40 @@ def test_no_cartesian_products(spark):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_calendar_densified_fills_planted_gaps(spark, tmp_path):
+    """The driver corpus is dense (every type logs every day), so the
+    zero-fill path never fires in the oracle comparison — plant a
+    sparse corpus and pin it: silent days inside a type's span emit
+    (0, is_gap=true), days outside any span emit nothing."""
+    import datetime as dt
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # click: days 1 and 4 observed -> days 2,3 are gaps
+        (1, t0, 10, "click", 1.0, None),
+        (2, t0 + dt.timedelta(days=3), 11, "click", 1.0, None),
+        # view: single day -> no gaps
+        (3, t0 + dt.timedelta(days=9), 12, "view", 1.0, None),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["events"])
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["day"].day, r["n_events"], r["is_gap"])
+        for r in plans.REGISTRY["events_calendar_densified"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        ("click", 1, 1, False),
+        ("click", 2, 0, True),
+        ("click", 3, 0, True),
+        ("click", 4, 1, False),
+        ("view", 10, 1, False),
+    }
