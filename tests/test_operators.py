@@ -243,3 +243,90 @@ def test_assign_cells_vectorized_preserves_double_vectors(spark):
     row = out.collect()[0]
     assert row["embedding"][0] == 0.1234567890123  # no precision loss
     assert row["cell"] == 1
+
+
+def test_semantic_dedup_fuzz_agrees_with_python_reference(spark):
+    """Seeded fuzz (the test_fuzz_extraction pattern): on random small
+    corpora the full audit frame must equal an INDEPENDENT pure-Python
+    replay of the declared semantics — float32-widened row vectors,
+    float64 sequential-fold cosines, argmax ties to the lowest cell,
+    lower-id dominance. Exercises the expression form and the Arrow
+    kernel against the same reference."""
+    import math
+    import random
+
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def f32(x):
+        return float(np.float32(x))
+
+    def dot_rr(a, b):  # both row vectors: float32-widened elements
+        s = 0.0
+        for x, y in zip(a, b):
+            s += f32(x) * f32(y)
+        return s
+
+    def dot_rc(v, c):  # row x centroid: centroid literals stay double
+        s = 0.0
+        for x, y in zip(v, c):
+            s += f32(x) * float(y)
+        return s
+
+    def dot_cc(c):
+        s = 0.0
+        for x in c:
+            s += float(x) * float(x)
+        return s
+
+    def reference(rows, cents, threshold):
+        assigned = {}
+        for rid, v in rows:
+            n2v = dot_rr(v, v)
+            best, cell = None, None
+            for i, c in enumerate(cents):
+                cos = dot_rc(v, c) / math.sqrt(n2v * dot_cc(c))
+                if best is None or cos > best:
+                    best, cell = cos, i
+            assigned[rid] = (cell, v)
+        out = {}
+        for rid, (cell, v) in assigned.items():
+            doms = [
+                oid
+                for oid, (ocell, ov) in assigned.items()
+                if ocell == cell
+                and oid < rid
+                and dot_rr(ov, v)
+                / math.sqrt(dot_rr(ov, ov) * dot_rr(v, v))
+                > threshold
+            ]
+            out[rid] = (cell, min(doms) if doms else None, not doms)
+        return out
+
+    rng = random.Random(20260814)
+    for case in range(6):
+        dim = rng.choice([2, 3])
+        n = rng.randint(4, 10)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        cents = [
+            [rng.uniform(-1, 1) or 0.5 for _ in range(dim)]
+            for _ in range(rng.randint(2, 3))
+        ]
+        threshold = rng.choice([0.3, 0.5, 0.7])
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        want = reference(rows, cents, threshold)
+        for vect in (False, True):
+            got = {
+                r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+                for r in semantic_dedup(
+                    df, cents, threshold=threshold, vectorized_assign=vect
+                ).collect()
+            }
+            assert got == want, (case, vect, threshold)
