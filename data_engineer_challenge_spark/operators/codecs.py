@@ -1,12 +1,15 @@
 """Pure-stdlib media codecs for the multimodal tier (SURVEY §2.10).
 
-The container ships no Pillow/ffmpeg/librosa, but three formats need
+The container ships no Pillow/ffmpeg/librosa, but four formats need
 no external library at all: uncompressed BMP and binary PPM images
-(struct + numpy) and PCM WAV audio (the stdlib ``wave`` module). These
-make the multimodal pipeline genuinely runnable end-to-end; compressed
-formats (JPEG/PNG/MP3/H.264) remain the documented injection seam —
-:func:`stdlib_decode` raises ``NotImplementedError`` for them exactly
-like the bare seam did for everything.
+(struct + numpy), PNG (the DEFLATE stream is stdlib ``zlib``; the five
+scanline filters are plain arithmetic), and PCM WAV audio (the stdlib
+``wave`` module). These make the multimodal pipeline genuinely
+runnable end-to-end; the remaining compressed formats (JPEG/MP3/H.264
+— entropy coding + DCT, not honestly reimplementable here) stay the
+documented injection seam — :func:`stdlib_decode` raises
+``NotImplementedError`` for them exactly like the bare seam did for
+everything.
 
 All features are deterministic arithmetic over the decoded samples, so
 tests assert exact values (a solid-color image's channel mean IS the
@@ -18,6 +21,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -66,6 +70,162 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise NotImplementedError("16-bit PPM unsupported")
     pos += 1  # single whitespace after maxval
     return np.frombuffer(data, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channels at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_predict(left: int, up: int, upleft: int) -> int:
+    """PNG Paeth predictor (spec §9, filter type 4) for one byte."""
+    p = left + up - upleft
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else upleft
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB array, pure stdlib.
+
+    Covers the overwhelmingly-common profile: bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced, all five scanline filters. The IDAT payload is
+    stdlib ``zlib``; unfiltering is exact integer arithmetic, so the
+    decode is bit-exact — a PNG and BMP of the same pixels produce the
+    identical feature vector / dHash (tested). Alpha is dropped
+    (features/dHash are luma-driven); 16-bit and interlaced files
+    raise ``NotImplementedError`` and fall to the injection seam."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    w = h = depth = ctype = interlace = 0
+    seen_ihdr = False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+            seen_ihdr = True
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if not seen_ihdr:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+    if interlace:
+        raise NotImplementedError("interlaced PNG unsupported")
+    nch = _PNG_CHANNELS.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    bpp = nch  # bytes per complete pixel at depth 8
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int64)
+        rpos += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-channel cumulative sum mod 256
+            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ftype == 3:  # Average — sequential in x (depends on left)
+            cur = line
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — sequential in x
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                upleft = int(prev[x - bpp]) if x >= bpp else 0
+                pred = _paeth_predict(left, int(prev[x]), upleft)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px[..., 0]])
+    if nch == 1 or ctype == 4:  # gray / gray+alpha → replicate luma
+        return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
+    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA (alpha dropped)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG bytes (round-trip
+    partner of :func:`decode_png`; also the test-fixture generator).
+    ``filter_type`` selects the scanline filter applied to EVERY row
+    (0-4) so tests can exercise each unfilter path — residuals are
+    computed vectorized from the unfiltered pixels."""
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type {filter_type} out of range")
+    h, w = img.shape[:2]
+    stride = w * 3
+    arr = img.reshape(h, stride).astype(np.int64)
+    zeros = np.zeros(3, np.int64)
+    lines = []
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        line = arr[y]
+        left = np.concatenate([zeros, line[:-3]])
+        upleft = np.concatenate([zeros, prev[:-3]])
+        if filter_type == 0:
+            res = line
+        elif filter_type == 1:
+            res = line - left
+        elif filter_type == 2:
+            res = line - prev
+        elif filter_type == 3:
+            res = line - ((left + prev) >> 1)
+        else:  # Paeth, vectorized predictor
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            res = line - pred
+        lines.append(bytes([filter_type]) + (res & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
@@ -141,13 +301,15 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
 
 def stdlib_decode(payload: bytes, kind: str) -> list[float]:
     """DecodeFn over the formats this environment can honestly decode:
-    BMP/PPM images, PCM WAV audio. Anything else (JPEG, PNG, MP3,
+    BMP/PPM/PNG images, PCM WAV audio. Anything else (JPEG, MP3,
     video codecs) raises ``NotImplementedError`` — that part of the
     seam still wants an injected Pillow/ffmpeg-backed callable."""
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
+    if payload[:8] == _PNG_SIG:
+        return image_features(decode_png(payload))
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     raise NotImplementedError(

@@ -142,6 +142,8 @@ def _decode_image(payload: bytes, mime: str | None):
         return codecs.decode_bmp(payload)
     if payload[:2] == b"P6":
         return codecs.decode_ppm(payload)
+    if payload[:8] == codecs._PNG_SIG:
+        return codecs.decode_png(payload)
     raise NotImplementedError(f"image codec for {mime!r} not built in")
 
 

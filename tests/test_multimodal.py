@@ -1,6 +1,7 @@
 """Multimodal tests: the Spark-side schema/batching/fan-out is real,
-the stdlib codecs (BMP/PPM/WAV) genuinely decode, and the remaining
-compressed-format seam still raises / accepts injected fakes."""
+the stdlib codecs (BMP/PPM/PNG/WAV) genuinely decode, and the
+remaining compressed-format seam (JPEG/MP3/video) still raises /
+accepts injected fakes."""
 
 from __future__ import annotations
 
@@ -65,6 +66,111 @@ def test_resize_nearest_downsamples_deterministically():
     small = resize_nearest(img, 2, 2)
     assert small.shape == (2, 2, 3)
     assert small[0, 0, 0] == 0 and small[1, 1, 0] == 10
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode→decode is the identity for each of the five PNG scanline
+    filters — every unfilter path (None/Sub/Up/Average/Paeth) is
+    exercised against the same pixels."""
+    from data_engineer_challenge_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img), ft
+
+
+def test_png_color_types_gray_palette_alpha():
+    """Color types 0 (gray), 3 (palette), 4 (gray+alpha) and 6 (RGBA)
+    all decode to the expected RGB pixels (alpha dropped, gray
+    replicated)."""
+    import struct
+    import zlib
+
+    from data_engineer_challenge_spark.operators.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def png(w, h, ctype, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(9))
+    assert np.array_equal(
+        decode_png(png(11, 9, 0, raw)), np.repeat(gray[..., None], 3, axis=2)
+    )
+
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (7, 8), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+    assert np.array_equal(
+        decode_png(png(8, 7, 3, raw, _png_chunk(b"PLTE", plte.tobytes()))),
+        plte[idx],
+    )
+
+    ga = rng.integers(0, 256, (5, 6, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(5))
+    assert np.array_equal(
+        decode_png(png(6, 5, 4, raw)), np.repeat(ga[..., :1], 3, axis=2)
+    )
+
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(6))
+    assert np.array_equal(decode_png(png(5, 6, 6, raw)), rgba[..., :3])
+
+
+def test_png_bmp_feature_and_dhash_parity():
+    """A PNG and a BMP of the same pixels decode bit-exactly, so the
+    feature vector and perceptual dHash are IDENTICAL — re-encoding an
+    image in another lossless container never perturbs the dedup
+    tier."""
+    from data_engineer_challenge_spark.operators.codecs import (
+        decode_bmp,
+        decode_png,
+        dhash64,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert dhash64(decode_bmp(encode_bmp(img))) == dhash64(
+        decode_png(encode_png(img, filter_type=4))
+    )
+    assert image_features(decode_bmp(encode_bmp(img))) == image_features(
+        decode_png(encode_png(img, filter_type=3))
+    )
+
+
+def test_png_unsupported_profiles_fall_to_seam():
+    """16-bit and interlaced PNGs raise NotImplementedError (the
+    injection seam), not garbage pixels."""
+    import struct
+
+    from data_engineer_challenge_spark.operators.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    for ihdr in [
+        struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 1),  # interlaced
+    ]:
+        with pytest.raises(NotImplementedError):
+            decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b""))
 
 
 def test_wav_decode_and_features():
@@ -132,12 +238,12 @@ def test_extract_features_shape_and_determinism(media):
 
 
 def test_extract_features_compressed_format_still_raises(spark):
-    """The seam survives: formats the stdlib can't decode (PNG here)
-    need an injected codec."""
-    rows = [(1, "image", b"\x89PNGfake", ("image/png", 8, 8, None))]
-    png_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """The seam survives: formats the stdlib can't decode (JPEG here —
+    PNG graduated to a real decoder) need an injected codec."""
+    rows = [(1, "image", b"\xff\xd8\xff\xe0JFIFfake", ("image/jpeg", 8, 8, None))]
+    jpeg_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no stdlib codec"):
-        extract_features(png_only).collect()
+        extract_features(jpeg_only).collect()
 
 
 def test_sample_frames_fanout(media):
