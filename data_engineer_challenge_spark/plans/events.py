@@ -545,3 +545,58 @@ def events_calendar_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "events_value_quantile_rollup",
+    # r6: new capability, surface at its 50-query cap — pytest-oracled
+    # (the local harness hash-checks it at sf0.001 every run)
+    driver=False,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    WHERE NOT isnan(value)
+    GROUP BY event_type
+    """,
+)
+def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles per event type answered FROM PRE-BUILT quantile
+    sketches: build one mergeable centroid sketch per (event_type, day)
+    — the persisted-rollup granularity — then merge the daily sketches
+    per type and interpolate (operators/quantiles.py). The raw events
+    are scanned once to BUILD; the per-type answer derives entirely
+    from the merge — the shape that answers arbitrary day-range "what
+    was p99 latency" questions at 100 TB without rescanning history,
+    and the quantile twin of events_distinct_sketch_rollup (Spark has
+    hll_sketch_agg for that; it has NO persisted-sketch surface for
+    percentiles, so this tier is custom).
+
+    The exact quantile_cont oracle is valid because every test scale
+    sits in the sketch's EXACT regime (≤ ~2k values per event type at
+    sf0.01 vs capacity 4096: no compression ever fires, weights stay
+    1, and the estimator degenerates to quantile_cont's own
+    interpolation, bit-for-bit). At sf0.1 (~20k per type) the bench
+    runs the genuinely-approximate path; the beyond-regime rank-error
+    band is pinned in tests/test_approx.py with a 100k-value synthetic
+    input. A production deployment keeps the same plan and trades the
+    oracle for the error bound."""
+    from ..operators.quantiles import build_quantile_sketches, quantile_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = build_quantile_sketches(
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+        ),
+        value_col="value",
+        group_cols=["event_type", "day"],
+    )
+    return quantile_estimates(
+        daily,
+        ["event_type"],
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
