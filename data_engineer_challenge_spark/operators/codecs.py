@@ -318,6 +318,66 @@ def stdlib_decode(payload: bytes, kind: str) -> list[float]:
     )
 
 
+def spectral_landmarks(
+    rate: int,
+    samples: np.ndarray,
+    frame: int = 512,
+    hop: int = 256,
+    bands: int = 6,
+    fan_out: int = 3,
+    max_dt: int = 8,
+) -> list[tuple[int, int]]:
+    """Shazam-style constellation fingerprint: ``[(landmark_hash, t)]``.
+
+    STFT (Hann window, numpy rfft) → per frame, the argmax bin in each
+    of ``bands`` geometric frequency bands, kept only where it rises
+    above the frame's mean magnitude (a flat/noisy band yields no
+    peak) → each peak anchors up to ``fan_out`` landmark pairs with
+    peaks in the next ``max_dt`` frames, hashed as
+    ``(f1, f2, dt)`` packed into one int. Every step is deterministic
+    arithmetic — same payload, same landmarks, any engine.
+
+    The property downstream matching relies on (Wang 2003): a copy of
+    the audio — rescaled in amplitude, mildly noisy, or time-shifted
+    by whole hops — reproduces largely the SAME hashes at a CONSTANT
+    frame offset, so true matches concentrate their join hits at one
+    ``dt`` while chance collisions scatter."""
+    if len(samples) < frame:
+        return []
+    n = (len(samples) - frame) // hop + 1
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(samples[idx] * win, axis=1))
+    nbins = spec.shape[1]
+    edges = np.unique(
+        np.round(np.geomspace(1, nbins - 1, bands + 1)).astype(np.int64)
+    )
+    peaks_by_frame: list[list[int]] = []
+    for t in range(n):
+        row = spec[t]
+        thresh = row.mean()
+        frame_peaks = []
+        for b in range(len(edges) - 1):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            j = lo + int(np.argmax(row[lo:hi]))
+            if row[j] > thresh:
+                frame_peaks.append(j)
+        peaks_by_frame.append(frame_peaks)
+    out: list[tuple[int, int]] = []
+    for t, anchors in enumerate(peaks_by_frame):
+        for f1 in anchors:
+            paired = 0
+            for dt in range(1, max_dt + 1):
+                if t + dt >= n or paired >= fan_out:
+                    break
+                for f2 in peaks_by_frame[t + dt]:
+                    if paired >= fan_out:
+                        break
+                    out.append(((f1 * nbins + f2) * (max_dt + 1) + dt, t))
+                    paired += 1
+    return out
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → 24-bit BMP bytes (round-trip partner of
     :func:`decode_bmp`; also the test-fixture generator)."""

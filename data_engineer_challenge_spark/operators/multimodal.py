@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -232,4 +232,97 @@ def image_neardup_pairs(
         .withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _decode_audio(payload: bytes, mime: str | None):
+    from . import codecs
+
+    if payload[:4] == b"RIFF":
+        return codecs.decode_wav(payload)
+    raise NotImplementedError(f"audio codec for {mime!r} not built in")
+
+
+def audio_landmarks(
+    media: DataFrame,
+    decode_audio: Callable[[bytes, str | None], "object"] | None = None,
+) -> DataFrame:
+    """Per-audio-item constellation fingerprints
+    (``codecs.spectral_landmarks``): ``(media_id, lmhash, t)`` — one
+    row per landmark, map-only. Decode + STFT happen once per payload
+    inside an Arrow batch; only (long, int) landmark rows leave
+    Python, so raw audio bytes never shuffle. ``decode_audio`` is the
+    injectable codec seam (default: the stdlib PCM WAV decoder)."""
+    dec = decode_audio or _decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import spectral_landmarks
+
+        for pdf in batches:
+            ids, hs, ts = [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                rate, samples = dec(payload, mime)
+                for h, t in spectral_landmarks(rate, samples):
+                    ids.append(mid)
+                    hs.append(h)
+                    ts.append(t)
+            yield pd.DataFrame({"media_id": ids, "lmhash": hs, "t": ts})
+
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    )
+    return auds.mapInPandas(run, schema="media_id long, lmhash long, t int")
+
+
+def audio_match_pairs(
+    media: DataFrame,
+    min_votes: int = 16,
+    max_hash_freq: int = 64,
+    decode_audio: Callable[[bytes, str | None], "object"] | None = None,
+) -> DataFrame:
+    """Audio near-duplicate / containment matching (Wang 2003): pairs
+    of audio items sharing ``min_votes``+ landmark hashes at ONE
+    consistent time offset — ``(id_a, id_b, votes, offset_frames)``.
+
+    The offset-histogram vote is what separates a true match from
+    chance hash collisions: a re-encoded / amplitude-scaled /
+    time-shifted copy reproduces the same (f1, f2, dt) hashes
+    displaced by a constant frame offset, so its join hits pile onto
+    one ``(pair, offset)`` cell, while collisions spread thin.
+
+    Scale shape: candidates come from an equi-join on ``lmhash``
+    carrying only (media_id, t) — the audio-domain twin of the
+    winnowing fingerprint-overlap join — with over-common hashes
+    (> ``max_hash_freq`` occurrences: silence, codec artifacts —
+    the audio analogue of boilerplate shingles) dropped BEFORE the
+    join, capping any single hash's join fan-out."""
+    from .text_dedup import _CACHED_FRAMES
+
+    lm = audio_landmarks(media, decode_audio=decode_audio).cache()
+    _CACHED_FRAMES.append(lm)
+    rare = lm.groupBy("lmhash").agg(F.count(F.lit(1)).alias("__n")).where(
+        F.col("__n") <= max_hash_freq
+    )
+    lm = lm.join(rare.select("lmhash"), "lmhash")
+    left = lm.select(
+        "lmhash", F.col("media_id").alias("id_a"), F.col("t").alias("ta")
+    )
+    right = lm.select(
+        "lmhash", F.col("media_id").alias("id_b"), F.col("t").alias("tb")
+    )
+    votes = (
+        left.join(right, "lmhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset_frames"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset_frames")
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(best))
+        .where((F.col("__rk") == 1) & (F.col("votes") >= min_votes))
+        .select("id_a", "id_b", "votes", "offset_frames")
     )

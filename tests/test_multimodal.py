@@ -338,3 +338,78 @@ def test_image_neardup_pairs_blocked_join(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
     assert all(3 not in p for p in pairs)
+
+
+def _melody(freqs, rate=8000, dur=0.25, amp=0.8):
+    t = np.arange(int(rate * dur)) / rate
+    return np.concatenate([amp * np.sin(2 * np.pi * f * t) for f in freqs])
+
+
+def test_audio_match_pairs_offset_vote(spark):
+    """End-to-end audio fingerprint matching: a time-shifted,
+    amplitude-scaled, mildly-noisy copy matches its original at the
+    exact frame offset (shift / hop = 512 / 256 = 2); an unrelated
+    melody does not; image/video rows are never decoded as audio.
+    Landmark rows carry only (long, int) — the schema check pins that
+    payload bytes never leave the map stage."""
+    from data_engineer_challenge_spark.operators.multimodal import (
+        audio_landmarks,
+        audio_match_pairs,
+    )
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        release_cached,
+    )
+
+    rng = np.random.default_rng(1)
+    orig = _melody([400, 800, 600, 1000, 500, 900])
+    copy = np.concatenate([np.zeros(512), 0.7 * orig]) + rng.normal(
+        0, 0.005, len(orig) + 512
+    )
+    other = _melody([440, 750, 1200, 350, 950, 650])
+    rows = [
+        (1, "audio", _wav_bytes(orig), ("audio/wav", None, None, 1500)),
+        (2, "audio", _wav_bytes(copy), ("audio/wav", None, None, 1564)),
+        (3, "audio", _wav_bytes(other), ("audio/wav", None, None, 1500)),
+        (4, "image", b"BMnot-audio", ("image/bmp", 4, 4, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    lm = audio_landmarks(media)
+    assert lm.columns == ["media_id", "lmhash", "t"]  # payload dropped
+    assert lm.where(F.col("media_id") == 4).count() == 0  # image skipped
+    try:
+        pairs = {
+            (r["id_a"], r["id_b"]): (r["votes"], r["offset_frames"])
+            for r in audio_match_pairs(media, min_votes=16).collect()
+        }
+    finally:
+        release_cached()
+    assert (1, 2) in pairs
+    votes, offset = pairs[(1, 2)]
+    assert votes >= 50 and offset == -2  # copy lags original by 2 frames
+    assert all(3 not in p for p in pairs)
+
+
+def test_audio_landmarks_deterministic_and_injectable(spark):
+    """Same payload → identical landmark multiset across runs and
+    partitionings; a non-WAV payload reaches the injectable decoder
+    seam instead of crashing the default path."""
+    from data_engineer_challenge_spark.operators.multimodal import (
+        audio_landmarks,
+    )
+
+    orig = _melody([300, 700, 500])
+    rows = [(1, "audio", _wav_bytes(orig), ("audio/wav", None, None, 750))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    a = sorted(map(tuple, audio_landmarks(media).collect()))
+    b = sorted(map(tuple, audio_landmarks(media.repartition(3)).collect()))
+    assert a == b and len(a) > 20
+
+    fake_rows = [(9, "audio", b"OGGSfake", ("audio/ogg", None, None, 100))]
+    fake_media = spark.createDataFrame(fake_rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        audio_landmarks(fake_media).collect()
+
+    def fake_decode(payload, mime):
+        return 8000, np.zeros(4000)
+
+    assert audio_landmarks(fake_media, decode_audio=fake_decode).count() == 0
