@@ -58,6 +58,10 @@ HEADLINE = [
     # sketch aggregation levels, no raw re-shuffle)
     "emb_semantic_dedup",
     "events_distinct_sketch_rollup",
+    # r6 addition: mergeable quantile-sketch rollup (bounded-state
+    # build + daily-sketch merge — at sf0.1 the genuinely-approximate
+    # compression path runs, ~20k values per event type vs capacity 4k)
+    "events_value_quantile_rollup",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round
