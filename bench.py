@@ -60,7 +60,8 @@ HEADLINE = [
     "events_distinct_sketch_rollup",
     # r6 addition: mergeable quantile-sketch rollup (bounded-state
     # build + daily-sketch merge — at sf0.1 the genuinely-approximate
-    # compression path runs, ~20k values per event type vs capacity 4k)
+    # compression path runs: 739-row day groups vs the query's
+    # capacity of 512, pinned in tests/test_approx.py)
     "events_value_quantile_rollup",
 ]
 

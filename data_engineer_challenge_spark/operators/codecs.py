@@ -77,15 +77,6 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _paeth_predict(left: int, up: int, upleft: int) -> int:
-    """PNG Paeth predictor (spec §9, filter type 4) for one byte."""
-    p = left + up - upleft
-    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
-    if pa <= pb and pa <= pc:
-        return left
-    return up if pb <= pc else upleft
-
-
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 RGB array, pure stdlib.
 
@@ -149,18 +140,36 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = (line + prev) & 0xFF
         elif ftype == 1:  # Sub: per-channel cumulative sum mod 256
             cur = line.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
-        elif ftype == 3:  # Average — sequential in x (depends on left)
-            cur = line
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth — sequential in x
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                upleft = int(prev[x - bpp]) if x >= bpp else 0
-                pred = _paeth_predict(left, int(prev[x]), upleft)
-                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype in (3, 4):  # Average/Paeth — sequential in x
+            # (depends on the current row's unfiltered left neighbor,
+            # so no cumsum trick applies). Plain-Python lists: per-
+            # element numpy indexing is ~5-10x slower than int math on
+            # lists, and this loop is the decode seam's hot path. A
+            # Paeth-heavy production corpus (libpng's default filter)
+            # still wants an injected Pillow decoder — documented.
+            cl = line.tolist()
+            pl = prev.tolist()
+            if ftype == 3:
+                for x in range(stride):
+                    left = cl[x - bpp] if x >= bpp else 0
+                    cl[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = cl[x - bpp] if x >= bpp else 0
+                    up = pl[x]
+                    upleft = pl[x - bpp] if x >= bpp else 0
+                    p = left + up - upleft
+                    pa = p - left if p >= left else left - p
+                    pb = p - up if p >= up else up - p
+                    pc = p - upleft if p >= upleft else upleft - p
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = upleft
+                    cl[x] = (cl[x] + pred) & 0xFF
+            cur = np.asarray(cl, np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)

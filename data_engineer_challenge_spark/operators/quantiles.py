@@ -154,19 +154,23 @@ def build_quantile_sketches(
             bufs[key] = (means, weights, chunks, n)
 
         for pdf in batches:
-            for key, sub in pdf.groupby(group_cols, sort=False):
+            # dropna=False: Spark/DuckDB GROUP BY keeps null keys as a
+            # group; pandas' default silently discards those rows
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
                 fold(key, sub["__v"].to_numpy(np.float64))
         out = []
         for key, (means, weights, chunks, n) in bufs.items():
             if chunks:
+                # emitted UNSORTED: merge_group re-sorts the concat of
+                # all partials anyway, so a flush-time sort is waste
                 flat = np.concatenate(chunks)
                 w = np.ones(len(flat), np.int64)
                 if means is not None:
                     flat = np.concatenate([means, flat])
                     w = np.concatenate([weights, w])
-                means, weights = _sort_points(flat, w)
+                means, weights = flat, w
             out.append(
                 (*key, means.tolist(), weights.tolist())
             )

@@ -576,27 +576,39 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_sketch_agg for that; it has NO persisted-sketch surface for
     percentiles, so this tier is custom).
 
-    The exact quantile_cont oracle is valid because every test scale
-    sits in the sketch's EXACT regime (≤ ~2k values per event type at
-    sf0.01 vs capacity 4096: no compression ever fires, weights stay
-    1, and the estimator degenerates to quantile_cont's own
-    interpolation, bit-for-bit). At sf0.1 (~20k per type) the bench
-    runs the genuinely-approximate path; the beyond-regime rank-error
-    band is pinned in tests/test_approx.py with a 100k-value synthetic
-    input. A production deployment keeps the same plan and trades the
-    oracle for the error bound."""
+    The exact quantile_cont oracle is valid because the oracle scales
+    (sf ≤ 0.01) sit in the sketch's EXACT regime under the capacity
+    chosen below: no compression ever fires, weights stay 1, and the
+    estimator degenerates to quantile_cont's own interpolation,
+    bit-for-bit. At sf0.1 the bench runs the genuinely-approximate
+    path (day groups exceed capacity — compression pinned in
+    tests/test_approx.py, alongside the <1% rank-error band on a
+    100k-value synthetic input). A production deployment keeps the
+    same plan and trades the oracle for the error bound."""
     from ..operators.quantiles import build_quantile_sketches, quantile_estimates
 
     ev = load_table(spark, sf_dir, "events")
+    # capacity 512 places the exact/approximate boundary BETWEEN the
+    # test scales: at sf ≤ 0.01 every (event_type, day) build group
+    # (≤ 86 rows) and every per-type merge union (~2k weight-1
+    # centroids, under the estimator's 16×capacity refold threshold)
+    # stay exact — the oracle regime — while sf0.1's 739-row day
+    # groups genuinely compress (weights > 1, pinned in
+    # tests/test_approx.py), so the bench measures the real sketch
+    # path, not the exact fallback
     daily = build_quantile_sketches(
         ev.select(
             "event_type", F.date_trunc("day", "ts").alias("day"), "value"
         ),
         value_col="value",
         group_cols=["event_type", "day"],
+        capacity=512,
+        k=64,
     )
     return quantile_estimates(
         daily,
         ["event_type"],
         {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+        capacity=512,
+        k=64,
     )
