@@ -27,9 +27,23 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    """For each left row, attach the nearest right row on the
+    ``direction`` side within the same ``on`` key:
+    ``'backward'`` (default) the latest right with
+    ``right_ts <= left_ts``; ``'forward'`` the earliest right with
+    ``right_ts >= left_ts`` — pandas ``merge_asof`` semantics, one
+    shuffle+sort either way (forward is the same union trick traversed
+    in descending time).
+
+    ``tolerance`` bounds the match's staleness: a match farther than
+    ``tolerance`` from ``left_ts`` is discarded (null payload under
+    ``'left'``, row dropped under ``'inner'``). Units: whatever
+    ``ts - ts`` means for the column type — seconds (with fraction)
+    for timestamps, plain difference for numerics — the attribution
+    -window knob ("last click within 30 minutes" → 1800.0).
 
     ``how='left'`` keeps unmatched left rows (null payload);
     ``'inner'`` drops them. Right-side ties on (key, ts) resolve to the
@@ -52,13 +66,21 @@ def asof_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join how={how!r}: expected 'inner' or 'left'")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join direction={direction!r}: expected 'backward' or 'forward'"
+        )
 
     right = right.filter(F.col(right_ts).isNotNull())
     marker = "__asof_side"
     ts = "__asof_ts"
     rrow = "__asof_row"
+    rts_field = "__asof_rts"  # matched right_ts, for the tolerance test
     payload_cols = list(right_payload)
-    rrow_type = T.StructType([right.schema[c] for c in payload_cols])
+    rrow_type = T.StructType(
+        [*[right.schema[c] for c in payload_cols],
+         T.StructField(rts_field, right.schema[right_ts].dataType)]
+    )
 
     lefts = (
         left.withColumn(marker, F.lit(1))
@@ -69,7 +91,10 @@ def asof_join(
         *on,
         F.col(right_ts).alias(ts),
         F.lit(0).alias(marker),
-        F.struct(*[F.col(c) for c in payload_cols]).alias(rrow),
+        F.struct(
+            *[F.col(c) for c in payload_cols],
+            F.col(right_ts).alias(rts_field),
+        ).alias(rrow),
     )
     left_cols = [c for c in left.columns]
     union = lefts.select(*left_cols, ts, F.col(marker), rrow).unionByName(
@@ -87,14 +112,29 @@ def asof_join(
         allowMissingColumns=False,
     )
 
-    # rights sort before lefts at equal ts → the join is inclusive
+    # rights sort before lefts at equal ts (marker ascending in BOTH
+    # directions) → the join is inclusive; forward simply traverses
+    # time descending so "most recent previous" becomes "next"
+    order = [F.col(ts) if direction == "backward" else F.col(ts).desc(),
+             F.col(marker)]
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts, marker)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = union.withColumn(rrow, F.last(rrow, ignorenulls=True).over(w))
-    out = filled.filter(F.col(marker) == 1).drop(marker, ts)
+    out = filled.filter(F.col(marker) == 1)
+    if tolerance is not None:
+        # staleness in the column's own difference units (timestamps
+        # cast to double = epoch seconds with fraction); non-negative
+        # by construction of the traversal direction
+        rts = F.col(rrow).getField(rts_field).cast("double")
+        lts = F.col(ts).cast("double")
+        stale = (lts - rts) if direction == "backward" else (rts - lts)
+        out = out.withColumn(
+            rrow, F.when(stale <= F.lit(float(tolerance)), F.col(rrow))
+        )
+    out = out.drop(marker, ts)
     if how == "inner":
         out = out.filter(F.col(rrow).isNotNull())
     for c in payload_cols:

@@ -66,6 +66,69 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_next_purchase",
+    # r6: forward-direction + tolerance as-of (surface at its 50 cap —
+    # pytest-oracled; events_asof_last_click holds the driver slot for
+    # the as-of family). DuckDB's native ASOF JOIN is backward-only,
+    # so the oracle replays the forward+window semantics with a
+    # LATERAL top-1 subquery — quadratic per key but exact.
+    driver=False,
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           n.event_id AS asof_event_id, n.ts AS asof_ts
+    FROM (SELECT event_id, user_id, ts
+          FROM events WHERE event_type = 'click') c,
+    LATERAL (
+        SELECT p.event_id, p.ts
+        FROM (SELECT user_id, ts, MAX(event_id) AS event_id
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts) p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+          AND epoch(p.ts) - epoch(c.ts) <= 7200
+        ORDER BY p.ts LIMIT 1
+    ) n
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with an attribution window: each click paired
+    with the user's NEXT purchase within two hours — the
+    click-to-conversion shape (pandas merge_asof direction='forward'
+    + tolerance), which DuckDB's backward-only ASOF JOIN cannot
+    express natively. Same one-shuffle union plan as the backward
+    form, traversed in descending time; the tolerance test runs on
+    the carried match timestamp, no second join. Purchases pre-dedup
+    per (user_id, ts) exactly like events_asof_last_click's clicks —
+    both engines would otherwise pick arbitrary tie rows."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_id", "p_ts"],
+        how="inner",
+        direction="forward",
+        tolerance=7200.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_p_id").alias("asof_event_id"),
+        F.col("asof_p_ts").alias("asof_ts"),
+    )
+
+
+@register(
     "sql_api_priority_revenue",
     oracle=f"""
     SELECT o_orderpriority,

@@ -329,3 +329,67 @@ def test_compact_heals_crashed_swap(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
     n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_files == 1
+
+
+def test_asof_join_forward_and_tolerance_match_bruteforce(spark):
+    """merge_asof semantics for the new knobs, checked against an
+    independent Python reference on seeded random data: 'forward'
+    attaches the EARLIEST right with right_ts >= left_ts; tolerance
+    discards matches farther than the window (null under 'left');
+    and an unknown direction raises."""
+    import random
+
+    import pytest
+
+    from data_engineer_challenge_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    left_rows = [(k, rng.randint(0, 500)) for k in keys for _ in range(30)]
+    right_rows = [
+        (k, t, f"{k}{t}")
+        for k, t in {(k, rng.randint(0, 500)) for k in keys for _ in range(25)}
+    ]
+    left = spark.createDataFrame(left_rows, "k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, v string")
+
+    by_key: dict[str, list[tuple[int, str]]] = {}
+    for k, t, v in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+
+    for direction, tol in [("forward", None), ("forward", 40.0),
+                           ("backward", 40.0)]:
+        got = {
+            (r["k"], r["t"], r["asof_v"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                right_payload=["v"], how="left",
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        want = set()
+        for k, t in left_rows:
+            if direction == "forward":
+                cand = [(rt, rv) for rt, rv in by_key.get(k, []) if rt >= t]
+                best = min(cand) if cand else None
+            else:
+                cand = [(rt, rv) for rt, rv in by_key.get(k, []) if rt <= t]
+                best = max(cand) if cand else None
+            if best is not None and tol is not None and abs(best[0] - t) > tol:
+                best = None
+            want.add((k, t, best[1] if best else None))
+        assert got == want, (direction, tol)
+
+    # inner + tolerance: out-of-window rows are DROPPED, not nulled
+    inner = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        right_payload=["v"], how="inner", direction="forward",
+        tolerance=40.0,
+    ).collect()
+    assert all(r["asof_v"] is not None for r in inner)
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_payload=["v"], direction="nearest",
+        )
