@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: default register count exponent: 2^14 registers = 16 KiB dense,
@@ -71,3 +71,143 @@ def merge_distinct_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: the SET-OPERATION tier HLL lacks.
+# HLL union is lossless but HLL cannot intersect; a KMV sketch (the k
+# smallest distinct 60-bit md5 hashes of the values) supports union,
+# intersection, and Jaccard estimates (Beyer et al., SIGMOD'07), and —
+# like the quantile sketch's exact regime — IS the exact value set
+# whenever a group holds fewer than k distinct values, which is what
+# lets a registered query keep a plain COUNT(DISTINCT)/INTERSECT
+# oracle at test scales. All arithmetic below is JVM-side Catalyst
+# array expressions; the only Python is the bounded-state build.
+# ---------------------------------------------------------------------------
+
+#: default KMV size: exact under 512 distinct, ~4.4% RSE beyond
+DEFAULT_KMV_K = 512
+
+#: the md5-hash value space, 2^60
+_KMV_SPACE = float(1 << 60)
+
+
+def _hash60(col: str) -> Column:
+    """60-bit md5 hash in [0, 2^60) — bit-identical to DuckDB's
+    ``CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS
+    BIGINT)`` (the shared convention of events_approx_stats and the
+    text SimHash tier)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _kmv_partition_topk(group_cols: list[str], k: int):
+    """Arrow kernel: prune one partition's (group, hash) stream to the
+    k smallest hashes per group — state ≤ k int64 per group per task
+    (the bounded-memory half; the array-expression merge is the
+    other)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                arr = grp["__h"].to_numpy(np.int64)
+                cur = state.get(key)
+                if cur is not None:
+                    arr = np.concatenate([cur, arr])
+                if len(arr) > k:
+                    arr = np.partition(arr, k - 1)[:k]
+                state[key] = arr
+        if state:
+            yield pd.DataFrame(
+                [(*key, hs.tolist()) for key, hs in state.items()],
+                columns=[*group_cols, "__hs"],
+            )
+
+    return fn
+
+
+def build_kmv_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = DEFAULT_KMV_K,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """One KMV sketch (sorted ``array<long>`` of the k smallest
+    distinct hashes) per group. NULL values are excluded by contract
+    (COUNT(DISTINCT) semantics). Build shape: hash + distinct (one
+    shuffle, co-locating (group, hash)), a bounded-state partition
+    prune, then an array merge over ≤ partitions x k survivors per
+    group — no per-group window, no unbounded collect."""
+    group_cols = list(group_cols)
+    import pyspark.sql.types as T
+
+    uh = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, _hash60(value_col).alias("__h"))
+        .distinct()
+    )
+    schema = T.StructType(
+        [*[uh.schema[c] for c in group_cols],
+         T.StructField("__hs", T.ArrayType(T.LongType()))]
+    )
+    pruned = uh.mapInPandas(_kmv_partition_topk(group_cols, k), schema)
+    return pruned.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__hs"))), 1, k
+        ).alias(sketch_col)
+    )
+
+
+def kmv_distinct_estimate(sketch: Column, k: int = DEFAULT_KMV_K) -> Column:
+    """Distinct-count estimate from a KMV sketch: EXACT (the sketch
+    size) while the group held fewer than k distinct values, else the
+    classic (k-1) / normalized-kth-minimum estimator."""
+    kth = F.element_at(sketch, k)
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / (kth + F.lit(1)).cast("double")
+    )
+
+
+def kmv_union_sketch(a: Column, b: Column, k: int = DEFAULT_KMV_K) -> Column:
+    """KMV of the union: the k smallest of the combined sketches —
+    closed under the same size bound, so unions chain."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_overlap(
+    a: Column, b: Column, k: int = DEFAULT_KMV_K
+) -> dict[str, Column]:
+    """Set-operation estimates for two KMV sketches: ``n_a``, ``n_b``,
+    ``n_union``, ``n_intersect``, ``jaccard`` (Beyer et al. 2007: the
+    union sketch K is a uniform sample of A ∪ B; every member of K is
+    ≤ both sketches' k-th minima, so membership of K's values in the
+    A and B sketches is decisive, and ρ = |K ∩ A ∩ B| / |K| estimates
+    the Jaccard similarity; intersection = ρ × |A ∪ B|). In the exact
+    regime (|K| < k) every formula degenerates to exact set
+    arithmetic."""
+    u = kmv_union_sketch(a, b, k)
+    union_est = kmv_distinct_estimate(u, k)
+    n_inter_members = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    denom = F.when(F.size(u) < k, F.size(u)).otherwise(F.lit(k))
+    rho = F.when(F.size(u) == 0, F.lit(0.0)).otherwise(
+        n_inter_members.cast("double") / denom.cast("double")
+    )
+    return {
+        "n_a": kmv_distinct_estimate(a, k),
+        "n_b": kmv_distinct_estimate(b, k),
+        "n_union": union_est,
+        "n_intersect": rho * union_est,
+        "jaccard": rho,
+    }

@@ -612,3 +612,67 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         capacity=512,
         k=64,
     )
+
+
+@register(
+    "events_cohort_overlap_sketch",
+    # r6: KMV set-operation tier (surface at its 50 cap — pytest-
+    # oracled at sf0.001, squarely in the exact regime)
+    driver=False,
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND value >= 150
+                 AND user_id IS NOT NULL),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value >= 150
+                 AND user_id IS NOT NULL),
+         i AS (SELECT count(*) AS n FROM
+                 (SELECT * FROM a INTERSECT SELECT * FROM b)),
+         u AS (SELECT count(*) AS n FROM
+                 (SELECT * FROM a UNION SELECT * FROM b))
+    SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS n_view_hi,
+           CAST((SELECT count(*) FROM b) AS DOUBLE) AS n_purchase_hi,
+           CAST((SELECT n FROM u) AS DOUBLE) AS n_union,
+           CAST((SELECT n FROM i) AS DOUBLE) AS n_intersect,
+           CASE WHEN (SELECT n FROM u) = 0 THEN 0.0
+                ELSE CAST((SELECT n FROM i) AS DOUBLE)
+                     / CAST((SELECT n FROM u) AS DOUBLE) END AS jaccard
+    """,
+)
+def events_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-overlap profiling from KMV sketches — the SET-OPERATION
+    sketch tier HLL cannot provide (HLL unions losslessly but cannot
+    intersect; a KMV sketch estimates union, intersection, and Jaccard
+    from two k-minimum-hash arrays, Beyer et al. SIGMOD'07). Cohorts:
+    users with a high-value (>= 150) view vs a high-value purchase.
+    One scan builds both sketches (cohort-labeled rows → one grouped
+    build); every set operation afterwards is a Catalyst array
+    expression over two k-long arrays — no re-scan, no join of the
+    raw sets, the shape that compares hundred-billion-row cohorts at
+    100 TB by shipping kilobytes.
+
+    The plain COUNT(DISTINCT)/INTERSECT oracle is valid because the
+    oracle scales sit in the sketch's exact regime (cohorts ≪ k=512
+    distinct users, so each sketch IS its cohort's full hash set and
+    every estimator degenerates to exact set arithmetic — same
+    exactness pattern as the HLL coupon regime and the quantile
+    sketch's sub-capacity regime). Beyond-regime error bounds are
+    pinned in tests/test_approx.py with 60k-distinct synthetics."""
+    from ..operators.sketches import build_kmv_sketches, kmv_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.where(
+        (F.col("value") >= 150)
+        & F.col("event_type").isin("view", "purchase")
+    ).select(F.col("event_type").alias("cohort"), "user_id")
+    sk = build_kmv_sketches(labeled, "user_id", ["cohort"])
+    a = sk.where(F.col("cohort") == "view").select(F.col("kmv").alias("a"))
+    b = sk.where(F.col("cohort") == "purchase").select(F.col("kmv").alias("b"))
+    est = kmv_overlap(F.col("a"), F.col("b"))
+    return a.crossJoin(b).select(
+        est["n_a"].alias("n_view_hi"),
+        est["n_b"].alias("n_purchase_hi"),
+        est["n_union"].alias("n_union"),
+        est["n_intersect"].alias("n_intersect"),
+        est["jaccard"].alias("jaccard"),
+    )
