@@ -676,3 +676,117 @@ def events_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est["n_intersect"].alias("n_intersect"),
         est["jaccard"].alias("jaccard"),
     )
+
+
+@register(
+    "events_hourly_gap_interpolated",
+    # r6: time-series imputation tier (surface at its 50 cap —
+    # pytest-oracled; 2,700 of sf0.001's 3,568 calendar hours are
+    # genuine gaps, so the interpolation path carries the query)
+    driver=False,
+    oracle=f"""
+    WITH span AS (
+        SELECT event_type, MIN(date_trunc('hour', ts)) AS lo,
+               MAX(date_trunc('hour', ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    cal AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n, {dec_sum_sql('value')} AS hv
+        FROM events GROUP BY 1, 2
+    ),
+    dens AS (
+        SELECT c.event_type, c.hour, h.n, h.hv
+        FROM cal c LEFT JOIN hourly h
+          ON h.event_type = c.event_type AND h.hour = c.hour
+    ),
+    w AS (
+        SELECT *,
+           last_value(hv IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN hv IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wp AS pt,
+           first_value(hv IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN hv IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wn AS nt
+        FROM dens
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           (n IS NULL) AS is_gap,
+           CASE WHEN hv IS NOT NULL THEN hv
+                ELSE pv + (nv - pv) * ((epoch(hour) - epoch(pt))
+                                       / (epoch(nt) - epoch(pt))) END
+               AS value_filled
+    FROM w
+    """,
+)
+def events_hourly_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation: the hourly value series per event type,
+    densified to the full calendar (events_calendar_densified's
+    pattern at hour grain, where every test scale has real gaps) with
+    silent hours LINEARLY INTERPOLATED between their nearest observed
+    neighbors — forward fill carries (last observed value, its hour)
+    down, backward fill carries the next pair up, and the gap row
+    lerps on the epoch-seconds fraction. Both engines evaluate the
+    identical expression tree ``pv + (nv - pv) * (Δt_prev / Δt_span)``
+    on decimal-exact hourly sums, so the imputed doubles hash-match
+    bit-for-bit. Endpoints are observed by construction (the calendar
+    spans each type's min..max observed hour), so every gap has both
+    neighbors. Scale shape: two window passes over the DENSIFIED
+    ROLLUP (rows ∝ span-hours x types, never the raw scan), partitioned
+    by event_type — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("hv")
+    )
+    cal = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min(F.date_trunc("hour", "ts")).alias("lo"),
+            F.max(F.date_trunc("hour", "ts")).alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    dens = cal.join(hourly, ["event_type", "hour"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("hv").isNotNull(), F.col("hour"))
+    pv = F.last("hv", ignorenulls=True).over(wp)
+    pt = F.last(obs_hour, ignorenulls=True).over(wp)
+    nv = F.first("hv", ignorenulls=True).over(wn)
+    nt = F.first(obs_hour, ignorenulls=True).over(wn)
+    frac = (F.col("hour").cast("double") - pt.cast("double")) / (
+        nt.cast("double") - pt.cast("double")
+    )
+    return dens.select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.when(F.col("hv").isNotNull(), F.col("hv"))
+        .otherwise(pv + (nv - pv) * frac)
+        .alias("value_filled"),
+    )
