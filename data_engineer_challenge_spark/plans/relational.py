@@ -508,3 +508,107 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("first_plus_last"),
     )
+
+
+@register(
+    "customer_golden_records",
+    # r6: survivorship tier (surface at its 50 cap — pytest-oracled).
+    # The reference's headline operation IS this shape: its patient
+    # registry merges duplicate people into one canonical record
+    # (4,828 rows -> 4,826 patients, exo_1.py); here the full MDM
+    # pipeline — blocked fuzzy candidates -> transitive closure ->
+    # deterministic attribute survivorship — is hash-checked end to
+    # end against a recursive-CTE oracle.
+    driver=False,
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS canonical
+        FROM reach GROUP BY src
+    ),
+    members AS (
+        SELECT c.*, COALESCE(k.canonical, c.c_custkey) AS golden_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(k.canonical, c.c_custkey)
+                   ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer c LEFT JOIN canon k ON c.c_custkey = k.node
+    )
+    SELECT golden_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN c_custkey = golden_id THEN c_name END) AS c_name,
+           MAX(CASE WHEN c_custkey = golden_id THEN c_nationkey END)
+               AS c_nationkey,
+           MAX(CASE WHEN c_custkey = golden_id THEN c_mktsegment END)
+               AS c_mktsegment,
+           MAX(c_acctbal) AS c_acctbal,
+           CAST(MAX(CASE WHEN rk = 1 THEN c_custkey END) AS BIGINT)
+               AS donor_id
+    FROM members
+    GROUP BY golden_id
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the master-data-management step
+    AFTER record linkage, and the reference's own headline operation
+    generalized (its patient registry collapses duplicate people into
+    one canonical row, exo_1.py; SURVEY §2.3): blocked fuzzy candidate
+    pairs (operators/linkage.py) → connected components
+    (operators/graph.py label propagation) → one canonical record per
+    entity cluster under DETERMINISTIC survivorship rules — identity
+    fields from the canonical (lowest-key) member, the balance from
+    the best-funded member with its provenance (``donor_id``), member
+    count for audit. Unlinked customers pass through as their own
+    golden record. Every rule is an aggregate/window expression, so
+    the whole pipeline — including the iterative closure — is
+    hash-checked against an exhaustive recursive-CTE oracle, never
+    rows-only. Scale shape: candidates are blocked (never all-pairs),
+    the closure runs on the candidate EDGES (≪ rows), and survivorship
+    is one grouped pass over members keyed by golden_id."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.linkage import linkage_candidates
+
+    customer = load_table(spark, sf_dir, "customer")
+    cands = linkage_candidates(
+        customer,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_levenshtein=3,
+    )
+    clusters = dedup_clusters(cands.select("id_a", "id_b"))
+    members = customer.join(
+        clusters.select(F.col("node").alias("c_custkey"), "canonical"),
+        "c_custkey",
+        "left",
+    ).withColumn("golden_id", F.coalesce("canonical", "c_custkey"))
+    w = Window.partitionBy("golden_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    is_canon = F.col("c_custkey") == F.col("golden_id")
+    return ranked.groupBy("golden_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(is_canon, F.col("c_name"))).alias("c_name"),
+        F.max(F.when(is_canon, F.col("c_nationkey"))).alias("c_nationkey"),
+        F.max(F.when(is_canon, F.col("c_mktsegment"))).alias("c_mktsegment"),
+        F.max("c_acctbal").alias("c_acctbal"),
+        F.max(F.when(F.col("rk") == 1, F.col("c_custkey"))).alias("donor_id"),
+    )
