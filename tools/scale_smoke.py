@@ -195,6 +195,82 @@ def sketch_accuracy(spark, sf_dir: str) -> tuple[float, float]:
     return round(dt, 3), rel
 
 
+def quantile_accuracy(spark, sf_dir: str) -> tuple[float, float]:
+    """(wall sec, max RANK error vs exact) for the quantile rollup
+    under the registered capacity=512 config — at 1x (sf0.1) the
+    739-row day groups already compress; at 10x every group does."""
+    import numpy as np
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.tables import load_table
+
+    b = plans.REGISTRY["events_value_quantile_rollup"].builder
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    b(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    est = {r["event_type"]: r for r in b(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    worst = 0.0
+    for et, row in est.items():
+        vals = np.sort(
+            np.array(
+                [
+                    r["value"]
+                    for r in ev.where(
+                        f"event_type = '{et}' AND value IS NOT NULL"
+                    )
+                    .select("value")
+                    .collect()
+                ]
+            )
+        )
+        for name, p in [("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            rank = float(np.searchsorted(vals, row[name])) / len(vals)
+            worst = max(worst, abs(rank - p))
+    return round(dt, 3), worst
+
+
+def kmv_accuracy(spark, sf_dir: str) -> tuple[float, dict]:
+    """(wall sec, {metric: (est, exact)}) for the KMV cohort-overlap
+    query — 1x cohorts (~750/705 distinct) already exceed k=512; 10x
+    is 10x deeper into the estimator regime."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.tables import load_table
+
+    b = plans.REGISTRY["events_cohort_overlap_sketch"].builder
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    b(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    r = b(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.where("event_type = 'view' AND value >= 150")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    bb = (
+        ev.where("event_type = 'purchase' AND value >= 150")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    na, nb = a.count(), bb.count()
+    ni = a.intersect(bb).count()
+    nu = a.union(bb).distinct().count()
+    return round(dt, 3), {
+        "n_view_hi": (r["n_view_hi"], na),
+        "n_purchase_hi": (r["n_purchase_hi"], nb),
+        "n_intersect": (r["n_intersect"], ni),
+        "n_union": (r["n_union"], nu),
+        "jaccard": (r["jaccard"], ni / nu if nu else 0.0),
+    }
+
+
 def semantic_dedup_scale(spark) -> list[tuple[str, float, int, int]]:
     """(label, sec, pairs, dropped) rows: 1x frozen k=16; 10x frozen
     k=16 (the WRONG shape — fixed quantizer under 10x density, cells
@@ -281,6 +357,10 @@ def main() -> None:
 
     sk1_t, sk1_e = sketch_accuracy(spark, BASE)
     sk10_t, sk10_e = sketch_accuracy(spark, OUT)
+    q1_t, q1_e = quantile_accuracy(spark, BASE)
+    q10_t, q10_e = quantile_accuracy(spark, OUT)
+    kv1_t, kv1 = kmv_accuracy(spark, BASE)
+    kv10_t, kv10 = kmv_accuracy(spark, OUT)
     sd_rows = semantic_dedup_scale(spark)
 
     with open(os.path.join(REPO_ROOT, "SCALE.md"), "w") as f:
@@ -329,6 +409,41 @@ def main() -> None:
             "| scale | sec | max rel. error |\n|---|---|---|\n"
             f"| 1x | {sk1_t} | {sk1_e:.3%} |\n"
             f"| 10x | {sk10_t} | {sk10_e:.3%} |\n"
+        )
+        f.write(
+            "\n## Quantile-sketch rollup accuracy in the compression "
+            "regime\n\nUnder the registered capacity=512/k=64 config "
+            "the sf0.1 day groups (≤ 739 rows) already compress, and "
+            "the 10x corpus compresses every group. Max RANK error of "
+            "p25/p50/p90/p99 vs the exact sorted series, across event "
+            "types (bound: ~W/k per compression level ≈ 1.6%):\n\n"
+            "| scale | sec | max rank error |\n|---|---|---|\n"
+            f"| 1x | {q1_t} | {q1_e:.3%} |\n"
+            f"| 10x | {q10_t} | {q10_e:.3%} |\n"
+        )
+
+        def _kv_rows(kv: dict) -> str:
+            return "".join(
+                f"| {m} | {est:.1f} | {exact:.1f} | "
+                f"{abs(est - exact) / max(exact, 1e-9):.2%} |\n"
+                if m != "jaccard"
+                else f"| {m} | {est:.4f} | {exact:.4f} | "
+                f"{abs(est - exact):.4f} (abs) |\n"
+                for m, (est, exact) in kv.items()
+            )
+
+        f.write(
+            "\n## KMV set-operation estimates past the exact regime\n\n"
+            "k=512; 1x cohorts hold ~750/705 distinct users (already "
+            "past k), 10x is 10x deeper. Estimator vs exact "
+            "(KMV RSE ~ 1/sqrt(k) ≈ 4.4%; intersection compounds two "
+            "estimates):\n\n"
+            f"**1x** ({kv1_t} s):\n\n"
+            "| metric | estimate | exact | error |\n|---|---|---|---|\n"
+            + _kv_rows(kv1)
+            + f"\n**10x** ({kv10_t} s):\n\n"
+            "| metric | estimate | exact | error |\n|---|---|---|---|\n"
+            + _kv_rows(kv10)
         )
         f.write(
             "\n## SemDeDup: the k ∝ N knob, measured\n\nWithin-cell "
