@@ -114,9 +114,15 @@ def asof_join(
 
     # rights sort before lefts at equal ts (marker ascending in BOTH
     # directions) → the join is inclusive; forward simply traverses
-    # time descending so "most recent previous" becomes "next"
-    order = [F.col(ts) if direction == "backward" else F.col(ts).desc(),
-             F.col(marker)]
+    # time descending so "most recent previous" becomes "next".
+    # nulls FIRST in both traversals: a left row with NULL left_ts
+    # ("as of an unknown time") must see no right rows before it and
+    # stay unmatched — plain desc() sorts nulls LAST, which would
+    # fill such a row with the minimum-ts right payload
+    order = [
+        F.col(ts) if direction == "backward" else F.col(ts).desc_nulls_first(),
+        F.col(marker),
+    ]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

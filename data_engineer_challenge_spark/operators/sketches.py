@@ -95,13 +95,12 @@ _KMV_SPACE = float(1 << 60)
 def _hash60(col: str) -> Column:
     """60-bit md5 hash in [0, 2^60) — bit-identical to DuckDB's
     ``CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS
-    BIGINT)`` (the shared convention of events_approx_stats and the
-    text SimHash tier)."""
-    return F.conv(
-        F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    BIGINT)``. Delegates to the ONE definition of the construction
+    (text_dedup.md5_token_hash, the same family plans/helpers.md5_long
+    wraps) so the subtle binary-cast/15-digit recipe cannot drift."""
+    from .text_dedup import md5_token_hash
+
+    return md5_token_hash(F.col(col).cast("string"))
 
 
 def _kmv_partition_topk(group_cols: list[str], k: int):
@@ -200,9 +199,9 @@ def kmv_overlap(
     u = kmv_union_sketch(a, b, k)
     union_est = kmv_distinct_estimate(u, k)
     n_inter_members = F.size(F.array_intersect(F.array_intersect(u, a), b))
-    denom = F.when(F.size(u) < k, F.size(u)).otherwise(F.lit(k))
+    # |K| is the sample size (== k once saturated; slice caps it there)
     rho = F.when(F.size(u) == 0, F.lit(0.0)).otherwise(
-        n_inter_members.cast("double") / denom.cast("double")
+        n_inter_members.cast("double") / F.size(u).cast("double")
     )
     return {
         "n_a": kmv_distinct_estimate(a, k),

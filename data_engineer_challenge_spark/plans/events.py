@@ -666,10 +666,25 @@ def events_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_type").isin("view", "purchase")
     ).select(F.col("event_type").alias("cohort"), "user_id")
     sk = build_kmv_sketches(labeled, "user_id", ["cohort"])
-    a = sk.where(F.col("cohort") == "view").select(F.col("kmv").alias("a"))
-    b = sk.where(F.col("cohort") == "purchase").select(F.col("kmv").alias("b"))
+    # grand aggregate, not where+crossJoin: an EMPTY cohort (no rows
+    # past the filter) would make a crossJoin of two one-row frames
+    # vanish entirely, while the oracle's scalar subqueries still
+    # return one all-zero row — a no-grouping agg always emits one
+    # row, and a missing sketch coalesces to the empty array (every
+    # estimator already degenerates to 0 there)
+    empty = F.array().cast("array<long>")
+    row = sk.groupBy().agg(
+        F.coalesce(
+            F.first(F.when(F.col("cohort") == "view", F.col("kmv")), True),
+            empty,
+        ).alias("a"),
+        F.coalesce(
+            F.first(F.when(F.col("cohort") == "purchase", F.col("kmv")), True),
+            empty,
+        ).alias("b"),
+    )
     est = kmv_overlap(F.col("a"), F.col("b"))
-    return a.crossJoin(b).select(
+    return row.select(
         est["n_a"].alias("n_view_hi"),
         est["n_b"].alias("n_purchase_hi"),
         est["n_union"].alias("n_union"),

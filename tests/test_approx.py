@@ -465,3 +465,32 @@ def test_kmv_overlap_error_beyond_exact_regime(spark):
     assert abs(r["u"] - 90_000) / 90_000 < 0.05
     assert abs(r["j"] - 2 / 9) < 0.05
     assert abs(r["i"] - 20_000) / 20_000 < 0.25  # product of two ests
+
+
+def test_kmv_cohort_overlap_empty_cohort_still_one_row(spark):
+    """An empty cohort must not make the overlap row vanish (the
+    oracle's scalar subqueries always return one all-zero-overlap
+    row): the grand aggregate emits one row with the missing sketch
+    coalesced to the empty array."""
+    import pandas as pd
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    b = plans.REGISTRY["events_cohort_overlap_sketch"].builder
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = load_table(spark, SF_ORACLE, "events")
+        # keep view rows eligible, push every purchase below threshold
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_type") == "purchase", F.lit(0.0)).otherwise(
+                F.col("value")
+            ),
+        ).write.parquet(f"{d}/events.parquet")
+        rows = b(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_purchase_hi"] == 0.0 and r["n_intersect"] == 0.0
+    assert r["jaccard"] == 0.0 and r["n_view_hi"] > 0

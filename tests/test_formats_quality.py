@@ -393,3 +393,22 @@ def test_asof_join_forward_and_tolerance_match_bruteforce(spark):
             left, right, on=["k"], left_ts="t", right_ts="t",
             right_payload=["v"], direction="nearest",
         )
+
+
+def test_asof_forward_null_left_ts_matches_nothing(spark):
+    """'As of an unknown time' matches nothing in BOTH directions: a
+    left row with NULL left_ts must traverse before every right row
+    (nulls-first in the descending forward sort too), not absorb the
+    minimum-ts right payload."""
+    from data_engineer_challenge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", None), ("k", 10)], "k string, t long")
+    right = spark.createDataFrame([("k", 15, "next")], "k string, t long, v string")
+    out = {
+        (r["t"], r["asof_v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_payload=["v"], how="left", direction="forward",
+        ).collect()
+    }
+    assert out == {(None, None), (10, "next")}
