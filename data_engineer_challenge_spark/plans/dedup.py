@@ -564,3 +564,48 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = MinHashIndex(spark, scratch_dir("probe_idx_"))
     idx.build(docs.filter(F.col("doc_id") % 5 != 0))
     return idx.probe(docs.filter(F.col("doc_id") % 5 == 0))
+
+
+@register(
+    "docs_prefix_filter_neardup",
+    # r6: the zero-false-negative member of the candidate matrix
+    # (surface at its 50 cap — pytest-oracled). UNblocked, unlike
+    # docs_ngram_jaccard_pairs: prefix filtering needs no blocking
+    # key, so the oracle is the fully exhaustive corpus-wide join.
+    driver=False,
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
+)
+def docs_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/setjoin.py — AllPairs/PPJoin): every pair with bigram
+    Jaccard ≥ 0.8, guaranteed, with NO blocking key and NO signatures.
+    The complement of the MinHash tier in the candidate matrix: LSH
+    costs a fixed signature pass and accepts a ~3e-7 boundary miss;
+    prefix filtering is recall-1.0 by pigeonhole, paying instead a
+    candidate join on each document's rare-first shingle prefix
+    (~(1-t) of positions, concentrated on the rarest shingles — the
+    smallest buckets). Prefix lengths and the candidate size filter
+    use exact p/q integer arithmetic: a float ceil(0.8·n) lands on
+    4.0000000000000004 at n=5 and would silently drop true pairs.
+    The oracle is the fully exhaustive corpus-wide Jaccard join —
+    which is the point: the operator must equal it exactly."""
+    from ..operators.setjoin import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)

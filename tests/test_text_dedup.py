@@ -839,3 +839,68 @@ def test_index_semantic_dedup_matches_standalone(spark, tmp_path):
         for r in idx.semantic_dedup(threshold=0.35).collect()
     }
     assert after[999_999] == (dup["vec_id"], False)  # exact twin dominated
+
+
+def test_prefix_filter_equals_exhaustive_and_boundary_exactness(spark):
+    """prefix_jaccard_pairs must equal the exhaustive all-pairs join
+    EXACTLY (recall 1.0 is the operator's contract) — including at the
+    float-hostile boundary: a pair at Jaccard exactly 4/5 = 0.8, where
+    a float ceil(0.8·5) = ceil(4.0000000000000004) = 5 would shorten
+    the prefix to one shingle and could drop the pair."""
+    from data_engineer_challenge_spark.operators.setjoin import (
+        prefix_jaccard_pairs,
+    )
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        jaccard,
+        release_cached,
+        word_shingles,
+    )
+
+    # an exactly-0.8 pair: A has bigrams {b1..b5}, B has {b1..b4}
+    # (a strict subset — nothing new): J = 4/5.
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6"),    # {t1t2, t2t3, t3t4, t4t5, t5t6}
+        (2, "t1 t2 t3 t4 t5"),       # {t1t2, t2t3, t3t4, t4t5}
+        (3, "x1 x2 x3 x4 x5 x6"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    release_cached()
+    assert got == {(1, 2, 0.8)}
+
+    # seeded random corpus: equality with the exhaustive join
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+        for i in range(120)
+    ]
+    # plant near-dups: copy with a small tail edit
+    rows += [(1000 + i, rows[i][1] + " w0 w1") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    release_cached()
+    sh = docs.select("doc_id", word_shingles("text", 2).alias("s")).filter(
+        F.size("s") > 0
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    # (a short base doc dilutes below 0.8 when the tail is appended,
+    # so not all 10 plants survive the threshold — most must)
+    assert got == want and len(want) >= 5
