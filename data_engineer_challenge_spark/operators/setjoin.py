@@ -100,19 +100,31 @@ def prefix_jaccard_pairs(
     prefixes = ordered.select(
         "__id",
         n.alias("__n"),
-        F.slice("__ord", F.lit(1), prefix_len).alias("__pfx"),
+        F.posexplode(F.slice("__ord", F.lit(1), prefix_len)).alias(
+            "__pos", "__ptok"
+        ),
     ).select(
-        "__id", "__n", F.explode("__pfx").alias("__ptok")
-    ).select(
-        "__id", "__n", F.col("__ptok.tok").alias("tok")
+        "__id",
+        "__n",
+        (F.col("__pos") + 1).alias("__pos"),  # 1-based prefix position
+        F.col("__ptok.tok").alias("tok"),
     )
 
     left = prefixes.select(
-        "tok", F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+        "tok",
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__pos").alias("__pa"),
     )
     right = prefixes.select(
-        "tok", F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+        "tok",
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__pos").alias("__pb"),
     )
+    # overlap bound in Jaccard terms: J ≥ p/q ⟺ |r∩s| ≥ (p/(p+q))·
+    # (|r|+|s|) — exact integer form throughout
+    alpha = _ceil_frac(F.col("__na") + F.col("__nb"), p, p + q)
     cands = (
         left.join(right, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -121,6 +133,19 @@ def prefix_jaccard_pairs(
         .filter(
             F.least("__na", "__nb") * F.lit(q)
             >= F.lit(p) * F.greatest("__na", "__nb")
+        )
+        # PPJoin positional filter: matching at ordered positions
+        # (pa, pb) caps the achievable overlap at 1 + the shorter
+        # remaining suffix; a true pair's FIRST shared prefix token
+        # always passes (PPJoin lemma), so any-occurrence-passes +
+        # distinct keeps recall at 1.0 while pruning the candidate
+        # mass a small-vocabulary corpus otherwise generates
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+            )
+            >= alpha
         )
         .select("id_a", "id_b")
         .distinct()
