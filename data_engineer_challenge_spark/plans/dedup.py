@@ -609,3 +609,126 @@ def docs_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+#: fixed token-window length for cross-document segment dedup — the
+#: deterministic stand-in for the variable-length repeated substrings
+#: a suffix-array pass (Lee et al. 2021) would find. 32 tokens is the
+#: same order as that paper's 50-token threshold while dividing the
+#: synthetic corpus' ~50-300-token documents into several segments.
+SEG_LEN = 32
+
+
+@register(
+    "docs_segment_dedup",
+    # r6 continuation: surface at its 50 cap — pytest-oracled.
+    driver=False,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(len(t) / {SEG_LEN}.0) AS BIGINT)))
+                   AS seg_idx,
+               unnest(list_transform(
+                   range(CAST(ceil(len(t) / {SEG_LEN}.0) AS BIGINT)),
+                   i -> array_to_string(
+                       t[i * {SEG_LEN} + 1 : i * {SEG_LEN} + {SEG_LEN}],
+                       ' '))) AS seg_text
+        FROM tok WHERE len(t) > 0
+    ),
+    keep AS (
+        SELECT doc_id, seg_idx, seg_text,
+               row_number() OVER (PARTITION BY md5(seg_text)
+                                  ORDER BY doc_id, seg_idx) = 1 AS keep
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE keep),
+                    '') AS dedup_text
+    FROM keep
+    GROUP BY doc_id
+    """,
+)
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup — the "remove repeated
+    passages, keep the documents" stage (Lee et al. 2021, 'Deduplicating
+    Training Data Makes Language Models Better'; RefinedWeb's exact
+    substring dedup), approximated with fixed non-overlapping
+    ``SEG_LEN``-token windows so it stays one-pass and SQL-replayable
+    instead of needing a distributed suffix array. A segment's FIRST
+    corpus occurrence (lexicographically smallest ``(doc_id, seg_idx)``)
+    survives; every later exact repeat — across documents or within
+    one — is cut, and each document's surviving segments re-join in
+    order. Unlike document-level dedup (docs_exact_dedup), partially-
+    copied documents lose only the copied spans.
+
+    100 TB shape — the text never rides the dedup shuffle:
+    - Segmentation is map-only (tokenize + slice expressions).
+    - The keep-first decision shuffles an ids-only projection
+      ``(doc_id, seg_idx, md5)`` partitioned by segment hash — md5 is
+      uniform, so no skew regardless of corpus repetition structure.
+    - Decisions aggregate to one ``kept_idx`` array row per doc (second
+      ids-only shuffle), then join back to ``documents`` on doc_id —
+      the single shuffle the full text pays — and the surviving text
+      reassembles map-side by re-slicing the original column
+      (recomputing a projection beats shuffling a payload twice).
+    """
+    from ..functions.tokenize import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def segments(col):
+        t = word_tokens(col)
+        # guard n_segs >= 1 via the WHERE below; sequence(0, -1) would
+        # count DOWN and fabricate segments for empty documents
+        n_segs = F.ceil(F.size(t) / F.lit(float(SEG_LEN))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(t, i * SEG_LEN + 1, SEG_LEN), " "
+            ),
+        )
+
+    base = docs.where(F.size(word_tokens(F.col("text"))) > 0)
+    ids = base.select(
+        "doc_id",
+        F.posexplode(segments(F.col("text"))).alias("seg_idx", "seg_text"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(F.col("seg_text").cast("binary")).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    per_doc = (
+        ids.withColumn("keep", F.row_number().over(w) == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("keep"), F.col("seg_idx")))
+            ).alias("kept_idx"),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id")
+        .withColumn("segs", segments(F.col("text")))
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_kept",
+            F.array_join(
+                F.transform(
+                    F.col("kept_idx"),
+                    lambda i: F.element_at(F.col("segs"), i + 1),
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
