@@ -48,10 +48,24 @@ def interval_join(
     window is still open at end-of-stream are withheld; the batch
     twin is the plain left join restricted to closed windows. The
     same watermark bound is what lets the engine evict the buffered
-    row, keeping state finite."""
-    if how not in ("inner", "left_outer", "leftouter", "left"):
+    row, keeping state finite.
+
+    ``how='full_outer'`` additionally surfaces unmatched RIGHT rows —
+    the reconciliation shape (orphaned clicks audit both streams at
+    once): a click with no impression in ``[click.ts - within,
+    click.ts]`` emits null-extended once the watermark passes its own
+    event time (the latest impression that could still match it). Same
+    eviction story on both buffers; the batch twin is the plain full
+    join restricted to rows whose closing instant precedes the final
+    watermark on their respective side."""
+    if how not in (
+        "inner",
+        "left_outer", "leftouter", "left",
+        "full_outer", "fullouter", "full", "outer",
+    ):
         raise ValueError(
-            f"interval_join supports inner / left_outer, got {how!r}"
+            "interval_join supports inner / left_outer / full_outer, "
+            f"got {how!r}"
         )
     lcols = [F.col(c).alias(f"{left_prefix}_{c}") for c in left.columns]
     rcols = [F.col(c).alias(f"{right_prefix}_{c}") for c in right.columns]

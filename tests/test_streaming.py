@@ -985,3 +985,104 @@ def test_stream_quantile_sketch_rollup(spark, tmp_path):
     assert any(
         doubled[k][0] > est[k][0] for k in est
     ), "fresh-txn re-append should have moved counts"
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """Full-outer reconciliation: unmatched rows surface null-extended
+    from BOTH streams once the watermark proves their window closed —
+    unmatched views when ``l_ts + within`` passes, unmatched clicks
+    (the orphaned-click audit row left_outer silently drops) when
+    their own event time passes. Stream output must equal the batch
+    full join restricted to closed windows on the respective side."""
+    import datetime as dt
+
+    from data_engineer_challenge_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    # user 1: matched pair; user 2: view never clicked; user 4: click
+    # never viewed (the row only full_outer surfaces); the +40h wave
+    # pushes the watermark far enough to close every earlier window
+    views = [
+        [(1, ts(0), 100), (2, ts(0), 200)],
+        [(9, ts(40), 900)],           # wave 2 pushes the watermark
+        [(9, ts(41), 901)],           # wave 3 forces the closing batch
+    ]
+    clicks = [
+        [(1, ts(0.5), 101), (4, ts(1), 401)],
+        [(8, ts(40), 801)],
+        [(8, ts(41), 802)],
+    ]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    for i, wave in enumerate(views):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(vdir / f"w{i}")
+        )
+    for i, wave in enumerate(clicks):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(cdir / f"w{i}")
+        )
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string(schema)
+    views_s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(vdir / "*"))
+    )
+    clicks_s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(cdir / "*"))
+    )
+    q = (
+        interval_join(views_s, clicks_s, key="user_id", how="full_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("foj_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.sql(
+                "SELECT l_event_id, r_event_id FROM foj_sink"
+            ).collect()
+        }
+        stateful = [p for p in q.recentProgress if p["stateOperators"]]
+        assert stateful
+        # full-outer evictions leave the store by EMITTING the outer
+        # row, which Spark does not count in numRowsRemoved (unlike
+        # the left-outer path) — the observable eviction signal is
+        # the state total SHRINKING once the watermark passes
+        totals = [
+            op["numRowsTotal"]
+            for p in stateful
+            for op in p["stateOperators"]
+        ]
+        assert totals[-1] < max(totals)  # state really shrank
+    finally:
+        q.stop()
+
+    # batch twin: final watermark = 41h - 2h delay = 39h. Left rows
+    # close when l_ts + 1h < 39h; right rows close when r_ts < 39h.
+    # The 40/41h pushers on both sides are still open and withheld.
+    views_b = spark.createDataFrame(sum(views, []), schema)
+    clicks_b = spark.createDataFrame(sum(clicks, []), schema)
+    batch = interval_join(views_b, clicks_b, key="user_id", how="full_outer")
+    wm = "timestamp'2024-01-02 15:00:00'"
+    closed = batch.where(
+        f"(l_ts IS NOT NULL AND l_ts + INTERVAL 1 HOUR < {wm})"
+        f" OR (l_ts IS NULL AND r_ts < {wm})"
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"]) for r in closed.collect()
+    }
+    assert want == {(100, 101), (200, None), (None, 401)}
+    assert got == want
