@@ -310,15 +310,20 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
 
 def stdlib_decode(payload: bytes, kind: str) -> list[float]:
     """DecodeFn over the formats this environment can honestly decode:
-    BMP/PPM/PNG images, PCM WAV audio. Anything else (JPEG, MP3,
-    video codecs) raises ``NotImplementedError`` — that part of the
-    seam still wants an injected Pillow/ffmpeg-backed callable."""
+    BMP/PPM/PNG/baseline-JPEG images, PCM WAV audio. Anything else
+    (progressive JPEG, MP3, video codecs) raises
+    ``NotImplementedError`` — that part of the seam still wants an
+    injected Pillow/ffmpeg-backed callable."""
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:8] == _PNG_SIG:
         return image_features(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     raise NotImplementedError(

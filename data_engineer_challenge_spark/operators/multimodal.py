@@ -144,6 +144,10 @@ def _decode_image(payload: bytes, mime: str | None):
         return codecs.decode_ppm(payload)
     if payload[:8] == codecs._PNG_SIG:
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(f"image codec for {mime!r} not built in")
 
 

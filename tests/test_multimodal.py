@@ -238,12 +238,20 @@ def test_extract_features_shape_and_determinism(media):
 
 
 def test_extract_features_compressed_format_still_raises(spark):
-    """The seam survives: formats the stdlib can't decode (JPEG here —
-    PNG graduated to a real decoder) need an injected codec."""
-    rows = [(1, "image", b"\xff\xd8\xff\xe0JFIFfake", ("image/jpeg", 8, 8, None))]
-    jpeg_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """The seam survives: formats the stdlib can't decode (MP3 here —
+    PNG and baseline JPEG graduated to real decoders) need an
+    injected codec."""
+    rows = [(1, "audio", b"ID3\x04fake-mp3-frame", ("audio/mpeg", 0, 0, 1000))]
+    mp3_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no stdlib codec"):
-        extract_features(jpeg_only).collect()
+        extract_features(mp3_only).collect()
+    # progressive JPEG: right magic, unsupported coding process — the
+    # decoder itself falls to the seam rather than misdecoding
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    rows = [(2, "image", prog, ("image/jpeg", 8, 8, None))]
+    prog_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|SOF2"):
+        extract_features(prog_only).collect()
 
 
 def test_sample_frames_fanout(media):
@@ -413,3 +421,191 @@ def test_audio_landmarks_deterministic_and_injectable(spark):
         return 8000, np.zeros(4000)
 
     assert audio_landmarks(fake_media, decode_audio=fake_decode).count() == 0
+
+
+# ------------------------------------------------------------- JPEG
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _bits_to_bytes(bitstring):
+    """Pack an MSB-first '0101...' string, padding with 1-bits (the
+    spec's pad convention)."""
+    bitstring += "1" * (-len(bitstring) % 8)
+    return bytes(
+        int(bitstring[i : i + 8], 2) for i in range(0, len(bitstring), 8)
+    )
+
+
+#: trivial DHTs for the hand-crafted streams: DC categories {0, 4} as
+#: the 2-bit codes 00/01, AC = the single 1-bit code 0 for EOB
+_DC_DHT = bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 4])
+_AC_DHT = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+#: unit quantization table 0 (all ones — quantization is the identity)
+_UNIT_DQT = bytes([0]) + b"\x01" * 64
+
+
+def test_jpeg_handcrafted_dc_only_block_decodes_to_spec_value():
+    """A bitstream built byte-by-byte from T.81 (no encoder involved):
+    one 8x8 grayscale block, unit quant table, DC coefficient 8, no AC.
+    The spec's IDCT of a DC-only block is flat DC/8, so every pixel
+    must decode to exactly 128 + 1 = 129."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import decode_jpeg
+
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # DC: category 4 = code '01', value bits 8 = '1000'; AC: EOB '0'
+    scan = _bits_to_bytes("01" + "1000" + "0")
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xC4, _AC_DHT)
+        + _jpeg_seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (8, 8, 3)
+    assert np.array_equal(img, np.full((8, 8, 3), 129, np.uint8))
+
+
+def test_jpeg_handcrafted_420_sampling_and_upsampling():
+    """16x16 4:2:0 stream (Y at 2x2 sampling, flat chroma), four
+    DC-only Y blocks with DC 8/16/24/32 via successive diffs of 8 —
+    the decoded quadrants must read 129/130/131/132 and the DC
+    predictor, block interleave order, and chroma upsampling all have
+    to be right for that to happen."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import decode_jpeg
+
+    sof = bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    sof += bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    block_diff8 = "01" + "1000" + "0"  # DC cat 4, bits(8), EOB
+    block_diff0 = "00" + "0"  # DC cat 0, EOB
+    scan = _bits_to_bytes(block_diff8 * 4 + block_diff0 * 2)
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xC4, _AC_DHT)
+        + _jpeg_seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (16, 16, 3)
+    # flat chroma at 128 -> RGB == Y in every channel
+    for (y, x), want in {
+        (0, 0): 129, (0, 15): 130, (15, 0): 131, (15, 15): 132,
+    }.items():
+        assert tuple(img[y, x]) == (want, want, want), (y, x)
+
+
+def test_jpeg_restart_markers_reset_dc_predictor():
+    """DRI=1 with an RST0 between two MCUs: both blocks carry DC diff
+    8, and because the predictor resets at the marker both decode to
+    129 — a decoder that kept the predictor would show 130."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import decode_jpeg
+
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    block = _bits_to_bytes("01" + "1000" + "0")
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xC4, _AC_DHT)
+        + _jpeg_seg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+        + _jpeg_seg(0xDA, sos)
+        + block
+        + b"\xff\xd0"  # RST0
+        + block
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (8, 16, 3)
+    assert np.array_equal(img, np.full((8, 16, 3), 129, np.uint8))
+
+
+def test_jpeg_roundtrip_smooth_and_uniform():
+    """encode->decode under the self-defined tables: a uniform image
+    is EXACT (all-zero coefficients survive any quantizer); a smooth
+    gradient at quality 95 stays within 2 levels everywhere."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    u = np.full((16, 24, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(u, 90)), u)
+
+    yy, xx = np.mgrid[0:24, 0:33]
+    img = np.stack(
+        [
+            np.clip(yy * 4, 0, 255),
+            np.clip(xx * 4, 0, 255),
+            np.clip(yy * 2 + xx * 2, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    g = np.clip(yy * 6, 0, 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == (24, 33, 3)
+    assert np.abs(dg[..., 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_rejected_and_dispatch_wired():
+    """SOF2 (progressive) falls to the injection seam via
+    NotImplementedError; the FFD8 magic reaches stdlib_decode and
+    image_dhash tracks the BMP dhash of the same image within the
+    perceptual-stability budget the PNG parity test uses."""
+    import numpy as np
+    import pytest
+
+    from data_engineer_challenge_spark.operators.codecs import (
+        dhash64,
+        encode_bmp,
+        stdlib_decode,
+    )
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    bad = b"\xff\xd8" + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    # random noise is the worst case for DCT coding; quality 95 keeps
+    # the perceptual hash within the same 4-bit budget the PNG test
+    # allows for resize/brightness perturbations
+    jp = encode_jpeg(img, quality=95)
+    feats = stdlib_decode(jp, "image")
+    assert len(feats) > 0 and all(np.isfinite(feats))
+    h_bmp = dhash64(img)
+    h_jpg = dhash64(decode_jpeg(jp))
+    assert bin(h_bmp ^ h_jpg).count("1") <= 4
