@@ -63,6 +63,9 @@ HEADLINE = [
     # compression path runs: 739-row day groups vs the query's
     # capacity of 512, pinned in tests/test_approx.py)
     "events_value_quantile_rollup",
+    # r6 addition: cross-document segment dedup (ids-only keep-first
+    # shuffle + per-doc decision aggregate; text re-sliced map-side)
+    "docs_segment_dedup",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

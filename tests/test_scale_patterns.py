@@ -338,3 +338,32 @@ def test_sketch_rollup_plan_combines_map_side(spark):
     assert "partial_hll_union_agg" in plan, plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, (node, plan)
+
+
+def test_segment_dedup_text_never_rides_dedup_shuffle(spark):
+    """docs_segment_dedup's 100 TB contract: the keep-first decision
+    shuffles an ids-only (doc_id, seg_idx, md5) projection — the
+    segment TEXT must not appear in the hash exchange feeding the
+    window, and the per-doc decision aggregate must partial-combine
+    map-side. (At sf0.001 the decision frame then broadcasts, so the
+    document text pays zero exchanges end to end.)"""
+    import contextlib
+    import io
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_segment_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the node blocks are separated by blank lines; find the Exchange
+    # that hash-partitions on the md5 column and inspect its Input
+    blocks = [b for b in plan.split("\n\n") if "hashpartitioning(h#" in b]
+    assert blocks, plan
+    for b in blocks:
+        assert "seg_text" not in b and "text#" not in b, b
+    assert "partial_collect_list" in plan  # map-side combine
