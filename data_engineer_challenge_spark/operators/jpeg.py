@@ -188,9 +188,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while data[i + 1] == 0xFF:  # optional fill bytes before marker
+            i += 1
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length field
+            continue
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         seg = data[i + 4 : i + 2 + seg_len]
         i += 2 + seg_len
