@@ -1195,3 +1195,116 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts_distinct(docs, MERGES).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequency table (the memorization / contamination audit
+# primitive: "which passages does the corpus repeat most?").
+# ---------------------------------------------------------------------------
+
+_NGRAM_TOPK = 20
+
+
+@register(
+    "corpus_ngram_topk",
+    # r6 continuation: surface at its 50 cap — pytest-oracled.
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, 1 AS n, t.g AS gram
+        FROM toks, UNNEST(ts) AS t(g)
+        UNION ALL
+        SELECT doc_id, 2, ts[i] || ' ' || ts[i+1]
+        FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+        UNION ALL
+        SELECT doc_id, 3, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    agg AS (
+        SELECT n, gram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY n, gram
+    )
+    SELECT CAST(n AS BIGINT) AS n, gram, n_occurrences, n_docs,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY n ORDER BY n_occurrences DESC, gram
+           ) AS BIGINT) AS rank
+    FROM agg
+    QUALIFY rank <= {_NGRAM_TOPK}
+    """,
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most frequent 1/2/3-grams — the audit table behind
+    repetition boilerplate detection and benchmark-contamination
+    triage (which exact passages dominate the corpus). Top
+    ``_NGRAM_TOPK`` per n with exact occurrence AND document counts,
+    rank ties broken lexicographically so the output is deterministic.
+
+    Shape at scale:
+    - ONE scan: all three gram lengths are built map-only from the
+      token array (``transform`` + ``concat_ws`` over slices) and
+      concatenated into a single tagged array before one explode — no
+      per-n re-scan, no positional self-join.
+    - Exact ``n_docs`` without ``count_distinct`` at the gram level:
+      pre-aggregate on (n, gram, doc_id), then count rows per (n,
+      gram) — both levels partial-combine map-side.
+    - Top-k WITHOUT a global sort and WITHOUT funneling every
+      distinct gram into one partition per n (a 3-partition window
+      over a 100 TB vocabulary is the skew failure): the classic
+      two-stage top-k — rank within (n, hash-bucket) partitions,
+      keep each bucket's top k (a superset of the global top k,
+      since each gram lives in exactly one bucket), then rank the
+      ≤ n·buckets·k survivors globally.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("ts"), "doc_id").where(
+        F.size("ts") > 0
+    )
+    gram_exprs = [
+        "transform(ts, t -> named_struct('n', 1, 'gram', t))",
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        " (t, i) -> named_struct('n', 2,"
+        "   'gram', concat_ws(' ', slice(ts, i + 1, 2))))",
+        "transform(slice(ts, 1, greatest(size(ts) - 2, 0)),"
+        " (t, i) -> named_struct('n', 3,"
+        "   'gram', concat_ws(' ', slice(ts, i + 1, 3))))",
+    ]
+    exploded = toks.select(
+        "doc_id",
+        F.explode(F.concat(*[F.expr(e) for e in gram_exprs])).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.n").cast("long").alias("n"),
+        F.col("g.gram").alias("gram"),
+    )
+    per_doc = exploded.groupBy("n", "gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_doc.groupBy("n", "gram").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    order = [F.col("n_occurrences").desc(), F.col("gram")]
+    w_bucket = Window.partitionBy(
+        "n", F.pmod(F.hash("gram"), F.lit(32))
+    ).orderBy(*order)
+    pruned = (
+        agg.withColumn("r", F.row_number().over(w_bucket))
+        .where(F.col("r") <= _NGRAM_TOPK)
+        .drop("r")
+    )
+    w_global = Window.partitionBy("n").orderBy(*order)
+    return (
+        pruned.withColumn(
+            "rank", F.row_number().over(w_global).cast("long")
+        )
+        .where(F.col("rank") <= _NGRAM_TOPK)
+        .select("n", "gram", "n_occurrences", "n_docs", "rank")
+    )
