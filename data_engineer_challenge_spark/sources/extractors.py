@@ -275,6 +275,10 @@ def extract_text(filename: str, data: bytes) -> str:
             return docx_bytes_to_text(data)
         if filename.lower().endswith(".pdf"):
             return pdf_bytes_to_text(data)
+        if filename.lower().endswith((".html", ".htm")):
+            from .html import html_bytes_to_text
+
+            return html_bytes_to_text(data)
     except Exception:
         return ""
     return ""

@@ -1,0 +1,233 @@
+"""Pure-stdlib WARC (Web ARChive, ISO 28500) source.
+
+Common Crawl — the canonical LLM pretraining source — ships as WARC:
+a concatenation of records, each ``WARC/1.x`` header block + payload,
+usually gzip-compressed *per record* (multi-member gzip) so a file is
+seekable at record granularity. The classic corpus pipeline is
+
+    WARC scan -> response records -> HTTP body -> HTML text
+    -> documents schema -> dedup/quality (the rest of this engine)
+
+Scale shape: one Common Crawl segment file is ~1 GiB — the natural
+unit of parallelism. ``read_warc_records`` scans files via Spark's
+``binaryFile`` source (one task per file, listing parallelized) and
+parses records inside an Arrow ``mapInPandas`` pass; only the selected
+header fields and payload leave the parser, and downstream projections
+drop the payload column before anything shuffles. At 100 TB you run
+one task per file across the fleet — no driver-side parsing, no
+record-level shuffle until after the HTML->text reduction (~10x
+smaller than the raw bytes).
+
+Parsing follows the WARC 1.0/1.1 spec (headers are RFC-822-style
+``Name: value`` lines, ``Content-Length`` is mandatory, records are
+separated by CRLF CRLF). HTTP response payloads are stored as
+captured on the wire; chunked transfer-encoding is decoded, other
+encodings (gzip content-encoding) are left as-is for the caller.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .html import html_bytes_to_text, html_main_content
+
+
+def _decompress_if_gzip(data: bytes) -> bytes:
+    """Whole-file or multi-member (per-record) gzip -> plain bytes.
+    ``gzip.GzipFile`` reads concatenated members natively."""
+    if data[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gf:
+            return gf.read()
+    return data
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Yield records as dicts: ``headers`` (dict, original-case keys
+    preserved under lowercase lookup) plus ``payload`` bytes.
+
+    Tolerant of trailing garbage / truncated final record (stops
+    cleanly) — a corrupt tail loses that record, not the file."""
+    data = _decompress_if_gzip(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            return  # trailing garbage — stop
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        header_block = data[pos : hdr_end].decode("utf-8", "replace")
+        lines = header_block.split("\r\n")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            return  # truncated record
+        yield {
+            "version": lines[0],
+            "headers": headers,
+            "payload": data[body_start : body_start + length],
+        }
+        pos = body_start + length
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding; on any malformed
+    chunk header, return what decoded so far plus nothing else."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk_start = eol + 2
+        out.append(body[chunk_start : chunk_start + size])
+        pos = chunk_start + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
+def http_response_body(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, body) from an HTTP response payload. Chunked
+    bodies are de-chunked. Raises ValueError on a non-HTTP payload."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response payload")
+    head = payload[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    try:
+        status = int(lines[0].split(" ")[1])
+    except (IndexError, ValueError):
+        raise ValueError(f"bad status line: {lines[0]!r}") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    return status, headers, body
+
+
+_RECORD_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, http_status int, "
+    "content_type string, body binary"
+)
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, warc_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """One row per WARC record of the requested types across
+    ``*.warc`` / ``*.warc.gz`` files under ``path``.
+
+    For ``response`` records the HTTP envelope is parsed off inside
+    the same Arrow pass: ``body`` is the entity body, ``http_status``
+    and ``content_type`` come from the HTTP headers (falling back to
+    the WARC ``Content-Type`` for non-HTTP record types)."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{warc,warc.gz,WARC,WARC.gz}")
+        .load(path)
+    )
+    wanted = {t.lower() for t in warc_types}
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(data)):
+                    h = rec["headers"]
+                    rtype = h.get("warc-type", "")
+                    if rtype.lower() not in wanted:
+                        continue
+                    status, ctype, body = None, h.get("content-type"), rec["payload"]
+                    if rtype.lower() == "response" and body.startswith(b"HTTP/"):
+                        try:
+                            status, hh, body = http_response_body(body)
+                            ctype = hh.get("content-type", ctype)
+                        except ValueError:
+                            body = rec["payload"]
+                    rows.append(
+                        (
+                            fname,
+                            h.get("warc-record-id", ""),
+                            rtype,
+                            h.get("warc-target-uri", ""),
+                            h.get("warc-date", ""),
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_id", "warc_type", "target_uri",
+                    "warc_date", "http_status", "content_type", "body",
+                ],
+            )
+
+    return binary.select("path", "content").mapInPandas(
+        parse_files, schema=_RECORD_SCHEMA
+    )
+
+
+def warc_html_documents(
+    spark: SparkSession, path: str, main_content: bool = True
+) -> DataFrame:
+    """End-to-end WARC -> documents: successful (2xx) HTML responses,
+    text extracted (boilerplate-stripped when ``main_content``), rows
+    shaped like the ``documents`` table (doc_id, text, source,
+    n_chars) so every downstream dedup/quality operator applies
+    unchanged. The binary ``body`` is dropped inside the Arrow pass —
+    only extracted text shuffles."""
+    records = read_warc_records(spark, path).where(
+        (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.lower(F.coalesce("content_type", F.lit(""))).contains("text/html")
+    )
+    extractor = html_main_content if main_content else html_bytes_to_text
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["record_id"],
+                    "text": [extractor(bytes(b)) for b in pdf["body"]],
+                    "source": pdf["target_uri"],
+                }
+            )
+
+    docs = records.select("record_id", "target_uri", "body").mapInPandas(
+        extract, schema="doc_id string, text string, source string"
+    )
+    return docs.where(F.length("text") > 0).withColumn(
+        "n_chars", F.length("text")
+    )

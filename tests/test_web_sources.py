@@ -1,0 +1,239 @@
+"""HTML extraction + WARC source tests.
+
+Fixtures are synthesized in-test (the container has no web corpus):
+hand-built HTML pages exercising charset sniffing, entity decoding,
+skip-tags, block segmentation, and the jusText-lite boilerplate
+classifier; hand-built WARC files (plain + per-record-gzip, the
+Common Crawl layout) exercising record framing, HTTP envelope
+parsing, chunked bodies, and the end-to-end Spark pipeline."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from data_engineer_challenge_spark.sources.extractors import extract_text
+from data_engineer_challenge_spark.sources.html import (
+    html_bytes_to_text,
+    html_main_content,
+    sniff_charset,
+)
+from data_engineer_challenge_spark.sources.warc import (
+    http_response_body,
+    parse_warc,
+    read_warc_records,
+    warc_html_documents,
+)
+
+# ---------------------------------------------------------------- HTML
+
+_PAGE = b"""<!doctype html>
+<html><head><title>Great Article</title>
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script>
+</head>
+<body>
+<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact</a></nav>
+<h1>Great Article</h1>
+<p>This is the first real paragraph of the article body, long enough
+to clear the good-block threshold, with &amp; entities and
+<b>inline</b> markup that must not split the block.</p>
+<p>Second paragraph, also comfortably long enough to be classified as
+good content by the link-density and length heuristic rules.</p>
+<div><a href="/a">Related one</a> <a href="/b">Related two</a>
+<a href="/c">Related three</a></div>
+<footer>Copyright</footer>
+</body></html>
+"""
+
+
+def test_visible_text_skips_script_style_head():
+    text = html_bytes_to_text(_PAGE)
+    assert "color: red" not in text
+    assert "not text" not in text
+    assert "var x" not in text
+    assert "first real paragraph" in text
+    assert "& entities" in text  # entity decoded
+    assert "inline markup" in text  # inline tag did not split the block
+
+
+def test_block_segmentation_one_line_per_block():
+    lines = html_bytes_to_text(_PAGE).splitlines()
+    # nav links land in one block; each <p> is its own line
+    assert any(l.startswith("Home") for l in lines)
+    first = next(l for l in lines if "first real paragraph" in l)
+    second = next(l for l in lines if "Second paragraph" in l)
+    assert first != second
+
+
+def test_main_content_drops_nav_and_footer_keeps_heading():
+    main = html_main_content(_PAGE)
+    assert "first real paragraph" in main
+    assert "Second paragraph" in main
+    # heading promoted by adjacency to a good block
+    assert "Great Article" in main
+    assert "Home" not in main  # nav menu: high link density
+    assert "Related one" not in main  # link list
+    assert "Copyright" not in main  # short, isolated
+
+
+def test_charset_sniffing_meta_and_bom():
+    latin = "<html><head><meta charset=iso-8859-1></head><body><p>caf\xe9 au lait, tr\xe8s long paragraphe pour d\xe9passer le seuil de quatre-vingts caract\xe8res du classificateur</p></body></html>".encode(
+        "iso-8859-1"
+    )
+    assert sniff_charset(latin) == "iso-8859-1"
+    assert "café au lait" in html_bytes_to_text(latin)
+    assert sniff_charset(b"\xef\xbb\xbfrest") == "utf-8"
+    # unknown charset name falls back, never raises
+    assert sniff_charset(b'<meta charset="no-such-cs">') == "utf-8"
+
+
+def test_malformed_html_never_raises():
+    soup = b"<p>unclosed <b>bold <div>next</p><script>boom"
+    out = html_bytes_to_text(soup)
+    assert "unclosed bold" in out
+    assert "boom" not in out  # unclosed script swallows to EOF
+    assert html_bytes_to_text(b"") == ""
+    assert html_main_content(b"\x00\xff\xfe\x01") is not None
+
+
+def test_extract_text_dispatches_html():
+    assert "first real paragraph" in extract_text("page.HTML", _PAGE)
+    assert extract_text("page.html", b"") == ""
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def _warc_record(
+    rtype: str,
+    rid: str,
+    uri: str,
+    payload: bytes,
+    ctype: str = "application/http; msgtype=response",
+) -> bytes:
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return headers + payload + b"\r\n\r\n"
+
+
+def _http_payload(body: bytes, ctype: str = "text/html; charset=utf-8", status: int = 200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode() + body
+
+
+_ARTICLE = (
+    b"<html><body><h1>Doc One</h1><p>A genuinely long first paragraph "
+    b"of article text that easily exceeds the eighty character good-"
+    b"block threshold used by the classifier.</p></body></html>"
+)
+
+
+def _build_warc() -> bytes:
+    recs = [
+        _warc_record(
+            "warcinfo", "info-1", "", b"software: test\r\n",
+            ctype="application/warc-fields",
+        ),
+        _warc_record(
+            "request", "req-1", "http://example.com/one",
+            b"GET /one HTTP/1.1\r\nHost: example.com\r\n\r\n",
+            ctype="application/http; msgtype=request",
+        ),
+        _warc_record(
+            "response", "resp-1", "http://example.com/one",
+            _http_payload(_ARTICLE),
+        ),
+        _warc_record(
+            "response", "resp-2", "http://example.com/two",
+            _http_payload(b"{}", ctype="application/json"),
+        ),
+        _warc_record(
+            "response", "resp-404", "http://example.com/gone",
+            _http_payload(b"<html><body><p>gone</p></body></html>", status=404),
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_parse_warc_plain_and_record_gzip():
+    raw = _build_warc()
+    plain = list(parse_warc(raw))
+    assert len(plain) == 5
+    assert plain[0]["headers"]["warc-type"] == "warcinfo"
+    # Common Crawl layout: each record its own gzip member, concatenated
+    gz = b"".join(gzip.compress(chunk) for chunk in _records_bytes())
+    assert [r["headers"]["warc-record-id"] for r in parse_warc(gz)] == [
+        r["headers"]["warc-record-id"] for r in plain
+    ]
+    # truncated tail loses the last record only
+    truncated = raw[: len(raw) - 10]
+    assert len(list(parse_warc(truncated))) == 4
+
+
+def _records_bytes() -> list[bytes]:
+    whole = _build_warc()
+    out, pos = [], 0
+    while pos < len(whole):
+        nxt = whole.find(b"WARC/1.0", pos + 1)
+        if nxt < 0:
+            out.append(whole[pos:])
+            break
+        out.append(whole[pos:nxt])
+        pos = nxt
+    return out
+
+
+def test_http_response_body_chunked():
+    chunked = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    status, headers, body = http_response_body(chunked)
+    assert status == 200 and body == b"hello world"
+    with pytest.raises(ValueError):
+        http_response_body(b"not http at all")
+
+
+def test_read_warc_records_spark(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_build_warc())
+    (tmp_path / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(chunk) for chunk in _records_bytes())
+    )
+    recs = read_warc_records(spark, str(tmp_path))
+    rows = recs.collect()
+    # responses only, from both files
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"response"}
+    one = next(r for r in rows if r["target_uri"] == "http://example.com/one")
+    assert one["http_status"] == 200
+    assert one["content_type"].startswith("text/html")
+    assert bytes(one["body"]) == _ARTICLE
+
+
+def test_warc_html_documents_end_to_end(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_build_warc())
+    docs = warc_html_documents(spark, str(tmp_path)).collect()
+    # json + 404 responses filtered out; one clean HTML doc survives
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["source"] == "http://example.com/one"
+    assert "genuinely long first paragraph" in d["text"]
+    assert d["n_chars"] == len(d["text"])
+    # boilerplate tier kept the heading (adjacent to good block)
+    assert "Doc One" in d["text"]
