@@ -251,6 +251,70 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_surprisal",
+    driver=False,  # surface capped at 50; pytest-oracled
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+    rarity AS (
+        SELECT term, CAST(length(bin(t // c)) - 1 AS BIGINT) AS bits
+        FROM counts, total
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+    FROM toks JOIN rarity ON toks.term = rarity.term
+    GROUP BY toks.doc_id
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the corpus's own unigram LM — the
+    classic perplexity-style quality filter (CCNet/Gopher shape: score
+    each doc by how "expected" its tokens are; outliers both ways are
+    boilerplate or garbage), with the model trained and applied in the
+    same two-pass plan.
+
+    Each token's surprisal −log2 p(w) = log2(T / c_w) is QUANTIZED to
+    its integer floor, computed exactly as ``length(bin(T div c_w))−1``
+    (for positive ints, floor(log2(T/c)) == floor(log2(T div c)) —
+    T/c ≥ 2^k iff T ≥ c·2^k iff T div c ≥ 2^k since c·2^k is an
+    integer). No float log appears anywhere, so Spark and the DuckDB
+    oracle hash-match bit-exactly (same reason doc_tfidf_top_terms
+    ranks on integer pairs); the only float is one exact-int division
+    per output row, correctly rounded identically on both engines.
+
+    Scale shape: one explode feeds both the model (term-count shuffle)
+    and the scoring join; the rarity table is vocab-sized (heavy-tail
+    bounded, ≪ corpus) and broadcast back onto the token stream; the
+    per-doc aggregate map-side combines. No driver-side model state —
+    the "LM" is a DataFrame end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    rarity = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.length(F.bin(F.expr("t div c"))) - 1).cast("bigint").alias("bits"),
+    )
+    return (
+        toks.join(F.broadcast(rarity), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("avg_bits"),
+        )
+    )
+
+
+@register(
     "docs_with_embeddings_profile",
     # r5: demoted to pytest-oracled — the cross-modal join shape is a
     # two-line groupBy; its driver slot went to events_heavy_hitters
