@@ -113,6 +113,78 @@ def connected_components(
     return labels.select("node", "component")
 
 
+#: fixed-point scale for integer PageRank: ranks are stored as
+#: rank * PR_SCALE. Headroom: damping_pct * total_mass must stay under
+#: 2^63, so node counts up to ~1e8 are safe at this scale.
+PR_SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point integer PageRank: (node, rank_fp) after a fixed
+    number of power iterations, rank_fp ≈ rank * PR_SCALE.
+
+    ALL arithmetic is 64-bit integer (init PR_SCALE per node; each
+    round ``new = ((100-d)·S)//100 + (d · Σ_in (r_src div outdeg))
+    //100``) — integer addition is associative, so the result is
+    bit-identical regardless of partitioning/aggregation order. Float
+    PageRank is NOT (parallel float sums reorder), which is why this
+    operator can sit under an exact SQL oracle and why two cluster
+    runs at different parallelism reconcile exactly — the same
+    integer-exactness discipline as plans/helpers.dec_sum. The cost:
+    each division floors away < 1/PR_SCALE of mass per edge per round
+    (a deterministic, bounded quantization — not drift).
+
+    Dangling nodes (no out-edges) leak their damped mass each round —
+    the common simplification; feed a symmetric edge list (see
+    ``dedup_clusters``-style explode) when leak-free ranks are wanted.
+
+    Scale shape per round: one hash join of ranks onto the cached
+    (src, dst, outdeg) edge table + one map-side-combinable sum per
+    dst + one left join back onto nodes. Plan depth stays constant via
+    eager localCheckpoint (see module docstring); rounds are fixed, so
+    there is no convergence-probe action per round."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pre = e.join(outdeg, "src").cache()
+    nodes = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .cache()
+    )
+    base = ((100 - damping_pct) * PR_SCALE) // 100
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            pre.join(ranks, pre.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div d")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(m, 0L)) div 100"
+                    )
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    pre.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Near-dup pairs → (node, canonical) keep/drop assignment: the
     cluster minimum is the canonical survivor."""

@@ -547,3 +547,88 @@ def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "membership", F.lit("only_high_value")
     )
     return both.unionByName(only_hv)
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL — every round is
+    one CTE, all arithmetic BIGINT (see operators/graph.pagerank), so
+    the unrolled form is exactly the Spark loop with the iteration
+    variable spelled out. Recursive CTEs are avoided on purpose:
+    standard SQL forbids aggregation in the recursive term."""
+    prev = "r0"
+    sep = ",\n    "
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               CAST(150000000 + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT p.dst AS node, CAST(SUM(r.r // p.d) AS BIGINT) AS m
+            FROM pre p JOIN {prev} r ON p.src = r.node GROUP BY p.dst
+        ) m ON n.node = m.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH dir_edges AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (
+        SELECT src, dst FROM dir_edges
+        UNION
+        SELECT dst AS src, src AS dst FROM dir_edges
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM sym
+    ),
+    outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src
+    ),
+    pre AS (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o ON s.src = o.src),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    {sep.join(rounds)}
+    SELECT node, r AS rank_fp FROM {prev}
+    """
+
+
+@register(
+    "supplier_customer_pagerank",
+    driver=False,  # surface capped at 50; pytest-oracled
+    oracle=_pagerank_oracle(iterations=5),
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis importance over the customer↔supplier trade graph
+    (who transacts with well-connected counterparties): symmetric
+    bipartite edges from orders⋈lineitem, 5 rounds of fixed-point
+    integer PageRank (operators/graph.pagerank — bit-deterministic
+    under any partitioning, hence the exact unrolled-SQL oracle).
+
+    Scale shape: the edge list is DISTINCT (customer, supplier) — far
+    smaller than lineitem — built from one scan; each round is a hash
+    join + map-side-combinable integer sum. The symmetric explode
+    scans the (cached-by-Spark-reuse) distinct pair list once, not a
+    two-branch union recompute."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return pagerank(sym, iterations=5)

@@ -330,3 +330,45 @@ def test_semantic_dedup_fuzz_agrees_with_python_reference(spark):
                 ).collect()
             }
             assert got == want, (case, vect, threshold)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Fixed-point integer PageRank vs an independent float power
+    iteration with the same conventions (init 1.0/node, base 0.15,
+    damping 0.85, dangling mass leaks). The integer floors lose
+    < 1/PR_SCALE per edge per round, so agreement is ~1e-7."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.graph import PR_SCALE, pagerank
+
+    rng = np.random.default_rng(42)
+    n = 30
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    edges.add((n - 1, 0))  # ensure node n-1 exists; 0 gets extra in-mass
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+
+    iters = 6
+    got = {
+        r["node"]: r["rank_fp"] / PR_SCALE
+        for r in pagerank(df, iterations=iters).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes))
+    for a, _ in edges:
+        outdeg[idx[a]] += 1
+    r = np.ones(len(nodes))
+    for _ in range(iters):
+        nxt = np.full(len(nodes), 0.15)
+        for a, b in edges:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / outdeg[idx[a]]
+        r = nxt
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, v
+    # a node with no in-edges sits at exactly the base mass
+    sinks = [v for v in nodes if all(b != v for _, b in edges)]
+    for v in sinks:
+        assert got[v] == 0.15
