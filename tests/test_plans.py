@@ -225,3 +225,25 @@ def test_calendar_densified_fills_planted_gaps(spark, tmp_path):
         ("click", 4, 1, False),
         ("view", 10, 1, False),
     }
+
+
+def test_surprisal_broadcasts_model_onto_token_stream(spark):
+    """doc_unigram_surprisal's scale contract: the vocab-sized rarity
+    table broadcasts onto the exploded token stream (no sort-merge of
+    the corpus against its own model), and the per-doc aggregate
+    map-side combines (two HashAggregate levels)."""
+    p = _plan(spark, "doc_unigram_surprisal")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pagerank_rounds_are_integer_joins(spark):
+    """supplier_customer_pagerank executes through localCheckpoint
+    per round, so the final plan must be flat (constant depth — a
+    scan of the last checkpoint, not 5 nested join rounds) and the
+    result exactly integer (bigint rank_fp)."""
+    df = plans.REGISTRY["supplier_customer_pagerank"].builder(spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p  # checkpoint truncated every round's lineage
+    assert dict(df.dtypes)["rank_fp"] == "bigint"

@@ -237,3 +237,46 @@ def test_warc_html_documents_end_to_end(spark, tmp_path):
     assert d["n_chars"] == len(d["text"])
     # boilerplate tier kept the heading (adjacent to good block)
     assert "Doc One" in d["text"]
+
+
+# ------------------------------------------------------------- fuzzing
+
+from hypothesis import given, settings, strategies as st
+
+_tag = st.sampled_from(
+    ["p", "div", "a", "b", "script", "style", "h1", "li", "br", "span",
+     "table", "td", "foo"]
+)
+_frag = st.one_of(
+    st.text(max_size=40),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    _tag.map(lambda t: f"<{t} class='x' href=y>"),
+    st.sampled_from(["&amp;", "&nbsp;", "&#65;", "&bogus;", "<!--", "-->",
+                     "<!doctype html>", "<![CDATA[x]]>", "<?php ?>"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_frag, max_size=30).map("".join))
+def test_html_extraction_total_on_tag_soup(soup):
+    """Both tiers are TOTAL functions of arbitrary tag soup: never
+    raise, always return str, and the main-content tier only ever
+    emits lines the full-text tier also contains (it is a filter,
+    never a rewriter)."""
+    data = soup.encode("utf-8", "surrogatepass")
+    full = html_bytes_to_text(data)
+    main = html_main_content(data)
+    assert isinstance(full, str) and isinstance(main, str)
+    full_lines = set(full.splitlines())
+    for line in main.splitlines():
+        assert line in full_lines
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_html_extraction_total_on_random_bytes(data):
+    assert isinstance(html_bytes_to_text(data), str)
+    assert isinstance(html_main_content(data), str)
+    # WARC parser is total on garbage too: yields zero or more records
+    assert isinstance(list(parse_warc(data)), list)
