@@ -142,20 +142,22 @@ _RECORD_SCHEMA = (
 
 
 def read_warc_records(
-    spark: SparkSession, path: str, warc_types: tuple[str, ...] = ("response",)
+    spark: SparkSession,
+    path: str | list[str],
+    warc_types: tuple[str, ...] = ("response",),
 ) -> DataFrame:
     """One row per WARC record of the requested types across
-    ``*.warc`` / ``*.warc.gz`` files under ``path``.
+    ``*.warc`` / ``*.warc.gz`` files under ``path`` (a directory, or
+    an explicit list of segment files — the incremental-ingest shape).
 
     For ``response`` records the HTTP envelope is parsed off inside
     the same Arrow pass: ``body`` is the entity body, ``http_status``
     and ``content_type`` come from the HTTP headers (falling back to
     the WARC ``Content-Type`` for non-HTTP record types)."""
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{warc,warc.gz,WARC,WARC.gz}")
-        .load(path)
+    reader = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.{warc,warc.gz,WARC,WARC.gz}"
     )
+    binary = reader.load(path if isinstance(path, str) else list(path))
     wanted = {t.lower() for t in warc_types}
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,7 +202,7 @@ def read_warc_records(
 
 
 def warc_html_documents(
-    spark: SparkSession, path: str, main_content: bool = True
+    spark: SparkSession, path: str | list[str], main_content: bool = True
 ) -> DataFrame:
     """End-to-end WARC -> documents: successful (2xx) HTML responses,
     text extracted (boilerplate-stripped when ``main_content``), rows

@@ -1,0 +1,110 @@
+"""Continuous WARC-segment ingestion: the Common Crawl shape of the
+reference's document-directory daemon (SURVEY §2.7 T1-T5 generalized
+to the web-corpus source tier in sources/warc.py).
+
+Each tick mirrors the snapshot-diff contract the daemon uses for
+PDF/DOCX drops — mtime-diff the segment directory, process only the
+new/modified ``*.warc(.gz)`` files, commit the offset AFTER the batch
+(peek/commit, never poll) — and lands extracted HTML documents through
+the SAME exactly-once machinery as the streaming document ingest:
+keyed MERGE into the warehouse (idempotent under replay), optional
+cross-batch near-dup dedup via the persisted MinHashIndex with the
+proven MERGE-before-index-append ordering (streaming/ingest.py — the
+reverse order loses a crashed batch forever; this order merely
+re-appends postings, which changes probe cost, never answers).
+
+Scale shape: WARC segments are immutable ~1 GiB files — each batch is
+one binaryFile task per new segment, HTML parsing and boilerplate
+removal run inside the Arrow pass (payloads never shuffle), and only
+the ~10x-smaller extracted text reaches the MERGE. Restart recovery:
+state loss reprocesses every segment, and the keyed MERGE + probe
+converge it to the identical table — the daemon's documented
+reprocess-converges property, inherited unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..operators.merge import ParquetWarehouse
+from ..sources.warc import warc_html_documents
+from .ingest import _dedup_batch
+from .snapshot_diff import SnapshotState
+
+_WARC_EXTS = (".warc", ".warc.gz")
+
+
+@dataclass
+class WarcTickReport:
+    fired: bool
+    segments: tuple[str, ...] = ()
+    docs_extracted: int = 0
+    docs_merged: int = 0
+
+
+def warc_ingest_tick(
+    spark: SparkSession,
+    warc_dir: str,
+    state: SnapshotState,
+    wh: ParquetWarehouse,
+    table: str,
+    index=None,  # operators.dedup_index.MinHashIndex | None
+    main_content: bool = True,
+    state_key: str = "warc",
+) -> WarcTickReport:
+    """Process the segment files that changed since the last committed
+    tick; no-op (fired=False) when nothing changed.
+
+    Deleted segments are ignored by design: a crawl archive is
+    append-only, and the warehouse keeps documents whose source
+    segment was archived away (same no-delete contract as the
+    reference's upsert daemon)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    diff, snapshot = state.peek(state_key, warc_dir, _WARC_EXTS)
+    changed = tuple(sorted((*diff.new, *diff.modified)))
+    if not changed:
+        return WarcTickReport(fired=False)
+    paths = [os.path.join(warc_dir, name) for name in changed]
+    docs = warc_html_documents(spark, paths, main_content=main_content)
+    batch = _dedup_batch(docs, ["doc_id"])
+    if index is not None:
+        # the MinHash index's Arrow kernel requires integral ids; WARC
+        # record ids are urn strings, so probe/append run on an
+        # xxhash64 surrogate. A surrogate collision (~n²/2⁶⁴) could
+        # only fold two docs' postings into one index id — a probe
+        # accelerator artifact that can cost an extra candidate
+        # verify, never a lost warehouse row (MERGE keys on the real
+        # doc_id).
+        keyed = batch.withColumn("__iid", F.xxhash64("doc_id"))
+        dups = index.probe(keyed, id_col="__iid", text_col="text").select(
+            F.col("new_id").alias("__iid")
+        )
+        # eager pin before the index mutates (see streaming/ingest.py:
+        # a lazy survivor plan re-evaluated after index.append would
+        # self-match every row and merge an empty batch)
+        fresh = keyed.join(dups, "__iid", "left_anti").localCheckpoint()
+    else:
+        fresh = batch.localCheckpoint()
+    n_extracted = batch.count()
+    n_fresh = fresh.count()
+    # MERGE first, index second (crash between the two replays as
+    # probe-miss -> idempotent re-MERGE -> append: converges)
+    wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
+    if index is not None:
+        index.append(fresh, id_col="__iid", text_col="text")
+        index.release()
+    # offset commits only after the batch landed: a throw above leaves
+    # the trigger armed and the retry re-sees the same segments
+    state.commit(state_key, snapshot)
+    state.save()
+    return WarcTickReport(
+        fired=True,
+        segments=changed,
+        docs_extracted=n_extracted,
+        docs_merged=n_fresh,
+    )

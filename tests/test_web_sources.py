@@ -280,3 +280,93 @@ def test_html_extraction_total_on_random_bytes(data):
     assert isinstance(html_main_content(data), str)
     # WARC parser is total on garbage too: yields zero or more records
     assert isinstance(list(parse_warc(data)), list)
+
+
+# ------------------------------------------------ continuous ingestion
+
+_LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "sleepy badgers watch from the riverbank under a pale october "
+    "moon and count the barges drifting slowly toward the harbour"
+)
+_LONG_A_NEARDUP = _LONG_A.replace("october", "november")
+_LONG_C = (
+    "completely different content about distributed query engines "
+    "partitioning shuffles broadcast joins and adaptive execution "
+    "strategies for very large analytical workloads at petabyte scale"
+)
+
+
+def _html(body_text: str) -> bytes:
+    return f"<html><body><p>{body_text}</p></body></html>".encode()
+
+
+def _segment(docs: list[tuple[str, str, bytes]]) -> bytes:
+    return b"".join(
+        _warc_record("response", rid, uri, _http_payload(body))
+        for rid, uri, body in docs
+    )
+
+
+def test_warc_ingest_ticks_dedup_and_converge(spark, tmp_path):
+    from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+    from data_engineer_challenge_spark.streaming.snapshot_diff import SnapshotState
+    from data_engineer_challenge_spark.streaming.warc_ingest import warc_ingest_tick
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment(
+            [
+                ("doc-a", "http://x/a", _html(_LONG_A)),
+                ("doc-b", "http://x/b", _html("a second unrelated article describing medieval bridge construction techniques with stone arches keystones and wooden falsework scaffolding over wide rivers")),
+            ]
+        )
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+
+    r1 = warc_ingest_tick(spark, str(warc_dir), state, wh, "web_docs", index=idx)
+    assert r1.fired and r1.segments == ("a.warc",)
+    assert r1.docs_extracted == 2 and r1.docs_merged == 2
+
+    # quiet tick: nothing changed -> not fired
+    r2 = warc_ingest_tick(spark, str(warc_dir), state, wh, "web_docs", index=idx)
+    assert not r2.fired
+
+    # new segment: one near-dup of doc-a (dropped), one genuinely new
+    import gzip as _gzip
+
+    (warc_dir / "b.warc.gz").write_bytes(
+        _gzip.compress(
+            _segment(
+                [
+                    ("doc-a2", "http://y/a", _html(_LONG_A_NEARDUP)),
+                    ("doc-c", "http://y/c", _html(_LONG_C)),
+                ]
+            )
+        )
+    )
+    r3 = warc_ingest_tick(spark, str(warc_dir), state, wh, "web_docs", index=idx)
+    assert r3.fired and r3.segments == ("b.warc.gz",)
+    assert r3.docs_extracted == 2
+    assert r3.docs_merged == 1  # near-dup of doc-a dropped by the index
+    ids = {r["doc_id"] for r in wh.read("web_docs").select("doc_id").collect()}
+    assert ids == {"<urn:uuid:doc-a>", "<urn:uuid:doc-b>", "<urn:uuid:doc-c>"}
+
+    # restart with committed offsets: no-op
+    state2 = SnapshotState.load(str(tmp_path / "offsets.json"))
+    assert not warc_ingest_tick(
+        spark, str(warc_dir), state2, wh, "web_docs", index=idx
+    ).fired
+
+    # state LOSS: everything reprocesses, and the keyed MERGE + probe
+    # converge the table to the identical row set (daemon contract)
+    lost = SnapshotState.load(str(tmp_path / "fresh-offsets.json"))
+    r4 = warc_ingest_tick(spark, str(warc_dir), lost, wh, "web_docs", index=idx)
+    assert r4.fired and set(r4.segments) == {"a.warc", "b.warc.gz"}
+    after = {r["doc_id"] for r in wh.read("web_docs").select("doc_id").collect()}
+    assert after == ids
+    assert wh.read("web_docs").count() == 3
