@@ -63,3 +63,47 @@ def check_referential(
         parent.select(F.col(pk).alias(fk)), on=fk, how="left_anti"
     ).count()
     return CheckResult(name=f"fk({fk}->{pk})", failed_rows=orphans, total_rows=total)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Column-level profile (the ANALYZE / data-profiling surface):
+    one row per column with ``n_rows, n_nulls, n_distinct, min_value,
+    max_value`` (min/max computed in the column's own type, then
+    rendered to string so the long format is uniform).
+
+    ONE aggregation over the table computes every column's stats;
+    the single result row is then unpivoted driver-side via
+    ``stack`` (no second scan, no shuffle of data rows — the only
+    exchange is the single-row aggregate's).
+
+    ``exact=True`` uses exact multi-distinct, which Catalyst plans as
+    an Expand (data duplicated once per distinct-column) — fine for
+    profiling runs, and required for the SQL oracle. At 100 TB pass
+    ``exact=False``: approx_count_distinct (HLL, ±5%) keeps the scan
+    single-pass with bounded state and no Expand."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            nd.alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )

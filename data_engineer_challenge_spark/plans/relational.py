@@ -612,3 +612,43 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("c_acctbal"),
         F.max(F.when(F.col("rk") == 1, F.col("c_custkey"))).alias("donor_id"),
     )
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    branches = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in cols
+    )
+    return branches
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+@register(
+    "orders_table_profile",
+    driver=False,  # surface capped at 50; pytest-oracled
+    oracle=_profile_oracle(_PROFILE_COLS),
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the ANALYZE surface) via
+    operators/quality.profile_table: nulls, exact distincts, typed
+    min/max rendered to string — ONE aggregation pass over the table,
+    then a driver-side stack of the single result row. The oracle
+    replays each column as its own scan (DuckDB pays C scans; Spark
+    pays one — the point of the operator). Exact multi-distinct plans
+    as an Expand; the exact=False HLL path is the 100 TB default and
+    is oracle-exempt by construction (±5% estimates)."""
+    from ..operators.quality import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS, exact=True)

@@ -247,3 +247,12 @@ def test_pagerank_rounds_are_integer_joins(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p  # checkpoint truncated every round's lineage
     assert dict(df.dtypes)["rank_fp"] == "bigint"
+
+
+def test_table_profile_is_one_scan(spark):
+    """profile_table's contract: every column's stats ride ONE scan of
+    the table (the oracle pays one scan per column; the operator must
+    not). Exact multi-distinct shows up as Expand — allowed; a second
+    FileScan would mean the unpivot re-read the table."""
+    p = _plan(spark, "orders_table_profile")
+    assert p.count("FileScan") == 1, p
