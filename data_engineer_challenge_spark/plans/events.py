@@ -805,3 +805,110 @@ def events_hourly_gap_interpolated(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(pv + (nv - pv) * frac)
         .alias("value_filled"),
     )
+
+
+@register(
+    "events_seasonal_decomposition",
+    driver=False,  # surface capped at 50; pytest-oracled
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    tr AS (
+        SELECT event_type, day, n_events,
+               CASE WHEN CAST(COUNT(*) OVER w AS BIGINT) = 7
+                    THEN CAST(SUM(n_events) OVER w AS BIGINT) END AS trend_x7,
+               CAST(datediff('day', TIMESTAMP '1970-01-05', day) % 7
+                    AS INTEGER) AS weekday
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT event_type, weekday,
+               CAST(ROUND(SUM(CAST((7 * n_events - trend_x7) AS DECIMAL(30,10))), 4) AS DOUBLE)
+                   / COUNT(trend_x7) AS seasonal_dev_x7
+        FROM tr WHERE trend_x7 IS NOT NULL
+        GROUP BY event_type, weekday
+    )
+    SELECT t.event_type, t.day, t.n_events, t.trend_x7, t.weekday,
+           s.seasonal_dev_x7,
+           CASE WHEN t.trend_x7 IS NOT NULL
+                THEN CAST((7 * t.n_events - t.trend_x7) AS DOUBLE)
+                     - s.seasonal_dev_x7 END AS residual_x7
+    FROM tr t JOIN seas s
+      ON t.event_type = s.event_type AND t.weekday = s.weekday
+    """,
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive time-series decomposition of daily event volume:
+    trend (centered 7-day moving window), day-of-week seasonality,
+    residual — the pattern behind monitoring dashboards and
+    anomaly-score baselines (complements events_daily_anomalies, which
+    scores against a trailing window instead of decomposing).
+
+    Engine-exact discipline: everything is scaled by 7 so the trend
+    stays an INTEGER (the window SUM, not the fractional average;
+    edges without a full 7-day window emit NULL trend rather than a
+    partial-window estimate). The seasonal term is the one decimal-
+    exact division (dec_avg convention) and the residual subtracts two
+    deterministic doubles — so the whole decomposition hash-matches
+    the DuckDB oracle despite being float-valued. Weekday is epoch-day
+    arithmetic mod 7 (Monday=0): Spark's dayofweek() and DuckDB's
+    dayofweek() disagree on numbering, date arithmetic does not.
+
+    Scale shape: the window partitions by event_type over a
+    DAY-cardinality rollup (tiny input — the heavy lifting is the
+    map-side-combinable daily count); the seasonal join broadcasts a
+    (type × 7)-row table."""
+    from pyspark.sql.window import Window
+
+    from .helpers import DEC, OUT
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("n_events").over(w)
+        ).alias("trend_x7"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("timestamp")), 7
+        ).cast("int").alias("weekday"),
+    )
+    dev = (7 * F.col("n_events") - F.col("trend_x7")).alias("__dev")
+    seas = (
+        tr.where(F.col("trend_x7").isNotNull())
+        .select("event_type", "weekday", dev)
+        .groupBy("event_type", "weekday")
+        .agg(
+            (
+                F.sum(F.col("__dev").cast(DEC)).cast(OUT).cast("double")
+                / F.count("__dev")
+            ).alias("seasonal_dev_x7")
+        )
+    )
+    return tr.join(F.broadcast(seas), ["event_type", "weekday"]).select(
+        "event_type",
+        "day",
+        "n_events",
+        "trend_x7",
+        "weekday",
+        "seasonal_dev_x7",
+        F.when(
+            F.col("trend_x7").isNotNull(),
+            (7 * F.col("n_events") - F.col("trend_x7")).cast("double")
+            - F.col("seasonal_dev_x7"),
+        ).alias("residual_x7"),
+    )

@@ -290,11 +290,12 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks on integer pairs); the only float is one exact-int division
     per output row, correctly rounded identically on both engines.
 
-    Scale shape: one explode feeds both the model (term-count shuffle)
-    and the scoring join; the rarity table is vocab-sized (heavy-tail
-    bounded, ≪ corpus) and broadcast back onto the token stream; the
-    per-doc aggregate map-side combines. No driver-side model state —
-    the "LM" is a DataFrame end to end."""
+    Scale shape: two map-only passes over the corpus tokens (model
+    counts, then scoring — Spark physically re-scans rather than
+    materializing the explode); the rarity table is vocab-sized
+    (heavy-tail bounded, ≪ corpus) and broadcast back onto the token
+    stream; the per-doc aggregate map-side combines. No driver-side
+    model state — the "LM" is a DataFrame end to end."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
