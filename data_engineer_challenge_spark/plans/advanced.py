@@ -632,3 +632,72 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     return pagerank(sym, iterations=5)
+
+
+@register(
+    "supplier_cosupply_triangles",
+    driver=False,  # surface capped at 50; pytest-oracled
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    und AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM os x JOIN os y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v
+        FROM und u
+        JOIN deg da ON u.a = da.node
+        JOIN deg db ON u.b = db.node
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ori e1
+            JOIN ori e2 ON e1.v = e2.u
+            WHERE EXISTS (SELECT 1 FROM ori e3
+                          WHERE e3.u = e1.u AND e3.v = e2.v)) AS n_triangles
+    """,
+)
+def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (suppliers are
+    adjacent when they supply the same order — the market-basket
+    projection; its triangle density is the standard clustering /
+    community-structure diagnostic). Exact integers end to end, so the
+    distributed count is SQL-oracle-checkable.
+
+    Scale shape (operators/graph.count_triangles): the bipartite
+    projection joins per-order supplier lists against themselves ON
+    THE ORDER KEY — bounded by order size (≤7 items), never quadratic
+    in suppliers; the triangle join uses DEGREE orientation, bounding
+    wedge fan-out by O(√m) on any degree distribution (an id
+    orientation melts down when a hub sorts low)."""
+    from ..operators.graph import count_triangles
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return count_triangles(und)

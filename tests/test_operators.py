@@ -372,3 +372,22 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     sinks = [v for v in nodes if all(b != v for _, b in edges)]
     for v in sinks:
         assert got[v] == 0.15
+
+
+def test_count_triangles_known_graphs(spark):
+    from data_engineer_challenge_spark.operators.graph import count_triangles
+
+    # K4 (4 triangles) + an isolated edge + a duplicate/reversed edge
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (2, 1)]
+    row = count_triangles(
+        spark.createDataFrame(edges, "src int, dst int")
+    ).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 7, 4)
+
+    # star graph: hub with many leaves — zero triangles, and degree
+    # orientation points every edge AWAY from leaves (hub fan-out 0)
+    star = [(0, i) for i in range(1, 40)]
+    row = count_triangles(
+        spark.createDataFrame(star, "src int, dst int")
+    ).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (40, 39, 0)
