@@ -125,6 +125,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    broadcast_nodes_max: int = 4_000_000,
 ) -> DataFrame:
     """Fixed-point integer PageRank: (node, rank_fp) after a fixed
     number of power iterations, rank_fp ≈ rank * PR_SCALE.
@@ -146,9 +147,14 @@ def pagerank(
 
     Scale shape per round: one hash join of ranks onto the cached
     (src, dst, outdeg) edge table + one map-side-combinable sum per
-    dst + one left join back onto nodes. Plan depth stays constant via
-    eager localCheckpoint (see module docstring); rounds are fixed, so
-    there is no convergence-probe action per round."""
+    dst + one left join back onto nodes. When the node count fits
+    (≤ ``broadcast_nodes_max``, ~16 bytes/node) the round's rank
+    tables BROADCAST instead, so the big cached edge list never
+    re-shuffles across rounds; past the threshold both joins degrade
+    gracefully to shuffles — the only option at 10⁸ nodes anyway.
+    Plan depth stays constant via eager localCheckpoint (see module
+    docstring); rounds are fixed, so there is no convergence-probe
+    action per round."""
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
@@ -159,16 +165,19 @@ def pagerank(
         .distinct()
         .cache()
     )
+    # one extra action up front (nodes must materialize anyway) buys
+    # shuffle-free rounds on every graph whose rank table fits
+    bc = F.broadcast if nodes.count() <= broadcast_nodes_max else (lambda df: df)
     base = ((100 - damping_pct) * PR_SCALE) // 100
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(iterations):
         contribs = (
-            pre.join(ranks, pre.src == ranks.node)
+            pre.join(bc(ranks), pre.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.expr("r div d")).alias("m"))
         )
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(bc(contribs), nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 (

@@ -610,7 +610,11 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than lineitem — built from one scan; each round is a hash
     join + map-side-combinable integer sum. The symmetric explode
     scans the (cached-by-Spark-reuse) distinct pair list once, not a
-    two-branch union recompute."""
+    two-branch union recompute. The whole iteration runs on INTEGER
+    node ids (customer k → 2k, supplier k → 2k+1 — disjoint by
+    parity); the 'c…'/'s…' string labels are rendered only onto the
+    node-cardinality result (string keys in the per-round shuffles
+    measured ~40% slower at sf0.1)."""
     from ..operators.graph import pagerank
 
     orders = load_table(spark, sf_dir, "orders")
@@ -618,8 +622,8 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
@@ -631,7 +635,14 @@ def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    return pagerank(sym, iterations=5)
+    pr = pagerank(sym, iterations=5)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+    )
+    return pr.select(label.alias("node"), "rank_fp")
 
 
 @register(
@@ -679,7 +690,16 @@ def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE ORDER KEY — bounded by order size (≤7 items), never quadratic
     in suppliers; the triangle join uses DEGREE orientation, bounding
     wedge fan-out by O(√m) on any degree distribution (an id
-    orientation melts down when a hub sorts low)."""
+    orientation melts down when a hub sorts low).
+
+    Honest corpus caveat (the docs_prefix_filter_neardup pattern): the
+    synthetic supplier pool is tiny relative to orders, so the
+    co-supply projection SATURATES toward the complete graph as sf
+    grows — at sf0.1 nearly every supplier pair co-occurs and the
+    census costs Θ(n³) because the graph genuinely CONTAINS that many
+    triangles, not through algorithmic waste. Verified at sf0.01; real
+    co-occurrence graphs (authors, domains, SKUs) are sparse, which is
+    what the O(m^1.5) orientation bound is for."""
     from ..operators.graph import count_triangles
 
     li = (

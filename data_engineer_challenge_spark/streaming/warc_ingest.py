@@ -71,7 +71,10 @@ def warc_ingest_tick(
         return WarcTickReport(fired=False)
     paths = [os.path.join(warc_dir, name) for name in changed]
     docs = warc_html_documents(spark, paths, main_content=main_content)
-    batch = _dedup_batch(docs, ["doc_id"])
+    # eager: extraction (gzip + HTML parse of every new segment) runs
+    # ONCE — the probe, the survivor anti-join, and the report count
+    # below would otherwise each re-parse the segments from bytes
+    batch = _dedup_batch(docs, ["doc_id"]).localCheckpoint()
     if index is not None:
         # the MinHash index's Arrow kernel requires integral ids; WARC
         # record ids are urn strings, so probe/append run on an

@@ -174,13 +174,18 @@ def test_no_cartesian_products(spark):
     BroadcastNestedLoopJoin except the deliberate broadcast cross joins
     with a bounded side: brute-force KNN and the quantized-KNN
     shortlist (tiny query side), the IVF index probe (query side x the
-    16-row centroid table), and BM25 (two single-row corpus-stats
-    aggregates broadcast onto the per-document scores)."""
+    16-row centroid table), BM25 (two single-row corpus-stats
+    aggregates broadcast onto the per-document scores), the unigram-LM
+    rarity table (the single-row total-token count broadcast onto the
+    vocab), and the triangle census (three single-row counts zipped
+    into one result row)."""
     allowed = {
         "emb_knn_bruteforce",
         "emb_quantized_knn",
         "ivf_index_probe",
         "docs_bm25_search",
+        "doc_unigram_surprisal",
+        "supplier_cosupply_triangles",
     }
     for name in plans.REGISTRY:
         if name in allowed:
