@@ -66,6 +66,9 @@ HEADLINE = [
     # r6 addition: cross-document segment dedup (ids-only keep-first
     # shuffle + per-doc decision aggregate; text re-sliced map-side)
     "docs_segment_dedup",
+    # r6 addition: corpus unigram-LM surprisal (two map-only token
+    # passes; vocab-sized rarity model broadcast back, integer-exact)
+    "doc_unigram_surprisal",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -298,3 +298,41 @@ def test_redaction_functions_edges(spark):
     # different salt, different universe
     other = df.select(pseudonym("v", "t").alias("p")).collect()
     assert other[0]["p"] != full["p"]
+
+
+def test_unicode_canonicalize_nfkc_and_controls(spark):
+    """NFKC folds decomposed accents, ligatures, and full-width
+    compatibility forms onto the canonical codepoints exact-dedup and
+    shingling need; C0/C1 controls (PDF-extraction artifacts) strip,
+    tab/newline survive, nulls pass through."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.functions.cleaning import (
+        unicode_canonicalize,
+    )
+
+    decomposed = "café"  # e + combining acute
+    rows = [
+        (decomposed,),
+        ("café",),  # composed form of the same text
+        ("ﬁne Ａ１",),  # ligature fi + fullwidth A1
+        ("a\x00b\x9fc\td\ne",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = [
+        r["n"]
+        for r in df.select(unicode_canonicalize()(F.col("t")).alias("n")).collect()
+    ]
+    assert out[0] == out[1] == "café"  # the dedup-fracture case healed
+    assert out[2] == "fine A1"
+    assert out[3] == "abc\td\ne"
+    assert out[4] is None
+    # conservative NFC keeps compatibility characters distinct
+    nfc = [
+        r["n"]
+        for r in df.select(
+            unicode_canonicalize(form="NFC")(F.col("t")).alias("n")
+        ).collect()
+    ]
+    assert nfc[0] == "café" and nfc[2] == "ﬁne Ａ１"

@@ -370,3 +370,53 @@ def test_warc_ingest_ticks_dedup_and_converge(spark, tmp_path):
     after = {r["doc_id"] for r in wh.read("web_docs").select("doc_id").collect()}
     assert after == ids
     assert wh.read("web_docs").count() == 3
+
+
+# -------------------------------------------------- URL canonicalization
+
+
+def test_normalize_url_rules(spark):
+    from data_engineer_challenge_spark.functions.urls import normalize_url
+
+    cases = [
+        # scheme/host case, www, fragment
+        ("HTTP://WWW.Example.COM/Path#frag", "http://example.com/Path"),
+        # default ports drop, non-default kept
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # empty path, trailing slash
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/", "https://example.com/"),
+        # tracking params drop, survivors sort; all-tracking -> no query
+        (
+            "https://example.com/p?utm_source=x&b=2&a=1&fbclid=zz",
+            "https://example.com/p?a=1&b=2",
+        ),
+        ("https://example.com/p?utm_campaign=x", "https://example.com/p"),
+        # ref is tracking junk only as a PARAM NAME, not a value
+        ("https://example.com/p?ref=home&q=1", "https://example.com/p?q=1"),
+        ("not a url at all", None),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["n"] for r in df.select(normalize_url("u").alias("n")).collect()]
+    for (raw, want), actual in zip(cases, got):
+        assert actual == want, f"{raw!r}: {actual!r} != {want!r}"
+
+
+def test_dedup_by_url_keeps_first_and_malformed(spark):
+    from data_engineer_challenge_spark.functions.urls import dedup_by_url
+
+    rows = [
+        (1, "https://www.example.com/a?utm_source=x", "first"),
+        (2, "http://example.com:8080/a", "different-port"),
+        (3, "https://example.com/a/", "dup-of-1"),
+        (4, "%%%garbage%%%", "malformed-kept"),
+        (5, "%%%garbage%%%", "malformed-kept-too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    kept = {r["doc_id"] for r in dedup_by_url(df).collect()}
+    assert kept == {1, 2, 4, 5}

@@ -34,6 +34,7 @@ COPIES = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 QUERIES = [
+    "doc_unigram_surprisal",
     "docs_minhash_neardup",
     "docs_simhash_neardup",
     "documents_clean_corpus",
