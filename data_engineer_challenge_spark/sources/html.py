@@ -214,3 +214,67 @@ def html_main_content(data: bytes) -> str:
         return ""
     lines = [b.text for b, k in zip(blocks, keep) if k and b.text]
     return "\n".join(lines) + ("\n" if lines else "")
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> values in document order plus the first
+    <base href> (which scopes relative resolution for the page)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base: str | None = None
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v
+                    break
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
+
+
+#: schemes that never name a fetchable document
+_NON_HTTP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def html_links(data: bytes, base_url: str | None = None) -> list[str]:
+    """Outgoing hyperlinks of a page, resolved absolute (stdlib
+    ``urljoin`` against ``<base href>`` if present, else ``base_url``),
+    in document order with exact duplicates dropped. Fragment-only
+    self-links and non-fetchable schemes (javascript:, mailto:, ...)
+    are skipped. This is the edge extractor for crawl link graphs —
+    feed the result through functions/urls.normalize_url before
+    building the graph."""
+    from urllib.parse import urljoin
+
+    try:
+        text = data.decode(sniff_charset(data), errors="replace")
+        p = _LinkParser()
+        p.feed(text)
+        p.close()
+    except Exception:
+        return []
+    root = p.base or base_url or ""
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in p.links:
+        h = href.strip()
+        if not h or h.startswith("#"):
+            continue
+        if any(h.lower().startswith(s) for s in _NON_HTTP_SCHEMES):
+            continue
+        try:
+            absu = urljoin(root, h)
+        except ValueError:
+            continue
+        if not absu.lower().startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out

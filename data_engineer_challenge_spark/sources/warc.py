@@ -233,3 +233,42 @@ def warc_html_documents(
     return docs.where(F.length("text") > 0).withColumn(
         "n_chars", F.length("text")
     )
+
+
+def warc_link_graph(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Crawl link graph from WARC segments: one (src_url, dst_url) row
+    per outgoing hyperlink of every successful HTML response, both
+    endpoints CANONICALIZED (functions/urls.normalize_url) and exact
+    duplicates dropped. This is the input operators/graph.pagerank and
+    count_triangles expect — the classic crawl-frontier / page-quality
+    pipeline (links extracted inside the same Arrow pass that already
+    holds the page bytes; only the edge list shuffles)."""
+    from ..functions.urls import normalize_url
+    from .html import html_links
+
+    records = read_warc_records(spark, path).where(
+        (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.lower(F.coalesce("content_type", F.lit(""))).contains("text/html")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, dsts = [], []
+            for uri, body in zip(pdf["target_uri"], pdf["body"]):
+                for link in html_links(bytes(body), base_url=uri):
+                    srcs.append(uri)
+                    dsts.append(link)
+            yield pd.DataFrame({"src_url": srcs, "dst_url": dsts})
+
+    edges = records.select("target_uri", "body").mapInPandas(
+        extract, schema="src_url string, dst_url string"
+    )
+    return (
+        edges.select(
+            normalize_url("src_url").alias("src_url"),
+            normalize_url("dst_url").alias("dst_url"),
+        )
+        .where(F.col("src_url").isNotNull() & F.col("dst_url").isNotNull())
+        .distinct()
+    )

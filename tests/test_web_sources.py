@@ -420,3 +420,86 @@ def test_dedup_by_url_keeps_first_and_malformed(spark):
     df = spark.createDataFrame(rows, "doc_id int, source string, text string")
     kept = {r["doc_id"] for r in dedup_by_url(df).collect()}
     assert kept == {1, 2, 4, 5}
+
+
+# ------------------------------------------------------- link graph
+
+
+def test_html_links_resolution_and_filtering():
+    from data_engineer_challenge_spark.sources.html import html_links
+
+    page = (
+        b'<html><head><base href="https://ex.com/dir/"></head><body>'
+        b'<a href="page2">rel</a> <a href="/abs">abs</a>'
+        b'<a href="https://other.org/x">ext</a> <a href="#sec">frag</a>'
+        b'<a href="javascript:void(0)">js</a> <a href="mailto:a@b">m</a>'
+        b'<a href="page2">dup</a></body></html>'
+    )
+    assert html_links(page) == [
+        "https://ex.com/dir/page2",
+        "https://ex.com/abs",
+        "https://other.org/x",
+    ]
+    # no <base>: resolves against the fetch URL
+    assert html_links(b'<a href="/only">x</a>', base_url="http://b.net/p") == [
+        "http://b.net/only"
+    ]
+    assert html_links(b"\xff\x00garbage") == []
+
+
+def _linked_page(links: list[str]) -> bytes:
+    body = "".join(f'<a href="{l}">l</a>' for l in links)
+    return f"<html><body>{body}</body></html>".encode()
+
+
+def test_warc_link_graph_and_pagerank_composition(spark, tmp_path):
+    """The full crawl-analytics loop: WARC segments -> per-page link
+    extraction -> canonical URLs -> edge list -> fixed-point PageRank.
+    hub.example links to both leaves; every page links back to hub, so
+    hub must out-rank the leaves."""
+    from data_engineer_challenge_spark.operators.graph import pagerank
+    from data_engineer_challenge_spark.sources.warc import warc_link_graph
+
+    recs = [
+        (
+            "hub",
+            "https://hub.example/",
+            _linked_page(
+                ["https://a.example/page/", "https://b.example/page"]
+            ),
+        ),
+        (
+            "a",
+            "https://a.example/page",
+            _linked_page(["https://hub.example/?utm_source=x"]),
+        ),
+        (
+            "b",
+            "https://b.example/page",
+            _linked_page(["https://HUB.example:443/"]),
+        ),
+    ]
+    seg = b"".join(
+        _warc_record("response", rid, uri, _http_payload(body))
+        for rid, uri, body in recs
+    )
+    (tmp_path / "crawl.warc").write_bytes(seg)
+
+    edges = warc_link_graph(spark, str(tmp_path))
+    got = {(r["src_url"], r["dst_url"]) for r in edges.collect()}
+    # trailing slash + utm + case + default port all canonicalized
+    assert got == {
+        ("https://hub.example/", "https://a.example/page"),
+        ("https://hub.example/", "https://b.example/page"),
+        ("https://a.example/page", "https://hub.example/"),
+        ("https://b.example/page", "https://hub.example/"),
+    }
+
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            edges, src="src_url", dst="dst_url", iterations=8
+        ).collect()
+    }
+    assert ranks["https://hub.example/"] > ranks["https://a.example/page"]
+    assert ranks["https://a.example/page"] == ranks["https://b.example/page"]
