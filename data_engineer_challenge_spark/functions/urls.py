@@ -93,15 +93,19 @@ def dedup_by_url(
 
     One shuffle on the canonical URL; document text rides the shuffle
     only for the kept row's sake — at crawl scale run it ids-only and
-    semi-join back, the docs_exact_dedup pattern."""
+    semi-join back, the docs_exact_dedup pattern. Malformed-URL rows
+    are split out BEFORE the window: they would otherwise all hash to
+    the single NULL partition key and funnel a few percent of a crawl
+    through one reducer just to have the rank discarded."""
     from pyspark.sql.window import Window
 
     canon = docs.withColumn("__curl", normalize_url(url_col))
+    malformed = canon.where(F.col("__curl").isNull()).drop("__curl")
     w = Window.partitionBy("__curl").orderBy(F.col(order_col))
-    ranked = canon.withColumn(
-        "__rn",
-        F.when(F.col("__curl").isNull(), F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
+    kept = (
+        canon.where(F.col("__curl").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__curl")
     )
-    return ranked.where(F.col("__rn") == 1).drop("__rn", "__curl")
+    return kept.unionByName(malformed)

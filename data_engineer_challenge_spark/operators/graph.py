@@ -206,7 +206,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
 
 
 def count_triangles(
-    edges: DataFrame, left_col: str = "src", right_col: str = "dst"
+    edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    broadcast_nodes_max: int = 50_000_000,
 ) -> DataFrame:
     """Exact triangle count of the UNDIRECTED graph given as a pair
     list (either orientation, duplicates fine) — one row
@@ -222,8 +225,10 @@ def count_triangles(
     a plain id orientation when a hub node sorts low (a celebrity with
     10⁶ neighbors would emit 10¹² wedges); by degree it cannot.
 
-    Scale shape: the degree table is node-cardinality (broadcast); the
-    wedge self-join shuffles oriented edges by their midpoint; the
+    Scale shape: the degree table is node-cardinality — broadcast while
+    it fits (≤ ``broadcast_nodes_max``, the ``pagerank`` gate), falling
+    back to shuffle joins past that (the only option at 10⁸ nodes);
+    the wedge self-join shuffles oriented edges by their midpoint; the
     closing check is a LEFT SEMI join back onto edges. Everything is
     integer equi-join + count — no float, so the result is exactly
     reproducible (and SQL-oracle-able)."""
@@ -239,13 +244,14 @@ def count_triangles(
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()  # node-cardinality; reused by both joins + n_nodes
     )
+    n_nodes = deg.count()
+    bc = F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
     withdeg = (
-        und.join(F.broadcast(deg).withColumnRenamed("node", "a"), "a")
+        und.join(bc(deg.withColumnRenamed("node", "a")), "a")
         .withColumnRenamed("d", "da")
-        .join(
-            F.broadcast(deg).withColumnRenamed("node", "b"), "b"
-        )
+        .join(bc(deg.withColumnRenamed("node", "b")), "b")
         .withColumnRenamed("d", "db")
     )
     fwd = (F.col("da") < F.col("db")) | (
@@ -267,7 +273,10 @@ def count_triangles(
     )
     return (
         closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
         .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
-        .select("n_nodes", "n_edges", "n_triangles")
+        .select(
+            F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+            "n_edges",
+            "n_triangles",
+        )
     )

@@ -176,7 +176,20 @@ def _split_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → (H, W, 3) uint8 RGB. Grayscale replicates to
-    three channels (the ``decode_png`` convention)."""
+    three channels (the ``decode_png`` convention).
+
+    Error contract: corrupt or truncated streams raise ``ValueError``
+    (unsupported-but-valid processes raise ``NotImplementedError``) —
+    a real corpus always contains truncated files, and the batch
+    kernels screen for exactly these two types; a leaked
+    ``IndexError``/``struct.error`` would fail the whole Spark stage."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt JPEG: {ex}") from None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

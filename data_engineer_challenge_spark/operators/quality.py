@@ -84,26 +84,40 @@ def profile_table(
     ``exact=False``: approx_count_distinct (HLL, ±5%) keeps the scan
     single-pass with bounded state and no Expand."""
     cols = columns or df.columns
+    # positional internal aliases — profiled column names never enter
+    # an identifier or SQL string, so any legal Spark name works
+    # ("order date", "price-usd", "a.b", quotes, ...)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        nd = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+    for i, c in enumerate(cols):
+        # backtick-quote so "a.b" is one column, not struct access
+        col = F.col(f"`{c.replace('`', '``')}`")
+        nd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            nd.alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            nd.alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__mn_{i}"),
+            F.max(col).cast("string").alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
-    parts = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_value"),
+                F.col(f"__mx_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
     return row.select(
-        F.col("__n").alias("n_rows"),
-        F.expr(
-            f"stack({len(cols)}, {parts}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value)"
-        ),
+        F.col("__n").alias("n_rows"), F.explode(entries).alias("e")
     ).select(
-        "column_name", "n_rows", "n_nulls", "n_distinct",
-        "min_value", "max_value",
+        F.col("e.column_name").alias("column_name"),
+        "n_rows",
+        F.col("e.n_nulls").alias("n_nulls"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.min_value").alias("min_value"),
+        F.col("e.max_value").alias("max_value"),
     )

@@ -259,7 +259,15 @@ def html_links(data: bytes, base_url: str | None = None) -> list[str]:
         p.close()
     except Exception:
         return []
-    root = p.base or base_url or ""
+    # a relative <base href> (legal per the HTML spec) resolves against
+    # the document's own URL first, then scopes the links
+    if p.base:
+        try:
+            root = urljoin(base_url or "", p.base)
+        except ValueError:
+            root = p.base
+    else:
+        root = base_url or ""
     out: list[str] = []
     seen: set[str] = set()
     for href in p.links:

@@ -21,8 +21,14 @@ smaller than the raw bytes).
 Parsing follows the WARC 1.0/1.1 spec (headers are RFC-822-style
 ``Name: value`` lines, ``Content-Length`` is mandatory, records are
 separated by CRLF CRLF). HTTP response payloads are stored as
-captured on the wire; chunked transfer-encoding is decoded, other
-encodings (gzip content-encoding) are left as-is for the caller.
+captured on the wire; chunked transfer-encoding and gzip/deflate
+``Content-Encoding`` are both decoded so callers always see the
+entity bytes (real crawls store bodies as served, which is routinely
+compressed — feeding those raw bytes to the HTML extractor would
+yield replacement-char garbage that still passes a non-empty check).
+A record whose framing is corrupt is skipped by resyncing to the next
+``WARC/`` magic so one bad record never discards the rest of a
+segment.
 """
 
 from __future__ import annotations
@@ -51,8 +57,11 @@ def parse_warc(data: bytes) -> Iterator[dict]:
     """Yield records as dicts: ``headers`` (dict, original-case keys
     preserved under lowercase lookup) plus ``payload`` bytes.
 
-    Tolerant of trailing garbage / truncated final record (stops
-    cleanly) — a corrupt tail loses that record, not the file."""
+    Tolerant of corruption: a record with garbled framing (stray bytes
+    between records, bad/missing ``Content-Length``) is skipped by
+    resyncing to the next ``\\r\\nWARC/`` magic, so a mid-file glitch
+    loses that record — not every record after it. Only a truncated
+    final record stops the scan early."""
     data = _decompress_if_gzip(data)
     pos = 0
     n = len(data)
@@ -63,7 +72,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         if pos >= n:
             return
         if not data.startswith(b"WARC/", pos):
-            return  # trailing garbage — stop
+            pos = _resync(data, pos)
+            if pos < 0:
+                return
+            continue
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             return
@@ -77,7 +89,10 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            pos = _resync(data, hdr_end)  # unframeable — skip record
+            if pos < 0:
+                return
+            continue
         body_start = hdr_end + 4
         if body_start + length > n:
             return  # truncated record
@@ -87,6 +102,13 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "payload": data[body_start : body_start + length],
         }
         pos = body_start + length
+
+
+def _resync(data: bytes, pos: int) -> int:
+    """Position of the next record magic at/after ``pos`` (the WARC
+    version line always follows a blank line), or -1 past the last."""
+    nxt = data.find(b"\r\nWARC/", pos)
+    return -1 if nxt < 0 else nxt + 2
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -111,9 +133,31 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
+    """Entity bytes for a gzip/deflate ``Content-Encoding`` body; raw
+    bytes unchanged for identity/unknown encodings or corrupt streams
+    (a wrong-but-present header must not throw away the record)."""
+    import zlib
+
+    enc = encoding.split(",")[-1].strip().lower()  # last-applied coding
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)  # RFC-correct zlib wrapper
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    except Exception:
+        return body
+    return body
+
+
 def http_response_body(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     """(status, headers, body) from an HTTP response payload. Chunked
-    bodies are de-chunked. Raises ValueError on a non-HTTP payload."""
+    bodies are de-chunked, then gzip/deflate ``Content-Encoding`` is
+    decoded (see module docstring — crawl captures store bodies as
+    served). Raises ValueError on a non-HTTP payload."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or not payload.startswith(b"HTTP/"):
         raise ValueError("not an HTTP response payload")
@@ -131,6 +175,9 @@ def http_response_body(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     body = payload[sep + 4 :]
     if headers.get("transfer-encoding", "").lower() == "chunked":
         body = _dechunk(body)
+    ce = headers.get("content-encoding", "")
+    if ce:
+        body = _decode_content_encoding(body, ce)
     return status, headers, body
 
 
@@ -154,9 +201,15 @@ def read_warc_records(
     the same Arrow pass: ``body`` is the entity body, ``http_status``
     and ``content_type`` come from the HTTP headers (falling back to
     the WARC ``Content-Type`` for non-HTTP record types)."""
-    reader = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.{warc,warc.gz,WARC,WARC.gz}"
-    )
+    reader = spark.read.format("binaryFile")
+    if isinstance(path, str):
+        # directory scan: filter to WARC extensions. An explicit file
+        # list is NOT re-filtered — the caller already chose the files,
+        # and a glob would silently drop mixed-case names the
+        # incremental-ingest snapshot matched case-insensitively
+        reader = reader.option(
+            "pathGlobFilter", "*.{warc,warc.gz,WARC,WARC.gz}"
+        )
     binary = reader.load(path if isinstance(path, str) else list(path))
     wanted = {t.lower() for t in warc_types}
 
@@ -201,6 +254,17 @@ def read_warc_records(
     )
 
 
+def _html_responses(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Successful (2xx) HTML response records — the shared entry
+    filter for every page-level extraction below (one definition so a
+    filter fix can never diverge between the text and link paths)."""
+    return read_warc_records(spark, path).where(
+        (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.lower(F.coalesce("content_type", F.lit(""))).contains("text/html")
+    )
+
+
 def warc_html_documents(
     spark: SparkSession, path: str | list[str], main_content: bool = True
 ) -> DataFrame:
@@ -210,11 +274,7 @@ def warc_html_documents(
     n_chars) so every downstream dedup/quality operator applies
     unchanged. The binary ``body`` is dropped inside the Arrow pass —
     only extracted text shuffles."""
-    records = read_warc_records(spark, path).where(
-        (F.col("http_status") >= 200)
-        & (F.col("http_status") < 300)
-        & F.lower(F.coalesce("content_type", F.lit(""))).contains("text/html")
-    )
+    records = _html_responses(spark, path)
     extractor = html_main_content if main_content else html_bytes_to_text
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,11 +306,7 @@ def warc_link_graph(spark: SparkSession, path: str | list[str]) -> DataFrame:
     from ..functions.urls import normalize_url
     from .html import html_links
 
-    records = read_warc_records(spark, path).where(
-        (F.col("http_status") >= 200)
-        & (F.col("http_status") < 300)
-        & F.lower(F.coalesce("content_type", F.lit(""))).contains("text/html")
-    )
+    records = _html_responses(spark, path)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

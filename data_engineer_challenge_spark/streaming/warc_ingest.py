@@ -92,7 +92,7 @@ def warc_ingest_tick(
         # self-match every row and merge an empty batch)
         fresh = keyed.join(dups, "__iid", "left_anti").localCheckpoint()
     else:
-        fresh = batch.localCheckpoint()
+        fresh = batch  # already pinned by its own localCheckpoint
     n_extracted = batch.count()
     n_fresh = fresh.count()
     # MERGE first, index second (crash between the two replays as

@@ -609,3 +609,30 @@ def test_jpeg_progressive_rejected_and_dispatch_wired():
     h_bmp = dhash64(img)
     h_jpg = dhash64(decode_jpeg(jp))
     assert bin(h_bmp ^ h_jpg).count("1") <= 4
+
+
+def test_jpeg_truncation_sweep_raises_only_valueerror():
+    """Error contract over every truncation point: a real corpus always
+    contains cut-off files, and the Arrow kernels screen for
+    ValueError/NotImplementedError — a leaked IndexError/struct.error
+    would fail the whole Spark stage."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=90)
+    for cut in range(2, len(data), 5):
+        try:
+            decode_jpeg(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # the contract — anything else propagates and fails
+    # lone 0xFF at end of entropy data (the _split_scan edge)
+    try:
+        decode_jpeg(data[:-2] + b"\xff")
+    except (ValueError, NotImplementedError):
+        pass

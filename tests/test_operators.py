@@ -391,3 +391,20 @@ def test_count_triangles_known_graphs(spark):
         spark.createDataFrame(star, "src int, dst int")
     ).first()
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (40, 39, 0)
+
+
+def test_profile_table_handles_non_identifier_column_names(spark):
+    """ANALYZE must profile any legal Spark column name — spaces,
+    dashes, dots, quotes — since names never enter SQL text."""
+    from data_engineer_challenge_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y'z"), (2, 3.5, None)],
+        ["order date", "price-usd", "a.b's"],
+    )
+    rows = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"order date", "price-usd", "a.b's"}
+    assert rows["order date"]["n_distinct"] == 2
+    assert rows["price-usd"]["n_nulls"] == 1
+    assert rows["a.b's"]["min_value"] == "x"
+    assert all(r["n_rows"] == 3 for r in rows.values())

@@ -503,3 +503,93 @@ def test_warc_link_graph_and_pagerank_composition(spark, tmp_path):
     }
     assert ranks["https://hub.example/"] > ranks["https://a.example/page"]
     assert ranks["https://a.example/page"] == ranks["https://b.example/page"]
+
+
+# --------------------------------------- review-fix regressions (r6)
+
+
+def test_parse_warc_resyncs_past_corrupt_record():
+    """One corrupt record loses itself, never the rest of the segment."""
+    good1 = _warc_record("response", "r1", "http://a/", _http_payload(b"one"))
+    good2 = _warc_record("response", "r2", "http://b/", _http_payload(b"two"))
+
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: NOTANUMBER\r\n\r\n"
+    )
+    ids = [
+        r["headers"]["warc-record-id"]
+        for r in parse_warc(good1 + bad_len + good2)
+    ]
+    assert ids == ["<urn:uuid:r1>", "<urn:uuid:r2>"]
+
+    stray = b"\x00\x01 stray inter-record garbage"
+    ids = [
+        r["headers"]["warc-record-id"]
+        for r in parse_warc(good1 + stray + b"\r\n" + good2)
+    ]
+    assert ids == ["<urn:uuid:r1>", "<urn:uuid:r2>"]
+
+
+def test_http_response_body_decodes_content_encoding():
+    import zlib
+
+    body = b"<html><body><p>hello compressed world</p></body></html>"
+    gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+    ) + gzip.compress(body)
+    status, headers, out = http_response_body(gz)
+    assert (status, out) == (200, body)
+
+    fl = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+    ) + zlib.compress(body)
+    assert http_response_body(fl)[2] == body
+
+    raw_deflate = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+    ) + zlib.compress(body)[2:-4]
+    assert http_response_body(raw_deflate)[2] == body
+
+    # wrong-but-present header: raw bytes survive, nothing raises
+    lie = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    assert http_response_body(lie)[2] == b"not gzip"
+
+
+def test_warc_gzip_encoded_html_extracts_text(spark, tmp_path):
+    """A Content-Encoding: gzip page must reach the documents table as
+    text, not as replacement-char mojibake."""
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+    ) + gzip.compress(_ARTICLE)
+    seg = _warc_record("response", "gz-1", "http://gz.example/", payload)
+    (tmp_path / "enc.warc").write_bytes(seg)
+    rows = warc_html_documents(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert "genuinely long first paragraph" in rows[0]["text"]
+
+
+def test_html_links_relative_base_resolves_against_page_url():
+    from data_engineer_challenge_spark.sources.html import html_links
+
+    page = (
+        b'<html><head><base href="/en/"></head>'
+        b'<body><a href="page2">x</a></body></html>'
+    )
+    assert html_links(page, base_url="https://site.com/a/b") == [
+        "https://site.com/en/page2"
+    ]
+
+
+def test_read_warc_records_explicit_list_ignores_case(spark, tmp_path):
+    """A mixed-case segment chosen by the ingest snapshot must not be
+    silently dropped by the directory glob."""
+    seg = _warc_record(
+        "response", "mc-1", "http://mc.example/", _http_payload(_ARTICLE)
+    )
+    p = tmp_path / "seg01.Warc.gz"
+    p.write_bytes(gzip.compress(seg))
+    rows = read_warc_records(spark, [str(p)]).collect()
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:mc-1>"]
