@@ -83,6 +83,51 @@ def normalize_url(col: Column | str) -> Column:
     )
 
 
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL with any leading ``www.`` dropped
+    (the ``normalize_url`` host convention); NULL for malformed URLs.
+    The blocking/rollup key for host-level crawl analytics."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(_part(c, "HOST"))
+    return F.when(
+        host.startswith("www."), F.substring(host, 5, 2147483647)
+    ).otherwise(host)
+
+
+#: second-level labels under which the registrable name needs THREE
+#: labels (heuristic slice of the public-suffix list — the full PSL is
+#: a data file; this covers the dominant crawl ccTLD patterns and is
+#: explicitly a documented approximation, not PSL parity)
+_SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.tr", "com.ar", "com.sg", "co.kr",
+)
+
+
+def registered_domain(col: Column | str) -> Column:
+    """Registrable domain of a URL's host (``news.bbc.co.uk`` →
+    ``bbc.co.uk``, ``a.b.example.com`` → ``example.com``) — the
+    grouping key for per-site crawl policies (politeness budgets,
+    domain quality priors, per-site dedup scopes).
+
+    Heuristic, not PSL-complete: the last two labels, or the last
+    three when the two-label tail is a known shared second-level
+    suffix. Hosts with fewer labels (``localhost``, bare TLDs, IPs
+    dotted like ``10.0.0.1`` — which this treats as opaque labels)
+    pass through unchanged."""
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    return F.when(n <= 2, host).otherwise(
+        F.when(
+            last2.isin(*_SECOND_LEVEL_SUFFIXES), F.coalesce(last3, host)
+        ).otherwise(last2)
+    )
+
+
 def dedup_by_url(
     docs: DataFrame, url_col: str = "source", order_col: str = "doc_id"
 ) -> DataFrame:

@@ -280,3 +280,36 @@ def count_triangles(
             "n_triangles",
         )
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    by_domain: bool = False,
+) -> DataFrame:
+    """Collapse a page-level link graph (``sources/warc.warc_link_graph``
+    output) to host granularity: one ``(src_host, dst_host, n_links)``
+    row per linking host pair, intra-host navigation dropped — the
+    graph host-level PageRank / domain-reputation scoring runs on
+    (CCNet/RefinedWeb rank features are host-level, not page-level:
+    ~10³-10⁴x fewer nodes, and link spam within a site stops mattering).
+    ``by_domain=True`` rolls up to registrable domains instead
+    (``functions/urls.registered_domain``).
+
+    Scale shape: map-only host extraction (JVM ``parse_url``) then ONE
+    shuffle on the host pair; output cardinality is host-pairs, ~10⁴x
+    smaller than the edge list it consumes."""
+    from ..functions.urls import registered_domain, url_host
+
+    key = registered_domain if by_domain else url_host
+    return (
+        edges.select(key(src).alias("src_host"), key(dst).alias("dst_host"))
+        .where(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

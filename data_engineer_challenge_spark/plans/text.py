@@ -1373,3 +1373,77 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _NGRAM_TOPK)
         .select("n", "gram", "n_occurrences", "n_docs", "rank")
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang, source
+    ), t AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+               CAST(ROUND(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+                                   AS DECIMAL(30,10))), 4) AS DOUBLE) AS tot_w
+        FROM g
+        WHERE n_tokens > 0
+    )
+    SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+           CAST(g.n_tokens AS DOUBLE) / t.tot AS natural_share,
+           sqrt(CAST(g.n_tokens AS DOUBLE)) / t.tot_w AS mixture_share,
+           (sqrt(CAST(g.n_tokens AS DOUBLE)) / t.tot_w)
+               / (CAST(g.n_tokens AS DOUBLE) / t.tot) AS upsample_factor
+    FROM g, t
+    WHERE g.n_tokens > 0
+    """,
+    driver=False,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture weights per (lang, source)
+    stratum — the sampling step between corpus curation and training
+    (multilingual-LM practice: raw token shares over-represent the
+    largest sources, so strata are sampled ∝ share^α; α=0.5 here, the
+    square-root temperature both major multilingual recipes land near).
+    Emits each stratum's exact token count, its natural share, its
+    α-tempered mixture share, and the resulting upsample factor a
+    sampler applies (>1: stratum is over-sampled vs natural).
+
+    Exactness: token counts are integer-exact; sqrt of a bigint-valued
+    double is correctly rounded IEEE on both engines; the normalizing
+    sum of sqrt values runs through the decimal dec_sum discipline so
+    accumulation order cannot perturb low bits; the two divisions then
+    divide bit-identical doubles. Scale shape: one groupBy over the
+    corpus (map-side combinable), a single-row aggregate over the tiny
+    strata table broadcast back onto it — no window, no second corpus
+    scan."""
+    from .helpers import DEC, OUT
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    sqrt_tok = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = g.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.sum(sqrt_tok.cast(DEC)).cast(OUT).cast("double").alias("tot_w"),
+    )
+    natural = F.col("n_tokens").cast("double") / F.col("tot")
+    mixture = sqrt_tok / F.col("tot_w")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        natural.alias("natural_share"),
+        mixture.alias("mixture_share"),
+        (mixture / natural).alias("upsample_factor"),
+    )

@@ -186,6 +186,8 @@ def test_no_cartesian_products(spark):
         "docs_bm25_search",
         "doc_unigram_surprisal",
         "supplier_cosupply_triangles",
+        # single-row (tot, tot_w) normalizer broadcast onto the strata
+        "corpus_mixture_weights",
     }
     for name in plans.REGISTRY:
         if name in allowed:

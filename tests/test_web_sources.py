@@ -593,3 +593,60 @@ def test_read_warc_records_explicit_list_ignores_case(spark, tmp_path):
     p.write_bytes(gzip.compress(seg))
     rows = read_warc_records(spark, [str(p)]).collect()
     assert [r["record_id"] for r in rows] == ["<urn:uuid:mc-1>"]
+
+
+# ------------------------------------------------- host-level rollup
+
+
+def test_url_host_and_registered_domain_values(spark):
+    from data_engineer_challenge_spark.functions.urls import (
+        registered_domain,
+        url_host,
+    )
+
+    rows = [
+        ("https://WWW.Example.COM/a", "example.com", "example.com"),
+        ("https://news.bbc.co.uk/x", "news.bbc.co.uk", "bbc.co.uk"),
+        ("http://a.b.deep.example.com/", "a.b.deep.example.com", "example.com"),
+        ("http://localhost:8080/", "localhost", "localhost"),
+        ("http://shop.com.au/", "shop.com.au", "shop.com.au"),
+        ("http://x.shop.com.au/", "x.shop.com.au", "shop.com.au"),
+        ("not a url", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], ["u"])
+    got = df.select(
+        url_host("u").alias("h"), registered_domain("u").alias("d")
+    ).collect()
+    for (u, eh, ed), r in zip(rows, got):
+        assert r["h"] == eh, u
+        assert r["d"] == ed, u
+
+
+def test_host_graph_rollup_drops_intra_host(spark):
+    from data_engineer_challenge_spark.operators.graph import host_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),
+            ("https://www.a.com/3", "https://b.com/z"),
+            ("https://a.com/1", "https://a.com/2"),  # intra-host: dropped
+            ("https://b.com/x", "https://sub.a.com/"),
+            ("bogus", "https://b.com/x"),  # malformed: dropped
+        ],
+        ["src_url", "dst_url"],
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(edges).collect()
+    }
+    assert got == {
+        ("a.com", "b.com"): 3,
+        ("b.com", "sub.a.com"): 1,
+    }
+    dom = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(edges, by_domain=True).collect()
+    }
+    # sub.a.com folds into a.com; the b->sub edge becomes b.com->a.com
+    assert dom == {("a.com", "b.com"): 3, ("b.com", "a.com"): 1}
