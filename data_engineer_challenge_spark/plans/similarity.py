@@ -573,3 +573,135 @@ def docs_semantic_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="n_chars",
         order_desc=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (sparse) + embedding cosine (dense) fused with
+# Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09) — the
+# standard production RAG retrieval shape (Elasticsearch/Vespa/Weaviate
+# all ship exactly this fusion).
+# ---------------------------------------------------------------------------
+
+# safe top-level sibling import: plans._load imports .text before this
+# module, so this re-entry is a no-op; .text never imports .similarity
+from .text import _BM25_ORACLE, docs_bm25_search  # noqa: E402
+
+_RRF_K = 60          # the canonical RRF damping constant
+_HYBRID_TOPK = 10    # fused results returned
+_HYBRID_QID = 0      # corpus vector acting as the dense query ("more
+                     # like doc 0"); exists at every SF
+_DENSE_TOPK = 20     # dense list depth — matches the BM25 list depth
+
+_HYBRID_ORACLE = f"""
+    WITH bm25 AS ({_BM25_ORACLE}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_HYBRID_QID}),
+    dense AS (
+        SELECT c_id, rank FROM (
+            SELECT c.vec_id AS c_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY {_cos_sql('q.qe', 'c.embedding')} DESC,
+                                c.vec_id) AS BIGINT) AS rank
+            FROM embeddings c, q
+            WHERE c.vec_id <> {_HYBRID_QID}
+        ) WHERE rank <= {_DENSE_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, d.c_id) AS doc_id,
+               b.rank AS r_sparse,
+               d.rank AS r_dense,
+               COALESCE(1.0 / ({_RRF_K} + b.rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + d.rank), 0.0) AS rrf
+        FROM bm25 b FULL OUTER JOIN dense d ON b.doc_id = d.c_id
+    )
+    SELECT doc_id, r_sparse, r_dense, rrf_score, rank FROM (
+        SELECT doc_id, r_sparse, r_dense,
+               ROUND(rrf, 6) AS rrf_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM fused
+    ) WHERE rank <= {_HYBRID_TOPK}
+    """
+
+
+@register(
+    "docs_hybrid_rrf_search",
+    # off the driver surface (the 50 slots are taken); pytest runs the
+    # full hash-compare against this oracle every suite run
+    driver=False,
+    oracle=_HYBRID_ORACLE,
+)
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion:
+    ``score(d) = Σ_lists 1/(60 + rank_list(d))`` over the BM25 top-20
+    (query terms 'spark window vector') and the cosine top-20 around
+    the _HYBRID_QID embedding, full-outer on the aligned doc_id/vec_id
+    key, fused top-10.
+
+    Why RRF and not score mixing: BM25 scores and cosine scores live
+    on incomparable scales; rank fusion needs no calibration, and the
+    fused score is a sum of reciprocals of small INTEGER ranks — a
+    fixed two-term double expression, cross-engine bit-identical (no
+    accumulation-order risk), which is what lets a fusion of two
+    float-scored retrievers sit under an exact hash oracle.
+
+    Shape at scale: each branch is already scale-shaped (BM25:
+    map-side term filter, corpus stats broadcast, WindowGroupLimit
+    top-k; dense: broadcast-query brute force here, swappable for the
+    IVF probe at corpus scale — both produce the same (id, rank)
+    contract RRF consumes). The fusion itself joins two k-row lists —
+    driver trivia regardless of corpus size."""
+    sparse = docs_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_sparse")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _HYBRID_QID).select(
+        F.col("embedding").alias("__qv")
+    )
+    dense = (
+        emb.where(F.col("vec_id") != _HYBRID_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            cosine(F.col("embedding"), F.col("__qv")).alias("cos_sim"),
+        )
+        .withColumn(
+            "r_dense",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), F.col("c_id")))
+            .cast("long"),
+        )
+        .where(F.col("r_dense") <= _DENSE_TOPK)
+        .select("c_id", "r_dense")
+    )
+    fused = (
+        sparse.join(dense, sparse.doc_id == dense.c_id, "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("c_id")).alias("doc_id"),
+            "r_sparse",
+            "r_dense",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sparse")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")),
+                    F.lit(0.0),
+                )
+            ).alias("__rrf"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("__rrf").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= _HYBRID_TOPK)
+    )
+    return fused.select(
+        "doc_id",
+        "r_sparse",
+        "r_dense",
+        F.round(F.col("__rrf"), 6).alias("rrf_score"),
+        "rank",
+    )

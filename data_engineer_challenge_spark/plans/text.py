@@ -1028,10 +1028,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-@register(
-    "docs_bm25_search",
-    # r5: promoted to the driver surface (slot from emb_norm_stats)
-    oracle=f"""
+#: module constant (not inline) so the hybrid-RRF query in
+#: plans/similarity.py can embed the SAME ranked list as a subquery —
+#: one BM25 recipe, two consumers, zero drift between them
+_BM25_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
         FROM documents
@@ -1082,7 +1082,13 @@ _BM25_TOPK = 20
                AS rank
     FROM scored
     QUALIFY rank <= {_BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "docs_bm25_search",
+    # r5: promoted to the driver surface (slot from emb_norm_stats)
+    oracle=_BM25_ORACLE,
 )
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (Lucene idf form, k1=1.2, b=0.75)
