@@ -912,3 +912,140 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.col("seasonal_dev_x7"),
         ).alias("residual_x7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time training-set assembly (the feature-store shape):
+# leakage-safe features for a supervised model, computed STRICTLY
+# before each prediction point.
+# ---------------------------------------------------------------------------
+
+_FEAT_7D_US = 7 * 24 * 3600 * 1_000_000  # feature window, microseconds
+
+
+@register(
+    "events_training_examples",
+    driver=False,
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    feat AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                    THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_views_7d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_clicks_7d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                    THEN 1 ELSE 0 END) OVER w7, 0) AS BIGINT) AS n_errors_7d,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER life AS BIGINT) AS n_prior_purchases,
+               CAST(ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(30,10)) END) OVER life,
+                    CAST(0 AS DECIMAL(30,10))), 4) AS DOUBLE) AS spend_before,
+               (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id)) // 1000000
+                   AS secs_since_prev_event
+        FROM e
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN {_FEAT_7D_US} PRECEDING
+                            AND 1 PRECEDING),
+               life AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS example_id, user_id, ts, n_views_7d, n_clicks_7d,
+           n_errors_7d, n_prior_purchases, spend_before,
+           secs_since_prev_event, value AS target_amount
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def events_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe point-in-time training-set assembly — the
+    feature-store join every supervised pipeline needs: one example per
+    purchase event, features computed STRICTLY BEFORE the prediction
+    point (trailing-7d behaviour counts, lifetime prior purchases and
+    spend, recency), target = the purchase amount.
+
+    Leakage discipline: every feature frame ends at ``1 PRECEDING`` on
+    the integer microsecond axis — the label event itself AND anything
+    simultaneous with it are excluded, so a model trained on this frame
+    never sees its own label (the classic feature-store bug this shape
+    exists to prevent). RANGE frames (not ROWS) make tie handling
+    deterministic cross-engine.
+
+    Shape at scale: ONE shuffle on user_id; every window — three
+    trailing-7d counts, two lifetime folds, the recency lag — shares
+    that single sort (Spark plans one Window node per frame spec over
+    the same exchange). Features for all event rows are computed before
+    the purchase filter, but that is the streaming-friendly form: the
+    alternative (join purchases back onto events) would shuffle the
+    fact table twice. Decimal-cast lifetime spend keeps the running
+    double sum order-independent (dec_sum discipline)."""
+    from .helpers import DEC, OUT
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_FEAT_7D_US, -1)
+    )
+    life = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+    def cnt7(t: str) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w7),
+            F.lit(0),
+        ).cast("long")
+
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        cnt7("view").alias("n_views_7d"),
+        cnt7("click").alias("n_clicks_7d"),
+        cnt7("error").alias("n_errors_7d"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(life)
+        .cast("long")
+        .alias("n_prior_purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(DEC),
+                )
+            ).over(life),
+            F.lit(0).cast(DEC),
+        )
+        .cast(OUT)
+        .cast("double")
+        .alias("spend_before"),
+        F.expr(
+            "(ts_us - lag(ts_us) over (partition by user_id"
+            " order by ts_us, event_id)) div 1000000"
+        ).alias("secs_since_prev_event"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("example_id"),
+        "user_id",
+        "ts",
+        "n_views_7d",
+        "n_clicks_7d",
+        "n_errors_7d",
+        "n_prior_purchases",
+        "spend_before",
+        "secs_since_prev_event",
+        F.col("value").alias("target_amount"),
+    )
