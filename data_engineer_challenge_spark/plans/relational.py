@@ -652,3 +652,84 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders, _PROFILE_COLS, exact=True)
+
+
+@register(
+    "suppliers_sole_return_blockers",
+    driver=False,  # surface capped at 50; pytest-oracled
+    # the oracle is DELIBERATELY the textbook correlated form (TPC-H
+    # Q21's EXISTS + NOT EXISTS shape) while the Spark builder runs the
+    # decorrelated one-pass rewrite — the hash match PROVES the rewrite
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT)
+               AS n_blocked_orders
+    FROM supplier s, lineitem l1, orders o
+    WHERE l1.l_suppkey = s.s_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def suppliers_sole_return_blockers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 shape on this schema: suppliers who were the SOLE
+    supplier with returned items in a finished multi-supplier order
+    (l_returnflag='R' standing in for receipt-after-commit — the
+    testdata carries no commit/receipt dates), counted per supplier.
+
+    The correlated EXISTS / NOT EXISTS pair decorrelates into ONE
+    grouped pass over the order's lineitems: per order, count the
+    distinct suppliers (EXISTS other-supplier ⇔ n_supp ≥ 2), count the
+    distinct suppliers with returns (NOT EXISTS other-returner ⇔
+    n_ret_supp = 1), and when exactly one supplier returned, MAX over
+    the R-rows' suppkeys names it. At 100 TB this matters: the naive
+    correlated plan self-joins the fact table TWICE per probe row; the
+    grouped rewrite scans lineitem once and shuffles it once (the
+    per-order aggregate; Catalyst's Expand triples the shuffled rows
+    for the two distinct aggregates — still ~fact volume, not fact²),
+    then everything downstream is order- and supplier-cardinality
+    against a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    base = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("sole_ret_supp"),
+    )
+    blocked = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+    )
+    counts = blocked.groupBy("sole_ret_supp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocked_orders")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return counts.join(
+        F.broadcast(supp), counts.sole_ret_supp == supp.s_suppkey
+    ).select("s_suppkey", "s_name", "n_blocked_orders")
