@@ -1453,3 +1453,115 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture.alias("mixture_share"),
         (mixture / natural).alias("upsample_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-sharded corpus export — the TeraSort architecture with a
+# DETERMINISTIC sampler: the final "write the corpus as N
+# range-partitioned shards" step of a training-data pipeline, where
+# shard boundaries must be reproducible run-over-run (Spark's own
+# repartitionByRange samples nondeterministically, so its boundaries
+# shift between runs — useless for resumable/auditable exports).
+# ---------------------------------------------------------------------------
+
+_EXPORT_SHARDS = 8
+_SHARD_SAMPLE_MOD = 8  # ~1/8 of docs feed the boundary sampler
+_SHARD_SALT = "shardsmpl-"  # decorrelated from split/rebalance salts
+
+
+@register(
+    "docs_range_sharded_export",
+    driver=False,
+    oracle=f"""
+    WITH sample AS (
+        SELECT doc_id FROM documents
+        WHERE {_MD5_LONG_SQL.format(
+            c="concat('" + _SHARD_SALT + "', CAST(doc_id AS VARCHAR))")}
+              % {_SHARD_SAMPLE_MOD} = 0
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM sample
+    ),
+    bounds AS (
+        SELECT list(doc_id ORDER BY doc_id) AS bs
+        FROM ranked
+        WHERE rn IN ({", ".join(
+            f"({k}*n)//{_EXPORT_SHARDS}" for k in range(1, _EXPORT_SHARDS))})
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               CAST(len(list_filter(b.bs, x -> x < d.doc_id)) AS BIGINT)
+                   AS shard_id
+        FROM documents d, bounds b
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM assigned GROUP BY shard_id
+    """,
+)
+def docs_range_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic range sharding for corpus export: per-shard
+    manifest (count, id range, byte volume) for an 8-way
+    range-partitioned layout whose boundaries come from a
+    hash-deterministic sample — the TeraSort sampler made
+    reproducible.
+
+    Why not repartitionByRange: its reservoir sampler draws with a
+    per-run seed, so two runs of the same export produce different
+    shard boundaries — an auditing/resume nightmare. Here sample
+    membership is salted-md5 (the registry's one hash family), the
+    boundary positions are rank-based selections floor(k·n/8) inside
+    the sample (integer arithmetic, no percentile interpolation to
+    diverge cross-engine), and every run — any engine, any
+    parallelism — lands identical shards.
+
+    Scale shape: the sampler output is small BY CONSTRUCTION (the
+    TeraSort premise: boundary error shrinks with sample size, and a
+    1/8 hash sample of ids is already far more than the ~100k rows a
+    sampler needs — at real scale the mod widens so the sample stays
+    bounded); only the sample passes through the single-partition
+    rank window, the corpus itself sees a broadcast of 7 boundary
+    values and ONE shuffle for the per-shard rollup. The disjoint
+    [min_doc_id, max_doc_id] ranges in the output are the proof the
+    shards really are range-partitioned."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sample = docs.where(
+        md5_long(F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string")))
+        % _SHARD_SAMPLE_MOD
+        == 0
+    ).select("doc_id")
+    from pyspark.sql.window import Window as _W
+
+    ranked = sample.select(
+        "doc_id",
+        F.row_number().over(_W.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1))
+        .over(_W.partitionBy().rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+        .alias("n"),
+    )
+    picks = ", ".join(
+        f"({k}*n) div {_EXPORT_SHARDS}" for k in range(1, _EXPORT_SHARDS)
+    )
+    bounds = (
+        ranked.where(F.expr(f"rn IN ({picks})"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("bs"))
+    )
+    assigned = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(filter(bs, x -> x < doc_id))")
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
