@@ -694,13 +694,16 @@ def suppliers_sole_return_blockers(
     distinct suppliers (EXISTS other-supplier ⇔ n_supp ≥ 2), count the
     distinct suppliers with returns (NOT EXISTS other-returner ⇔
     n_ret_supp = 1), and when exactly one supplier returned, MAX over
-    the R-rows' suppkeys names it. At 100 TB this matters: the naive
-    correlated plan self-joins the fact table TWICE per probe row; the
-    grouped rewrite scans lineitem once and shuffles it once (the
-    per-order aggregate; Catalyst's Expand triples the shuffled rows
-    for the two distinct aggregates — still ~fact volume, not fact²),
-    then everything downstream is order- and supplier-cardinality
-    against a broadcast dim."""
+    the returners names it. At 100 TB this matters: the naive
+    correlated plan self-joins the fact table TWICE per probe row.
+
+    The distinct counts are written as TWO CASCADING aggregates —
+    fact → (order, supplier) grain, then order grain — instead of
+    ``countDistinct`` pairs: Catalyst plans multi-distinct via Expand
+    (3 rows out per row in) followed by a second fact-grain exchange,
+    while the cascade shuffles the fact once at (order, supplier)
+    granularity with map-side partial aggregation and once more at the
+    already-collapsed order grain (plan receipt in EXPLAIN.md)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -712,13 +715,16 @@ def suppliers_sole_return_blockers(
     base = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = base.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    per_pair = base.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__ret")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("__ret").alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("__ret") == 1, F.col("l_suppkey"))
         ).alias("sole_ret_supp"),
     )
     blocked = per_order.where(
