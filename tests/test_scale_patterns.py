@@ -367,3 +367,80 @@ def test_segment_dedup_text_never_rides_dedup_shuffle(spark):
     for b in blocks:
         assert "seg_text" not in b and "text#" not in b, b
     assert "partial_collect_list" in plan  # map-side combine
+
+
+def test_training_examples_single_user_shuffle(spark):
+    """Point-in-time feature assembly: all six window functions share
+    ONE hashpartitioning(user_id) exchange — a second fact shuffle (or
+    a join back onto purchases) is the regression this pins out."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["events_training_examples"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
+    assert plan.count("Window") == 2, plan  # range frames + the lag
+
+
+def test_q21_decorrelation_has_no_expand(spark):
+    """The correlated-EXISTS rewrite must keep its cascading-aggregate
+    form: countDistinct pairs would reintroduce Expand (3 rows out per
+    fact row in) plus a second fact-grain exchange."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["suppliers_sole_return_blockers"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # fact shuffles exactly once at pair grain, then order grain
+    pair_grain = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+        and "l_orderkey" in l
+        and "l_suppkey" in l
+    ]
+    assert pair_grain, plan
+    assert "BroadcastHashJoin" in plan  # supplier dim never sort-merges
+
+
+def test_range_shard_sampler_isolation(spark):
+    """Range-sharded export: only the md5-gated SAMPLE may cross the
+    SinglePartition rank window; the corpus side must see a broadcast
+    of the boundary array and exactly one (rollup) shuffle."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_range_sharded_export"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    single = [
+        l for l in plan.splitlines() if "Exchange SinglePartition" in l
+    ]
+    assert len(single) == 1, single
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hybrid_rrf_branches_take_ordered(spark):
+    """Hybrid RRF: both retriever branches must pre-limit through
+    TakeOrderedAndProject (k-row lists), never a global sort of the
+    scored corpus."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_hybrid_rrf_search"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
