@@ -925,7 +925,9 @@ _FEAT_7D_US = 7 * 24 * 3600 * 1_000_000  # feature window, microseconds
 
 @register(
     "events_training_examples",
-    driver=False,
+    # r6: ON the driver surface (slot from window_functions_showcase)
+    # — the leakage-safe feature-store join is a flagship capability
+    # for a training-data engine, not a showcase
     oracle=f"""
     WITH e AS (
         SELECT event_id, user_id, ts, event_type, value,

@@ -426,6 +426,12 @@ def orders_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_functions_showcase",
+    # r6: demoted to pytest-oracled — a showcase whose window surface
+    # is already driver-proven by orders_exact_percentiles /
+    # top_orders_per_customer; its slot went to
+    # events_training_examples (point-in-time feature assembly, a
+    # whole capability). The local oracle replica still hash-checks it.
+    driver=False,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(RANK() OVER w AS INTEGER) AS price_rank,

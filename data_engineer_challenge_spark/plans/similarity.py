@@ -625,9 +625,9 @@ _HYBRID_ORACLE = f"""
 
 @register(
     "docs_hybrid_rrf_search",
-    # off the driver surface (the 50 slots are taken); pytest runs the
-    # full hash-compare against this oracle every suite run
-    driver=False,
+    # r6: ON the driver surface (slot from docs_stats_by_lang_source)
+    # — the production RAG retrieval shape, sparse+dense under one
+    # exact hash oracle
     oracle=_HYBRID_ORACLE,
 )
 def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,6 +174,12 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_stats_by_lang_source",
+    # r6: demoted to pytest-oracled — a plain two-key GROUP BY whose
+    # shape several driver rows already prove (events_cube_profile,
+    # corpus_mixture_weights' token rollup); its slot went to
+    # docs_hybrid_rrf_search (sparse+dense RRF retrieval, a whole
+    # capability). The local oracle replica still hash-checks it.
+    driver=False,
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
