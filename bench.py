@@ -69,6 +69,12 @@ HEADLINE = [
     # r6 addition: corpus unigram-LM surprisal (two map-only token
     # passes; vocab-sized rarity model broadcast back, integer-exact)
     "doc_unigram_surprisal",
+    # r6 late additions (both driver-surface): hybrid sparse+dense
+    # RRF retrieval (two TakeOrdered branches + a k-row fusion join),
+    # point-in-time feature assembly (one user_id shuffle, six window
+    # functions sharing it)
+    "docs_hybrid_rrf_search",
+    "events_training_examples",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -44,6 +44,16 @@ QUERIES = [
     "emb_ivf_topk",
     "emb_quantized_knn",
     "emb_lsh_neardup_pairs",
+    # r6 late additions: retrieval, segment dedup, export sharding,
+    # and the events tier (heavy hitters / sessionization / the
+    # point-in-time feature assembly) — the keyed-shuffle shapes the
+    # first table's map-heavy dedup plans don't exercise
+    "docs_bm25_search",
+    "docs_segment_dedup",
+    "docs_range_sharded_export",
+    "events_heavy_hitters",
+    "events_sessionization",
+    "events_training_examples",
 ]
 
 
@@ -381,11 +391,14 @@ def main() -> None:
             "synthetic text the near-threshold pair mass is volatile "
             "under a re-hash, so their 10x row counts exceed 10x by "
             "data, not by engine (cross-copy pairs are 0 — verified).\n\n"
-            "\n**Reading:** wall-time ratios for 10x data sit between "
-            "~1.3x and ~3.5x — fixed-overhead-dominated, the signature "
-            "of shuffle-light partition-parallel plans before volume "
+            "\n**Reading:** wall-time ratios for 10x data sit well "
+            "under 10x — fixed-overhead-dominated, the signature of "
+            "shuffle-light partition-parallel plans before volume "
             "binds; Jaccard-verified output rows scale exactly 10x "
-            "(rotation is a token bijection).\n\n"
+            "(rotation is a token bijection). The events rows scale "
+            "on offset user ids, so keyed shuffles (sessionization, "
+            "the feature-assembly windows, MG heavy hitters) see 10x "
+            "distinct keys, not fatter groups.\n\n"
             "| query | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |\n"
             "|---|---|---|---|---|---|\n"
         )
