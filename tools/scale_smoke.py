@@ -398,7 +398,11 @@ def main() -> None:
             "(rotation is a token bijection). The events rows scale "
             "on offset user ids, so keyed shuffles (sessionization, "
             "the feature-assembly windows, MG heavy hitters) see 10x "
-            "distinct keys, not fatter groups.\n\n"
+            "distinct keys, not fatter groups. `events_heavy_hitters` "
+            "legitimately returns 0 rows at sf0.1 and 10x (1,500+ "
+            "users, max share < 1/128 — the support threshold); both "
+            "MG passes still run in full, and the sf0.01 driver row "
+            "reports 15 real hitters.\n\n"
             "| query | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |\n"
             "|---|---|---|---|---|---|\n"
         )
