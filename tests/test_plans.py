@@ -72,7 +72,18 @@ def test_partitioned_windows_everywhere(spark):
     # output of TakeOrderedAndProject (pinned by
     # test_bm25_topk_compiles_to_take_ordered) — the sort that touches
     # real data is the per-partition top-k, not this window.
-    allowed_global_window = {"nation_dense_ids", "docs_bm25_search"}
+    # docs_hybrid_rrf_search: BOTH its global rank windows consume
+    # TakeOrderedAndProject outputs (≤20-row retriever lists / the
+    # ≤40-row fusion — pinned by test_hybrid_rrf_branches_take_ordered).
+    # docs_range_sharded_export: the global rank window sees ONLY the
+    # md5-gated boundary sample (the TeraSort sampler premise — pinned
+    # by test_range_shard_sampler_isolation); the corpus never enters.
+    allowed_global_window = {
+        "nation_dense_ids",
+        "docs_bm25_search",
+        "docs_hybrid_rrf_search",
+        "docs_range_sharded_export",
+    }
     # self-check the detector on the known-global-window query
     sample = plans.REGISTRY["nation_dense_ids"].builder(spark, SF_SMOKE)
     assert unpartitioned_windows(
@@ -188,6 +199,11 @@ def test_no_cartesian_products(spark):
         "supplier_cosupply_triangles",
         # single-row (tot, tot_w) normalizer broadcast onto the strata
         "corpus_mixture_weights",
+        # inherits BM25's corpus-stats broadcasts + a 1-row query
+        # vector broadcast (the emb_knn_bruteforce shape)
+        "docs_hybrid_rrf_search",
+        # 1-row boundary-array broadcast onto the corpus scan
+        "docs_range_sharded_export",
     }
     for name in plans.REGISTRY:
         if name in allowed:
