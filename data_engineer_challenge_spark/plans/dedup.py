@@ -732,3 +732,194 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_text"),
         )
     )
+
+
+#: sliding-window length for ARBITRARY-ALIGNMENT exact passage dedup —
+#: the resolution at which repeated substrings are detected: any
+#: verbatim repeat of >= 2*XS_W-1 tokens is guaranteed to contain a
+#: duplicated window at every alignment; repeats of XS_W..2*XS_W-2
+#: tokens are detected when window-aligned content matches
+XS_W = 32
+
+
+@register(
+    "docs_exact_substring_dedup",
+    driver=False,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+    ),
+    win AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + {XS_W}], ' ')) AS h
+        FROM base, UNNEST(range(n - {XS_W} + 1)) u(i)
+        WHERE n >= {XS_W}
+    ),
+    dup AS (
+        SELECT doc_id, pos AS s, pos + {XS_W} AS e
+        FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM win
+        ) WHERE rn > 1
+    ),
+    isl0 AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM dup
+    ),
+    isl1 AS (
+        SELECT doc_id, s, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl0
+    ),
+    isl AS (
+        SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        FROM isl1 GROUP BY doc_id, gid
+    ),
+    cutpos AS (
+        SELECT doc_id, UNNEST(range(s, e)) AS p FROM isl
+    ),
+    toks_pos AS (
+        SELECT doc_id, i - 1 AS p, t[i] AS tokv
+        FROM base, UNNEST(range(1, n + 1)) u(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.p, tp.tokv
+        FROM toks_pos tp LEFT JOIN cutpos c
+             ON tp.doc_id = c.doc_id AND tp.p = c.p
+        WHERE c.p IS NULL
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ic.cut, 0) AS BIGINT) AS n_tokens_cut,
+           COALESCE(kt.txt, '') AS dedup_text
+    FROM base b
+    LEFT JOIN (SELECT doc_id, SUM(e - s) AS cut
+               FROM isl GROUP BY doc_id) ic USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(tokv, ' ' ORDER BY p) AS txt
+               FROM kept GROUP BY doc_id) kt USING (doc_id)
+    """,
+)
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-ALIGNMENT exact passage dedup — the full ExactSubstr
+    semantics (Lee et al. 2021) at window resolution, upgrading
+    ``docs_segment_dedup``'s aligned 32-token blocks: windows slide at
+    STRIDE 1, so a passage copied mid-sentence into another document is
+    caught at whatever offset it landed, not only when it happens to
+    align to a segment boundary. A window's first corpus occurrence
+    (smallest ``(doc_id, pos)``) survives; every later identical window
+    marks its ``[pos, pos+32)`` token span, overlapping spans merge
+    into islands (the classic running-max interval union), and each
+    document re-joins its surviving tokens in order. The output is the
+    deduplicated corpus text plus exact per-document cut accounting.
+
+    Where a suffix array finds repeats of EXACTLY >= threshold length,
+    stride-1 windows guarantee detection of any repeat >= 2·32−1
+    tokens at any alignment (>= one fully-contained window at every
+    offset) and detect 32..62-token repeats when a contained window
+    matches; the trade buys one-pass SQL-replayable distribution — no
+    distributed suffix-array construction.
+
+    100 TB shape: window hashing is map-only (one md5 per token
+    position — the same O(corpus tokens) a suffix array pays); the
+    keep-first decision shuffles ids-only ``(doc_id, pos, md5)`` rows;
+    interval union is a per-document window over DUPLICATED spans only
+    (cost ∝ duplication, not corpus); reassembly joins the island sets
+    (one row per document WITH duplication — cost ∝ duplication) back
+    onto the corpus, so the text pays exactly one doc_id join shuffle
+    — zero when the island side broadcasts — and token filtering runs
+    MAP-SIDE via a nested higher-order exists (the docs_segment_dedup
+    discipline: never shuffle a payload twice). Hot-key caveat shared with
+    segment dedup: a single passage repeated 10^6 times concentrates
+    its rank sort in one task — AQE skew handling or a pre-aggregated
+    min_by + skew-split join swaps in without changing semantics."""
+    from ..functions.tokenize import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", word_tokens(F.col("text")).alias("ts"))
+        .where(F.size("ts") > 0)
+        .select("doc_id", "ts", F.size("ts").alias("n"))
+    )
+    starts = F.when(
+        F.col("n") >= XS_W, F.sequence(F.lit(0), F.col("n") - XS_W)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("ts"), i + 1, XS_W), " "
+                        ).cast("binary")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    dup = (
+        wins.withColumn("rn", rn)
+        .where(F.col("rn") > 1)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + XS_W).alias("e"))
+    )
+    prev_end = F.max("e").over(
+        Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gid = F.sum(
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).over(
+        Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dup.withColumn("gid", gid)
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("isl"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("n_tokens_cut"),
+        )
+    )
+    joined = base.join(islands, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens_cut"), F.lit(0).cast("long")).alias(
+            "n_tokens_cut"
+        ),
+        F.coalesce(
+            F.col("isl"),
+            F.array().cast("array<struct<s:int,e:int>>"),
+        ).alias("isl"),
+        "ts",
+    )
+    kept = F.filter(
+        F.col("ts"),
+        lambda t, i: ~F.exists(
+            F.col("isl"), lambda y: (i >= y["s"]) & (i < y["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_cut",
+        F.array_join(kept, " ").alias("dedup_text"),
+    )

@@ -904,3 +904,60 @@ def test_prefix_filter_equals_exhaustive_and_boundary_exactness(spark):
     # (a short base doc dilutes below 0.8 when the tail is appended,
     # so not all 10 plants survive the threshold — most must)
     assert got == want and len(want) >= 5
+
+
+def test_exact_substring_dedup_catches_unaligned_copy(spark, tmp_path):
+    """The upgrade over docs_segment_dedup, demonstrated: a 40-token
+    passage copied into another document at offset 7 (crossing every
+    32-token segment boundary) is invisible to aligned segments but
+    must be cut by the stride-1 window tier — and the FIRST occurrence
+    must survive untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    passage = " ".join(f"copied{i}" for i in range(40))
+    original = "intro words here " + passage + " trailing original tail"
+    # 7 unique lead tokens -> the copy sits at offset 7, never
+    # segment-aligned; unique tail so the docs are otherwise unrelated
+    copy = (
+        "seven distinct lead tokens precede this theft "
+        + passage
+        + " utterly different ending entirely"
+    )
+    clean = " ".join(f"unrelated{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, original, "en", "t", len(original)),
+         (1, copy, "en", "t", len(copy)),
+         (2, clean, "en", "t", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    seg = {
+        r["doc_id"]: r
+        for r in plans.REGISTRY["docs_segment_dedup"]
+        .builder(spark, sf)
+        .collect()
+    }
+    xs = {
+        r["doc_id"]: r
+        for r in plans.REGISTRY["docs_exact_substring_dedup"]
+        .builder(spark, sf)
+        .collect()
+    }
+    # aligned segments: no 32-token block of the copy equals any block
+    # of the original (offset 7), so segment dedup keeps everything
+    assert seg[1]["n_kept"] == seg[1]["n_segs"]
+    # stride-1 windows: the copied passage is cut from doc 1...
+    assert xs[1]["n_tokens_cut"] >= 32
+    assert "copied0" not in xs[1]["dedup_text"].split()
+    # ...its unique lead survives, and the original is untouched
+    assert "seven" in xs[1]["dedup_text"].split()
+    assert xs[0]["n_tokens_cut"] == 0
+    assert xs[2]["n_tokens_cut"] == 0
