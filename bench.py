@@ -75,6 +75,10 @@ HEADLINE = [
     # functions sharing it)
     "docs_hybrid_rrf_search",
     "events_training_examples",
+    # r6 late addition: arbitrary-alignment exact passage dedup
+    # (stride-1 windows: O(corpus tokens) map-only hashing, ids-only
+    # keep-first shuffle, island join bounded by duplication)
+    "docs_exact_substring_dedup",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

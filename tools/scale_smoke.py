@@ -50,6 +50,7 @@ QUERIES = [
     # first table's map-heavy dedup plans don't exercise
     "docs_bm25_search",
     "docs_segment_dedup",
+    "docs_exact_substring_dedup",
     "docs_range_sharded_export",
     "events_heavy_hitters",
     "events_sessionization",
