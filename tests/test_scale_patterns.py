@@ -444,3 +444,33 @@ def test_hybrid_rrf_branches_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_exact_substring_dedup_ids_only_shuffle(spark):
+    """Arbitrary-alignment passage dedup: the keep-first shuffle
+    partitions on the window HASH and is fed directly by the Generate
+    that consumes the token array map-side — text/tokens never cross
+    the dedup exchange (the segment-dedup discipline at stride 1)."""
+    import re
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_exact_substring_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    h_ex = [
+        i
+        for i, l in enumerate(lines)
+        if re.search(r"Exchange hashpartitioning\(h#", l)
+    ]
+    assert h_ex, plan
+    # the exchange's subtree starts right below it: the md5-bearing
+    # Generate must appear within the next few lines, proving the
+    # hash is computed BEFORE the shuffle, from tokens that stay
+    # map-side
+    window = "\n".join(lines[h_ex[0] : h_ex[0] + 4])
+    assert "Generate explode(transform" in window, window
+    assert "md5" in window, window
