@@ -1,0 +1,271 @@
+"""Arbitrary-alignment exact passage machinery: the shared expression
+kernel behind ``plans/dedup.docs_exact_substring_dedup`` (the one-shot
+corpus pass) and :class:`WindowHashIndex` (its INCREMENTAL twin — the
+"has the corpus already seen this passage?" probe a streaming ingest
+needs, mirroring what ``operators/dedup_index.MinHashIndex`` is to the
+one-shot MinHash pass).
+
+One definition of each step so the batch query and the index cannot
+drift:
+
+- :func:`window_hashes` — stride-1 ``W``-token windows, one md5 per
+  token position, computed INSIDE the projection so the token array
+  never crosses the shuffle that consumes the hashes.
+- :func:`spans_to_islands` — running-max interval union of duplicated
+  ``[s, e)`` spans per document (cost ∝ duplication, not corpus).
+- :func:`cut_islands` — map-side token filtering against the per-doc
+  island array via a nested higher-order ``exists``.
+
+Index layout (the ``MinHashIndex`` discipline): ``windows/h_bucket=
+<pmod(hash(h), N)>/`` holds one ``(h)`` membership row per stored
+window (plus the first owner's ``(doc_id, pos)`` for audit); probes
+collect the ≤ N touched buckets driver-side and read ONLY those
+partitions (PartitionFilters, plan-pinned), with the batch side
+broadcast — the stored postings never shuffle. ``append`` blindly adds
+a batch's distinct windows: membership semantics tolerate duplicate
+``h`` rows (a healed/replayed batch re-appends postings — probe
+answers are unchanged, only storage grows), the same replay contract
+MinHashIndex documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import word_tokens
+
+#: default stride-1 window length (tokens) — plans/dedup.XS_W mirrors
+DEFAULT_WINDOW = 32
+
+
+def tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ts, n) for non-empty documents — the shared base frame."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("ts"),
+        )
+        .where(F.size("ts") > 0)
+        .select("doc_id", "ts", F.size("ts").alias("n"))
+    )
+
+
+def window_hashes(base: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, h): md5 of each stride-1 ``w``-token window. The
+    md5 runs inside the explode's transform — tokens stay map-side."""
+    starts = F.when(
+        F.col("n") >= w, F.sequence(F.lit(0), F.col("n") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("ts"), i + 1, w), " ")
+                        .cast("binary")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+
+def spans_to_islands(dup: DataFrame) -> DataFrame:
+    """Duplicated ``(doc_id, s, e)`` spans → one row per doc:
+    ``(doc_id, isl array<struct<s,e>>, n_tokens_cut)`` — the classic
+    running-max interval union, windowed per document over the
+    duplicated spans only."""
+    prev_end = F.max("e").over(
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gid = F.sum(
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).over(
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn("gid", gid)
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("isl"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("n_tokens_cut"),
+        )
+    )
+
+
+def cut_islands(base: DataFrame, islands: DataFrame) -> DataFrame:
+    """Join island sets back (one row per doc WITH duplication) and cut
+    the covered tokens MAP-SIDE: (doc_id, n_tokens, n_tokens_cut,
+    dedup_text)."""
+    joined = base.join(islands, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens_cut"), F.lit(0).cast("long")).alias(
+            "n_tokens_cut"
+        ),
+        F.coalesce(
+            F.col("isl"), F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("isl"),
+        "ts",
+    )
+    kept: Column = F.filter(
+        F.col("ts"),
+        lambda t, i: ~F.exists(
+            F.col("isl"), lambda y: (i >= y["s"]) & (i < y["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_cut",
+        F.array_join(kept, " ").alias("dedup_text"),
+    )
+
+
+class WindowHashIndex:
+    """Persisted window-hash membership index for INCREMENTAL
+    arbitrary-alignment passage dedup (module docstring). The ingest
+    loop mirrors MinHashIndex's::
+
+        cut = index.probe(batch)        # spans already in the corpus
+        index.append(batch_kept)        # then the batch joins it
+
+    ``probe`` reports only batch-vs-INDEX duplication; run the batch
+    operator (``docs_exact_substring_dedup``'s keep-first) for
+    in-batch repeats first, the same division of labor MinHashIndex
+    documents. Probe-before-append ordering matters for the same
+    reason: probing a document AFTER appending it matches itself and
+    cuts everything."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        window: int = DEFAULT_WINDOW,
+        h_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = {"window": int(window), "h_buckets": int(h_buckets)}
+        meta_path = os.path.join(path, "meta", "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != self.meta:
+                raise ValueError(
+                    f"WindowHashIndex at {path!r} was built with "
+                    f"{stored}; reopening with {self.meta} would hash "
+                    "probes with a different window length and "
+                    "silently miss every stored passage"
+                )
+        else:
+            # pin BEFORE data exists (crashed mid-build stays guarded)
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        meta_dir = os.path.join(self.path, "meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    def _windows_dir(self) -> str:
+        return os.path.join(self.path, "windows")
+
+    def _bucket_expr(self, col: str = "h"):
+        return F.pmod(F.hash(F.col(col)), F.lit(self.meta["h_buckets"]))
+
+    def append(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """Store a batch's distinct windows (first in-batch owner kept
+        for audit), hash-partitioned on ``h_bucket`` so later probes
+        prune. Duplicate ``h`` rows across appends are harmless
+        (membership semantics) — replays converge."""
+        base = tokenized(docs, id_col, text_col)
+        wins = (
+            window_hashes(base, self.meta["window"])
+            .groupBy("h")
+            .agg(
+                F.min(F.struct("doc_id", "pos")).alias("o")
+            )
+            .select(
+                "h",
+                F.col("o.doc_id").alias("doc_id"),
+                F.col("o.pos").alias("pos"),
+                self._bucket_expr().alias("h_bucket"),
+            )
+        )
+        wins.write.partitionBy("h_bucket").mode("append").parquet(
+            self._windows_dir()
+        )
+
+    def probe(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """(doc_id, n_tokens, n_tokens_cut, dedup_text) for the batch,
+        with every span already present in the INDEX cut out. A fresh
+        (empty) index cuts nothing."""
+        base = tokenized(docs, id_col, text_col)
+        if not os.path.isdir(self._windows_dir()):
+            # fresh index: nothing to match — pass the batch through
+            # with zero-cut accounting (the ingest loop starts here)
+            return base.select(
+                "doc_id",
+                F.col("n").cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_tokens_cut"),
+                F.array_join("ts", " ").alias("dedup_text"),
+            )
+        w = self.meta["window"]
+        wins = window_hashes(base, w).cache()
+        try:
+            # ≤ h_buckets ints, driver-bounded by parameter — the same
+            # touched-bucket collect every pruned probe in this repo does
+            touched = sorted(
+                r[0]
+                for r in wins.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            )
+            stored = (
+                self.spark.read.schema(
+                    "h string, doc_id long, pos int, h_bucket int"
+                )
+                .parquet(self._windows_dir())
+                .filter(F.col("h_bucket").isin(touched))
+                .select("h")
+            )
+            # stored side never shuffles: batch windows broadcast onto it
+            hits = (
+                stored.join(
+                    F.broadcast(wins.select("doc_id", "pos", "h")), "h"
+                )
+                .select("doc_id", "pos")
+                .dropDuplicates(["doc_id", "pos"])
+            )
+            dup = hits.select(
+                "doc_id",
+                F.col("pos").alias("s"),
+                (F.col("pos") + w).alias("e"),
+            )
+            # localCheckpoint: the result must not lazily re-read the
+            # windows/ directory after the caller appends to it (the
+            # probe-then-append loop would otherwise self-match)
+            return cut_islands(base, spans_to_islands(dup)).localCheckpoint()
+        finally:
+            wins.unpersist()

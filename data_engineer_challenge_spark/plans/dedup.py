@@ -844,82 +844,24 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment dedup: a single passage repeated 10^6 times concentrates
     its rank sort in one task — AQE skew handling or a pre-aggregated
     min_by + skew-split join swaps in without changing semantics."""
-    from ..functions.tokenize import word_tokens
+    from ..operators.passage import (
+        spans_to_islands,
+        cut_islands,
+        tokenized,
+        window_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = (
-        docs.select("doc_id", word_tokens(F.col("text")).alias("ts"))
-        .where(F.size("ts") > 0)
-        .select("doc_id", "ts", F.size("ts").alias("n"))
-    )
-    starts = F.when(
-        F.col("n") >= XS_W, F.sequence(F.lit(0), F.col("n") - XS_W)
-    ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("ts"), i + 1, XS_W), " "
-                        ).cast("binary")
-                    ).alias("h"),
-                ),
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    base = tokenized(docs, "doc_id", "text")
+    wins = window_hashes(base, XS_W)
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
     dup = (
         wins.withColumn("rn", rn)
         .where(F.col("rn") > 1)
-        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + XS_W).alias("e"))
-    )
-    prev_end = F.max("e").over(
-        Window.partitionBy("doc_id").orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    gid = F.sum(
-        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
-    ).over(
-        Window.partitionBy("doc_id").orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        dup.withColumn("gid", gid)
-        .groupBy("doc_id", "gid")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("s"), F.col("e")))
-            ).alias("isl"),
-            F.sum(F.col("e") - F.col("s")).cast("long").alias("n_tokens_cut"),
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + XS_W).alias("e"),
         )
     )
-    joined = base.join(islands, "doc_id", "left").select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_tokens_cut"), F.lit(0).cast("long")).alias(
-            "n_tokens_cut"
-        ),
-        F.coalesce(
-            F.col("isl"),
-            F.array().cast("array<struct<s:int,e:int>>"),
-        ).alias("isl"),
-        "ts",
-    )
-    kept = F.filter(
-        F.col("ts"),
-        lambda t, i: ~F.exists(
-            F.col("isl"), lambda y: (i >= y["s"]) & (i < y["e"])
-        ),
-    )
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        "n_tokens_cut",
-        F.array_join(kept, " ").alias("dedup_text"),
-    )
+    return cut_islands(base, spans_to_islands(dup))
