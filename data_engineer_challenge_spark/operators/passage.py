@@ -190,13 +190,33 @@ class WindowHashIndex:
     def _bucket_expr(self, col: str = "h"):
         return F.pmod(F.hash(F.col(col)), F.lit(self.meta["h_buckets"]))
 
+    def _docs_dir(self) -> str:
+        return os.path.join(self.path, "docs")
+
+    def indexed_ids(self) -> DataFrame:
+        """The doc-id roster of every append — what the ingest loop's
+        heal step diffs against the warehouse to find documents whose
+        windows a crash left unindexed."""
+        if not os.path.isdir(self._docs_dir()):
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            self.spark.read.schema("doc_id long")
+            .parquet(self._docs_dir())
+            .distinct()
+        )
+
     def append(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
         """Store a batch's distinct windows (first in-batch owner kept
         for audit), hash-partitioned on ``h_bucket`` so later probes
-        prune. Duplicate ``h`` rows across appends are harmless
-        (membership semantics) — replays converge."""
+        prune, plus the batch's ids in the ``docs/`` roster. Duplicate
+        ``h`` / roster rows across appends are harmless (membership
+        semantics) — replays converge. Windows land BEFORE the roster:
+        a crash between the two leaves the doc off the roster and the
+        heal step re-appends it (more duplicate membership rows), never
+        the reverse (a rostered doc with missing windows would be
+        unhealable)."""
         base = tokenized(docs, id_col, text_col)
         wins = (
             window_hashes(base, self.meta["window"])
@@ -214,6 +234,9 @@ class WindowHashIndex:
         wins.write.partitionBy("h_bucket").mode("append").parquet(
             self._windows_dir()
         )
+        docs.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
+            "append"
+        ).parquet(self._docs_dir())
 
     def probe(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"

@@ -441,3 +441,86 @@ def ingest_stream_quantile_sketches(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_batch_passage_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    wh: ParquetWarehouse,
+    table: str,
+    index,  # operators.passage.WindowHashIndex
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One exactly-once ingest tick with ARBITRARY-ALIGNMENT passage
+    dedup: spans the retained corpus already holds are cut from each
+    incoming document before it lands (operators/passage — the
+    incremental ExactSubstr tier), and the index stores windows of the
+    KEPT text, so future batches dedup against what the corpus
+    actually retains.
+
+    Crash matrix (the MinHashIndex ingest discipline, adapted):
+
+    - The id guard (anti-join against the table's existing keys) makes
+      replays no-ops — essential HERE, not just an optimization: a
+      replayed document's own windows are in the index by then, so
+      re-probing it would self-match, gut its text, and an unguarded
+      re-MERGE would overwrite the good row.
+    - MERGE lands before the index append. Crash between the two: the
+      retry's id guard skips the doc, and the HEAL step (table ids ∖
+      index roster → re-append windows from the table's own retained
+      text) closes the index lag — convergent, never lossy.
+    - Index appends are blind membership adds; replaying one only
+      duplicates rows, answers unchanged.
+
+    Returns ``{"docs_in", "docs_new", "tokens_cut", "healed"}``."""
+    from pyspark.sql import functions as F
+
+    batch = _dedup_batch(batch, [id_col])
+    existing = (
+        wh.read(table).select(F.col(id_col)) if wh.exists(table) else None
+    )
+    # heal BEFORE probing: windows a crashed tick failed to index must
+    # count against this batch too, not only future ones
+    healed = 0
+    if existing is not None:
+        lag = wh.read(table).join(
+            index.indexed_ids().withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_anti",
+        )
+        healed = lag.count()
+        if healed:
+            index.append(lag, id_col=id_col, text_col=text_col)
+    new = (
+        batch
+        if existing is None
+        else batch.join(existing, id_col, "left_anti")
+    ).localCheckpoint()  # pin: three consumers below
+    n_in = batch.count()
+    n_new = new.count()
+    if n_new == 0:
+        return {"docs_in": n_in, "docs_new": 0, "tokens_cut": 0,
+                "healed": healed}
+    cut = index.probe(new, id_col=id_col, text_col=text_col)
+    merged = (
+        new.drop(text_col)
+        .join(
+            cut.select(
+                F.col("doc_id").alias(id_col),
+                F.col("dedup_text").alias(text_col),
+                "n_tokens_cut",
+            ),
+            id_col,
+        )
+        .localCheckpoint()  # pin before the index mutates
+    )
+    tokens_cut = merged.agg(F.sum("n_tokens_cut")).collect()[0][0] or 0
+    wh.merge_upsert(table, merged.drop("n_tokens_cut"), [id_col])
+    index.append(merged, id_col=id_col, text_col=text_col)
+    return {
+        "docs_in": n_in,
+        "docs_new": n_new,
+        "tokens_cut": int(tokens_cut),
+        "healed": healed,
+    }

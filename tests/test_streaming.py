@@ -1086,3 +1086,72 @@ def test_stream_stream_full_outer_interval_join(spark, tmp_path):
     }
     assert want == {(100, 101), (200, None), (None, 401)}
     assert got == want
+
+
+def test_ingest_batch_passage_dedup_exactly_once(spark, tmp_path):
+    """The passage-dedup ingest tick: cross-batch passages are cut at
+    any alignment; replays no-op through the id guard (a replayed doc
+    would otherwise self-match and gut its own text); a crash between
+    MERGE and index append heals on the next tick and the healed
+    windows count against later batches."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        ingest_batch_passage_dedup,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    idx = WindowHashIndex(spark, str(tmp_path / "xs"))
+    passage = " ".join(f"p{i}" for i in range(40))
+
+    b1 = spark.createDataFrame(
+        [(0, "lead words " + passage + " tail words")],
+        "doc_id long, text string",
+    )
+    r1 = ingest_batch_passage_dedup(spark, b1, wh, "docs", idx)
+    assert r1 == {"docs_in": 1, "docs_new": 1, "tokens_cut": 0, "healed": 0}
+
+    # replay of batch 1: id guard must no-op (no self-match gutting)
+    r1b = ingest_batch_passage_dedup(spark, b1, wh, "docs", idx)
+    assert r1b["docs_new"] == 0
+    t0 = wh.read("docs").where(F.col("doc_id") == 0).collect()[0]["text"]
+    assert "p0" in t0.split()  # original text intact after replay
+
+    # batch 2 copies the passage at an odd offset -> cut
+    b2 = spark.createDataFrame(
+        [(1, "seven odd lead tokens precede the theft " + passage + " end")],
+        "doc_id long, text string",
+    )
+    r2 = ingest_batch_passage_dedup(spark, b2, wh, "docs", idx)
+    assert r2["docs_new"] == 1 and r2["tokens_cut"] >= 32
+    t1 = wh.read("docs").where(F.col("doc_id") == 1).collect()[0]["text"]
+    assert "p0" not in t1.split() and "seven" in t1.split()
+
+    # simulate a crash between MERGE and index append: land a doc in
+    # the warehouse directly, bypassing the index
+    orphan_passage = " ".join(f"q{i}" for i in range(40))
+    wh.merge_upsert(
+        "docs",
+        spark.createDataFrame(
+            [(2, "orphan " + orphan_passage + " row")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+    )
+    # next tick heals the lag, and the healed windows cut from THIS
+    # batch too (heal runs before the probe)
+    b3 = spark.createDataFrame(
+        [(3, "three lead words " + orphan_passage + " finale")],
+        "doc_id long, text string",
+    )
+    r3 = ingest_batch_passage_dedup(spark, b3, wh, "docs", idx)
+    assert r3["healed"] == 1
+    assert r3["tokens_cut"] >= 32
+    t3 = wh.read("docs").where(F.col("doc_id") == 3).collect()[0]["text"]
+    assert "q0" not in t3.split() and "three" in t3.split()
