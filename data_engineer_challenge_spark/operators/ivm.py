@@ -191,29 +191,51 @@ class IncrementalAgg:
         # KB, already materialized), NOT the raw feed — a raw-side
         # check would cost a second delta-sized scan per tick, which
         # at 100 TB is the single biggest line in the tick's budget.
-        nulls = delta_all.where(
-            __import__("functools").reduce(
-                lambda a, k: a | F.col(k).isNull(),
-                self.group_cols,
-                F.lit(False),
-            )
+        import functools
+
+        any_null = functools.reduce(
+            lambda a, k: a | F.col(k).isNull(),
+            self.group_cols,
+            F.lit(False),
         )
-        if nulls.limit(1).count():
-            raise ValueError(
-                f"null values in group columns {self.group_cols}: "
-                "additive IVM requires non-null group keys (coalesce "
-                "to a sentinel upstream)"
-            )
         # drop groups the range did not NET-change (pure rewrites —
         # compact/optimize/restore, merge-carried survivors): folding
         # them would read and rewrite view rows for nothing
-        noop = (F.col("n_rows") == 0) & __import__("functools").reduce(
+        noop = (F.col("n_rows") == 0) & functools.reduce(
             lambda a, c: a & (F.coalesce(F.col(f"sum_{c}"), F.lit(0)) == 0),
             self.sum_cols,
             F.lit(True),
         )
         delta = delta_all.where(~noop)
-        if delta.limit(1).count() == 0:
+        # ONE driver action over the (tiny, checkpointed) delta frame
+        # carries every per-tick decision: the null-key guard, the
+        # empty-after-noop check, the touched-bucket set, and the
+        # group-key envelope. These were four separate actions — four
+        # scheduler round-trips per tick; at a 30 s trigger cadence the
+        # round-trips, not the data, dominate the tick budget. The
+        # conditional aggregates (collect_set/min/max over
+        # when(~noop, ...)) skip null inputs, so noop rows vanish from
+        # the proofs exactly as the old delta-side aggregate had it.
+        env = delta_all.agg(
+            F.count(F.when(any_null, 1)).alias("__nulls"),
+            F.count(F.when(~noop, 1)).alias("__n_delta"),
+            F.collect_set(F.when(~noop, F.col(BUCKET_COL))).alias("__kbs"),
+            *[
+                f
+                for k in self.group_cols
+                for f in (
+                    F.min(F.when(~noop, F.col(k))).alias(f"__lo_{k}"),
+                    F.max(F.when(~noop, F.col(k))).alias(f"__hi_{k}"),
+                )
+            ],
+        ).collect()[0]
+        if env["__nulls"]:
+            raise ValueError(
+                f"null values in group columns {self.group_cols}: "
+                "additive IVM requires non-null group keys (coalesce "
+                "to a sentinel upstream)"
+            )
+        if env["__n_delta"] == 0:
             # empty delta (e.g. an empty streaming batch committed an
             # empty source version): advance the cursor with an empty
             # APPEND — folding would rewrite the whole view through an
@@ -249,18 +271,6 @@ class IncrementalAgg:
         if self._needs_layout_adoption:
             self._adopt_layout()
             tv = self.target.current_version()
-        # one driver action carries both pruning proofs: the touched
-        # bucket set (≤ n_buckets values by construction) and the
-        # group-key min/max envelope — two separate collects would be
-        # two scheduler round-trips per tick for the same tiny frame
-        env = delta.agg(
-            F.collect_set(BUCKET_COL).alias("__kbs"),
-            *[
-                f
-                for k in self.group_cols
-                for f in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
-            ]
-        ).collect()[0]
         touched = sorted(env["__kbs"])
         where = [(BUCKET_COL, "in", touched)]
         for k in self.group_cols:
