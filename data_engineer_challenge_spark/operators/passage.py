@@ -196,11 +196,16 @@ class WindowHashIndex:
     def indexed_ids(self) -> DataFrame:
         """The doc-id roster of every append — what the ingest loop's
         heal step diffs against the warehouse to find documents whose
-        windows a crash left unindexed."""
+        windows a crash left unindexed. Stored as STRING (ids are only
+        membership/audit here — long ids from the documents table and
+        urn-string ids from WARC records share one layout); callers
+        compare with an explicit ``cast('string')``, never an implicit
+        join coercion (long==string coerces both sides to double and
+        corrupts ids past 2^53)."""
         if not os.path.isdir(self._docs_dir()):
-            return self.spark.createDataFrame([], "doc_id long")
+            return self.spark.createDataFrame([], "doc_id string")
         return (
-            self.spark.read.schema("doc_id long")
+            self.spark.read.schema("doc_id string")
             .parquet(self._docs_dir())
             .distinct()
         )
@@ -226,7 +231,9 @@ class WindowHashIndex:
             )
             .select(
                 "h",
-                F.col("o.doc_id").alias("doc_id"),
+                # string audit id: long and urn-string corpora share
+                # one stored layout (see indexed_ids)
+                F.col("o.doc_id").cast("string").alias("doc_id"),
                 F.col("o.pos").alias("pos"),
                 self._bucket_expr().alias("h_bucket"),
             )
@@ -234,9 +241,9 @@ class WindowHashIndex:
         wins.write.partitionBy("h_bucket").mode("append").parquet(
             self._windows_dir()
         )
-        docs.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
-            "append"
-        ).parquet(self._docs_dir())
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id")
+        ).distinct().write.mode("append").parquet(self._docs_dir())
 
     def probe(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -267,7 +274,7 @@ class WindowHashIndex:
             )
             stored = (
                 self.spark.read.schema(
-                    "h string, doc_id long, pos int, h_bucket int"
+                    "h string, doc_id string, pos int, h_bucket int"
                 )
                 .parquet(self._windows_dir())
                 .filter(F.col("h_bucket").isin(touched))

@@ -484,9 +484,13 @@ def ingest_batch_passage_dedup(
     # count against this batch too, not only future ones
     healed = 0
     if existing is not None:
-        lag = wh.read(table).join(
-            index.indexed_ids().withColumnRenamed("doc_id", id_col),
-            id_col,
+        tbl = wh.read(table)
+        roster = index.indexed_ids().select(
+            F.col("doc_id").alias("__idx_id")
+        )
+        lag = tbl.join(
+            roster,
+            tbl[id_col].cast("string") == F.col("__idx_id"),
             "left_anti",
         )
         healed = lag.count()

@@ -51,6 +51,7 @@ def warc_ingest_tick(
     wh: ParquetWarehouse,
     table: str,
     index=None,  # operators.dedup_index.MinHashIndex | None
+    passage_index=None,  # operators.passage.WindowHashIndex | None
     main_content: bool = True,
     state_key: str = "warc",
 ) -> WarcTickReport:
@@ -97,7 +98,21 @@ def warc_ingest_tick(
     n_fresh = fresh.count()
     # MERGE first, index second (crash between the two replays as
     # probe-miss -> idempotent re-MERGE -> append: converges)
-    wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
+    if passage_index is not None:
+        # the RefinedWeb passage stage: spans the retained corpus
+        # already holds (boilerplate repeated across pages/segments)
+        # are cut BEFORE the row lands. ingest_batch_passage_dedup
+        # owns the whole crash matrix here — its id guard makes
+        # replayed docs no-op (a replay would otherwise self-match its
+        # own indexed windows and gut the text), its heal step closes
+        # a MERGE-then-crash index lag, and it MERGEs before appending
+        from .ingest import ingest_batch_passage_dedup
+
+        ingest_batch_passage_dedup(
+            spark, fresh.drop("__iid"), wh, table, passage_index
+        )
+    else:
+        wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
     if index is not None:
         index.append(fresh, id_col="__iid", text_col="text")
         index.release()

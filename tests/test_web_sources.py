@@ -650,3 +650,54 @@ def test_host_graph_rollup_drops_intra_host(spark):
     }
     # sub.a.com folds into a.com; the b->sub edge becomes b.com->a.com
     assert dom == {("a.com", "b.com"): 3, ("b.com", "a.com"): 1}
+
+
+def test_warc_ingest_with_passage_dedup(spark, tmp_path):
+    """WARC tick + WindowHashIndex: a boilerplate passage repeated in a
+    LATER segment's otherwise-new page is cut before the row lands (the
+    RefinedWeb passage stage), and state-loss reprocessing converges —
+    the passage tick's id guard keeps replayed docs from self-matching
+    their own indexed windows."""
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+    from data_engineer_challenge_spark.operators.passage import WindowHashIndex
+    from data_engineer_challenge_spark.streaming.snapshot_diff import SnapshotState
+    from data_engineer_challenge_spark.streaming.warc_ingest import warc_ingest_tick
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([("doc-a", "http://x/a", _html("lead words " + boiler + " tail"))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    pidx = WindowHashIndex(spark, str(tmp_path / "pidx"))
+
+    r1 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", passage_index=pidx
+    )
+    assert r1.fired and r1.docs_merged == 1
+
+    (warc_dir / "b.warc").write_bytes(
+        _segment([
+            ("doc-b", "http://y/b",
+             _html("three fresh lead tokens here " + boiler + " own ending")),
+        ])
+    )
+    r2 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", passage_index=pidx
+    )
+    assert r2.fired and r2.docs_merged == 1
+    rows = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    assert "boiler0" in rows["<urn:uuid:doc-a>"].split()      # first owner intact
+    assert "boiler0" not in rows["<urn:uuid:doc-b>"].split()  # repeat cut
+    assert "three" in rows["<urn:uuid:doc-b>"].split()
+
+    # state loss: reprocess everything; the id guard must keep both
+    # docs' stored text IDENTICAL (no self-match gutting)
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", passage_index=pidx
+    )
+    after = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    assert after == rows
