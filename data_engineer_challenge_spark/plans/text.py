@@ -1571,3 +1571,76 @@ def docs_range_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-level PII scrubbing — the corpus-release step (C4/Dolma practice:
+# mask emails / IPs / phone numbers in the text itself before
+# publication; the structured-column twin lives in functions/redaction).
+# ---------------------------------------------------------------------------
+
+#: shared Spark/DuckDB regexes — RE2 ∩ Java syntax only (ASCII classes,
+#: (?i), \b, bounded repeats; no lookaround, no \p classes)
+_PII_EMAIL = r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+
+
+@register(
+    "docs_pii_scrub",
+    driver=False,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text
+    FROM documents
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-level PII scrubbing for corpus release (the C4/Dolma
+    masking pass): emails, dotted-quad IPs, and NNN-NNN-NNNN phone
+    shapes replaced with typed placeholder tokens, per-document match
+    counts kept for the release audit. Counts are taken at each stage
+    of the SEQUENTIAL replacement (email → IP → phone) so a pattern
+    can never double-count text an earlier stage already masked — and
+    the stage order is part of the contract (an IP's digits could
+    otherwise feed the phone pattern).
+
+    Map-only: three regexp_replace passes over the text column, no
+    shuffle at all — at 100 TB this is a pure scan-bandwidth pass.
+    Regexes stay inside the RE2 ∩ Java subset (ASCII classes, (?i),
+    bounded repeats, no lookaround) so the DuckDB oracle replays them
+    byte-for-byte; the synthetic corpus contains no PII (all counts 0
+    — itself a fact worth pinning for a release gate), so the planted
+    -corpus pytest drives the positive paths against the same oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    after_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(after_ip, _PII_PHONE, "<PHONE>").alias(
+            "scrubbed_text"
+        ),
+    )

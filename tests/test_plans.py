@@ -279,3 +279,57 @@ def test_table_profile_is_one_scan(spark):
     FileScan would mean the unpivot re-read the table."""
     p = _plan(spark, "orders_table_profile")
     assert p.count("FileScan") == 1, p
+
+
+def test_pii_scrub_planted_corpus(spark, tmp_path):
+    """The synthetic corpus has no PII (counts 0 — pinned by the
+    registry oracle run), so drive the positive paths on a planted
+    corpus through the SAME DuckDB oracle, plus semantic pins: an IP's
+    digits must never feed the phone pattern (stage order), emails are
+    matched case-insensitively, and clean text passes untouched."""
+    import os
+
+    from .oracle import assert_matches_oracle
+
+    rows = [
+        (0, "contact John.Doe+spam@Example.COM or call 555-867-5309 now",
+         "en", "t", 1),
+        (1, "server at 192.168.101.254 responded; fallback 10.0.0.1",
+         "en", "t", 1),
+        (2, "no personal information in this perfectly clean sentence",
+         "en", "t", 1),
+        (3, "mixed: a@b.io then 8.8.8.8 then 212 555 1234 done",
+         "en", "t", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # single parquet FILE (not a Spark part directory): the DuckDB
+    # oracle reads `<sf>/<table>.parquet` as one file, like testdata
+    df.toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    # the oracle helper registers every testdata table as a view up
+    # front — satisfy it by linking the untouched tables from smoke
+    from data_engineer_challenge_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+
+    spec = plans.REGISTRY["docs_pii_scrub"]
+    out = spec.builder(spark, sf)
+    assert_matches_oracle(out, spec.oracle, sf)
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 1
+    assert "<EMAIL>" in got[0]["scrubbed_text"]
+    assert "<PHONE>" in got[0]["scrubbed_text"]
+    assert got[1]["n_ips"] == 2 and got[1]["n_phones"] == 0  # stage order
+    assert got[1]["scrubbed_text"].count("<IP>") == 2
+    assert got[2] == {
+        "doc_id": 2, "n_emails": 0, "n_ips": 0, "n_phones": 0,
+        "scrubbed_text": rows[2][1],
+    } or (got[2]["n_emails"] == 0 and got[2]["scrubbed_text"] == rows[2][1])
+    assert got[3]["n_emails"] == 1 and got[3]["n_ips"] == 1
+    assert got[3]["n_phones"] == 1  # space-separated phone shape
