@@ -473,6 +473,13 @@ def ingest_batch_passage_dedup(
     - Index appends are blind membership adds; replaying one only
       duplicates rows, answers unchanged.
 
+    Empty-text documents drop out (the passage kernel tokenizes
+    non-empty docs only) — deliberately the reference's P10 contract
+    (exo_2.py:249-251 skips empty documents); filter upstream if they
+    must land. A table with rows but an EMPTY index roster heals by
+    indexing the whole table — i.e. opening a fresh WindowHashIndex
+    over an existing corpus bootstraps it automatically.
+
     Returns ``{"docs_in", "docs_new", "tokens_cut", "healed"}``."""
     from pyspark.sql import functions as F
 
