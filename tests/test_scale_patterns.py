@@ -474,3 +474,17 @@ def test_exact_substring_dedup_ids_only_shuffle(spark):
     window = "\n".join(lines[h_ex[0] : h_ex[0] + 4])
     assert "Generate explode(transform" in window, window
     assert "md5" in window, window
+
+
+def test_pii_scrub_is_map_only(spark):
+    """docs_pii_scrub's scale contract: three regexp passes over the
+    text column and nothing else — the plan must contain no Exchange
+    of any kind (a pure scan-bandwidth pass at 100 TB)."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_pii_scrub"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
