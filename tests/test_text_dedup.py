@@ -1071,3 +1071,85 @@ def test_window_hash_index_probe_prunes_buckets(spark, tmp_path):
     in_list = _re.search(r"h_bucket#\d+ IN \(([^)]*)\)", pf)
     assert in_list, pf
     assert len(in_list.group(1).split(",")) == len(touched) < 16
+
+
+def test_exact_substring_dedup_matches_python_reference(spark):
+    """Property check: the distributed passage kernel (stride-1
+    windows → keep-first → interval union → map-side cut) must equal
+    an exhaustive O(n²) Python reference on adversarial corpora — a
+    two-token alphabet forces dense window collisions, overlapping
+    self-repeats, and cross-document repeats at every alignment."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_engineer_challenge_spark.operators.passage import (
+        cut_islands,
+        spans_to_islands,
+        tokenized,
+        window_hashes,
+    )
+
+    WLEN = 32
+
+    def reference(docs: dict[int, list[str]]) -> dict[int, tuple[int, str]]:
+        # first occurrence per window CONTENT, global (doc_id, pos) order
+        first: dict[tuple, tuple] = {}
+        for did in sorted(docs):
+            ts = docs[did]
+            for pos in range(len(ts) - WLEN + 1):
+                key = tuple(ts[pos : pos + WLEN])
+                first.setdefault(key, (did, pos))
+        out = {}
+        for did in sorted(docs):
+            ts = docs[did]
+            cut = [False] * len(ts)
+            for pos in range(len(ts) - WLEN + 1):
+                if first[tuple(ts[pos : pos + WLEN])] != (did, pos):
+                    for i in range(pos, pos + WLEN):
+                        cut[i] = True
+            kept = [t for t, c in zip(ts, cut) if not c]
+            out[did] = (sum(cut), " ".join(kept))
+        return out
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        docs = {}
+        n_docs = rng.randint(2, 5)
+        base = [rng.choice("ab") for _ in range(rng.randint(40, 90))]
+        for did in range(n_docs):
+            if rng.random() < 0.5:
+                # splice a shifted copy of another doc's span in
+                ts = [rng.choice("ab") for _ in range(rng.randint(35, 80))]
+                src = base[rng.randint(0, 5) :]
+                at = rng.randint(0, len(ts))
+                ts = ts[:at] + src + ts[at:]
+            else:
+                ts = [rng.choice("ab") for _ in range(rng.randint(35, 90))]
+            docs[did] = ts
+
+        df = spark.createDataFrame(
+            [(did, " ".join(ts)) for did, ts in docs.items()],
+            "doc_id long, text string",
+        )
+        base_df = tokenized(df, "doc_id", "text")
+        wins = window_hashes(base_df, WLEN)
+        rn = F.row_number().over(
+            W.partitionBy("h").orderBy("doc_id", "pos")
+        )
+        dup = (
+            wins.withColumn("rn", rn)
+            .where(F.col("rn") > 1)
+            .select(
+                "doc_id",
+                F.col("pos").alias("s"),
+                (F.col("pos") + WLEN).alias("e"),
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
+            for r in cut_islands(base_df, spans_to_islands(dup)).collect()
+        }
+        assert got == reference(docs), f"trial {trial}: {got}"
