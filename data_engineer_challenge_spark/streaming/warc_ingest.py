@@ -108,9 +108,12 @@ def warc_ingest_tick(
         # a MERGE-then-crash index lag, and it MERGEs before appending
         from .ingest import ingest_batch_passage_dedup
 
-        ingest_batch_passage_dedup(
+        rep = ingest_batch_passage_dedup(
             spark, fresh.drop("__iid"), wh, table, passage_index
         )
+        # the passage tick's id guard may drop replayed docs the
+        # near-dup filter passed — report what actually landed
+        n_fresh = rep["docs_new"]
     else:
         wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
     if index is not None:
