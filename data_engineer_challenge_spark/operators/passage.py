@@ -138,6 +138,43 @@ def cut_islands(base: DataFrame, islands: DataFrame) -> DataFrame:
     )
 
 
+def self_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DEFAULT_WINDOW,
+) -> DataFrame:
+    """IN-BATCH arbitrary-alignment keep-first passage dedup: a
+    window's first occurrence within ``docs`` (smallest
+    ``(doc_id, pos)``) survives, every later identical window marks
+    its span, spans union into islands, covered tokens cut map-side.
+    Returns ``(doc_id, n_tokens, n_tokens_cut, dedup_text)`` for
+    every NON-EMPTY input document (the P10 empty-doc contract).
+
+    This is THE batch kernel — ``plans/dedup.docs_exact_substring_
+    dedup`` registers it over the documents table, and the WARC
+    ingest tick runs it on each batch BEFORE ``WindowHashIndex.
+    probe`` (the probe only sees batch-vs-index duplication; without
+    this pass, boilerplate repeated WITHIN one tick's segment would
+    land uncut). One definition, so the one-shot query and the
+    streaming caller cannot drift."""
+    base = tokenized(docs, id_col, text_col)
+    wins = window_hashes(base, w)
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")
+    )
+    dup = (
+        wins.withColumn("rn", rn)
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + w).alias("e"),
+        )
+    )
+    return cut_islands(base, spans_to_islands(dup))
+
+
 class WindowHashIndex:
     """Persisted window-hash membership index for INCREMENTAL
     arbitrary-alignment passage dedup (module docstring). The ingest
@@ -159,9 +196,18 @@ class WindowHashIndex:
         path: str,
         window: int = DEFAULT_WINDOW,
         h_buckets: int = 32,
+        broadcast_max_windows: int = 4_000_000,
     ) -> None:
         self.spark = spark
         self.path = path
+        # runtime join-strategy knob, deliberately NOT part of meta:
+        # it changes how a probe executes, never what it answers, so
+        # reopening an index with a different value must not fail the
+        # layout-parameter check. ~4M windows ≈ tens of MB of
+        # (doc_id, pos, md5) rows — comfortably under Spark's
+        # broadcast limits; a ~1 GiB WARC segment batch produces far
+        # more and falls back to the shuffled join (see probe).
+        self.broadcast_max_windows = int(broadcast_max_windows)
         self.meta = {"window": int(window), "h_buckets": int(h_buckets)}
         meta_path = os.path.join(path, "meta", "meta.json")
         if os.path.exists(meta_path):
@@ -280,11 +326,18 @@ class WindowHashIndex:
                 .filter(F.col("h_bucket").isin(touched))
                 .select("h")
             )
-            # stored side never shuffles: batch windows broadcast onto it
+            # small batches: stored side never shuffles — batch
+            # windows broadcast onto the pruned scan. Large batches
+            # (a ~1 GiB WARC segment yields one window per token —
+            # hundreds of MB, at or past the broadcast limit): fall
+            # back to a shuffled hash join; the stored side is still
+            # pruned to the touched h_bucket= partitions, only those
+            # postings pay the exchange.
+            batch_wins = wins.select("doc_id", "pos", "h")
+            if wins.count() <= self.broadcast_max_windows:
+                batch_wins = F.broadcast(batch_wins)
             hits = (
-                stored.join(
-                    F.broadcast(wins.select("doc_id", "pos", "h")), "h"
-                )
+                stored.join(batch_wins, "h")
                 .select("doc_id", "pos")
                 .dropDuplicates(["doc_id", "pos"])
             )

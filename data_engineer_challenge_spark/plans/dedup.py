@@ -844,24 +844,7 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment dedup: a single passage repeated 10^6 times concentrates
     its rank sort in one task — AQE skew handling or a pre-aggregated
     min_by + skew-split join swaps in without changing semantics."""
-    from ..operators.passage import (
-        spans_to_islands,
-        cut_islands,
-        tokenized,
-        window_hashes,
-    )
+    from ..operators.passage import self_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tokenized(docs, "doc_id", "text")
-    wins = window_hashes(base, XS_W)
-    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
-    dup = (
-        wins.withColumn("rn", rn)
-        .where(F.col("rn") > 1)
-        .select(
-            "doc_id",
-            F.col("pos").alias("s"),
-            (F.col("pos") + XS_W).alias("e"),
-        )
-    )
-    return cut_islands(base, spans_to_islands(dup))
+    return self_dedup(docs, "doc_id", "text", w=XS_W)

@@ -480,7 +480,12 @@ def ingest_batch_passage_dedup(
     indexing the whole table — i.e. opening a fresh WindowHashIndex
     over an existing corpus bootstraps it automatically.
 
-    Returns ``{"docs_in", "docs_new", "tokens_cut", "healed"}``."""
+    Returns ``{"docs_in", "docs_new", "docs_merged", "tokens_cut",
+    "healed"}`` — ``docs_new`` counts the docs that passed the id
+    guard, ``docs_merged`` the rows that actually landed in the
+    warehouse (empty-text docs drop between the two per the P10
+    contract above, so callers reporting "merged" must use
+    ``docs_merged``, not ``docs_new``)."""
     from pyspark.sql import functions as F
 
     batch = _dedup_batch(batch, [id_col])
@@ -495,11 +500,17 @@ def ingest_batch_passage_dedup(
         roster = index.indexed_ids().select(
             F.col("doc_id").alias("__idx_id")
         )
+        # pin before the index mutates: the anti-join reads the index
+        # roster (docs/) that index.append below writes to, and the
+        # unpinned plan would otherwise be evaluated three times
+        # (count + the two writes inside append) — the same
+        # pin-before-index-mutation discipline every other frame in
+        # this function follows
         lag = tbl.join(
             roster,
             tbl[id_col].cast("string") == F.col("__idx_id"),
             "left_anti",
-        )
+        ).localCheckpoint()
         healed = lag.count()
         if healed:
             index.append(lag, id_col=id_col, text_col=text_col)
@@ -511,8 +522,8 @@ def ingest_batch_passage_dedup(
     n_in = batch.count()
     n_new = new.count()
     if n_new == 0:
-        return {"docs_in": n_in, "docs_new": 0, "tokens_cut": 0,
-                "healed": healed}
+        return {"docs_in": n_in, "docs_new": 0, "docs_merged": 0,
+                "tokens_cut": 0, "healed": healed}
     cut = index.probe(new, id_col=id_col, text_col=text_col)
     merged = (
         new.drop(text_col)
@@ -526,12 +537,15 @@ def ingest_batch_passage_dedup(
         )
         .localCheckpoint()  # pin before the index mutates
     )
-    tokens_cut = merged.agg(F.sum("n_tokens_cut")).collect()[0][0] or 0
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens_cut").alias("cut")
+    ).collect()[0]
     wh.merge_upsert(table, merged.drop("n_tokens_cut"), [id_col])
     index.append(merged, id_col=id_col, text_col=text_col)
     return {
         "docs_in": n_in,
         "docs_new": n_new,
-        "tokens_cut": int(tokens_cut),
+        "docs_merged": int(stats["n"]),
+        "tokens_cut": int(stats["cut"] or 0),
         "healed": healed,
     }

@@ -106,14 +106,32 @@ def warc_ingest_tick(
         # replayed docs no-op (a replay would otherwise self-match its
         # own indexed windows and gut the text), its heal step closes
         # a MERGE-then-crash index lag, and it MERGEs before appending
+        from ..operators.passage import self_dedup
         from .ingest import ingest_batch_passage_dedup
 
-        rep = ingest_batch_passage_dedup(
-            spark, fresh.drop("__iid"), wh, table, passage_index
+        # IN-BATCH pass first: the index probe only reports
+        # batch-vs-INDEX duplication, so boilerplate repeated WITHIN
+        # this tick's segments (shared chrome across pages of one
+        # crawl segment) must be cut by the batch keep-first kernel
+        # before the probe — otherwise both variants' windows would
+        # be indexed and the repeat lands uncut. Same kernel as
+        # docs_exact_substring_dedup (operators/passage.self_dedup),
+        # so the one-shot and streaming semantics cannot drift.
+        # Empty-text docs drop here (the P10 contract the passage
+        # path documents); pin before the index mutates below.
+        payload = fresh.drop("__iid")
+        sd = self_dedup(
+            payload, "doc_id", "text", w=passage_index.meta["window"]
+        ).select(
+            "doc_id", F.col("dedup_text").alias("text")
         )
-        # the passage tick's id guard may drop replayed docs the
-        # near-dup filter passed — report what actually landed
-        n_fresh = rep["docs_new"]
+        precut = payload.drop("text").join(sd, "doc_id").localCheckpoint()
+        rep = ingest_batch_passage_dedup(
+            spark, precut, wh, table, passage_index
+        )
+        # the passage tick's id guard drops replayed docs and the
+        # kernel drops empty-text docs — report what actually landed
+        n_fresh = rep["docs_merged"]
     else:
         wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
     if index is not None:

@@ -327,9 +327,11 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
     assert "<PHONE>" in got[0]["scrubbed_text"]
     assert got[1]["n_ips"] == 2 and got[1]["n_phones"] == 0  # stage order
     assert got[1]["scrubbed_text"].count("<IP>") == 2
-    assert got[2] == {
-        "doc_id": 2, "n_emails": 0, "n_ips": 0, "n_phones": 0,
-        "scrubbed_text": rows[2][1],
-    } or (got[2]["n_emails"] == 0 and got[2]["scrubbed_text"] == rows[2][1])
+    # field-by-field (a pyspark Row never equals a dict, so a
+    # row-vs-dict == would silently pass only a weaker fallback)
+    assert got[2]["n_emails"] == 0
+    assert got[2]["n_ips"] == 0
+    assert got[2]["n_phones"] == 0
+    assert got[2]["scrubbed_text"] == rows[2][1]  # clean doc untouched
     assert got[3]["n_emails"] == 1 and got[3]["n_ips"] == 1
     assert got[3]["n_phones"] == 1  # space-separated phone shape

@@ -1115,7 +1115,8 @@ def test_ingest_batch_passage_dedup_exactly_once(spark, tmp_path):
         "doc_id long, text string",
     )
     r1 = ingest_batch_passage_dedup(spark, b1, wh, "docs", idx)
-    assert r1 == {"docs_in": 1, "docs_new": 1, "tokens_cut": 0, "healed": 0}
+    assert r1 == {"docs_in": 1, "docs_new": 1, "docs_merged": 1,
+                  "tokens_cut": 0, "healed": 0}
 
     # replay of batch 1: id guard must no-op (no self-match gutting)
     r1b = ingest_batch_passage_dedup(spark, b1, wh, "docs", idx)

@@ -1153,3 +1153,42 @@ def test_exact_substring_dedup_matches_python_reference(spark):
             for r in cut_islands(base_df, spans_to_islands(dup)).collect()
         }
         assert got == reference(docs), f"trial {trial}: {got}"
+
+
+def test_window_hash_index_probe_shuffled_fallback(spark, tmp_path):
+    """Past broadcast_max_windows the probe swaps the batch-side
+    broadcast for a shuffled hash join (a ~1 GiB WARC segment's window
+    set is at or past Spark's broadcast limits). Same answers — the
+    knob changes how the probe executes, never what it returns — and
+    reopening with a different value passes the meta check (it is a
+    runtime knob, not a layout parameter)."""
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    passage = " ".join(f"stored{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(0, "aa " + passage + " bb")], "doc_id long, text string"
+    )
+    idx = WindowHashIndex(spark, str(tmp_path / "xsf"))
+    idx.append(corpus)
+    batch = spark.createDataFrame(
+        [(1, "odd offset lead " + passage + " tail"),
+         (2, " ".join(f"novel{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
+        for r in idx.probe(batch).collect()
+    }
+    assert want[1][0] >= 32 and want[2][0] == 0
+    # reopen with the threshold forced to 0: every probe takes the
+    # shuffled branch; answers must be identical
+    small = WindowHashIndex(
+        spark, str(tmp_path / "xsf"), broadcast_max_windows=0
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
+        for r in small.probe(batch).collect()
+    }
+    assert got == want

@@ -701,3 +701,39 @@ def test_warc_ingest_with_passage_dedup(spark, tmp_path):
     )
     after = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
     assert after == rows
+
+
+def test_warc_ingest_intra_tick_passage_dedup(spark, tmp_path):
+    """Passages repeated WITHIN one tick's batch (boilerplate shared
+    across pages of the same segment) are cut by the in-batch
+    keep-first pass BEFORE the index probe — the probe alone only sees
+    batch-vs-index duplication, so without the pre-pass both variants
+    would land uncut and both sets of windows would be indexed."""
+    from data_engineer_challenge_spark.operators.merge import ParquetWarehouse
+    from data_engineer_challenge_spark.operators.passage import WindowHashIndex
+    from data_engineer_challenge_spark.streaming.snapshot_diff import SnapshotState
+    from data_engineer_challenge_spark.streaming.warc_ingest import warc_ingest_tick
+
+    boiler = " ".join(f"chrome{i}" for i in range(40))
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    # ONE segment, two pages sharing the boilerplate passage
+    (warc_dir / "a.warc").write_bytes(
+        _segment([
+            ("doc-a", "http://x/a", _html("first page body " + boiler + " end")),
+            ("doc-b", "http://x/b",
+             _html("second page other words " + boiler + " close")),
+        ])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    pidx = WindowHashIndex(spark, str(tmp_path / "pidx"))
+    r1 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", passage_index=pidx
+    )
+    assert r1.fired and r1.docs_merged == 2
+    rows = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    # keep-first: doc-a (smaller id) keeps the passage, doc-b loses it
+    ka, kb = rows["<urn:uuid:doc-a>"].split(), rows["<urn:uuid:doc-b>"].split()
+    assert ("chrome0" in ka) != ("chrome0" in kb)  # exactly one owner
+    assert "first" in ka and "second" in kb        # own content intact
