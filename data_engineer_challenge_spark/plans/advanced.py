@@ -596,7 +596,9 @@ def _pagerank_oracle(iterations: int) -> str:
 
 @register(
     "supplier_customer_pagerank",
-    driver=False,  # surface capped at 50; pytest-oracled
+    # r7: promoted to the driver surface — integer fixed-point
+    # PageRank under the exact-SQL hash check (slot from
+    # revenue_rollup's overlap)
     oracle=_pagerank_oracle(iterations=5),
 )
 def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,10 @@ from .helpers import dec_sum, dec_sum_sql
 
 @register(
     "events_hourly_rollup",
+    # r7: pytest-oracled — hour-bucket groupBy overlaps the windowed
+    # events_sliding_daily_avg row; its driver slot rotated to
+    # docs_exact_substring_dedup (the r6 flagship passage-dedup tier)
+    driver=False,
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
@@ -206,6 +210,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_funnel",
+    # r7: pytest-oracled — the conditional-min funnel overlaps
+    # events_weekly_retention's staged-aggregation shape; its driver
+    # slot rotated to docs_pii_scrub (byte-exact cross-engine scrub)
+    driver=False,
     oracle="""
     SELECT user_id,
            CAST(first_view IS NOT NULL AS INTEGER) AS viewed,

@@ -320,6 +320,10 @@ def nations_served_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_rollup",
+    # r7: pytest-oracled — ROLLUP grouping sets overlap
+    # events_cube_profile's CUBE row; its driver slot rotated to
+    # supplier_customer_pagerank (fixed-point integer PageRank)
+    driver=False,
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {dec_sum_sql(REVENUE_SQL)} AS revenue,
@@ -662,7 +666,8 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "suppliers_sole_return_blockers",
-    driver=False,  # surface capped at 50; pytest-oracled
+    # r7: promoted to the driver surface (slot from events_funnel's
+    # overlap) — the hash row PROVES the Q21 decorrelation rewrite
     # the oracle is DELIBERATELY the textbook correlated form (TPC-H
     # Q21's EXISTS + NOT EXISTS shape) while the Spark builder runs the
     # decorrelated one-pass rewrite — the hash match PROVES the rewrite

@@ -51,6 +51,10 @@ def _hits_sql(words: list[str]) -> str:
 
 @register(
     "doc_token_stats",
+    # r7: pytest-oracled — per-doc length/token counts are a strict
+    # subset of doc_quality_scores' profile; its driver slot rotated
+    # to inverted_index_probe (the persisted BM25 postings index)
+    driver=False,
     oracle=f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -1588,7 +1592,8 @@ _PII_PHONE = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
 
 @register(
     "docs_pii_scrub",
-    driver=False,
+    # r7: promoted to the driver surface — byte-exact cross-engine
+    # PII scrub under the hash check (slot from events_funnel tier)
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)

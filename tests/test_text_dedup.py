@@ -97,7 +97,7 @@ def test_clean_corpus_banding_covers_exhaustive_pairs(spark):
     sf = "/root/testdata/sf0.001"
     exhaustive = {
         (r["id_a"], r["id_b"])
-        for r in plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
+        for r in plans.REGISTRY["baseline_ngram_jaccard_pairs"].builder(spark, sf).collect()
     }
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     banded = {
@@ -184,7 +184,7 @@ def test_lsh_neardup_recall_vs_label_blocked(spark):
     sf = "/root/testdata/sf0.001"
     exhaustive = {
         (r["id_a"], r["id_b"])
-        for r in plans.REGISTRY["emb_neardup_pairs"].builder(spark, sf).collect()
+        for r in plans.REGISTRY["baseline_emb_neardup_pairs"].builder(spark, sf).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])
@@ -239,7 +239,7 @@ def test_neardup_clusters_consistent_with_pairs(spark):
 
     plans._load()
     sf = "/root/testdata/sf0.001"
-    pairs = plans.REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf).collect()
+    pairs = plans.REGISTRY["baseline_ngram_jaccard_pairs"].builder(spark, sf).collect()
     clusters = {
         r["node"]: r["canonical"]
         for r in plans.REGISTRY["docs_neardup_clusters"].builder(spark, sf).collect()
@@ -1191,4 +1191,164 @@ def test_window_hash_index_probe_shuffled_fallback(spark, tmp_path):
         r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
         for r in small.probe(batch).collect()
     }
+    assert got == want
+
+
+def test_window_hash_index_compaction_bounds_files(spark, tmp_path):
+    """Many small appends accumulate one file-set per tick per bucket;
+    maybe_compact rewrites fat buckets to ONE sorted file each —
+    probe answers identical before/after, and the store's data-file
+    count drops to O(buckets)."""
+    import os
+
+    from data_engineer_challenge_spark.operators.compaction import (
+        _data_files,
+    )
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    idx = WindowHashIndex(spark, str(tmp_path / "xsc"), h_buckets=4)
+    # 10 ticks of one doc each — every bucket collects ~10 file-sets
+    for t in range(10):
+        idx.append(spark.createDataFrame(
+            [(t, " ".join(f"tick{t}w{j}" for j in range(40)))],
+            "doc_id long, text string",
+        ))
+    batch = spark.createDataFrame(
+        [(100, "lead " + " ".join(f"tick3w{j}" for j in range(40)) + " tail"),
+         (101, " ".join(f"unseen{j}" for j in range(40)))],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
+        for r in idx.probe(batch).collect()
+    }
+    assert want[100][0] >= 32 and want[101][0] == 0
+    windows = tmp_path / "xsc" / "windows"
+    pre = {
+        d: len(_data_files(str(windows / d)))
+        for d in os.listdir(windows) if d.startswith("h_bucket=")
+    }
+    assert max(pre.values()) > 8  # appends really did accumulate
+    n = idx.maybe_compact(max_files_per_bucket=8)
+    assert n >= 1
+    post = {
+        d: len(_data_files(str(windows / d)))
+        for d in os.listdir(windows) if d.startswith("h_bucket=")
+    }
+    # every compacted bucket is now exactly one data file
+    for d, v in post.items():
+        if pre[d] > 8:
+            assert v == 1, (d, v)
+    got = {
+        r["doc_id"]: (r["n_tokens_cut"], r["dedup_text"])
+        for r in idx.probe(batch).collect()
+    }
+    assert got == want
+    # idempotent: already-compacted buckets are left alone
+    assert idx.maybe_compact(max_files_per_bucket=8) == 0
+
+
+def test_compaction_heal_crash_states(spark, tmp_path):
+    """Every crash point of the parked-previous swap repairs on the
+    next index open: stray temp → dropped; parked with live missing →
+    restored; parked with live present → dropped. Probe answers are
+    the pre-crash answers in all three states."""
+    import os
+    import shutil
+
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    path = str(tmp_path / "xsh")
+    idx = WindowHashIndex(spark, path, h_buckets=4)
+    for t in range(3):
+        idx.append(spark.createDataFrame(
+            [(t, " ".join(f"h{t}w{j}" for j in range(40)))],
+            "doc_id long, text string",
+        ))
+    batch = spark.createDataFrame(
+        [(9, "x " + " ".join(f"h1w{j}" for j in range(40)) + " y")],
+        "doc_id long, text string",
+    )
+    want = idx.probe(batch).collect()[0]["n_tokens_cut"]
+    assert want >= 32
+    windows = os.path.join(path, "windows")
+    buckets = [d for d in os.listdir(windows) if d.startswith("h_bucket=")]
+    victim = buckets[0]
+    # crash state 1: temp written, live intact
+    shutil.copytree(
+        os.path.join(windows, victim),
+        os.path.join(windows, ".compact-" + victim),
+    )
+    idx2 = WindowHashIndex(spark, path, h_buckets=4)
+    assert not os.path.isdir(os.path.join(windows, ".compact-" + victim))
+    assert idx2.probe(batch).collect()[0]["n_tokens_cut"] == want
+    # crash state 2: live parked, replacement not yet renamed in
+    os.rename(
+        os.path.join(windows, victim),
+        os.path.join(windows, ".old-" + victim),
+    )
+    idx3 = WindowHashIndex(spark, path, h_buckets=4)
+    assert os.path.isdir(os.path.join(windows, victim))  # restored
+    assert idx3.probe(batch).collect()[0]["n_tokens_cut"] == want
+    # crash state 3: swap done, parked copy not yet removed
+    shutil.copytree(
+        os.path.join(windows, victim),
+        os.path.join(windows, ".old-" + victim),
+    )
+    idx4 = WindowHashIndex(spark, path, h_buckets=4)
+    assert not os.path.isdir(os.path.join(windows, ".old-" + victim))
+    assert idx4.probe(batch).collect()[0]["n_tokens_cut"] == want
+
+
+def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
+    """MinHashIndex compaction: band postings fold to distinct rows,
+    shingles to one row per id; probe answers identical, fat buckets
+    drop to one file."""
+    import os
+
+    from data_engineer_challenge_spark.operators.compaction import (
+        _data_files,
+    )
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+
+    idx = MinHashIndex(spark, str(tmp_path / "mhc"), bh_buckets=4)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for t in range(10):
+        idx.append(spark.createDataFrame(
+            [(t, text + f" tick{t}")], "doc_id long, text string"
+        ))
+    batch = spark.createDataFrame(
+        [(100, text + " tick3")], "doc_id long, text string"
+    )
+    want = {
+        (r["new_id"], r["dup_of"]): round(r["jaccard"], 9)
+        for r in idx.probe(batch).collect()
+    }
+    idx.release()
+    assert want  # the near-copy matched something stored
+    bands = tmp_path / "mhc" / "bands"
+    pre = {
+        d: len(_data_files(str(bands / d)))
+        for d in os.listdir(bands) if d.startswith("bh_bucket=")
+    }
+    assert max(pre.values()) > 8
+    assert idx.maybe_compact(max_files_per_bucket=8) >= 1
+    post = {
+        d: len(_data_files(str(bands / d)))
+        for d in os.listdir(bands) if d.startswith("bh_bucket=")
+    }
+    for d, v in post.items():
+        if pre[d] > 8:
+            assert v == 1, (d, v)
+    got = {
+        (r["new_id"], r["dup_of"]): round(r["jaccard"], 9)
+        for r in idx.probe(batch).collect()
+    }
+    idx.release()
     assert got == want
