@@ -1,0 +1,158 @@
+"""Crash-safe small-file compaction for the persisted index stores.
+
+The incremental indexes (``MinHashIndex``, ``WindowHashIndex``,
+``InvertedTextIndex``) append one Spark file-set per tick into their
+hash-partitioned directories — correct, but a 30 s-cadence ingest loop
+accumulates thousands of small files per bucket, and probe listing
+cost then grows with tick count even when partition pruning works.
+``SnapshotTable.maybe_compact`` already bounds this for the lakehouse
+table; this module ports the same amortized discipline to the
+directory-layout stores.
+
+Crash safety is the parked-previous swap from ``operators/merge.py``
+(ParquetWarehouse's partition overwrite): the compacted replacement is
+written to a dot-prefixed sibling (invisible to Spark readers), the
+live directory is parked as ``.old-<name>``, the replacement renamed
+in, and the parked copy removed — every intermediate state either
+keeps the live directory intact or is repaired by :func:`heal`:
+
+- crash before the park: a stray ``.compact-*`` dir; live intact.
+- crash between park and rename-in: live missing, ``.old-`` holds the
+  previous content — heal restores it.
+- crash before the parked cleanup: live is the compacted content —
+  heal removes the leftover ``.old-``.
+
+``heal`` runs on index open (a crashed process reopens before it
+probes) and at the start of every compaction pass. Readers in OTHER
+processes racing a compaction can observe a missing directory for the
+instant between the two renames — single-writer ownership per index,
+the same contract every append already requires (two concurrent
+appends to one Spark parquet directory are unsafe anyway).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_OLD = ".old-"
+_TMP = ".compact-"
+
+
+def _data_files(d: str) -> list[str]:
+    """Parquet data files directly inside ``d`` (Spark writes flat
+    part-files per partition dir; _SUCCESS/_metadata/dotfiles are
+    bookkeeping, not data)."""
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    return [
+        n
+        for n in names
+        if not n.startswith((".", "_")) and not n.endswith(".crc")
+    ]
+
+
+def heal(root: str) -> None:
+    """Repair a crashed compaction under ``root`` (module docstring).
+    Parked dirs restore when their live twin is missing (crash between
+    the two renames), otherwise drop (the swap completed); stray
+    ``.compact-*`` temp dirs always drop (never renamed in)."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    # parked dirs FIRST: a crash between park and rename-in leaves
+    # both `.old-X` and `.compact-X`; restoring before sweeping temps
+    # keeps the store at its pre-compaction content
+    for n in names:
+        if n.startswith(_OLD):
+            live = os.path.join(root, n[len(_OLD):])
+            parked = os.path.join(root, n)
+            if os.path.isdir(live):
+                shutil.rmtree(parked)
+            else:
+                os.rename(parked, live)
+    for n in names:
+        if n.startswith(_TMP) and os.path.isdir(os.path.join(root, n)):
+            shutil.rmtree(os.path.join(root, n))
+
+
+def compact_dir(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    schema: str,
+    fold,
+    order_by: list[str],
+) -> None:
+    """Rewrite one directory's file-sets as a single sorted file via
+    the parked-previous swap. ``fold(df) -> df`` collapses rows that
+    accumulated across appends (duplicate membership/postings rows);
+    ``order_by`` sorts the survivors so the single output file is
+    run-length-friendly and min/max-stat-prunable on its sort key."""
+    live = os.path.join(root, name)
+    tmp = os.path.join(root, _TMP + name)
+    parked = os.path.join(root, _OLD + name)
+    df: DataFrame = spark.read.schema(schema).parquet(live)
+    out = fold(df).orderBy(*order_by).coalesce(1)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(live, parked)
+    os.rename(tmp, live)
+    shutil.rmtree(parked)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    prefix: str,
+    schema: str,
+    fold,
+    order_by: list[str],
+    max_files: int = 8,
+) -> int:
+    """Compact every ``<prefix>=<value>`` partition directory under
+    ``root`` holding more than ``max_files`` data files; heal first.
+    ``schema`` describes the rows WITHOUT the partition column (each
+    leaf dir is read directly, so the partition value lives only in
+    the directory name and survives the rewrite untouched). Returns
+    the number of directories compacted — the amortized contract is
+    one rewrite of a bucket per ``max_files`` appends to it, so probe
+    file-listing cost stays O(buckets), not O(ticks)."""
+    heal(root)
+    done = 0
+    if not os.path.isdir(root):
+        return 0
+    for n in sorted(os.listdir(root)):
+        if not n.startswith(prefix + "="):
+            continue
+        if len(_data_files(os.path.join(root, n))) <= max_files:
+            continue
+        compact_dir(spark, root, n, schema, fold, order_by)
+        done += 1
+    return done
+
+
+def compact_flat(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fold,
+    order_by: list[str],
+    max_files: int = 8,
+) -> bool:
+    """Compact an UNpartitioned append-parquet directory (the roster /
+    stats side-tables) with the same swap, treating the directory
+    itself as the unit: the rewrite lands in a dot-prefixed sibling
+    and swaps in under the parent. Returns True if compacted."""
+    parent, name = os.path.split(os.path.normpath(path))
+    heal(parent)
+    if len(_data_files(path)) <= max_files:
+        return False
+    compact_dir(spark, parent, name, schema, fold, order_by)
+    return True

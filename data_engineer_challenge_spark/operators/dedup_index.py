@@ -101,6 +101,12 @@ class MinHashIndex:
             # parameters would pass validation and then silently miss
             # every stored near-duplicate
             self._write_meta()
+        # repair a crashed compaction BEFORE any probe can read a
+        # half-swapped bucket (operators/compaction heal contract)
+        from .compaction import heal
+
+        heal(self._bands_dir())
+        heal(self._shingles_dir())
 
     # -- internals ---------------------------------------------------
 
@@ -285,3 +291,39 @@ class MinHashIndex:
             .filter(F.col("jaccard") >= self.meta["threshold"])
             .select("new_id", "dup_of", "jaccard")
         )
+
+    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+        """Streaming-loop housekeeping (the SnapshotTable
+        ``maybe_compact`` discipline): every ``bh_bucket=`` /
+        ``id_bucket=`` partition that accumulated more than
+        ``max_files_per_bucket`` append file-sets is rewritten as one
+        sorted file. Band postings collapse to distinct rows
+        (replays/heals re-append identical postings — membership
+        semantics); shingle rows collapse to one per id keeping the
+        lexicographically-largest shingle set, consistent with the
+        probe's deterministic max-jaccard fold over divergent copies.
+        Probe answers are unchanged; file-listing cost returns to
+        O(buckets). Crash-safe parked-previous swap
+        (operators/compaction; heals on reopen). Returns directories
+        rewritten."""
+        from .compaction import compact_partitioned
+
+        n = compact_partitioned(
+            self.spark,
+            self._bands_dir(),
+            "bh_bucket",
+            "band int, bh long, id long",
+            lambda df: df.distinct(),
+            ["band", "bh", "id"],
+            max_files=max_files_per_bucket,
+        )
+        n += compact_partitioned(
+            self.spark,
+            self._shingles_dir(),
+            "id_bucket",
+            "id long, hs array<bigint>",
+            lambda df: df.groupBy("id").agg(F.max("hs").alias("hs")),
+            ["id"],
+            max_files=max_files_per_bucket,
+        )
+        return n

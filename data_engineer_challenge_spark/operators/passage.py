@@ -209,6 +209,12 @@ class WindowHashIndex:
         # more and falls back to the shuffled join (see probe).
         self.broadcast_max_windows = int(broadcast_max_windows)
         self.meta = {"window": int(window), "h_buckets": int(h_buckets)}
+        # repair a crashed compaction BEFORE any probe can read a
+        # half-swapped bucket (operators/compaction heal contract)
+        from .compaction import heal
+
+        heal(self._windows_dir())
+        heal(self.path)
         meta_path = os.path.join(path, "meta", "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -352,3 +358,49 @@ class WindowHashIndex:
             return cut_islands(base, spans_to_islands(dup)).localCheckpoint()
         finally:
             wins.unpersist()
+
+    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+        """Streaming-loop housekeeping (the SnapshotTable
+        ``maybe_compact`` discipline ported to the directory store):
+        every ``h_bucket=`` partition that accumulated more than
+        ``max_files_per_bucket`` append file-sets is rewritten as ONE
+        file sorted by ``h`` — duplicate membership rows from replays
+        / heals collapse to the first owner, probe answers are
+        unchanged (membership semantics), and probe file-listing cost
+        returns to O(buckets) instead of O(ticks). The roster compacts
+        to its distinct ids the same way. Crash-safe via the
+        parked-previous swap (operators/compaction); a crash mid-pass
+        heals on the next open or compaction. Returns the number of
+        directories rewritten."""
+        from .compaction import compact_flat, compact_partitioned
+
+        def fold_windows(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy("h")
+                .agg(F.min(F.struct("doc_id", "pos")).alias("o"))
+                .select(
+                    "h",
+                    F.col("o.doc_id").alias("doc_id"),
+                    F.col("o.pos").alias("pos"),
+                )
+            )
+
+        n = compact_partitioned(
+            self.spark,
+            self._windows_dir(),
+            "h_bucket",
+            "h string, doc_id string, pos int",
+            fold_windows,
+            ["h"],
+            max_files=max_files_per_bucket,
+        )
+        if compact_flat(
+            self.spark,
+            self._docs_dir(),
+            "doc_id string",
+            lambda df: df.distinct(),
+            ["doc_id"],
+            max_files=max_files_per_bucket,
+        ):
+            n += 1
+        return n

@@ -137,6 +137,18 @@ def warc_ingest_tick(
     if index is not None:
         index.append(fresh, id_col="__iid", text_col="text")
         index.release()
+    # amortized small-file housekeeping AFTER the batch landed: a
+    # 30 s-cadence loop writes one file-set per tick per index store,
+    # and without this the probes' file-listing cost grows with tick
+    # count even when partition pruning works. Compaction is
+    # answer-preserving (membership folds) and crash-safe (a crash
+    # here heals on the next open); running it before the offset
+    # commit is fine — a crash between land and commit replays the
+    # batch idempotently regardless.
+    if index is not None:
+        index.maybe_compact()
+    if passage_index is not None:
+        passage_index.maybe_compact()
     # offset commits only after the batch landed: a throw above leaves
     # the trigger armed and the retry re-sees the same segments
     state.commit(state_key, snapshot)
