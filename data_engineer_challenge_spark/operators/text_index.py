@@ -1,0 +1,329 @@
+"""Persisted BM25 inverted index with partition-pruned probes — the
+text-retrieval member of the repo's persisted-index family
+(``MinHashIndex`` for near-dup dedup, ``IVFVectorIndex`` for ANN,
+``WindowHashIndex`` for passages).
+
+The batch query (``plans/text.docs_bm25_search``) recomputes TF/DF
+over the whole corpus per query set — right for one-shot jobs, wrong
+for a serving loop where each query set must rank without touching the
+historical text again. This index stores exactly what Okapi BM25
+scoring needs, once per ingested document:
+
+- ``postings/t_bucket=<pmod(hash(term), N)>/`` — one
+  ``(term, doc_id, tf, dl)`` row per distinct (term, document) pair.
+  The document length is DENORMALIZED onto every posting (one extra
+  long per row — Lucene's norms file folded into the postings), so a
+  probe never joins a doc-length table: the scan of the query terms'
+  buckets is the only data touched.
+- ``stats/`` — one ``(n_docs, sum_dl)`` row per append; probes fold
+  them into the corpus-wide ``N`` and ``avgdl`` (a tiny scan, O(number
+  of appends) rows, reset to one row by compaction).
+- ``meta/meta.json`` — the bucket count, validated on reopen (probing
+  with a different ``t_buckets`` would hash query terms into the wrong
+  partition dirs and silently miss every posting — the same guard as
+  MinHashIndex's banding parameters). The tokenizer is pinned by
+  construction: both append and the batch query share
+  ``functions/tokenize.word_tokens``.
+
+``probe(terms)`` computes the query terms' buckets (a driver-side list
+of ≤ len(terms) ints — driver-bounded by parameter, the same
+touched-bucket collect every pruned probe in this repo does), reads
+ONLY those ``t_bucket=`` partitions with the term filter pushed into
+the scan (non-empty PartitionFilters + PushedFilters, plan-pinned),
+pivots per-term TF per document, derives per-term DF from the pivoted
+frame, and scores with the SAME expression kernel the batch query
+compiles (:func:`bm25_score`) — one scoring definition, two consumers,
+zero drift; the registered ``inverted_index_probe`` query shares
+``docs_bm25_search``'s DuckDB oracle verbatim, so the hash equality
+proves the on-disk layout changes WHERE the bytes are read, not WHAT
+comes back.
+
+At 100 TB: index build is tokenize + one (term, doc) partial-aggregated
+shuffle + a partitioned write; a probe touches only the query terms'
+buckets and moves only rows for documents that contain a query term.
+Append contract: batches must be disjoint document sets (the ingest
+loop's exactly-once machinery provides this — streaming/ingest.py).
+TF/DF/DL scoring inputs are replay-TOLERANT by construction (the probe
+folds duplicate postings with ``max`` and derives DF from the folded
+frame), so a crashed-and-retried append converges for everything
+except the corpus stats row — the one piece that needs the caller's
+transactional replay guard, the same contract warehouse appends carry.
+
+Reference scope: the reference engine has no retrieval surface at all
+(SURVEY §2.10 — driven by BASELINE.json's search/retrieval north
+star); the scoring itself follows Robertson et al.'s Okapi BM25 in the
+Lucene idf form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import word_tokens
+from .similarity import _require_long_ids
+
+#: Okapi defaults, shared with plans/text.docs_bm25_search
+K1 = 1.2
+B = 0.75
+
+
+def bm25_score(terms: tuple[str, ...], k1: float = K1, b: float = B) -> Column:
+    """THE BM25 scoring expression — one definition compiled by both
+    the one-shot query (``docs_bm25_search``) and the index probe, so
+    the two paths produce bit-identical doubles from identical inputs.
+
+    Expects the consuming frame to carry ``tf{i}`` (long, 0 when the
+    doc lacks term i — never NULL), ``dl`` (long), ``n_docs`` (long),
+    ``avgdl`` (double) and ``df{i}`` (long). Per-term components sum
+    in FIXED term order (not sum-over-rows, whose accumulation order
+    would be partition-dependent); callers round to 6 dp before
+    ranking to absorb libm ln() ulps across engines."""
+    comp: Column | None = None
+    for i in range(len(terms)):
+        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        tfn = (tfi * F.lit(k1 + 1.0)) / (
+            tfi
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        term_score = F.when(tfi == 0, F.lit(0.0)).otherwise(idf * tfn)
+        comp = term_score if comp is None else comp + term_score
+    assert comp is not None, "bm25_score needs at least one term"
+    return comp
+
+
+class InvertedTextIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        t_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = {"t_buckets": int(t_buckets)}
+        meta_path = os.path.join(path, "meta", "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != self.meta:
+                raise ValueError(
+                    f"InvertedTextIndex at {path!r} was built with "
+                    f"{stored}; reopening with {self.meta} would hash "
+                    "query terms into the wrong partition dirs and "
+                    "silently miss every stored posting"
+                )
+        else:
+            # pin BEFORE data exists (crashed mid-build stays guarded)
+            os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.meta, f)
+            os.replace(tmp, meta_path)
+        # repair a crashed compaction BEFORE any probe can read a
+        # half-swapped bucket (operators/compaction heal contract)
+        from .compaction import heal
+
+        heal(self._postings_dir())
+        heal(self.path)
+
+    # -- internals ---------------------------------------------------
+
+    def _postings_dir(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    def _stats_dir(self) -> str:
+        return os.path.join(self.path, "stats")
+
+    def _bucket_expr(self, col: str = "term") -> Column:
+        """Partition key: ``pmod(hash(term), N)`` — Spark's Murmur3 of
+        a string is stable across sessions, so buckets written by one
+        process prune correctly in another."""
+        return F.pmod(F.hash(F.col(col)), F.lit(self.meta["t_buckets"]))
+
+    def _write(self, docs: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+        _require_long_ids(docs, id_col, "InvertedTextIndex")
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("ts"),
+        ).cache()
+        try:
+            # postings: tokenize map-side, then ONE partial-aggregated
+            # shuffle on (term, doc_id) — only distinct (term, doc)
+            # rows move, never the token stream
+            hits = base.select(
+                "doc_id",
+                F.size("ts").cast("long").alias("dl"),
+                F.explode("ts").alias("term"),
+            )
+            postings = (
+                hits.groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                .withColumn("t_bucket", self._bucket_expr())
+            )
+            postings.write.partitionBy("t_bucket").mode(mode).parquet(
+                self._postings_dir()
+            )
+            # corpus stats LAST: a crash between the two writes
+            # replays as duplicate postings (folded by the probe's
+            # max) + a single stats row — convergent. Counts all docs
+            # including empty ones, mirroring the batch query's corpus
+            # CTE exactly (avgdl over the WHOLE corpus).
+            row = base.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.size("ts").cast("long")).alias("sum_dl"),
+            ).collect()[0]
+            self.spark.createDataFrame(
+                [(row["n_docs"], row["sum_dl"] or 0)],
+                "n_docs long, sum_dl long",
+            ).coalesce(1).write.mode(
+                "overwrite" if mode == "overwrite" else "append"
+            ).parquet(self._stats_dir())
+        finally:
+            base.unpersist()
+
+    # -- public API ---------------------------------------------------
+
+    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Create the index from an initial corpus (overwrites)."""
+        self._write(docs, id_col, text_col, "overwrite")
+
+    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Incremental add of a DISJOINT batch (module docstring) —
+        new postings land in their buckets' partitions, one stats row
+        appends; no existing data is touched."""
+        self._write(docs, id_col, text_col, "append")
+
+    def probe(
+        self,
+        terms: tuple[str, ...] | list[str],
+        k1: float = K1,
+        b: float = B,
+        topk: int = 20,
+    ) -> DataFrame:
+        """Okapi BM25 top-k over the INDEX: ``(doc_id, score, rank)``
+        with the exact surface and semantics of ``docs_bm25_search``
+        for the same parameters — identical scoring expression
+        (:func:`bm25_score`), identical 6-dp rounding, identical
+        ``(score DESC, doc_id)`` tie-break — so the registered
+        ``inverted_index_probe`` query shares that oracle verbatim.
+
+        ``terms`` must already be normal-form tokens (lowercase
+        ``[a-z0-9]+`` — what ``word_tokens`` emits); a raw user query
+        normalizes by tokenizing it with the same function. The scan
+        reads only the terms' ``t_bucket=`` partitions."""
+        terms = tuple(terms)
+        # ≤ len(terms) ints, driver-bounded by parameter — the same
+        # touched-bucket collect every pruned probe in this repo does
+        touched = sorted(
+            r[0]
+            for r in self.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        )
+        postings = (
+            self.spark.read.schema(
+                "term string, doc_id long, tf long, dl long, t_bucket int"
+            )
+            .parquet(self._postings_dir())
+            .filter(F.col("t_bucket").isin(touched))
+            .filter(F.col("term").isin(*terms))
+        )
+        # pivot per-term TF per document; max folds the duplicate
+        # postings a replayed/healed append leaves (module docstring)
+        tf = postings.groupBy("doc_id").agg(
+            F.max("dl").alias("dl"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("tf"))),
+                    F.lit(0).cast("long"),
+                ).alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        # per-term DF from the pivoted frame (one row per doc, so the
+        # count is distinct by construction) — no second postings scan
+        dfs = tf.agg(
+            *[
+                F.count(F.when(F.col(f"tf{i}") > 0, 1))
+                .cast("long")
+                .alias(f"df{i}")
+                for i in range(len(terms))
+            ]
+        )
+        corpus = (
+            self.spark.read.schema("n_docs long, sum_dl long")
+            .parquet(self._stats_dir())
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            )
+        )
+        scored = tf.crossJoin(F.broadcast(corpus)).crossJoin(
+            F.broadcast(dfs)
+        )
+        ranked = scored.select(
+            "doc_id",
+            F.round(bm25_score(terms, k1, b), 6).alias("score"),
+        ).withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        return ranked.where(F.col("rank") <= topk)
+
+    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+        """Streaming-loop housekeeping (the SnapshotTable discipline):
+        fat ``t_bucket=`` partitions rewrite as ONE file sorted by
+        ``(term, doc_id)`` — duplicate postings from replayed appends
+        fold away (max, matching the probe's fold), term runs become
+        contiguous so the pushed term filter skips via min/max stats;
+        the stats table folds to a single corpus-totals row. Probe
+        answers unchanged; crash-safe parked-previous swap
+        (operators/compaction; heals on reopen)."""
+        from .compaction import compact_flat, compact_partitioned
+
+        def fold_postings(df: DataFrame) -> DataFrame:
+            return df.groupBy("term", "doc_id").agg(
+                F.max("tf").alias("tf"), F.max("dl").alias("dl")
+            )
+
+        n = compact_partitioned(
+            self.spark,
+            self._postings_dir(),
+            "t_bucket",
+            "term string, doc_id long, tf long, dl long",
+            fold_postings,
+            ["term", "doc_id"],
+            max_files=max_files_per_bucket,
+        )
+        if compact_flat(
+            self.spark,
+            self._stats_dir(),
+            "n_docs long, sum_dl long",
+            lambda df: df.agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            ),
+            ["n_docs"],
+            max_files=max_files_per_bucket,
+        ):
+            n += 1
+        return n

@@ -17,7 +17,7 @@ from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
 from ..operators.text_dedup import _CACHED_FRAMES
 from ..tables import load_table
 from . import register
-from .helpers import dec_avg_sql, dec_sum, dec_sum_sql, md5_long
+from .helpers import dec_avg_sql, dec_sum, dec_sum_sql, md5_long, scratch_dir
 
 # language marker words for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
@@ -1142,24 +1142,12 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     scored = tf.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(dfs))
-    comp = None
-    for i in range(len(_BM25_TERMS)):
-        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
-        )
-        tfn = (tfi * F.lit(_BM25_K1 + 1.0)) / (
-            tfi
-            + F.lit(_BM25_K1)
-            * (
-                F.lit(1.0)
-                - F.lit(_BM25_B)
-                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-            )
-        )
-        term_score = F.when(tfi == 0, F.lit(0.0)).otherwise(idf * tfn)
-        comp = term_score if comp is None else comp + term_score
+    # THE scoring kernel — shared with InvertedTextIndex.probe so the
+    # one-shot query and the persisted-index path compile the same
+    # expression tree (operators/text_index.bm25_score)
+    from ..operators.text_index import bm25_score
+
+    comp = bm25_score(_BM25_TERMS, _BM25_K1, _BM25_B)
     from pyspark.sql.window import Window
 
     ranked = scored.select(
@@ -1171,6 +1159,42 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.where(F.col("rank") <= _BM25_TOPK)
+
+
+@register(
+    "inverted_index_probe",
+    # r7: the 50th driver slot — the PERSISTED BM25 inverted index
+    # (t_bucket= postings, pruned probe, incremental append) must land
+    # on the exact same rows as the one-shot TF/DF recompute, so it
+    # shares docs_bm25_search's oracle verbatim (same terms, k1/b,
+    # top-k) — the ivf_index_probe pattern for the retrieval tier
+    oracle=_BM25_ORACLE,
+)
+def inverted_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index BM25 under the hash check: build an
+    ``InvertedTextIndex`` over the documents table (tokenize + one
+    partial-aggregated (term, doc_id) shuffle + a ``t_bucket=``
+    partitioned write, doc length denormalized onto the postings),
+    probe the standard query terms, and return the same
+    ``(doc_id, score, rank)`` surface as ``docs_bm25_search`` — the
+    oracle is shared verbatim, so the equality proves the on-disk
+    layout + touched-bucket pruning change WHERE the bytes are read,
+    not WHAT comes back. The probe's postings scan carries non-empty
+    PartitionFilters AND the term filter pushed to the parquet reader
+    (plan-pinned in tests/test_scale_patterns.py). Scoring compiles
+    the SAME expression kernel as the one-shot query
+    (operators/text_index.bm25_score — one definition, zero drift).
+
+    Fresh throwaway index per call (driver and bench call queries
+    repeatedly); cost is one tokenize + postings pass over the corpus.
+    The incremental append / compaction paths are exercised by
+    tests/test_operators.py."""
+    from ..operators.text_index import InvertedTextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = InvertedTextIndex(spark, scratch_dir("inv_idx_"))
+    idx.build(docs)
+    return idx.probe(_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK)
 
 
 # ---------------------------------------------------------------------------

@@ -1352,3 +1352,43 @@ def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
     }
     idx.release()
     assert got == want
+
+
+def test_inverted_index_probe_prunes_buckets_and_pushes_terms(
+    spark, tmp_path
+):
+    """The BM25 probe's postings FileScan must carry BOTH a non-empty
+    PartitionFilters on t_bucket (reads only the query terms' bucket
+    dirs — a strict subset) AND the term IN-list pushed to the parquet
+    reader (row-group skipping via min/max once compaction sorts by
+    term)."""
+    import re as _re
+
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    idx = InvertedTextIndex(spark, str(tmp_path / "inv"), t_buckets=16)
+    corpus = spark.createDataFrame(
+        [(i, f"filler{i} words spark window vector doc body {i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx.build(corpus)
+    probed = idx.probe(("spark", "window", "vector"), topk=5)
+    assert probed.count() == 5
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # match on the partition column, not the path: toString truncates
+    # long Location strings before the "postings" dir name
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "t_bucket" in l
+    ]
+    assert scans, plan
+    for s in scans:
+        pf = s.split("PartitionFilters: [")[1].split("]")[0]
+        in_list = _re.search(r"t_bucket#\d+ IN \(([^)]*)\)", pf)
+        assert in_list, pf
+        assert 0 < len(in_list.group(1).split(",")) < 16  # strict subset
+        pushed = s.split("PushedFilters: [")[1].split("]")[0]
+        assert "In(term" in pushed, pushed
