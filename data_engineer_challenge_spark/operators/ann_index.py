@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import similarity as _sim
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
 
@@ -98,6 +99,21 @@ class IVFVectorIndex:
 
     def _assigned(self, corpus: DataFrame) -> DataFrame:
         _require_long_ids(corpus, self.id_col, "IVFVectorIndex")
+        if len(self.centroids) >= _sim.ARROW_ASSIGN_MIN_K:
+            # production cell counts: the bit-identical Arrow kernel
+            # (similarity.ARROW_ASSIGN_MIN_K — the expression argmax
+            # inlines one struct per centroid and dominates the build
+            # past the measured k~160 crossover)
+            from .similarity import assign_cells_vectorized
+
+            return assign_cells_vectorized(
+                corpus,
+                self.centroids,
+                id_col=self.id_col,
+                vec=self.vec_col,
+            ).select(
+                self.id_col, self.vec_col, F.col("cell").alias("cid")
+            )
         return corpus.select(
             self.id_col,
             self.vec_col,

@@ -93,6 +93,18 @@ def neardup_pairs_blocked(
     )
 
 
+#: centroid count at which map-only cell assignment auto-switches from
+#: the literal-expression argmax (:func:`nearest_centroid`) to the
+#: Arrow kernel (:func:`assign_cells_vectorized`). The two are
+#: bit-identical (test-pinned); the expression form inlines one struct
+#: per centroid into the projection — fine at k=16, binding by k~160
+#: (measured at 10x corpus: 21.2 s expression vs 1.8 s kernel for the
+#: retrained k=160 quantizer, SCALE.md), impossible at production
+#: SemDeDup cell counts (k ~ 1e5). 48 sits safely below the measured
+#: crossover; callers can still force either form explicitly.
+ARROW_ASSIGN_MIN_K = 48
+
+
 def _lit_vec(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
@@ -185,7 +197,7 @@ def kmeans_centroids(
     iters: int = 8,
     seed: int = 42,
     sample_mod: int | None = None,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
 ) -> list[list[float]]:
     """Deterministic seeded Lloyd k-means — the external coarse
     quantizer for IVF.
@@ -205,6 +217,10 @@ def kmeans_centroids(
     acceptable at k=16 and the dominant cost of a k=160 retrain; at
     production cell counts the kernel is the only viable form.
     """
+    if vectorized is None:
+        # auto: past the measured crossover the expression argmax is
+        # the dominant cost of a retrain — default to the kernel there
+        vectorized = k >= ARROW_ASSIGN_MIN_K
     base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
     if sample_mod:
         base = base.filter(F.pmod(F.xxhash64(F.lit(seed + 1), "__id"), sample_mod) == 0)
@@ -257,9 +273,21 @@ def ivf_topk(
     :func:`brute_force_topk`.
     """
     if centroids is not None:
-        assigned = corpus.withColumn(
-            "__coarse", nearest_centroid(F.col(vec), centroids)
-        )
+        if len(centroids) >= ARROW_ASSIGN_MIN_K:
+            # past the measured crossover the expression argmax
+            # dominates the whole query — take the bit-identical
+            # Arrow kernel by default (ARROW_ASSIGN_MIN_K)
+            assigned = (
+                assign_cells_vectorized(
+                    corpus, centroids, id_col=corpus_id, vec=vec
+                )
+                .withColumnRenamed("cell", "__coarse")
+                .drop("__n2")
+            )
+        else:
+            assigned = corpus.withColumn(
+                "__coarse", nearest_centroid(F.col(vec), centroids)
+            )
         # array<double>, matching nearest_centroid's float64 literals:
         # a float32 column here would silently round the probe-side
         # cosines for any externally-trained (non-f32-representable)
@@ -832,7 +860,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     order_col: str | None = None,
     order_desc: bool = False,
-    vectorized_assign: bool = False,
+    vectorized_assign: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): bucket the corpus by nearest coarse-quantizer
@@ -874,17 +902,26 @@ def semantic_dedup(
     the cross-engine oracle story needs bit-stable comparisons, which
     integers give for free.
 
-    ``vectorized_assign=True`` swaps the literal-argmax projection for
-    the Arrow kernel (:func:`assign_cells_vectorized`, bit-identical —
-    test-pinned): the expression form inlines one struct per centroid,
-    fine at k=16, binding by k~160, impossible at production cell
-    counts (k ~ 10^5)."""
+    ``vectorized_assign`` picks the assignment engine: the literal-
+    argmax projection (False) or the Arrow kernel
+    (:func:`assign_cells_vectorized`, bit-identical — test-pinned).
+    The default (None) AUTO-SWITCHES to the kernel at
+    ``ARROW_ASSIGN_MIN_K`` centroids (id-keep mode only — the kernel
+    does not carry order_col): the expression form inlines one struct
+    per centroid, fine at k=16, measured binding at k=160 (21.2 s vs
+    1.8 s at 10x corpus, SCALE.md), impossible at production cell
+    counts (k ~ 10^5), so the production regime takes the kernel
+    WITHOUT the caller opting in."""
     # each vector's squared norm is computed ONCE here and carried
     # through the join: the pair filter then folds one dot product per
     # candidate instead of three (dot + both norms) — identical floats
     # (norm_sq reuse is the same left-fold value), ~3x less expression
     # work on the quadratic-in-cell part of the plan
     extra = [F.col(order_col).alias("__o")] if order_col else []
+    if vectorized_assign is None:
+        vectorized_assign = (
+            order_col is None and len(centroids) >= ARROW_ASSIGN_MIN_K
+        )
     if vectorized_assign:
         if order_col:
             # the kernel ships (id, vec) only; join the order column

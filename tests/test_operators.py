@@ -510,3 +510,48 @@ def test_inverted_text_index_compaction_bounds_files(spark, tmp_path):
     assert len(_data_files(str(tmp_path / "c" / "stats"))) == 1
     got = [tuple(r) for r in idx.probe(("spark", "common")).collect()]
     assert got == want
+
+
+def test_assignment_auto_switches_to_arrow_kernel(spark, monkeypatch):
+    """Past ARROW_ASSIGN_MIN_K centroids the default paths (semantic
+    dedup, ivf_topk, IVFVectorIndex build) take the Arrow kernel with
+    NO caller opt-in, and land on exactly the rows the expression
+    argmax produces — the threshold changes how assignment executes,
+    never what comes back."""
+    import tempfile
+
+    from data_engineer_challenge_spark.operators import similarity as sim
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id as q_id", "embedding"
+    )
+
+    def run_all():
+        sd = sorted(map(tuple, sim.semantic_dedup(
+            emb, CENTROIDS, threshold=0.35
+        ).collect()))
+        ivf = sorted(map(tuple, sim.ivf_topk(
+            queries, emb.selectExpr("vec_id as c_id", "embedding"),
+            n_probe=4, k=5, centroids=CENTROIDS,
+        ).collect()))
+        idx = IVFVectorIndex(
+            spark, tempfile.mkdtemp() + "/ivfauto", CENTROIDS
+        )
+        idx.build(emb)
+        probed = sorted(map(tuple, idx.probe(
+            queries, k=5, n_probe=4
+        ).collect()))
+        return sd, ivf, probed
+
+    # expression form (threshold far above the frozen k=16 quantizer)
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_K", 10_000)
+    want = run_all()
+    # kernel form (threshold below k=16 → every default path switches)
+    monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_K", 1)
+    got = run_all()
+    assert got == want
