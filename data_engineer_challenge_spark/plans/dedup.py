@@ -718,21 +718,34 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_idx"),
         )
     )
-    return (
-        base.join(per_doc, "doc_id")
-        .withColumn("segs", segments(F.col("text")))
-        .select(
-            "doc_id",
-            "n_segs",
-            "n_kept",
-            F.array_join(
-                F.transform(
-                    F.col("kept_idx"),
-                    lambda i: F.element_at(F.col("segs"), i + 1),
-                ),
-                " ",
-            ).alias("dedup_text"),
-        )
+    # Reassembly, re-shaped after the 10x smoke diagnosis (4.37x):
+    # two pathologies stacked on the old post-join recompute —
+    # (1) withColumn("segs") + element_at-per-kept-index got
+    #     projection-collapsed, so segments(text) (full tokenize +
+    #     slice) re-evaluated PER KEPT INDEX per row;
+    # (2) at smoke scale AQE flips the join to broadcast the (small
+    #     file) TEXT side and coalesces the decision side to ONE
+    #     partition, serialising whatever projection sits above the
+    #     join.
+    # Fix for both: evaluate segments(text) exactly once, MAP-SIDE on
+    # the scan (always partition-parallel, any scale), and ship the
+    # segs array through the join instead of raw text — same payload
+    # bytes (segs IS the tokenized text), so the at-scale story is
+    # unchanged: one payload shuffle, ids-only decision shuffles.
+    # filter's (element, index) lambda then only scans the small
+    # sorted kept_idx ints per segment.
+    with_segs = base.select("doc_id", segments(F.col("text")).alias("segs"))
+    return with_segs.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.array_join(
+            F.filter(
+                F.col("segs"),
+                lambda s, i: F.array_contains(F.col("kept_idx"), i),
+            ),
+            " ",
+        ).alias("dedup_text"),
     )
 
 
