@@ -27,6 +27,8 @@ if REPO_ROOT not in sys.path:
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/scale10"
 COPIES = 10
+OUT30 = "/tmp/scale30"
+COPIES30 = 30
 # full [a-z0-9] Caesar rotation (step 3 per copy): EVERY token
 # changes between copies, so cross-copy Jaccard/SimHash similarity
 # collapses and the near-dup structure stays per-copy-shaped instead
@@ -328,13 +330,175 @@ def semantic_dedup_scale(spark) -> list[tuple[str, float, int, int]]:
     big = spark.read.parquet(f"{OUT}/embeddings.parquet")
     k160 = kmeans_centroids(big, k=160, iters=4, sample_mod=4, vectorized=True)
     run("10x, retrained k=160, expression argmax", OUT, k160)
+    # vectorized=None = the DEFAULT path: k=160 >= ARROW_ASSIGN_MIN_K,
+    # so the auto-switch takes the Arrow kernel with no caller opt-in
     run(
-        "10x, retrained k=160, Arrow assignment kernel",
+        "10x, retrained k=160, default path (auto Arrow kernel)",
         OUT,
         k160,
-        vectorized=True,
+        vectorized=None,
     )
     return out
+
+
+def build_corpus30(spark) -> None:
+    """30x documents + embeddings only (the 30x tier skips events).
+
+    Rotation step is 5 per copy (gcd(5, 36) = 1, so all 30 copies get
+    DISTINCT [a-z0-9] rotations — the 10x builder's step-3 would
+    collide at copy 12 and fabricate exact cross-copy duplicates);
+    embeddings rotate components by copy index (distinct for 30 copies
+    at dim >= 30, norm-preserving, decorrelating)."""
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(OUT30, ignore_errors=True)
+    os.makedirs(OUT30)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for i in range(COPIES30):
+        r = (i * 5) % len(ALPHA)
+        rot = ALPHA[r:] + ALPHA[:r]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                F.translate("text", ALPHA, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(f"{OUT30}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for i in range(COPIES30):
+        k = i % dim
+        vec = (
+            F.col("embedding")
+            if k == 0
+            else F.concat(
+                F.slice("embedding", k + 1, dim - k),
+                F.slice("embedding", 1, k),
+            )
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 100_000_000).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.parquet(f"{OUT30}/embeddings.parquet")
+
+
+#: the volume-binding tier the 30x smoke re-measures (VERDICT r6 #6):
+#: the 10x table is fixed-overhead-dominated; 30x starts binding data
+#: volume on exactly the dedup/ANN paths the 100 TB narrative leans on
+QUERIES30 = [
+    "docs_minhash_neardup",
+    "docs_exact_substring_dedup",
+    "emb_semantic_dedup",
+    "ivf_index_probe",
+]
+
+
+def ivf_recall30(spark) -> list[tuple[str, float, float]]:
+    """(config, probe sec, recall@10 vs exact brute force) at 30x.
+
+    Two rows: the frozen k=16 / n_probe=12 registered config (75% of
+    lists probed — pruning barely bites, recall should be ~1), and a
+    retrained k=240 / n_probe=24 quantizer (10% of lists probed — the
+    production list-pruning regime the fixed quantizer can't reach)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+
+    emb = spark.read.parquet(f"{OUT30}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(queries, corpus, k=10).collect()
+    }
+    rows = []
+    k240 = kmeans_centroids(emb, k=240, iters=4, sample_mod=8)
+    for label, cents, n_probe in [
+        ("frozen k=16, n_probe=12 (registered)", CENTROIDS, 12),
+        ("retrained k=240, n_probe=24 (10% of lists)", k240, 24),
+    ]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in ivf_topk(
+                queries, corpus, n_probe=n_probe, k=10, centroids=cents
+            ).collect()
+        }
+        dt = time.perf_counter() - t0
+        rows.append((label, round(dt, 3), len(got & exact) / len(exact)))
+    return rows
+
+
+def tier30(spark) -> tuple[list, tuple, list, list]:
+    """Run the 30x tier; returns (query rows, funnel, recall rows,
+    semantic rows)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.similarity import (
+        kmeans_centroids,
+        nearest_centroid,
+        semantic_dedup,
+    )
+
+    build_corpus30(spark)
+    rows = []
+    for name in QUERIES30:
+        b = plans.REGISTRY[name].builder
+        t1, n1 = timed(spark, b, BASE)
+        t30, n30 = timed(spark, b, OUT30)
+        rows.append((name, t1, n1, t30, n30, round(t30 / t1, 2)))
+        print("30x", name, t1, n1, t30, n30, flush=True)
+
+    c30, s30 = minhash_funnel(spark, OUT30)
+    recall = ivf_recall30(spark)
+
+    # semantic dedup under the k ∝ N contract at 30x: retrained k=480,
+    # DEFAULT assignment path (auto-switches to the Arrow kernel past
+    # ARROW_ASSIGN_MIN_K=48 — this row exercises the registered
+    # default, not an opt-in)
+    emb = spark.read.parquet(f"{OUT30}/embeddings.parquet")
+    k480 = kmeans_centroids(emb, k=480, iters=4, sample_mod=8)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    res = semantic_dedup(emb, k480, threshold=0.35)
+    res.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    dropped = res.where(~F.col("is_kept")).count()
+    pairs = (
+        emb.withColumn("cell", nearest_centroid(F.col("embedding"), k480))
+        .groupBy("cell")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long"))
+        .collect()[0][0]
+    )
+    sem = [("30x, retrained k=480, default path", round(dt, 3),
+            int(pairs), int(dropped))]
+    return rows, (c30, s30), recall, sem
 
 
 def main() -> None:
@@ -374,6 +538,7 @@ def main() -> None:
     kv1_t, kv1 = kmv_accuracy(spark, BASE)
     kv10_t, kv10 = kmv_accuracy(spark, OUT)
     sd_rows = semantic_dedup_scale(spark)
+    t30_rows, (c30, s30), recall30, sem30 = tier30(spark)
 
     with open(os.path.join(REPO_ROOT, "SCALE.md"), "w") as f:
         f.write(
@@ -479,6 +644,42 @@ def main() -> None:
             "|---|---|---|---|\n"
         )
         for label, dt, pairs, dropped in sd_rows:
+            f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
+        f.write(
+            "\n## 30x tier — volume starts binding (VERDICT r6 #6)\n\n"
+            "Corpus: sf0.1 documents x30 (150,000 rows; step-5 "
+            "rotations, all 30 DISTINCT — step 3 would collide at copy "
+            "12) and embeddings x30 (60,000 rows; per-copy component "
+            "rotation). The 10x table is fixed-overhead-dominated; "
+            "this tier re-measures only the dedup/ANN paths the "
+            "100 TB narrative leans on, same method (warmup, noop "
+            "sink, min of 2, caches cleared). A linear engine would "
+            "show ~3x the 10x wall; ratios are vs 1x.\n\n"
+            "| query | 1x sec | 30x sec | 30x rows | time ratio |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for name, t1, n1, t30, n30, r in t30_rows:
+            f.write(f"| `{name}` | {t1} | {t30} | {n30} | {r}x |\n")
+        f.write(
+            "\n**MinHash funnel at 30x** (same 63-hash/21-band "
+            "config):\n\n"
+            "| scale | banded candidate pairs | verified (j >= 0.8) | "
+            "survival |\n|---|---|---|---|\n"
+            f"| 30x | {c30} | {s30} | {s30 / max(c30, 1):.2%} |\n"
+            "\n**IVF recall@10 vs exact brute force at 30x** "
+            "(vec_id%500 query set):\n\n"
+            "| config | probe sec | recall@10 |\n|---|---|---|\n"
+        )
+        for label, dt, rec in recall30:
+            f.write(f"| {label} | {dt} | {rec:.3f} |\n")
+        f.write(
+            "\n**SemDeDup at 30x under the k ∝ N contract** "
+            "(retrained quantizer, the registered DEFAULT assignment "
+            "path — auto Arrow kernel past ARROW_ASSIGN_MIN_K):\n\n"
+            "| config | sec | within-cell pairs | dropped |\n"
+            "|---|---|---|---|\n"
+        )
+        for label, dt, pairs, dropped in sem30:
             f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
     print("wrote SCALE.md")
 
