@@ -654,7 +654,14 @@ def main() -> None:
             "this tier re-measures only the dedup/ANN paths the "
             "100 TB narrative leans on, same method (warmup, noop "
             "sink, min of 2, caches cleared). A linear engine would "
-            "show ~3x the 10x wall; ratios are vs 1x.\n\n"
+            "show ~3x the 10x wall; ratios are vs 1x. NOTE: "
+            "`emb_semantic_dedup`'s registered config FREEZES the "
+            "k=16 quantizer (the sf0.01 oracle shape), so its 30x row "
+            "deliberately shows the documented wrong shape — "
+            "within-cell pair work is quadratic, 30x density per cell "
+            "is ~900x pair volume. The k ∝ N contract row below "
+            "(retrained k=480, default Arrow-kernel path) is the "
+            "shape production runs at this scale.\n\n"
             "| query | 1x sec | 30x sec | 30x rows | time ratio |\n"
             "|---|---|---|---|---|\n"
         )
