@@ -5,9 +5,10 @@ no external library at all: uncompressed BMP and binary PPM images
 (struct + numpy), PNG (the DEFLATE stream is stdlib ``zlib``; the five
 scanline filters are plain arithmetic), and PCM WAV audio (the stdlib
 ``wave`` module). These make the multimodal pipeline genuinely
-runnable end-to-end; the remaining compressed formats (JPEG/MP3/H.264
-— entropy coding + DCT, not honestly reimplementable here) stay the
-documented injection seam — :func:`stdlib_decode` raises
+runnable end-to-end, and JPEG (baseline AND progressive Huffman DCT)
+decodes natively via the from-spec codec in ``operators/jpeg.py``.
+The remaining compressed formats (arithmetic-coded JPEG, MP3, H.264)
+stay the documented injection seam — :func:`stdlib_decode` raises
 ``NotImplementedError`` for them exactly like the bare seam did for
 everything.
 
@@ -310,10 +311,10 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
 
 def stdlib_decode(payload: bytes, kind: str) -> list[float]:
     """DecodeFn over the formats this environment can honestly decode:
-    BMP/PPM/PNG/baseline-JPEG images, PCM WAV audio. Anything else
-    (progressive JPEG, MP3, video codecs) raises
-    ``NotImplementedError`` — that part of the seam still wants an
-    injected Pillow/ffmpeg-backed callable."""
+    BMP/PPM/PNG images, baseline + progressive Huffman JPEG, PCM WAV
+    audio. Anything else (arithmetic-coded JPEG, MP3, video codecs)
+    raises ``NotImplementedError`` — that part of the seam still wants
+    an injected Pillow/ffmpeg-backed callable."""
     if payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
     if payload[:2] == b"P6":

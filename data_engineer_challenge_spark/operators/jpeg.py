@@ -9,9 +9,14 @@ sequential DCT process from the public specification: segment parsing
 expansion, dequantization, 8×8 inverse DCT (a precomputed separable
 transform matrix — two numpy matmuls per block), chroma upsampling for
 4:2:0/4:2:2/4:4:4 sampling, restart-marker resync, and JFIF YCbCr→RGB.
-Progressive (SOF2) and arithmetic-coded streams raise
-``NotImplementedError`` and fall back to the injection seam, exactly
-like the unsupported PNG/BMP variants do.
+
+Progressive DCT (SOF2, T.81 Annex G) decodes natively too: spectral
+selection bands, successive approximation (DC first/refine, AC
+first/refine with EOB-run accumulation and correction bits per
+G.1.2.2-G.1.2.3), multi-scan coefficient accumulation, and one shared
+batched reconstruction. Arithmetic-coded and lossless processes
+(SOF3/5-7/9-11/13-15) raise ``NotImplementedError`` and fall back to
+the injection seam, exactly like the unsupported PNG/BMP variants do.
 
 The encoder exists so the codec is testable without third-party
 libraries (the same posture as ``encode_png``/``encode_bmp``): 4:4:4
@@ -185,7 +190,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ``IndexError``/``struct.error`` would fail the whole Spark stage."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as ex:
+    except (IndexError, KeyError, struct.error) as ex:
         raise ValueError(f"truncated or corrupt JPEG: {ex}") from None
 
 
@@ -196,6 +201,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (H, W, comps) with comps = [(id, hi, vi, tq)]
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (BH, BW, 64)
     restart = 0
     i = 2
     while i < len(data):
@@ -230,7 +237,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 t = np.zeros(64, dtype=np.int32)
                 t[_ZIGZAG] = vals  # stored zigzag -> natural order
                 qt[tq] = t.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -238,12 +246,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_id))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "Huffman (SOF0/SOF1) is built in — inject a decoder "
-                "for progressive/arithmetic streams"
+                f"JPEG SOF{marker - 0xC0}: only Huffman DCT processes "
+                "(baseline SOF0/SOF1, progressive SOF2) are built in — "
+                "inject a decoder for arithmetic/lossless streams"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -262,17 +270,210 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
-                scan_tables[cs] = (td, ta)
+                scan_comps.append((cs, td, ta))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            approx = seg[3 + 2 * ns]
+            ah, al = approx >> 4, approx & 15
             intervals, i = _split_scan(data, i)
-            return _decode_scan(
-                frame, qt, huff_dc, huff_ac, scan_tables,
-                intervals, restart,
+            if not progressive:
+                return _decode_scan(
+                    frame, qt, huff_dc, huff_ac,
+                    {cs: (td, ta) for cs, td, ta in scan_comps},
+                    intervals, restart,
+                )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            _decode_prog_scan(
+                frame, coefs, huff_dc, huff_ac, scan_comps,
+                ss, se, ah, al, intervals, restart,
             )
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, qt, coefs)
     raise ValueError("JPEG has no scan data")
+
+
+def _alloc_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient accumulators for progressive scans,
+    ZIGZAG order (band indices Ss..Se address zigzag positions), sized
+    to the MCU-padded block grid so interleaved DC scans and
+    non-interleaved AC scans address the same arrays."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for cid, hi, vi, _ in comps
+    }
+
+
+def _ac_first(reader, act, coef, ss, se, al, eobrun) -> int:
+    """One block of an AC first scan (T.81 G.1.2.2): run-length +
+    EOB-run decoding into the Ss..Se band, values shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC overrun")
+        coef[k] = _extend(reader.read(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, act, coef, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (T.81 G.1.2.3): correction
+    bits for already-nonzero coefficients, new ±1<<Al insertions after
+    runs of zero-HISTORY positions, EOB-run bookkeeping."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                # per G.1.2.3 size is always 1 in a refinement scan
+                val = p1 if reader.read(1) else m1
+            # advance over zero-history coefficients; already-nonzero
+            # positions receive a correction bit and don't count
+            while True:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+                if k > se:
+                    break
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run every remaining nonzero coefficient in
+        # the band still carries one correction bit
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.read(1) and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(frame, coefs, huff_dc, huff_ac, scan_comps,
+                      ss, se, ah, al, intervals, restart) -> None:
+    """Accumulate one progressive scan into the coefficient arrays.
+
+    Interleaved scans (ns > 1, DC only per A.2.3) advance in MCU
+    units; single-component scans advance over the component's own
+    ceil(cw/8) x ceil(ch/8) block grid (A.2.2). Restart intervals
+    count those units and reset DC predictors and the EOB run."""
+    h, w, comps = frame
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if len(scan_comps) > 1:
+        if ss != 0:
+            raise ValueError("JPEG interleaved AC scan is illegal")
+        units = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for cs, td, ta in scan_comps:
+                _, hi, vi, _ = by_id[cs]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blocks.append(
+                            (cs, my * vi + by, mx * hi + bx, td, ta)
+                        )
+            units.append(blocks)
+    else:
+        cs, td, ta = scan_comps[0]
+        _, hi, vi, _ = by_id[cs]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        units = [
+            [(cs, b // bw, b % bw, td, ta)] for b in range(bh * bw)
+        ]
+    per_interval = restart if restart else len(units)
+    u = 0
+    for interval in intervals:
+        if u >= len(units):
+            break
+        reader = _BitReader(interval)
+        preds = {cs: 0 for cs, _, _ in scan_comps}
+        eobrun = 0
+        for _ in range(min(per_interval, len(units) - u)):
+            for cs, by, bx, td, ta in units[u]:
+                coef = coefs[cs][by, bx]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        s = _huff_decode(reader, huff_dc[td])
+                        preds[cs] += _extend(reader.read(s), s)
+                        coef[0] = preds[cs] << al
+                    elif reader.read(1):
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+            u += 1
+    if u < len(units):
+        raise ValueError("JPEG progressive scan truncated")
+
+
+def _reconstruct_progressive(frame, qt, coefs) -> np.ndarray:
+    """Dequantize + batched IDCT of the accumulated coefficients; one
+    shared reconstruction regardless of how many scans contributed."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, hi, vi, tq_id in comps:
+        z = coefs[cid]
+        bh, bw = z.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = z  # dezigzag
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[tq_id]
+        px = _A.T @ blocks @ _A + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble(comps, planes, h, w, hmax, vmax)
 
 
 def _decode_scan(frame, qt, huff_dc, huff_ac, scan_tables,
@@ -328,7 +529,13 @@ def _decode_scan(frame, qt, huff_dc, huff_ac, scan_tables,
                         x0 = (mx * hi + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu += 1
-    # upsample each component to full-resolution grid, crop to (h, w)
+    return _assemble(comps, planes, h, w, hmax, vmax)
+
+
+def _assemble(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to the full-resolution grid, crop
+    to (h, w), and color-convert (shared by the baseline and
+    progressive paths)."""
     chans = []
     for cid, hi, vi, _ in comps:
         p = planes[cid]
@@ -387,17 +594,18 @@ def _fixed_tables() -> tuple[list[int], bytes, list[int], bytes,
                              dict, dict]:
     """Self-defined fixed-length code tables (module docstring): DC
     categories 0..11 as canonical 5-bit codes, every valid AC (run,
-    size) symbol as a canonical 8-bit code. Neither set reaches the
+    size) symbol plus the progressive EOBn symbols (r<<4 with size 0,
+    r = 0..14) as canonical 8-bit codes. Neither set reaches the
     all-ones code of its length."""
     dc_counts = [0] * 16
     dc_counts[4] = 12  # twelve 5-bit codes
     dc_syms = bytes(range(12))
     dc_enc = {s: (5, c) for c, s in enumerate(dc_syms)}
-    ac_list = [0x00, 0xF0] + [
+    ac_list = [r << 4 for r in range(15)] + [0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
     ac_counts = [0] * 16
-    ac_counts[7] = len(ac_list)  # 162 8-bit codes
+    ac_counts[7] = len(ac_list)  # 176 8-bit codes
     ac_syms = bytes(ac_list)
     ac_enc = {s: (8, c) for c, s in enumerate(ac_list)}
     return dc_counts, dc_syms, ac_counts, ac_syms, dc_enc, ac_enc
@@ -417,9 +625,14 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     )
 
 
-def _encode_block(writer, block, q, pred, dc_enc, ac_enc) -> int:
+def _block_coefs(block, q) -> np.ndarray:
+    """FDCT + quantize one 8x8 block -> 64 zigzag-ordered ints."""
     coefs = np.round(_fdct2(block.astype(np.float64) - 128.0) / q)
-    coefs = coefs.astype(np.int64).reshape(64)[_ZIGZAG]  # zigzag order
+    return coefs.astype(np.int64).reshape(64)[_ZIGZAG]
+
+
+def _encode_block(writer, coefs, pred, dc_enc, ac_enc) -> int:
+    """Baseline sequential entropy coding of one zigzag coef vector."""
     dc = int(coefs[0])
     diff = dc - pred
     s = _category(diff)
@@ -449,9 +662,112 @@ def _encode_block(writer, block, q, pred, dc_enc, ac_enc) -> int:
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline 4:4:4 JPEG of an ``(H, W, 3)`` RGB or ``(H, W)``
-    grayscale uint8 array."""
+# ------------------------------------------- progressive scan emitters
+
+
+class _ProgACState:
+    """EOB-run + buffered-correction-bit state shared across blocks of
+    one progressive AC scan (T.81 G.1.2.2-G.1.2.3 encode side)."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed at next EOBn
+
+    def flush(self, writer, ac_enc) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            ln, code = ac_enc[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(self.eobrun - (1 << nbits), nbits)
+            for b in self.pending:
+                writer.write(b, 1)
+            self.pending.clear()
+            self.eobrun = 0
+
+
+def _emit_ac_first(writer, ac_enc, coefs, ss, se, al, st) -> None:
+    """AC first scan for one block: point-transformed band Ss..Se."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coefs[k])
+        if v < 0:
+            t = (-v) >> al
+            t2 = ~t
+        else:
+            t = v >> al
+            t2 = t
+        if t == 0:
+            r += 1
+            continue
+        st.flush(writer, ac_enc)
+        while r > 15:
+            ln, code = ac_enc[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        ln, code = ac_enc[(r << 4) | nbits]
+        writer.write(code, ln)
+        writer.write(t2 & ((1 << nbits) - 1), nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush(writer, ac_enc)
+
+
+def _emit_ac_refine(writer, ac_enc, coefs, ss, se, al, st) -> None:
+    """AC refinement scan for one block: newly-significant ±1
+    insertions plus correction bits for history-nonzero positions."""
+    absval = [abs(int(coefs[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for idx, t in enumerate(absval):
+        if t == 1:
+            eob = idx + 1
+    r = 0
+    br: list[int] = []  # this block's buffered correction bits
+    for idx, t in enumerate(absval):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx < eob:
+            st.flush(writer, ac_enc)
+            ln, code = ac_enc[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:  # history-nonzero: owes one correction bit
+            br.append(t & 1)
+            continue
+        st.flush(writer, ac_enc)
+        ln, code = ac_enc[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(coefs[ss + idx]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush(writer, ac_enc)
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, progressive: bool = False
+) -> bytes:
+    """4:4:4 JPEG of an ``(H, W, 3)`` RGB or ``(H, W)`` grayscale
+    uint8 array. ``progressive=True`` emits an SOF2 stream with a
+    spectral-selection + successive-approximation scan script (DC
+    first at Al=1 then a DC refinement; per-component AC bands 1-5 and
+    6-63 first at Al=1 then band-matched refinements to Al=0), so the
+    quantized coefficients — and therefore the decoded pixels — are
+    bit-identical to the baseline stream of the same image."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -485,35 +801,91 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    seg(0xC0, bytes(sof))
+    seg(0xC2 if progressive else 0xC0, bytes(sof))
     seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
     seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
-    sos = bytearray([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, bytes(sos))
 
-    writer = _BitWriter()
     by = -(-h // 8)
     bx = -(-w // 8)
-    padded = []
-    for ch in chans:
+    coef = []
+    for c, ch in enumerate(chans):
         p = np.empty((by * 8, bx * 8))
         p[:h, :w] = ch
         p[h:, :w] = ch[h - 1 : h, :]  # edge-replicate padding
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
-    preds = [0] * ncomp
-    for y in range(by):
-        for x in range(bx):
-            for c in range(ncomp):
-                q = qts[0 if c == 0 else 1]
-                preds[c] = _encode_block(
-                    writer,
-                    padded[c][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8],
-                    q, preds[c], dc_enc, ac_enc,
+        q = qts[0 if c == 0 else 1]
+        cc = np.empty((by, bx, 64), dtype=np.int64)
+        for y in range(by):
+            for x in range(bx):
+                cc[y, x] = _block_coefs(
+                    p[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8], q
                 )
-    out.extend(writer.flush())
+        coef.append(cc)
+
+    def sos_seg(comp_ids: list[int], ss: int, se: int,
+                ah: int, al: int) -> None:
+        body = bytearray([len(comp_ids)])
+        for c in comp_ids:
+            body += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(body))
+
+    if not progressive:
+        sos_seg(list(range(ncomp)), 0, 63, 0, 0)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for y in range(by):
+            for x in range(bx):
+                for c in range(ncomp):
+                    preds[c] = _encode_block(
+                        writer, coef[c][y, x], preds[c], dc_enc, ac_enc
+                    )
+        out.extend(writer.flush())
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
+    def dc_scan(ah: int, al: int) -> None:
+        sos_seg(list(range(ncomp)), 0, 0, ah, al)
+        wtr = _BitWriter()
+        preds = [0] * ncomp
+        for y in range(by):
+            for x in range(bx):
+                for c in range(ncomp):
+                    dc0 = int(coef[c][y, x, 0])
+                    if ah == 0:
+                        dc = dc0 >> al
+                        diff = dc - preds[c]
+                        preds[c] = dc
+                        s = _category(diff)
+                        ln, code = dc_enc[s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s,
+                            )
+                    else:
+                        wtr.write((dc0 >> al) & 1, 1)
+        out.extend(wtr.flush())
+
+    def ac_scan(c: int, ss: int, se: int, ah: int, al: int) -> None:
+        sos_seg([c], ss, se, ah, al)
+        wtr = _BitWriter()
+        st = _ProgACState()
+        emit = _emit_ac_refine if ah else _emit_ac_first
+        for y in range(by):
+            for x in range(bx):
+                emit(wtr, ac_enc, coef[c][y, x], ss, se, al, st)
+        st.flush(wtr, ac_enc)
+        out.extend(wtr.flush())
+
+    dc_scan(0, 1)
+    dc_scan(1, 0)
+    for c in range(ncomp):
+        ac_scan(c, 1, 5, 0, 1)
+        ac_scan(c, 6, 63, 0, 1)
+    for c in range(ncomp):
+        ac_scan(c, 1, 5, 1, 0)
+        ac_scan(c, 6, 63, 1, 0)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -245,13 +245,14 @@ def test_extract_features_compressed_format_still_raises(spark):
     mp3_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no stdlib codec"):
         extract_features(mp3_only).collect()
-    # progressive JPEG: right magic, unsupported coding process — the
-    # decoder itself falls to the seam rather than misdecoding
-    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    rows = [(2, "image", prog, ("image/jpeg", 8, 8, None))]
-    prog_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|SOF2"):
-        extract_features(prog_only).collect()
+    # arithmetic-coded JPEG: right magic, unsupported coding process —
+    # the decoder itself falls to the seam rather than misdecoding
+    # (progressive SOF2 graduated to a real decoder in round 7)
+    arith = b"\xff\xd8\xff\xca\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    rows = [(2, "image", arith, ("image/jpeg", 8, 8, None))]
+    arith_only = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|SOF10"):
+        extract_features(arith_only).collect()
 
 
 def test_sample_frames_fanout(media):
@@ -576,8 +577,174 @@ def test_jpeg_roundtrip_smooth_and_uniform():
     assert np.abs(dg[..., 0].astype(int) - g.astype(int)).max() <= 2
 
 
-def test_jpeg_progressive_rejected_and_dispatch_wired():
-    """SOF2 (progressive) falls to the injection seam via
+# ------------------------------------------------- progressive (SOF2)
+
+
+def test_jpeg_progressive_handcrafted_dc_successive_approximation():
+    """T.81 G.1.2.1 spec bitstream, no encoder involved: two 8x8
+    grayscale blocks, a DC-first scan at Al=1 (diffs +8, +8 in the
+    point-transformed domain) then a DC refinement scan delivering
+    bits 1, 0. Final DC values (8<<1)|1 = 17 and (16<<1)|0 = 32, so
+    the flat blocks decode to exactly 128 + 17/8 -> 130 and
+    128 + 32/8 = 132."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import decode_jpeg
+
+    sof = bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0])
+    scan1 = bytes([1, 1, 0x00, 0, 0, 0x01])  # Ss=0 Se=0 Ah=0 Al=1
+    scan2 = bytes([1, 1, 0x00, 0, 0, 0x10])  # Ah=1 Al=0
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC2, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xDA, scan1)
+        # cat-4 code "01" + magnitude bits: +8 twice (pred carries)
+        + _bits_to_bytes("011000" + "011000")
+        + _jpeg_seg(0xDA, scan2)
+        + _bits_to_bytes("10")
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (8, 16, 3)
+    assert np.array_equal(img[:, :8], np.full((8, 8, 3), 130, np.uint8))
+    assert np.array_equal(img[:, 8:], np.full((8, 8, 3), 132, np.uint8))
+
+
+#: AC DHT for the progressive hand-crafted streams: symbols EOB0
+#: (0x00), run0/size1 (0x01), EOB1 (0x10) as the 2-bit codes 00/01/10
+_AC_DHT_PROG = bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes(
+    [0x00, 0x01, 0x10]
+)
+
+
+def test_jpeg_progressive_handcrafted_ac_eobrun_and_refinement():
+    """T.81 G.1.2.2/G.1.2.3 spec bitstream: two blocks; the AC-first
+    scan at Al=1 sends coefficient zigzag-1 of block 1 as +1 then an
+    EOB1 run of 2 blocks; the refinement scan to Al=0 is a pure
+    EOB1(2) whose appended correction bit promotes the stored 2 to 3.
+    Block 2 stays all-zero. Pixels must equal the module's own IDCT of
+    the natural-order coefficient block (IDCT itself is pinned by the
+    baseline hand-crafted tests)."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        _A,
+        decode_jpeg,
+    )
+
+    sof = bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0])
+    dc_scan = bytes([1, 1, 0x00, 0, 0, 0x00])
+    ac_first = bytes([1, 1, 0x00, 1, 63, 0x01])  # Ss=1 Se=63 Ah=0 Al=1
+    ac_refine = bytes([1, 1, 0x00, 1, 63, 0x10])  # Ah=1 Al=0
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC2, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xC4, _AC_DHT_PROG)
+        + _jpeg_seg(0xDA, dc_scan)
+        + _bits_to_bytes("0000")  # two zero DC diffs (cat-0 code 00)
+        + _jpeg_seg(0xDA, ac_first)
+        # block1: symbol 0x01 ("01") + sign/value bit 1; then EOB1
+        # ("10") + 1 extra bit 0 -> run of 2 blocks
+        + _bits_to_bytes("01" + "1" + "10" + "0")
+        + _jpeg_seg(0xDA, ac_refine)
+        # EOB1 ("10") + extra bit 0 -> 2 blocks, then the buffered
+        # correction bit 1 for the already-nonzero coefficient
+        + _bits_to_bytes("10" + "0" + "1")
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (8, 16, 3)
+    blk = np.zeros((8, 8))
+    blk[0, 1] = 3.0  # zigzag index 1 -> natural position (0, 1)
+    expect = np.clip(np.round(_A.T @ blk @ _A + 128.0), 0, 255)
+    expect = np.repeat(expect.astype(np.uint8)[..., None], 3, axis=2)
+    assert np.array_equal(img[:, :8], expect)
+    assert np.array_equal(img[:, 8:], np.full((8, 8, 3), 128, np.uint8))
+
+
+def test_jpeg_progressive_handcrafted_420_interleaved_dc():
+    """Interleaved progressive DC scan under 4:2:0 sampling: one
+    16x16 MCU, Y blocks carry DC diffs +8, -8, 0, 0 (so only the
+    top-left 8x8 lights up to 129), chroma stays neutral. Pins the
+    MCU block ordering (4 Y then Cb then Cr) and the progressive
+    reconstruction's upsampling path."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import decode_jpeg
+
+    sof = bytes([8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    scan = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])
+    data = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, _UNIT_DQT)
+        + _jpeg_seg(0xC2, sof)
+        + _jpeg_seg(0xC4, _DC_DHT)
+        + _jpeg_seg(0xDA, scan)
+        # Y: +8 ("01"+"1000"), -8 ("01"+"0111"), 0, 0; Cb: 0; Cr: 0
+        + _bits_to_bytes("011000" + "010111" + "00" + "00" + "00" + "00")
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (16, 16, 3)
+    assert np.array_equal(img[:8, :8], np.full((8, 8, 3), 129, np.uint8))
+    assert np.array_equal(img[8:, :], np.full((8, 16, 3), 128, np.uint8))
+    assert np.array_equal(img[:8, 8:], np.full((8, 8, 3), 128, np.uint8))
+
+
+def test_jpeg_progressive_roundtrip_bit_identical_to_baseline():
+    """The progressive encoder refines every coefficient back to
+    Al=0, so decoding its output must give BIT-IDENTICAL pixels to
+    decoding the baseline stream of the same image — on noise (worst
+    case for EOB runs), a smooth gradient (dense low-frequency AC),
+    and grayscale. The hand-crafted tests above pin the decode
+    semantics independently, so this is not bug-cancelling."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:40, 0:24]
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, (yy + xx) % 256], axis=2
+    ).astype(np.uint8)
+    gray = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    for img, q in [(noise, 90), (smooth, 95), (gray, 85)]:
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_truncation_sweep_raises_only_valueerror():
+    """The baseline truncation contract extends to multi-scan
+    progressive streams: every cut point raises ValueError (or
+    NotImplementedError), never IndexError/KeyError/struct.error."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=90, progressive=True)
+    for cut in range(2, len(data), 7):
+        try:
+            decode_jpeg(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_jpeg_arithmetic_rejected_and_dispatch_wired():
+    """SOF10 (arithmetic progressive) falls to the injection seam via
     NotImplementedError; the FFD8 magic reaches stdlib_decode and
     image_dhash tracks the BMP dhash of the same image within the
     perceptual-stability budget the PNG parity test uses."""
@@ -594,7 +761,7 @@ def test_jpeg_progressive_rejected_and_dispatch_wired():
         encode_jpeg,
     )
 
-    bad = b"\xff\xd8" + _jpeg_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    bad = b"\xff\xd8" + _jpeg_seg(0xCA, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
         decode_jpeg(bad)
 
