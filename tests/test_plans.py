@@ -78,11 +78,17 @@ def test_partitioned_windows_everywhere(spark):
     # docs_range_sharded_export: the global rank window sees ONLY the
     # md5-gated boundary sample (the TeraSort sampler premise — pinned
     # by test_range_shard_sampler_isolation); the corpus never enters.
+    # inverted_index_probe: docs_bm25_search's exact shape — the
+    # global rank window consumes a ≤topk-row TakeOrderedAndProject
+    # output (pinned, with the bucket pruning, by test_text_dedup.py::
+    # test_inverted_index_probe_prunes_buckets_and_pushes_terms).
     allowed_global_window = {
         "nation_dense_ids",
         "docs_bm25_search",
         "docs_hybrid_rrf_search",
+        "docs_hybrid_rrf_via_index",
         "docs_range_sharded_export",
+        "inverted_index_probe",
     }
     # self-check the detector on the known-global-window query
     sample = plans.REGISTRY["nation_dense_ids"].builder(spark, SF_SMOKE)
@@ -195,6 +201,10 @@ def test_no_cartesian_products(spark):
         "emb_quantized_knn",
         "ivf_index_probe",
         "docs_bm25_search",
+        # same two single-row corpus-stats broadcasts as
+        # docs_bm25_search (shared bm25_score kernel), read from the
+        # index's stats table instead of a corpus aggregate
+        "inverted_index_probe",
         "doc_unigram_surprisal",
         "supplier_cosupply_triangles",
         # single-row (tot, tot_w) normalizer broadcast onto the strata
@@ -202,6 +212,9 @@ def test_no_cartesian_products(spark):
         # inherits BM25's corpus-stats broadcasts + a 1-row query
         # vector broadcast (the emb_knn_bruteforce shape)
         "docs_hybrid_rrf_search",
+        # same fusion, sparse branch read through the persisted index
+        # (inverted_index_probe's stats broadcasts)
+        "docs_hybrid_rrf_via_index",
         # 1-row boundary-array broadcast onto the corpus scan
         "docs_range_sharded_export",
     }

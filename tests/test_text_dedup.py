@@ -1378,6 +1378,9 @@ def test_inverted_index_probe_prunes_buckets_and_pushes_terms(
     probed = idx.probe(("spark", "window", "vector"), topk=5)
     assert probed.count() == 5
     plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the rank window rides a TakeOrderedAndProject (per-partition
+    # top-k, never a full sort) — the docs_bm25_search discipline
+    assert "TakeOrderedAndProject" in plan
     # match on the partition column, not the path: toString truncates
     # long Location strings before the "postings" dir name
     scans = [
