@@ -1490,6 +1490,135 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public method):
+# score every raw document by how much more likely its hashed n-gram
+# bag is under a target distribution than under the raw distribution,
+# then keep the top-k. The feature extractor is the paper's hashed
+# unigram+bigram bag; the two bag-of-buckets models are Laplace-
+# smoothed bucket frequencies.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096  # hashed n-gram feature dimension
+_DSIR_TOPK = 200
+
+
+@register(
+    "docs_dsir_selection",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               {_MD5_LONG_SQL.format(c='g')} % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_concat(
+                       t,
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                   )) AS g
+            FROM (SELECT doc_id, lang,
+                         regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+                  FROM documents)
+        )
+    ),
+    raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
+            WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM feats) AS t_r,
+                   (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS t_t),
+    ratio AS (
+        SELECT r.b,
+               ln( (COALESCE(g.c_t, 0) + 1)
+                   * (t.t_r + {_DSIR_BUCKETS}.0)
+                   / ((r.c_r + 1) * (t.t_t + {_DSIR_BUCKETS}.0)) ) AS w
+        FROM raw r LEFT JOIN tgt g USING (b), tot t
+    )
+    SELECT f.doc_id,
+           any_value(f.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           {dec_sum_sql('rt.w')} AS log_weight
+    FROM feats f JOIN ratio rt USING (b)
+    GROUP BY f.doc_id
+    ORDER BY log_weight DESC, f.doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: select the raw documents whose
+    hashed-n-gram distribution looks most like the target slice's
+    (here target = the ``lang = 'en'`` documents — the "trusted
+    corpus" stand-in; raw = everything). Per doc,
+    ``log w = Σ_g [ln p_target(bucket(g)) − ln p_raw(bucket(g))]``
+    over unigrams + bigrams hashed into ``_DSIR_BUCKETS`` buckets with
+    the engine-reproducible md5 family; both bag models are
+    Laplace-smoothed. Deterministic top-k by (weight, doc_id).
+
+    Hash-match discipline: each bucket's log-ratio is one double
+    (identical int-ratio input on both engines), and the per-doc sum
+    goes through the decimal cast (plans/helpers.dec_sum), so the
+    ranking never sees order-dependent float error.
+
+    Scale shape: two map-only token-explode passes (model counts,
+    then scoring — same re-scan discipline as doc_unigram_surprisal);
+    the ratio model is exactly ``_DSIR_BUCKETS`` rows regardless of
+    corpus size and broadcasts onto the feature stream; the per-doc
+    aggregate map-side combines to (doc_id, partial decimal) before
+    its single shuffle; the top-k compiles to TakeOrderedAndProject
+    (no global sort). The two single-row total aggregates broadcast
+    (the documented corpus_mixture_weights shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokens("text").alias("t")
+    )
+    grams = F.concat(
+        F.col("t"),
+        F.expr(
+            "transform(slice(t, 1, size(t) - 1),"
+            " (x, i) -> concat(x, ' ', t[i + 1]))"
+        ),
+    )
+    feats = toks.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    ).withColumn("b", md5_long("g") % _DSIR_BUCKETS)
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        feats.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("t_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_t"),
+    )
+    nb = float(_DSIR_BUCKETS)
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                * (F.col("t_r") + nb)
+                / ((F.col("c_r") + 1) * (F.col("t_t") + nb))
+            ).alias("w"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_feats"),
+            dec_sum("w").alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range-sharded corpus export — the TeraSort architecture with a
 # DETERMINISTIC sampler: the final "write the corpus as N
 # range-partitioned shards" step of a training-data pipeline, where

@@ -209,6 +209,9 @@ def test_no_cartesian_products(spark):
         "supplier_cosupply_triangles",
         # single-row (tot, tot_w) normalizer broadcast onto the strata
         "corpus_mixture_weights",
+        # single-row (t_r, t_t) totals broadcast onto the 4096-row
+        # bucket model (the corpus_mixture_weights shape)
+        "docs_dsir_selection",
         # inherits BM25's corpus-stats broadcasts + a 1-row query
         # vector broadcast (the emb_knn_bruteforce shape)
         "docs_hybrid_rrf_search",
@@ -224,6 +227,39 @@ def test_no_cartesian_products(spark):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_dsir_selection_ranks_target_like_docs_first(spark, tmp_path):
+    """DSIR semantics on a planted corpus: among the non-English docs,
+    the one written in the English slice's vocabulary must outrank the
+    one written in a divergent vocabulary — the importance weight is
+    log p_target/p_raw over hashed n-grams, so sharing the target's
+    n-gram mass is exactly what the score measures."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    plans._load()
+    target_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        # the target slice: en docs sharing one vocabulary
+        *[(i, target_text, "en", "srcA", 44) for i in range(8)],
+        # a non-en doc in the TARGET vocabulary -> should score high
+        (100, "quick brown fox over the lazy dog", "xx", "srcB", 33),
+        # a non-en doc in a DIVERGENT vocabulary -> should score low
+        (101, "zzq wvk jjx qqp zzq wvk jjx qqp", "xx", "srcB", 31),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["documents"])
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        plans.REGISTRY["docs_dsir_selection"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in got}
+    assert w[100] > w[101]
+    # per-feature weight too (doc length must not mask divergence)
+    n = {r["doc_id"]: r["n_feats"] for r in got}
+    assert w[100] / n[100] > w[101] / n[101]
 
 
 def test_calendar_densified_fills_planted_gaps(spark, tmp_path):
