@@ -15,9 +15,10 @@ scoring needs, once per ingested document:
   long per row — Lucene's norms file folded into the postings), so a
   probe never joins a doc-length table: the scan of the query terms'
   buckets is the only data touched.
-- ``stats/`` — one ``(n_docs, sum_dl)`` row per append; probes fold
-  them into the corpus-wide ``N`` and ``avgdl`` (a tiny scan, O(number
-  of appends) rows, reset to one row by compaction).
+- ``stats/`` — one ``(txn, n_docs, sum_dl)`` row per append; probes
+  dedup per txn (max) then fold into the corpus-wide ``N`` and
+  ``avgdl`` (a tiny scan, O(number of appends) rows; compaction keeps
+  one row per txn so replay detection survives it).
 - ``meta/meta.json`` — the bucket count, validated on reopen (probing
   with a different ``t_buckets`` would hash query terms into the wrong
   partition dirs and silently miss every posting — the same guard as
@@ -45,9 +46,11 @@ Append contract: batches must be disjoint document sets (the ingest
 loop's exactly-once machinery provides this — streaming/ingest.py).
 TF/DF/DL scoring inputs are replay-TOLERANT by construction (the probe
 folds duplicate postings with ``max`` and derives DF from the folded
-frame), so a crashed-and-retried append converges for everything
-except the corpus stats row — the one piece that needs the caller's
-transactional replay guard, the same contract warehouse appends carry.
+frame), and the corpus stats row is exactly-once under ``append``'s
+txn guard (stats are txn-keyed; a committed txn no-ops, an unguarded
+replay still folds away in the probe's per-txn dedup) — so a
+crashed-and-retried append converges end to end, the same contract
+warehouse MERGEs carry.
 
 Reference scope: the reference engine has no retrieval surface at all
 (SURVEY §2.10 — driven by BASELINE.json's search/retrieval north
@@ -154,7 +157,21 @@ class InvertedTextIndex:
         process prune correctly in another."""
         return F.pmod(F.hash(F.col(col)), F.lit(self.meta["t_buckets"]))
 
-    def _write(self, docs: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+    def _write(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        mode: str,
+        txn: str | None = None,
+    ) -> None:
+        import uuid
+
+        if txn is None:
+            # non-transactional appends still get a UNIQUE stats key so
+            # the probe's per-txn replay fold never collapses two real
+            # appends into one
+            txn = f"anon-{uuid.uuid4().hex}"
         _require_long_ids(docs, id_col, "InvertedTextIndex")
         base = docs.select(
             F.col(id_col).alias("doc_id"),
@@ -177,18 +194,23 @@ class InvertedTextIndex:
             postings.write.partitionBy("t_bucket").mode(mode).parquet(
                 self._postings_dir()
             )
-            # corpus stats LAST: a crash between the two writes
-            # replays as duplicate postings (folded by the probe's
-            # max) + a single stats row — convergent. Counts all docs
-            # including empty ones, mirroring the batch query's corpus
-            # CTE exactly (avgdl over the WHOLE corpus).
+            # corpus stats LAST, keyed by txn: a crash between the two
+            # writes replays as duplicate postings (folded by the
+            # probe's max) + one stats row; a crash AFTER the stats
+            # write makes the replayed txn a no-op (append()'s guard),
+            # and even an unguarded replay folds away because every
+            # stats consumer dedups per txn before summing — the
+            # transactional replay guard the module docstring said the
+            # caller owed is now built in. Counts all docs including
+            # empty ones, mirroring the batch query's corpus CTE
+            # exactly (avgdl over the WHOLE corpus).
             row = base.agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum(F.size("ts").cast("long")).alias("sum_dl"),
             ).collect()[0]
             self.spark.createDataFrame(
-                [(row["n_docs"], row["sum_dl"] or 0)],
-                "n_docs long, sum_dl long",
+                [(txn, row["n_docs"], row["sum_dl"] or 0)],
+                "txn string, n_docs long, sum_dl long",
             ).coalesce(1).write.mode(
                 "overwrite" if mode == "overwrite" else "append"
             ).parquet(self._stats_dir())
@@ -199,13 +221,41 @@ class InvertedTextIndex:
 
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Create the index from an initial corpus (overwrites)."""
-        self._write(docs, id_col, text_col, "overwrite")
+        self._write(docs, id_col, text_col, "overwrite", txn="build")
 
-    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: str | None = None,
+    ) -> bool:
         """Incremental add of a DISJOINT batch (module docstring) —
         new postings land in their buckets' partitions, one stats row
-        appends; no existing data is touched."""
-        self._write(docs, id_col, text_col, "append")
+        appends; no existing data is touched.
+
+        ``txn`` makes the append EXACTLY-ONCE for streaming callers: a
+        txn already present in the stats table is a silent no-op
+        (returns False). The commit point is the stats write (it lands
+        after the postings), so the crash matrix converges: crash
+        before stats → replay re-runs fully, duplicate postings fold
+        under the probe's max; crash after stats → replay no-ops.
+        Without ``txn`` every call counts (a unique anonymous key is
+        generated)."""
+        if txn is not None and self._txn_committed(txn):
+            return False
+        self._write(docs, id_col, text_col, "append", txn=txn)
+        return True
+
+    def _txn_committed(self, txn: str) -> bool:
+        if not os.path.isdir(self._stats_dir()):
+            return False
+        return bool(
+            self.spark.read.schema("txn string, n_docs long, sum_dl long")
+            .parquet(self._stats_dir())
+            .where(F.col("txn") == txn)
+            .take(1)
+        )
 
     def probe(
         self,
@@ -267,9 +317,17 @@ class InvertedTextIndex:
                 for i in range(len(terms))
             ]
         )
+        # per-txn max folds the duplicate stats rows an unguarded
+        # replay could leave (same fold the postings get), THEN the
+        # corpus totals sum across txns
         corpus = (
-            self.spark.read.schema("n_docs long, sum_dl long")
+            self.spark.read.schema("txn string, n_docs long, sum_dl long")
             .parquet(self._stats_dir())
+            .groupBy("txn")
+            .agg(
+                F.max("n_docs").alias("n_docs"),
+                F.max("sum_dl").alias("sum_dl"),
+            )
             .agg(
                 F.sum("n_docs").alias("n_docs"),
                 (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
@@ -314,15 +372,19 @@ class InvertedTextIndex:
             ["term", "doc_id"],
             max_files=max_files_per_bucket,
         )
+        # one row PER txn survives compaction (never a single folded
+        # total): a txn replayed AFTER its stats were folded away
+        # would re-count — the O(ticks)-rows stats table is the same
+        # manifest-sized trade SnapshotTable makes for replay safety
         if compact_flat(
             self.spark,
             self._stats_dir(),
-            "n_docs long, sum_dl long",
-            lambda df: df.agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            "txn string, n_docs long, sum_dl long",
+            lambda df: df.groupBy("txn").agg(
+                F.max("n_docs").alias("n_docs"),
+                F.max("sum_dl").alias("sum_dl"),
             ),
-            ["n_docs"],
+            ["txn"],
             max_files=max_files_per_bucket,
         ):
             n += 1

@@ -266,30 +266,39 @@ def _html_responses(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
 
 def warc_html_documents(
-    spark: SparkSession, path: str | list[str], main_content: bool = True
+    spark: SparkSession,
+    path: str | list[str],
+    main_content: bool = True,
+    with_segment: bool = False,
 ) -> DataFrame:
     """End-to-end WARC -> documents: successful (2xx) HTML responses,
     text extracted (boilerplate-stripped when ``main_content``), rows
     shaped like the ``documents`` table (doc_id, text, source,
     n_chars) so every downstream dedup/quality operator applies
     unchanged. The binary ``body`` is dropped inside the Arrow pass —
-    only extracted text shuffles."""
+    only extracted text shuffles. ``with_segment`` adds the source
+    segment's file path (``segment``) for callers that need
+    per-segment attribution (the ingest tick's per-segment txn ids)."""
     records = _html_responses(spark, path)
     extractor = html_main_content if main_content else html_bytes_to_text
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["record_id"],
-                    "text": [extractor(bytes(b)) for b in pdf["body"]],
-                    "source": pdf["target_uri"],
-                }
-            )
+            out = {
+                "doc_id": pdf["record_id"],
+                "text": [extractor(bytes(b)) for b in pdf["body"]],
+                "source": pdf["target_uri"],
+            }
+            if with_segment:
+                out["segment"] = pdf["warc_file"]
+            yield pd.DataFrame(out)
 
-    docs = records.select("record_id", "target_uri", "body").mapInPandas(
-        extract, schema="doc_id string, text string, source string"
-    )
+    cols = ["record_id", "target_uri", "body"]
+    schema = "doc_id string, text string, source string"
+    if with_segment:
+        cols.append("warc_file")
+        schema += ", segment string"
+    docs = records.select(*cols).mapInPandas(extract, schema=schema)
     return docs.where(F.length("text") > 0).withColumn(
         "n_chars", F.length("text")
     )

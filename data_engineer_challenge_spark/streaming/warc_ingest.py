@@ -11,7 +11,10 @@ keyed MERGE into the warehouse (idempotent under replay), optional
 cross-batch near-dup dedup via the persisted MinHashIndex with the
 proven MERGE-before-index-append ordering (streaming/ingest.py — the
 reverse order loses a crashed batch forever; this order merely
-re-appends postings, which changes probe cost, never answers).
+re-appends postings, which changes probe cost, never answers), and an
+optional continuously-maintained BM25 text index (InvertedTextIndex)
+fed by a post-MERGE warehouse read-back under a segment-derived txn
+guard, so search freshness survives the same crash matrix.
 
 Scale shape: WARC segments are immutable ~1 GiB files — each batch is
 one binaryFile task per new segment, HTML parsing and boilerplate
@@ -52,6 +55,7 @@ def warc_ingest_tick(
     table: str,
     index=None,  # operators.dedup_index.MinHashIndex | None
     passage_index=None,  # operators.passage.WindowHashIndex | None
+    text_index=None,  # operators.text_index.InvertedTextIndex | None
     main_content: bool = True,
     state_key: str = "warc",
 ) -> WarcTickReport:
@@ -71,11 +75,18 @@ def warc_ingest_tick(
     if not changed:
         return WarcTickReport(fired=False)
     paths = [os.path.join(warc_dir, name) for name in changed]
-    docs = warc_html_documents(spark, paths, main_content=main_content)
+    docs = warc_html_documents(
+        spark, paths, main_content=main_content,
+        with_segment=text_index is not None,
+    )
     # eager: extraction (gzip + HTML parse of every new segment) runs
     # ONCE — the probe, the survivor anti-join, and the report count
     # below would otherwise each re-parse the segments from bytes
     batch = _dedup_batch(docs, ["doc_id"]).localCheckpoint()
+    seg_map = None
+    if text_index is not None:
+        seg_map = batch.select("doc_id", "segment")
+        batch = batch.drop("segment")
     if index is not None:
         # the MinHash index's Arrow kernel requires integral ids; WARC
         # record ids are urn strings, so probe/append run on an
@@ -134,6 +145,33 @@ def warc_ingest_tick(
         n_fresh = rep["docs_merged"]
     else:
         wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
+    if text_index is not None:
+        # BM25 search stays fresh as the crawl ingests: append the
+        # warehouse rows for THIS batch's ids, read back post-MERGE —
+        # not the in-flight frame. Read-back is the replay armor: a
+        # crash after any MERGE above and before this append leaves
+        # the retry's dedup guards dropping those docs from the
+        # in-flight path, but the warehouse already holds their rows
+        # (with the passage-cut text when that stage ran), so the
+        # re-read still surfaces them here. One txn PER SEGMENT NAME
+        # (segments are immutable — the module contract), so both a
+        # crashed-tick retry and a state-loss full reprocess re-derive
+        # already-committed txns and no-op instead of re-counting the
+        # corpus stats. Long-id surrogate: the minhash caveat verbatim
+        # — a collision can misattribute a search hit, never lose a
+        # warehouse row.
+        wh_rows = wh.read(table)
+        for seg in changed:
+            seg_ids = seg_map.where(
+                F.col("segment").endswith("/" + seg)
+            ).select("doc_id")
+            landed = wh_rows.join(seg_ids, "doc_id", "semi").withColumn(
+                "__tid", F.xxhash64("doc_id")
+            )
+            text_index.append(
+                landed, id_col="__tid", text_col="text",
+                txn=f"warctext-{seg}",
+            )
     if index is not None:
         index.append(fresh, id_col="__iid", text_col="text")
         index.release()
@@ -149,6 +187,8 @@ def warc_ingest_tick(
         index.maybe_compact()
     if passage_index is not None:
         passage_index.maybe_compact()
+    if text_index is not None:
+        text_index.maybe_compact()
     # offset commits only after the batch landed: a throw above leaves
     # the trigger armed and the retry re-sees the same segments
     state.commit(state_key, snapshot)

@@ -446,12 +446,13 @@ def test_inverted_text_index_incremental_append(spark, tmp_path):
     ).collect()]
     assert got == want
 
-    # replayed append: postings fold via max, DF from the folded
-    # frame — scores identical except the corpus-stats row, which the
-    # caller's exactly-once guard owns. Replay a batch and verify the
-    # ranking ORDER/tf-df inputs are stable by re-deriving with stats
-    # compacted back (fold keeps sums, so equality means postings
-    # really did fold).
+    # replayed append WITHOUT a txn id: postings fold via max, DF from
+    # the folded frame — but anonymous appends each get a unique stats
+    # key, so the corpus stats double-count BY DESIGN (pass txn= for
+    # exactly-once; see test_inverted_text_index_txn_append below).
+    # Replay a batch and verify the ranking ORDER/tf-df inputs are
+    # stable by re-deriving with stats compacted back (fold keeps
+    # sums, so equality means postings really did fold).
     inc.append(docs.where("doc_id >= 3"))  # simulate a crashed retry
     assert inc.maybe_compact(max_files_per_bucket=0) >= 1
     # stats now double-count the replayed batch (documented); undo by
@@ -475,8 +476,9 @@ def test_inverted_text_index_incremental_append(spark, tmp_path):
 
 def test_inverted_text_index_compaction_bounds_files(spark, tmp_path):
     """Ten one-doc appends → fat buckets; maybe_compact rewrites them
-    to one sorted file each and folds stats to a single row; probe
-    answers identical before/after."""
+    to one sorted file each and folds stats to one FILE (one row per
+    txn — replay detection survives compaction); probe answers
+    identical before/after."""
     import os
 
     from data_engineer_challenge_spark.operators.compaction import (
@@ -509,6 +511,63 @@ def test_inverted_text_index_compaction_bounds_files(spark, tmp_path):
             assert v == 1, (d, v)
     assert len(_data_files(str(tmp_path / "c" / "stats"))) == 1
     got = [tuple(r) for r in idx.probe(("spark", "common")).collect()]
+    assert got == want
+
+
+def test_inverted_text_index_txn_append_exactly_once(spark, tmp_path):
+    """The txn guard makes appends exactly-once across the whole crash
+    matrix: a committed txn no-ops (returns False, scores and corpus
+    stats unchanged), and even the crash window the guard can't see —
+    postings landed, retry re-runs the full write under the SAME txn —
+    converges because the probe folds postings by max and stats by
+    per-txn max before summing. Compaction keeps one stats row per
+    txn, so replay detection survives it."""
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    rows = [
+        (0, "spark streams window functions over vector data"),
+        (1, "a window into spark internals"),
+        (2, "vector search with cosine similarity"),
+        (3, "spark spark window"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedTextIndex(spark, str(tmp_path / "t"))
+    idx.build(docs.where("doc_id < 2"))
+    assert idx.append(docs.where("doc_id >= 2"), txn="tick-1") is True
+    want = [tuple(r) for r in idx.probe(
+        ("spark", "window", "vector"), topk=10
+    ).collect()]
+
+    # committed txn -> silent no-op
+    assert idx.append(docs.where("doc_id >= 2"), txn="tick-1") is False
+    got = [tuple(r) for r in idx.probe(
+        ("spark", "window", "vector"), topk=10
+    ).collect()]
+    assert got == want
+
+    # crash window: first attempt died between the postings write and
+    # the stats write, so the guard sees the txn as uncommitted and
+    # the retry re-runs the FULL write under the same txn — duplicate
+    # postings fold (max), duplicate stats rows fold (per-txn max)
+    idx._write(docs.where("doc_id >= 2"), "doc_id", "text",
+               "append", txn="tick-1")
+    stats = spark.read.parquet(str(tmp_path / "t" / "stats"))
+    assert stats.where("txn = 'tick-1'").count() == 2  # raw rows...
+    got = [tuple(r) for r in idx.probe(
+        ("spark", "window", "vector"), topk=10
+    ).collect()]
+    assert got == want  # ...but scores (N, avgdl, tf, df) unchanged
+
+    # compaction dedups the replayed stats row and keeps per-txn rows
+    assert idx.maybe_compact(max_files_per_bucket=0) >= 1
+    stats = spark.read.parquet(str(tmp_path / "t" / "stats"))
+    assert stats.where("txn = 'tick-1'").count() == 1
+    assert stats.count() == 2  # build + tick-1
+    got = [tuple(r) for r in idx.probe(
+        ("spark", "window", "vector"), topk=10
+    ).collect()]
     assert got == want
 
 

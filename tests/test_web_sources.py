@@ -372,6 +372,93 @@ def test_warc_ingest_ticks_dedup_and_converge(spark, tmp_path):
     assert wh.read("web_docs").count() == 3
 
 
+def test_warc_tick_maintains_text_index(spark, tmp_path):
+    """The continuously-maintained BM25 index: each tick appends the
+    landed warehouse rows under per-segment txn ids, so (1) search
+    finds newly-crawled docs immediately, (2) a state-loss reprocess
+    re-derives committed txns and the corpus stats DON'T double-count,
+    and (3) the crash window 'MERGE landed, text append didn't' heals
+    on the replay because the append reads the warehouse back rather
+    than the in-flight frame."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([("doc-a", "http://x/a", _html(_LONG_A))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+
+    r1 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    )
+    assert r1.fired and r1.docs_merged == 1
+    # search finds the crawled doc under its xxhash64 surrogate id
+    hit = tidx.probe(("riverbank",), topk=5).collect()
+    want_tid = wh.read("web_docs").select(
+        F.xxhash64("doc_id")
+    ).collect()[0][0]
+    assert [r["doc_id"] for r in hit] == [want_tid]
+
+    # crash window: segment b's MERGE lands but its text append never
+    # runs (simulated by ticking WITHOUT the text index)
+    (warc_dir / "b.warc").write_bytes(
+        _segment([("doc-c", "http://y/c", _html(_LONG_C))])
+    )
+    r2 = warc_ingest_tick(spark, str(warc_dir), state, wh, "web_docs")
+    assert r2.fired and r2.docs_merged == 1
+    assert not tidx.probe(("petabyte",), topk=5).collect()  # missed
+
+    # the replay (state loss -> full reprocess) heals it: segment a's
+    # txn is committed and no-ops, segment b's append reads the
+    # warehouse row back; corpus stats count each doc exactly once
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r3 = warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", text_index=tidx
+    )
+    assert r3.fired and set(r3.segments) == {"a.warc", "b.warc"}
+    assert len(tidx.probe(("petabyte",), topk=5).collect()) == 1
+    stats = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn")
+        .agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert stats == wh.read("web_docs").count() == 2
+
+    # a further replay changes nothing (every txn committed)
+    lost2 = SnapshotState.load(str(tmp_path / "fresh2.json"))
+    warc_ingest_tick(
+        spark, str(warc_dir), lost2, wh, "web_docs", text_index=tidx
+    )
+    stats2 = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn")
+        .agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert stats2 == 2
+
+
 # -------------------------------------------------- URL canonicalization
 
 
