@@ -1560,14 +1560,18 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes through the decimal cast (plans/helpers.dec_sum), so the
     ranking never sees order-dependent float error.
 
-    Scale shape: two map-only token-explode passes (model counts,
-    then scoring — same re-scan discipline as doc_unigram_surprisal);
-    the ratio model is exactly ``_DSIR_BUCKETS`` rows regardless of
-    corpus size and broadcasts onto the feature stream; the per-doc
-    aggregate map-side combines to (doc_id, partial decimal) before
-    its single shuffle; the top-k compiles to TakeOrderedAndProject
-    (no global sort). The two single-row total aggregates broadcast
-    (the documented corpus_mixture_weights shape)."""
+    Scale shape: three map-only token-explode passes (raw bucket
+    counts; target bucket counts under a PUSHED lang filter; scoring —
+    the re-scan discipline of doc_unigram_surprisal). The Laplace
+    totals are Σ_b of the bucket counts, so they fold out of the
+    4096-row model frame (pinned with localCheckpoint — eager,
+    driver-bounded) instead of paying a fourth corpus pass. The ratio
+    model is exactly ``_DSIR_BUCKETS`` rows regardless of corpus size
+    and broadcasts onto the feature stream; the per-doc aggregate
+    map-side combines to (doc_id, partial decimal) before its single
+    shuffle; the top-k compiles to TakeOrderedAndProject (no global
+    sort). The single-row totals aggregate broadcasts (the documented
+    corpus_mixture_weights shape)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", tokens("text").alias("t")
@@ -1588,13 +1592,16 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    tot = feats.agg(
-        F.count(F.lit(1)).alias("t_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t_t"),
+    # ≤ _DSIR_BUCKETS rows; pinned so the totals fold below doesn't
+    # recompute the two counting passes
+    model = raw.join(tgt, "b", "left").localCheckpoint()
+    tot = model.agg(
+        F.sum("c_r").alias("t_r"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t"),
     )
     nb = float(_DSIR_BUCKETS)
     ratio = (
-        raw.join(tgt, "b", "left")
+        model
         .crossJoin(F.broadcast(tot))
         .select(
             "b",

@@ -288,6 +288,26 @@ def test_bm25_topk_compiles_to_take_ordered(spark):
     assert "Sort [score" not in plan, plan
 
 
+def test_dsir_scoring_pass_shape(spark):
+    """docs_dsir_selection's returned plan is the SCORING pass only
+    (the two model-counting passes ran eagerly into the checkpointed
+    4096-row model): one corpus tokenize, the bucket model arriving by
+    broadcast hash join, exactly one doc_id exchange for the per-doc
+    fold, and a TakeOrdered top-k — never a global sort."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_dsir_selection"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "TakeOrderedAndProject(limit=200" in plan, plan
+    assert "Sort [log_weight" not in plan, plan
+
+
 def test_assignment_queries_are_map_only(spark):
     """The deterministic-assignment tier (split, rebalance sample)
     must be MAP-ONLY: one scan, no Exchange of any kind — hash,
