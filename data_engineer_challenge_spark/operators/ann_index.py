@@ -87,6 +87,11 @@ class IVFVectorIndex:
             with open(tmp, "w") as f:
                 json.dump(self.meta, f)
             os.replace(tmp, meta_path)
+        # repair a crashed compaction BEFORE any probe can read a
+        # half-swapped inverted list (operators/compaction heal)
+        from .compaction import heal
+
+        heal(self._postings_dir())
 
     def _postings_dir(self) -> str:
         return os.path.join(self.path, "postings")
@@ -131,9 +136,39 @@ class IVFVectorIndex:
 
     def append(self, new: DataFrame) -> None:
         """Incremental add — new vectors assign map-only and append
-        into their lists' partitions; no existing data is touched."""
+        into their lists' partitions; no existing data is touched.
+        Replayed appends leave duplicate rows that probe's
+        per-candidate fold tolerates and ``maybe_compact`` removes."""
         self._assigned(new).write.mode("append").partitionBy("cid").parquet(
             self._postings_dir()
+        )
+
+    def maybe_compact(self, max_files_per_list: int = 8) -> int:
+        """Streaming-loop housekeeping (the index-family discipline):
+        fat ``cid=`` inverted lists rewrite as ONE file sorted by id,
+        and duplicate rows from replayed appends physically fold away
+        (``dropDuplicates`` on the id — probe's max fold makes them
+        invisible even before this runs). Crash-safe parked-previous
+        swap; a crashed compaction heals on the next call."""
+        import os as _os
+
+        from .compaction import compact_partitioned
+
+        pdir = self._postings_dir()
+        if not _os.path.isdir(pdir):
+            return 0
+        # postings carry the caller's corpus columns, so the row
+        # schema is discovered from the store itself (cid lives in
+        # the directory name, not the rows)
+        schema = self.spark.read.parquet(pdir).drop("cid").schema
+        return compact_partitioned(
+            self.spark,
+            pdir,
+            "cid",
+            schema,
+            lambda df: df.dropDuplicates([self.id_col]),
+            [self.id_col],
+            max_files=max_files_per_list,
         )
 
     def probe(
@@ -172,6 +207,15 @@ class IVFVectorIndex:
             query_id,
             F.col(self.id_col).alias("c_id"),
             cosine(F.col("__qv"), F.col(self.vec_col)).alias("cos_sim"),
+        )
+        # per-(query, candidate) fold: a replayed append leaves
+        # bit-identical duplicate rows in a list, and an unfolded
+        # row_number would hand one candidate two of the k slots —
+        # max collapses them (single-row no-op otherwise), making
+        # probe answers replay-TOLERANT like the other three indexes.
+        # Map-side combine pre-shrinks before the rank shuffle.
+        scored = scored.groupBy(query_id, "c_id").agg(
+            F.max("cos_sim").alias("cos_sim")
         )
         w = Window.partitionBy(query_id).orderBy(
             F.col("cos_sim").desc(), F.col("c_id")

@@ -549,3 +549,43 @@ def ingest_batch_passage_dedup(
         "tokens_cut": int(stats["cut"] or 0),
         "healed": healed,
     }
+
+
+def vector_index_tick(
+    spark: SparkSession,
+    drop_dir: str,
+    state,  # streaming.snapshot_diff.SnapshotState
+    index,  # operators.ann_index.IVFVectorIndex
+    exts: tuple[str, ...] = (".parquet",),
+    state_key: str = "vectors",
+) -> dict:
+    """Continuous ANN-index maintenance over a vector drop directory —
+    the fourth member of the index family joins the ingest loop
+    (MinHashIndex and WindowHashIndex ride the WARC tick, the
+    InvertedTextIndex its txn-guarded read-back; this tick does the
+    embeddings). Each fire appends the new/modified parquet drops'
+    vectors to the persisted IVF index (map-only assignment,
+    partitioned append into ``cid=`` lists) and compacts fat lists.
+
+    Exactly-once ANSWERS without txn machinery: a crashed-tick replay
+    or a state-loss full reprocess re-appends bit-identical rows,
+    which the probe's per-candidate max fold tolerates and the next
+    compaction physically removes — there is no corpus-stats row to
+    drift (contrast ``InvertedTextIndex``, whose N/avgdl needed the
+    txn guard). Offsets commit only after the append lands, so a
+    crash mid-tick re-arms the same drops."""
+    import os as _os
+
+    diff, snapshot = state.peek(state_key, drop_dir, exts)
+    changed = tuple(sorted((*diff.new, *diff.modified)))
+    if not changed:
+        return {"fired": False, "files": (), "vectors": 0}
+    vecs = spark.read.parquet(
+        *[_os.path.join(drop_dir, n) for n in changed]
+    )
+    n = vecs.count()
+    index.append(vecs)
+    index.maybe_compact()
+    state.commit(state_key, snapshot)
+    state.save()
+    return {"fired": True, "files": changed, "vectors": n}

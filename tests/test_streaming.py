@@ -1402,3 +1402,64 @@ def test_streaming_capstone_end_to_end_exactly_once(spark, tmp_path):
         r["host"]: r["n_rows"] for r in reopen_ivm()[2].read_view().collect()
     }
     assert hosts == {"x.example": 2, "y.example": 1, "z.example": 1}
+
+
+def test_vector_index_tick_exactly_once_answers(spark, tmp_path):
+    """The embeddings drop-directory tick: new parquet drops append to
+    the persisted IVF index; a state-loss full reprocess re-appends
+    everything, yet probe answers are identical (per-candidate fold)
+    and compaction restores physical uniqueness."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    # single-FILE drops (the mtime snapshot diff watches files, the
+    # realistic shape for an upstream embedding job's output)
+    emb.where("vec_id % 2 = 0").toPandas().to_parquet(
+        str(drops / "d0.parquet"), index=False
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), CENTROIDS)
+
+    r1 = vector_index_tick(spark, str(drops), state, idx)
+    assert r1["fired"] and r1["files"] == ("d0.parquet",)
+
+    # quiet tick
+    assert not vector_index_tick(spark, str(drops), state, idx)["fired"]
+
+    emb.where("vec_id % 2 = 1").toPandas().to_parquet(
+        str(drops / "d1.parquet"), index=False
+    )
+    r2 = vector_index_tick(spark, str(drops), state, idx)
+    assert r2["fired"] and r2["files"] == ("d1.parquet",)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+            .orderBy("q_id", "rank").collect()]
+
+    # state loss: both drops reprocess; answers unchanged, and the
+    # tick's own compaction call eventually restores uniqueness
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r3 = vector_index_tick(spark, str(drops), lost, idx)
+    assert r3["fired"] and set(r3["files"]) == {"d0.parquet", "d1.parquet"}
+    got = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+           .orderBy("q_id", "rank").collect()]
+    assert got == want
+    assert idx.maybe_compact(max_files_per_list=0) >= 1
+    posts = spark.read.parquet(str(tmp_path / "ivf" / "postings"))
+    assert posts.count() == emb.count()
+    got2 = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+            .orderBy("q_id", "rank").collect()]
+    assert got2 == want

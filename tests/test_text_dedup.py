@@ -784,6 +784,53 @@ def test_ivf_index_probe_prunes_partitions_and_appends(spark, tmp_path):
         IVFVectorIndex(spark, str(tmp_path / "ivf"), other)
 
 
+def test_ivf_index_replayed_append_folds_and_compacts(spark, tmp_path):
+    """A crashed-and-retried append leaves bit-identical duplicate
+    rows in the inverted lists; probe answers must not change (the
+    per-candidate max fold — without it a duplicate would hold two of
+    the k slots), and maybe_compact physically removes the duplicates
+    and bounds each list to one file, answers still identical."""
+    import os
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.compaction import (
+        _data_files,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), CENTROIDS)
+    idx.build(emb.where("vec_id % 2 = 0"))
+    idx.append(emb.where("vec_id % 2 = 1"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+            .orderBy("q_id", "rank").collect()]
+
+    # replay the append twice (crash-retry, then a state-loss retry)
+    idx.append(emb.where("vec_id % 2 = 1"))
+    idx.append(emb.where("vec_id % 2 = 1"))
+    got = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+           .orderBy("q_id", "rank").collect()]
+    assert got == want
+
+    n_total = emb.count()
+    posts = str(tmp_path / "ivf" / "postings")
+    assert spark.read.parquet(posts).count() > n_total  # bloat exists
+    assert idx.maybe_compact(max_files_per_list=0) >= 1
+    assert spark.read.parquet(posts).count() == n_total  # dedup'd
+    for d in os.listdir(posts):
+        if d.startswith("cid="):
+            assert len(_data_files(os.path.join(posts, d))) == 1
+    got2 = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
+            .orderBy("q_id", "rank").collect()]
+    assert got2 == want
+
+
 def test_index_probe_multiplicity_stable_under_replayed_postings(spark, tmp_path):
     """The heal/replay path re-appends a batch's postings+shingles;
     probe answers must keep the same ROW MULTIPLICITY (one row per
