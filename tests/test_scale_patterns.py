@@ -288,6 +288,24 @@ def test_bm25_topk_compiles_to_take_ordered(spark):
     assert "Sort [score" not in plan, plan
 
 
+def test_hybrid_rrf_via_index_reads_pruned_postings(spark):
+    """The index-backed hybrid retriever's sparse branch must read the
+    persisted postings through the bucket-pruned probe (non-empty
+    t_bucket PartitionFilters + pushed term IN-list), not re-tokenize
+    the corpus — that is the entire point of the via-index variant."""
+    import re as _re
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_hybrid_rrf_via_index"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[t_bucket#\d+ IN \(", plan), plan
+    assert "In(term" in plan, plan
+
+
 def test_dsir_scoring_pass_shape(spark):
     """docs_dsir_selection's returned plan is the SCORING pass only
     (the two model-counting passes ran eagerly into the checkpointed

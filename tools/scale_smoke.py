@@ -57,6 +57,9 @@ QUERIES = [
     "events_heavy_hitters",
     "events_sessionization",
     "events_training_examples",
+    # r7 addition: DSIR selection (three token passes + one doc_id
+    # shuffle; the 4096-row model is corpus-size-free)
+    "docs_dsir_selection",
 ]
 
 
