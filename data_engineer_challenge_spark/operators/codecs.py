@@ -1,10 +1,11 @@
 """Pure-stdlib media codecs for the multimodal tier (SURVEY §2.10).
 
 The container ships no Pillow/ffmpeg/librosa, but four formats need
-no external library at all: uncompressed BMP and binary PPM images
-(struct + numpy), PNG (the DEFLATE stream is stdlib ``zlib``; the five
-scanline filters are plain arithmetic), and PCM WAV audio (the stdlib
-``wave`` module). These make the multimodal pipeline genuinely
+no external library at all: BMP (24/32-bit, 8-bit palette, RLE8) and
+binary PPM images (8- and 16-bit, struct + numpy), PNG (the DEFLATE
+stream is stdlib ``zlib``; the five scanline filters are plain
+arithmetic; Adam7 interlace deinterlaced per spec), and PCM WAV audio
+(the stdlib ``wave`` module). These make the multimodal pipeline genuinely
 runnable end-to-end, and JPEG (baseline AND progressive Huffman DCT)
 decodes natively via the from-spec codec in ``operators/jpeg.py``.
 The remaining compressed formats (arithmetic-coded JPEG, MP3, H.264)
@@ -30,15 +31,38 @@ FEATURE_DIM = 16
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BMP → (h, w, 3) uint8 RGB array."""
+    """BMP → (h, w, 3) uint8 RGB array: uncompressed 24/32-bit,
+    uncompressed 8-bit palette, and RLE8-compressed 8-bit palette
+    (BI_RLE8 per the public format spec: count/value pairs plus the
+    0-count escapes — end-of-line, end-of-bitmap, delta, absolute
+    run padded to a word boundary)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", data, 10)
-    _size, w, h, _planes, bpp, comp = struct.unpack_from("<iiihhI", data, 14)
-    if comp != 0 or bpp not in (24, 32):
-        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<iiihhI", data, 14
+    )
     bottom_up = h > 0
     h = abs(h)
+    if bpp == 8 and comp in (0, 1):
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            data, np.uint8, n_pal * 4, 14 + hdr_size
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRA entries → RGB
+        if comp == 0:
+            row_size = (w + 3) // 4 * 4
+            rows = np.frombuffer(
+                data, np.uint8, row_size * h, pix_off
+            ).reshape(h, row_size)
+            idx = rows[:, :w]
+        else:
+            idx = _bmp_rle8(data, pix_off, w, h)
+        if bottom_up:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
     bytes_px = bpp // 8
     row_size = (bytes_px * w + 3) // 4 * 4
     rows = np.frombuffer(data, np.uint8, row_size * h, pix_off).reshape(h, row_size)
@@ -46,6 +70,43 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bottom_up:
         px = px[::-1]
     return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) → RGB
+
+
+def _bmp_rle8(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 → (h, w) palette-index array (rows in STORED order —
+    the caller applies the bottom-up flip). Unwritten pixels are 0
+    (the spec leaves delta-skipped cells undefined; 0 is the common
+    renderer choice)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            end = min(x + cnt, w)
+            if y < h:
+                out[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x, y = x + data[pos], y + data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` raw indices, word-aligned
+            if pos + val > n:
+                raise ValueError("truncated BMP RLE8 absolute run")
+            run = np.frombuffer(data, np.uint8, val, pos)
+            end = min(x + val, w)
+            if y < h:
+                out[y, x:end] = run[: end - x]
+            x = end
+            pos += val + (val & 1)  # pad to word boundary
+    return out
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
@@ -67,9 +128,13 @@ def decode_ppm(data: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(data[start:pos]))
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM unsupported")
     pos += 1  # single whitespace after maxval
+    if maxval > 255:
+        # 2-byte samples, MSB first (the spec's "most significant
+        # byte first"); scale to 8-bit with correct rounding
+        raw = np.frombuffer(data, ">u2", w * h * 3, pos).astype(np.uint32)
+        scaled = (raw * 255 + maxval // 2) // maxval
+        return scaled.astype(np.uint8).reshape(h, w, 3)
     return np.frombuffer(data, np.uint8, w * h * 3, pos).reshape(h, w, 3)
 
 
@@ -81,13 +146,14 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 RGB array, pure stdlib.
 
-    Covers the overwhelmingly-common profile: bit depth 8, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced, all five scanline filters. The IDAT payload is
-    stdlib ``zlib``; unfiltering is exact integer arithmetic, so the
-    decode is bit-exact — a PNG and BMP of the same pixels produce the
-    identical feature vector / dHash (tested). Alpha is dropped
-    (features/dHash are luma-driven); 16-bit and interlaced files
+    Covers the common profile: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
+    filters, non-interlaced AND Adam7-interlaced (each pass is an
+    independently-filtered sub-image scattered into the full grid).
+    The IDAT payload is stdlib ``zlib``; unfiltering is exact integer
+    arithmetic, so the decode is bit-exact — a PNG and BMP of the same
+    pixels produce the identical feature vector / dHash (tested).
+    Alpha is dropped (features/dHash are luma-driven); 16-bit files
     raise ``NotImplementedError`` and fall to the injection seam."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -118,19 +184,68 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
-    if interlace:
-        raise NotImplementedError("interlaced PNG unsupported")
     nch = _PNG_CHANNELS.get(ctype)
     if nch is None:
         raise NotImplementedError(f"PNG color type {ctype} unsupported")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:  # truncated/corrupt IDAT -> the contract
+        raise ValueError(f"PNG IDAT stream corrupt: {ex}") from None
+    if interlace:
+        px = _png_adam7(raw, w, h, nch)
+    else:
+        if len(raw) != (w * nch + 1) * h:
+            raise ValueError("PNG pixel data size mismatch")
+        out, _ = _png_unfilter(raw, 0, w, h, nch)
+        px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px[..., 0]])
+    if nch == 1 or ctype == 4:  # gray / gray+alpha → replicate luma
+        return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
+    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA (alpha dropped)
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2 — the
+#: seven passes partition the pixel grid exactly)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_adam7(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Adam7 deinterlace: each pass is an independently-filtered
+    sub-image (its scanline filters reference the PASS's own previous
+    row/left pixel, per the spec); unfilter each and scatter into the
+    full grid."""
+    px = np.zeros((h, w, nch), np.uint8)
+    rpos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes zero bytes
+        sub, rpos = _png_unfilter(raw, rpos, pw, ph, nch)
+        px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+    if rpos != len(raw):
+        raise ValueError("PNG pixel data size mismatch")
+    return px
+
+
+def _png_unfilter(
+    raw: bytes, rpos: int, w: int, h: int, nch: int
+) -> tuple[np.ndarray, int]:
+    """Undo the five PNG scanline filters over one (sub-)image of
+    ``h`` rows of ``w`` pixels; returns the (h, w*nch) byte grid and
+    the cursor past the consumed scanlines."""
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) - rpos < (stride + 1) * h:
         raise ValueError("PNG pixel data size mismatch")
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
     bpp = nch  # bytes per complete pixel at depth 8
-    rpos = 0
     for y in range(h):
         ftype = raw[rpos]
         line = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int64)
@@ -175,14 +290,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, nch)
-    if ctype == 3:
-        if plte is None:
-            raise ValueError("palette PNG without PLTE chunk")
-        return np.ascontiguousarray(plte[px[..., 0]])
-    if nch == 1 or ctype == 4:  # gray / gray+alpha → replicate luma
-        return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
-    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA (alpha dropped)
+    return out, rpos
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:

@@ -83,6 +83,111 @@ def test_png_roundtrip_every_filter_type():
         assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img), ft
 
 
+def test_png_adam7_interlaced_matches_sequential():
+    """Adam7: hand-assemble the seven independently-filtered passes
+    (mixed filter types to prove per-pass filtering state) and assert
+    the deinterlaced pixels equal the same image's non-interlaced
+    decode — bit-exact, no resampling."""
+    import struct
+    import zlib
+
+    from data_engineer_challenge_spark.operators.codecs import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    w, h = 11, 9  # non-multiples of 8: exercises the ceil pass dims
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    passes = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            row = sub[y].reshape(-1).astype(np.int64)
+            if y == 0:
+                passes += b"\x00" + bytes(row.astype(np.uint8))
+            else:  # filter 2 (Up) against the PASS's previous row
+                prev = sub[y - 1].reshape(-1).astype(np.int64)
+                passes += b"\x02" + bytes(((row - prev) & 0xFF).astype(np.uint8))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(passes)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_bmp_palette_and_rle8():
+    """8-bit palette BMPs decode through the color table, and BI_RLE8
+    exercises every escape: encoded runs, absolute runs (word-padded),
+    end-of-line, delta skip (skipped cells = palette entry 0), and
+    end-of-bitmap."""
+    import struct
+
+    from data_engineer_challenge_spark.operators.codecs import decode_bmp
+
+    pal = np.array(
+        [[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8
+    )
+
+    def bmp8(w, h, comp, pix):
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in pal.tolist()
+        )
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", 14 + 40 + len(pal_bytes) + len(pix), 0, 0,
+                          14 + 40 + len(pal_bytes))
+            + struct.pack("<iiihhIIiiII", 40, w, h, 1, 8, comp, len(pix),
+                          2835, 2835, len(pal), 0)
+        )
+        return hdr + pal_bytes + pix
+
+    # uncompressed 8-bit: 5 px rows pad to 8 bytes; bottom-up storage
+    rows = np.array([[1, 2, 3, 0, 1], [3, 3, 0, 2, 2]], np.uint8)  # top-down
+    pix = rows[1].tobytes() + b"\x00" * 3 + rows[0].tobytes() + b"\x00" * 3
+    assert np.array_equal(decode_bmp(bmp8(5, 2, 0, pix)), pal[rows])
+
+    # RLE8, 6x3 top-down content (stored bottom-up):
+    #   row0(top):  1 1 1 2 2 2
+    #   row1:       3 0 0 0 0 3   (delta-skipped middle = 0)
+    #   row2(bot):  1 2 3 1 2 3   (absolute run of 6, padded)
+    rle = (
+        b"\x00\x06" + bytes([1, 2, 3, 1, 2, 3])  # absolute 6 (even: no pad)
+        + b"\x00\x00"                            # EOL -> row 1 (stored)
+        + b"\x01\x03"                            # run: one 3
+        + b"\x00\x02\x04\x00"                    # delta: skip 4 right
+        + b"\x01\x03"                            # run: one 3
+        + b"\x00\x00"                            # EOL -> row 2
+        + b"\x03\x01" + b"\x03\x02"              # runs: 1 1 1 2 2 2
+        + b"\x00\x01"                            # end of bitmap
+    )
+    want = np.array(
+        [[1, 1, 1, 2, 2, 2], [3, 0, 0, 0, 0, 3], [1, 2, 3, 1, 2, 3]],
+        np.uint8,
+    )
+    assert np.array_equal(decode_bmp(bmp8(6, 3, 1, rle)), pal[want])
+
+
+def test_ppm_16bit_scales_to_8bit():
+    """maxval > 255 PPM: 2-byte MSB-first samples scale to 8-bit with
+    round-half-up — 0 -> 0, maxval -> 255, midpoint -> 128."""
+    from data_engineer_challenge_spark.operators.codecs import decode_ppm
+
+    vals = np.array([[[0, 32768, 65535]]], dtype=np.uint16)
+    data = b"P6 1 1 65535\n" + vals.astype(">u2").tobytes()
+    assert decode_ppm(data).tolist() == [[[0, 128, 255]]]
+
+
 def test_png_color_types_gray_palette_alpha():
     """Color types 0 (gray), 3 (palette), 4 (gray+alpha) and 6 (RGBA)
     all decode to the expected RGB pixels (alpha dropped, gray
@@ -155,8 +260,9 @@ def test_png_bmp_feature_and_dhash_parity():
 
 
 def test_png_unsupported_profiles_fall_to_seam():
-    """16-bit and interlaced PNGs raise NotImplementedError (the
-    injection seam), not garbage pixels."""
+    """16-bit PNGs raise NotImplementedError (the injection seam),
+    not garbage pixels; a truncated interlaced stream (Adam7
+    graduated to a real decoder in round 7) raises ValueError."""
     import struct
 
     from data_engineer_challenge_spark.operators.codecs import (
@@ -165,12 +271,12 @@ def test_png_unsupported_profiles_fall_to_seam():
         decode_png,
     )
 
-    for ihdr in [
-        struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0),  # 16-bit
-        struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 1),  # interlaced
-    ]:
-        with pytest.raises(NotImplementedError):
-            decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b""))
+    ihdr16 = struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b""))
+    ihdr_i = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 1)  # interlaced
+    with pytest.raises(ValueError, match="IDAT|size mismatch"):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(b"IEND", b""))
 
 
 def test_wav_decode_and_features():
