@@ -159,7 +159,12 @@ def warc_ingest_tick(
         # already-committed txns and no-op instead of re-counting the
         # corpus stats. Long-id surrogate: the minhash caveat verbatim
         # — a collision can misattribute a search hit, never lose a
-        # warehouse row.
+        # warehouse row. Known edge (documented, not defended): a
+        # doc_id recurring in a LATER tick's different segment appends
+        # its row again under the new segment's txn — postings
+        # max-fold, but N counts it twice. WARC record ids are
+        # per-record urns (re-crawls mint new ids), so this needs a
+        # pathologically duplicated id to fire.
         wh_rows = wh.read(table)
         for seg in changed:
             seg_ids = seg_map.where(
