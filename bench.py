@@ -79,10 +79,13 @@ HEADLINE = [
     # (stride-1 windows: O(corpus tokens) map-only hashing, ids-only
     # keep-first shuffle, island join bounded by duplication)
     "docs_exact_substring_dedup",
-    # r7 addition: persisted BM25 inverted index, build + pruned probe
-    # (cost model: one tokenize/postings pass over the corpus + a
-    # probe reading only the query terms' t_bucket= partitions)
+    # r7 additions: persisted BM25 inverted index, build + pruned
+    # probe (cost model: one tokenize/postings pass over the corpus +
+    # a probe reading only the query terms' t_bucket= partitions);
+    # DSIR importance resampling (three token passes + one ids-only
+    # shuffle; 4096-row model broadcast)
     "inverted_index_probe",
+    "docs_dsir_selection",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -828,6 +828,39 @@ def test_jpeg_progressive_roundtrip_bit_identical_to_baseline():
         assert np.array_equal(base, prog)
 
 
+def test_jpeg_progressive_roundtrip_property():
+    """Property fuzz: across random dimensions (including single-block
+    and non-multiple-of-8 edges), qualities, and gray/color, the
+    progressive stream decodes bit-identical to the baseline stream of
+    the same image."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineer_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 33),
+        q=st.integers(30, 95),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, q, gray, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(base, prog)
+
+    run()
+
+
 def test_jpeg_progressive_truncation_sweep_raises_only_valueerror():
     """The baseline truncation contract extends to multi-scan
     progressive streams: every cut point raises ValueError (or
