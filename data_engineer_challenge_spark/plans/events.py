@@ -53,6 +53,11 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sliding_daily_avg",
+    # r7: rotated off the driver surface for docs_dsir_selection —
+    # its sliding-window-over-time signal overlaps the surviving
+    # events_training_examples (six RANGE windows on the same axis)
+    # and events_weekly_retention; still pytest-oracled here
+    driver=False,
     oracle=f"""
     SELECT day, event_type, n_events,
            CAST(ROUND(SUM(CAST(day_value AS DECIMAL(30,10)))

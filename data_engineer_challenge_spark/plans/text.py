@@ -1505,8 +1505,9 @@ _DSIR_TOPK = 200
 
 @register(
     "docs_dsir_selection",
-    # pytest-oracled (driver surface capped at 50)
-    driver=False,
+    # r7: on the driver surface (hard hash signal for the selection
+    # tier), taking the slot of events_sliding_daily_avg whose window
+    # class events_training_examples already covers
     oracle=f"""
     WITH feats AS (
         SELECT doc_id, lang,
