@@ -347,6 +347,41 @@ class InvertedTextIndex:
         )
         return ranked.where(F.col("rank") <= topk)
 
+    def conjunctive_candidates(
+        self, terms: tuple[str, ...] | list[str]
+    ) -> DataFrame:
+        """Doc ids containing ALL of ``terms`` — the candidate stage of
+        phrase/AND retrieval. Reads only the terms' ``t_bucket=``
+        partitions with the term filter pushed (the probe's pruned
+        scan), then one ids-only aggregate: a doc qualifies when its
+        DISTINCT matched-term count equals ``len(terms)`` (duplicate
+        postings from replayed appends collapse under the distinct).
+        Returns a single-column ``doc_id`` frame."""
+        terms = tuple(terms)
+        touched = sorted(
+            r[0]
+            for r in self.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        )
+        postings = (
+            self.spark.read.schema(
+                "term string, doc_id long, tf long, dl long, t_bucket int"
+            )
+            .parquet(self._postings_dir())
+            .filter(F.col("t_bucket").isin(touched))
+            .filter(F.col("term").isin(*terms))
+        )
+        return (
+            postings.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("__nt"))
+            .where(F.col("__nt") == len(terms))
+            .select("doc_id")
+        )
+
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
         """Streaming-loop housekeeping (the SnapshotTable discipline):
         fat ``t_bucket=`` partitions rewrite as ONE file sorted by

@@ -1490,6 +1490,74 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phrase search through the inverted index: the two-stage shape every
+# positional-free index uses — conjunctive candidates from the pruned
+# postings scan, exact adjacency verified against the candidates' text
+# only. At 100 TB the corpus is never re-tokenized: stage 1 reads the
+# two terms' t_bucket= partitions, stage 2 tokenizes only the docs
+# that contain both terms.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("spark", "window")  # adjacent-token phrase, frozen
+
+
+@register(
+    "docs_phrase_search_via_index",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, n_occurrences
+    FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(t)),
+                    i -> t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'))
+                    AS BIGINT) AS n_occurrences
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+    )
+    WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id
+    """,
+)
+def docs_phrase_search_via_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-phrase retrieval through the persisted BM25 index: the
+    index holds no positions (the standard tf-only postings trade), so
+    phrase queries run the classic two-stage plan — (1) conjunctive
+    candidates from the PRUNED postings scan
+    (InvertedTextIndex.conjunctive_candidates: only the phrase terms'
+    ``t_bucket=`` partitions are read, ids-only aggregate), (2) exact
+    adjacency counted map-side over ONLY the candidates' token arrays.
+    The oracle scans the whole corpus directly, so the hash equality
+    proves the pruned two-stage path returns exactly the full-scan
+    answer. Fresh throwaway index per call (the inverted_index_probe
+    posture). Candidates guarantee both terms present, so every token
+    array has size >= 2 and the adjacency sequence is well-formed."""
+    from ..operators.text_index import InvertedTextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = InvertedTextIndex(spark, scratch_dir("phr_idx_"))
+    idx.build(docs)
+    cand = idx.conjunctive_candidates(_PHRASE)
+    w1, w2 = _PHRASE
+    return (
+        docs.join(cand, "doc_id")
+        .select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(filter(sequence(0, size(t) - 2),"
+                f" i -> t[i] = '{w1}' AND t[i + 1] = '{w2}'))"
+            ).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling" — public method):
 # score every raw document by how much more likely its hashed n-gram

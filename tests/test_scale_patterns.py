@@ -306,6 +306,32 @@ def test_hybrid_rrf_via_index_reads_pruned_postings(spark):
     assert "In(term" in plan, plan
 
 
+def test_phrase_search_two_stage_pruned_shape(spark):
+    """Phrase search never re-tokenizes the corpus: the candidate
+    stage's postings scan is bucket-pruned with the term IN-list
+    pushed, and the only tokenize in the plan runs over the CANDIDATE
+    join side (one regexp_extract_all), not a second full-corpus
+    model pass."""
+    import re as _re
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_phrase_search_via_index"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[t_bucket#\d+ IN \(", plan), plan
+    assert "In(term" in plan, plan
+    # exactly ONE scan reads document text (the candidate verify);
+    # the postings scans read only [term, doc_id]
+    text_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "text#" in l.split("Batched")[0]
+    ]
+    assert len(text_scans) == 1, plan
+
+
 def test_dsir_scoring_pass_shape(spark):
     """docs_dsir_selection's returned plan is the SCORING pass only
     (the two model-counting passes ran eagerly into the checkpointed
