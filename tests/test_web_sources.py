@@ -443,6 +443,13 @@ def test_warc_tick_maintains_text_index(spark, tmp_path):
     )
     assert stats == wh.read("web_docs").count() == 2
 
+    # the streamed index serves the phrase path too: conjunctive
+    # candidates for an adjacent pair unique to doc-a resolve to its
+    # surrogate id
+    cand = {r["doc_id"] for r in
+            tidx.conjunctive_candidates(("lazy", "dog")).collect()}
+    assert cand == {want_tid}
+
     # a further replay changes nothing (every txn committed)
     lost2 = SnapshotState.load(str(tmp_path / "fresh2.json"))
     warc_ingest_tick(
