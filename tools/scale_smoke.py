@@ -409,6 +409,9 @@ QUERIES30 = [
     "docs_exact_substring_dedup",
     "emb_semantic_dedup",
     "ivf_index_probe",
+    # r7 selection flagship: three token passes + a corpus-size-free
+    # 4096-row model — should stay near-linear as volume binds
+    "docs_dsir_selection",
 ]
 
 
@@ -668,9 +671,11 @@ def _write_tier30(f, t30_rows, c30, s30, recall30, sem30) -> None:
         "rotations, all 30 DISTINCT — step 3 would collide at copy "
         "12) and embeddings x30 (60,000 rows; per-copy component "
         "rotation). The 10x table is fixed-overhead-dominated; "
-        "this tier re-measures only the dedup/ANN paths the "
-        "100 TB narrative leans on, same method (warmup, noop "
-        "sink, min of 2, caches cleared). A linear engine would "
+        "this tier re-measures the dedup/ANN paths the 100 TB "
+        "narrative leans on plus the r7 selection flagship "
+        "(docs_dsir_selection: three token passes + a "
+        "corpus-size-free 4096-row model), same method (warmup, "
+        "noop sink, min of 2, caches cleared). A linear engine would "
         "show ~3x the 10x wall; ratios are vs 1x. NOTE: "
         "`emb_semantic_dedup`'s registered config FREEZES the "
         "k=16 quantizer (the sf0.01 oracle shape), so its 30x row "
