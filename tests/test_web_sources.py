@@ -797,6 +797,99 @@ def test_warc_ingest_with_passage_dedup(spark, tmp_path):
     assert after == rows
 
 
+def test_warc_tick_passage_and_text_index_compose(spark, tmp_path):
+    """The full-loop composition (passage dedup + text index in ONE
+    tick): the repeated span is cut before the row lands, and the text
+    index — fed by the post-MERGE warehouse read-back — indexes the
+    CUT text, so a term pair living only inside the cut span is not
+    searchable on the later doc while its fresh tail is. A state-loss
+    reprocess leaves the warehouse, the search results, and the corpus
+    stats all unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([("doc-a", "http://x/a",
+                   _html("lead words " + boiler + " tail"))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    pidx = WindowHashIndex(spark, str(tmp_path / "pidx"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+
+    warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs",
+        passage_index=pidx, text_index=tidx,
+    )
+    (warc_dir / "b.warc").write_bytes(
+        _segment([("doc-b", "http://y/b",
+                   _html("three fresh lead tokens here " + boiler
+                         + " own ending"))])
+    )
+    warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs",
+        passage_index=pidx, text_index=tidx,
+    )
+    rows = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    assert "boiler0" not in rows["<urn:uuid:doc-b>"].split()  # cut landed
+
+    tids = {
+        r["doc_id"]: r["__tid"]
+        for r in wh.read("web_docs")
+        .select("doc_id", F.xxhash64("doc_id").alias("__tid"))
+        .collect()
+    }
+    # the cut span's terms are searchable ONLY on their first owner —
+    # the index holds the warehouse's (cut) text, not the raw crawl
+    cand = {r["doc_id"] for r in
+            tidx.conjunctive_candidates(("boiler0", "boiler1")).collect()}
+    assert cand == {tids["<urn:uuid:doc-a>"]}
+    # doc-b's fresh tail is searchable
+    hit = {r["doc_id"] for r in tidx.probe(("ending",), topk=5).collect()}
+    assert hit == {tids["<urn:uuid:doc-b>"]}
+
+    def stats_total():
+        return (
+            spark.read.schema("txn string, n_docs long, sum_dl long")
+            .parquet(str(tmp_path / "tidx" / "stats"))
+            .groupBy("txn").agg(F.max("n_docs").alias("n"))
+            .agg(F.sum("n")).collect()[0][0]
+        )
+
+    assert stats_total() == 2
+
+    # state loss: full reprocess; texts, search answers, stats stable
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs",
+        passage_index=pidx, text_index=tidx,
+    )
+    after = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    assert after == rows
+    assert stats_total() == 2
+    cand2 = {r["doc_id"] for r in
+             tidx.conjunctive_candidates(("boiler0", "boiler1")).collect()}
+    assert cand2 == cand
+
+
 def test_warc_ingest_intra_tick_passage_dedup(spark, tmp_path):
     """Passages repeated WITHIN one tick's batch (boilerplate shared
     across pages of the same segment) are cut by the in-batch
