@@ -127,32 +127,112 @@ class IVFVectorIndex:
             ),
         )
 
+    def _latest_dir(self) -> str:
+        return os.path.join(self.path, "latest")
+
+    def _roster(self) -> DataFrame | None:
+        """Supersession roster: max committed ordinal per UPDATED id
+        (``None`` when no update was ever appended — the overwhelmingly
+        common case, keeping the plain append/probe plan untouched).
+        O(updated ids), not O(corpus): plain adds never roster."""
+        if not os.path.isdir(self._latest_dir()):
+            return None
+        return (
+            self.spark.read.parquet(self._latest_dir())
+            .groupBy("__rid")
+            .agg(F.max("__rord").alias("__rord"))
+        )
+
+    def _live(self, posts: DataFrame) -> DataFrame:
+        """Mask superseded rows: a row is live iff its ordinal is ≥ the
+        roster's max ordinal for its id (rows of never-updated ids have
+        no roster entry and always pass). This holds even when an
+        update moved the vector to a DIFFERENT ``cid=`` list than its
+        stale predecessor — the stale row is dropped by ordinal, not by
+        colliding with its replacement in the same list."""
+        if "__ord" not in posts.columns:  # store predates ordinals
+            posts = posts.withColumn("__ord", F.lit(0).cast("long"))
+        roster = self._roster()
+        if roster is None:
+            return posts
+        return (
+            posts.join(
+                roster,
+                posts[self.id_col] == F.col("__rid"),
+                "left",
+            )
+            .where(
+                F.coalesce(F.col("__ord"), F.lit(0))
+                >= F.coalesce(F.col("__rord"), F.lit(0))
+            )
+            .drop("__rid", "__rord")
+        )
+
     def build(self, corpus: DataFrame) -> None:
         """Map-only nearest-centroid assignment + one partitioned
         write: each inverted list lands in its own ``cid=`` directory."""
-        self._assigned(corpus).write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(self._postings_dir())
+        self._assigned(corpus).withColumn(
+            "__ord", F.lit(0).cast("long")
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            self._postings_dir()
+        )
 
-    def append(self, new: DataFrame) -> None:
+    def append(
+        self, new: DataFrame, ordinal: int = 0, supersede: bool = False
+    ) -> None:
         """Incremental add — new vectors assign map-only and append
         into their lists' partitions; no existing data is touched.
         Replayed appends leave duplicate rows that probe's
-        per-candidate fold tolerates and ``maybe_compact`` removes."""
-        self._assigned(new).write.mode("append").partitionBy("cid").parquet(
+        per-candidate fold tolerates and ``maybe_compact`` removes.
+
+        ``ordinal`` stamps the rows' version (callers use a
+        deterministic monotonic source — the drop file's mtime_ns —
+        so a crashed-tick replay re-stamps bit-identically).
+        ``supersede=True`` declares these rows UPDATES of previously
+        appended ids: the batch's ``(id, ordinal)`` pairs also land in
+        the ``latest/`` roster, and every earlier row of those ids —
+        including rows sitting in a different ``cid=`` list because
+        the new vector re-assigned — is masked from probes /
+        semantic_dedup and reclaimed by compaction. Without it the old
+        code served max(cos_sim) over old AND new vectors for an
+        updated id (r8 ADVICE finding). Removing ids by omitting them
+        from a modified drop file is NOT supported — drops are
+        add/update only (deletes need tombstones, out of scope)."""
+        if supersede and not ordinal:
+            raise ValueError(
+                "supersede=True requires a nonzero ordinal to order "
+                "the update against the rows it replaces"
+            )
+        assigned = self._assigned(new).withColumn(
+            "__ord", F.lit(int(ordinal)).cast("long")
+        )
+        if supersede:
+            # pin: two writes below consume the same batch
+            assigned = assigned.localCheckpoint()
+            # roster FIRST: a crash between the two writes then masks
+            # the updated ids entirely (absent until the replay lands)
+            # instead of serving the stale vector — the same
+            # fail-toward-silence choice the txn'd text index makes
+            assigned.select(
+                F.col(self.id_col).alias("__rid"),
+                F.col("__ord").alias("__rord"),
+            ).write.mode("append").parquet(self._latest_dir())
+        assigned.write.mode("append").partitionBy("cid").parquet(
             self._postings_dir()
         )
 
     def maybe_compact(self, max_files_per_list: int = 8) -> int:
         """Streaming-loop housekeeping (the index-family discipline):
         fat ``cid=`` inverted lists rewrite as ONE file sorted by id,
-        and duplicate rows from replayed appends physically fold away
-        (``dropDuplicates`` on the id — probe's max fold makes them
-        invisible even before this runs). Crash-safe parked-previous
+        duplicate rows from replayed appends physically fold away
+        (latest-ordinal-per-id — probe's fold makes them invisible
+        even before this runs), and rows superseded by an update —
+        including stale rows whose replacement re-assigned to another
+        list — reclaim via the roster. Crash-safe parked-previous
         swap; a crashed compaction heals on the next call."""
         import os as _os
 
-        from .compaction import compact_partitioned
+        from .compaction import compact_flat, compact_partitioned
 
         pdir = self._postings_dir()
         if not _os.path.isdir(pdir):
@@ -161,15 +241,45 @@ class IVFVectorIndex:
         # schema is discovered from the store itself (cid lives in
         # the directory name, not the rows)
         schema = self.spark.read.parquet(pdir).drop("cid").schema
-        return compact_partitioned(
+        if "__ord" in schema.fieldNames():
+            w = Window.partitionBy(self.id_col).orderBy(
+                F.col("__ord").desc()
+            )
+
+            def fold(df: DataFrame) -> DataFrame:
+                kept = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                return self._live(kept)
+
+        else:  # store predates ordinals
+
+            def fold(df: DataFrame) -> DataFrame:
+                return df.dropDuplicates([self.id_col])
+
+        done = compact_partitioned(
             self.spark,
             pdir,
             "cid",
             schema,
-            lambda df: df.dropDuplicates([self.id_col]),
+            fold,
             [self.id_col],
             max_files=max_files_per_list,
         )
+        if _os.path.isdir(self._latest_dir()):
+            compact_flat(
+                self.spark,
+                self._latest_dir(),
+                "__rid long, __rord long",
+                lambda df: df.groupBy("__rid").agg(
+                    F.max("__rord").alias("__rord")
+                ),
+                ["__rid"],
+                max_files=max_files_per_list,
+            )
+        return done
 
     def probe(
         self,
@@ -200,8 +310,10 @@ class IVFVectorIndex:
         ).select(query_id, "__qv", "cid")
         # union of touched lists: ≤ len(centroids) ints, driver-bounded
         touched = [r["cid"] for r in probes.select("cid").distinct().collect()]
-        postings = self.spark.read.parquet(self._postings_dir()).where(
-            F.col("cid").isin(touched)
+        postings = self._live(
+            self.spark.read.parquet(self._postings_dir()).where(
+                F.col("cid").isin(touched)
+            )
         )
         scored = F.broadcast(probes).join(postings, "cid").select(
             query_id,
@@ -245,7 +357,7 @@ class IVFVectorIndex:
         column stored in the postings."""
         from .similarity import _dominance_audit, norm_sq
 
-        posts = self.spark.read.parquet(self._postings_dir())
+        posts = self._live(self.spark.read.parquet(self._postings_dir()))
         assigned = posts.select(
             F.col(self.id_col),
             F.col(self.vec_col).alias("__v"),

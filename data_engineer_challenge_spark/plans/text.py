@@ -1645,12 +1645,19 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", tokens("text").alias("t")
     )
+    # slice(t, 1, size(t) - 1) raises INVALID_PARAMETER_VALUE.LENGTH
+    # for zero-token docs (size-1 = -1); empty/punctuation-only text is
+    # a supported input (P10 only filters empty STRINGS), so guard the
+    # bigram branch exactly like dedup.py guards sequence(0,-1).
     grams = F.concat(
         F.col("t"),
-        F.expr(
-            "transform(slice(t, 1, size(t) - 1),"
-            " (x, i) -> concat(x, ' ', t[i + 1]))"
-        ),
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> concat(x, ' ', t[i + 1]))"
+            ),
+        ).otherwise(F.expr("array()")),
     )
     feats = toks.select(
         "doc_id", "lang", F.explode(grams).alias("g")

@@ -568,23 +568,40 @@ def vector_index_tick(
     partitioned append into ``cid=`` lists) and compacts fat lists.
 
     Exactly-once ANSWERS without txn machinery: a crashed-tick replay
-    or a state-loss full reprocess re-appends bit-identical rows,
-    which the probe's per-candidate max fold tolerates and the next
-    compaction physically removes — there is no corpus-stats row to
-    drift (contrast ``InvertedTextIndex``, whose N/avgdl needed the
-    txn guard). Offsets commit only after the append lands, so a
-    crash mid-tick re-arms the same drops."""
+    or a state-loss full reprocess re-appends bit-identical rows —
+    each file's rows are stamped with the file's mtime_ns as their
+    version ordinal, which a replay reproduces exactly — and the
+    probe's per-candidate fold tolerates the duplicates until the
+    next compaction physically removes them. There is no corpus-stats
+    row to drift (contrast ``InvertedTextIndex``, whose N/avgdl
+    needed the txn guard). Offsets commit only after the append
+    lands, so a crash mid-tick re-arms the same drops.
+
+    MODIFIED drops are genuine updates, not replays: they append with
+    ``supersede=True`` so the index's ``latest/`` roster masks every
+    earlier version of those ids from probes and compaction reclaims
+    the stale rows (r8 ADVICE fix — previously the probe scored an
+    updated id against both its old and new vectors and served
+    whichever scored higher). The file's mtime_ns is the version
+    order, so a later re-modification always outranks. Removing ids
+    by omitting them from a modified file is not supported (drops are
+    add/update only)."""
     import os as _os
 
     diff, snapshot = state.peek(state_key, drop_dir, exts)
     changed = tuple(sorted((*diff.new, *diff.modified)))
     if not changed:
         return {"fired": False, "files": (), "vectors": 0}
-    vecs = spark.read.parquet(
-        *[_os.path.join(drop_dir, n) for n in changed]
-    )
-    n = vecs.count()
-    index.append(vecs)
+    modified = set(diff.modified)
+    n = 0
+    for name in changed:  # driver-bounded: files-per-tick, not rows
+        vecs = spark.read.parquet(_os.path.join(drop_dir, name))
+        n += vecs.count()
+        index.append(
+            vecs,
+            ordinal=snapshot[name],
+            supersede=name in modified,
+        )
     index.maybe_compact()
     state.commit(state_key, snapshot)
     state.save()

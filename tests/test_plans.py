@@ -262,6 +262,38 @@ def test_dsir_selection_ranks_target_like_docs_first(spark, tmp_path):
     assert w[100] / n[100] > w[101] / n[101]
 
 
+def test_dsir_selection_survives_zero_token_docs(spark, tmp_path):
+    """Regression (r8 ADVICE): punctuation-only text tokenizes to an
+    empty array, and the unguarded bigram slice(t, 1, size(t)-1) threw
+    INVALID_PARAMETER_VALUE.LENGTH (length -1) for it — killing the
+    whole driver-surface job. P10 only filters empty STRINGS, so a
+    zero-token doc is a supported input: the query must run, scoring
+    the token-bearing docs and simply emitting no features for the
+    empty one (the DuckDB oracle's range(1,0) does the same)."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    plans._load()
+    rows = [
+        (1, "the quick brown fox", "en", "srcA", 40),
+        (2, "quick brown fox too", "xx", "srcB", 41),
+        # zero tokens after TOKEN_RE extraction; one-token doc exercises
+        # the slice(t,1,0) edge as well
+        (3, "!!! ... ??? ---", "xx", "srcB", 42),
+        (4, "solitary", "xx", "srcB", 43),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["documents"])
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        plans.REGISTRY["docs_dsir_selection"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    ids = {r["doc_id"] for r in got}
+    assert 3 not in ids  # no features -> no row, not a crash
+    assert {1, 2, 4} <= ids
+
+
 def test_calendar_densified_fills_planted_gaps(spark, tmp_path):
     """The driver corpus is dense (every type logs every day), so the
     zero-fill path never fires in the oracle comparison — plant a

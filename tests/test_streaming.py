@@ -1463,3 +1463,101 @@ def test_vector_index_tick_exactly_once_answers(spark, tmp_path):
     got2 = [tuple(r) for r in idx.probe(queries, k=5, n_probe=2)
             .orderBy("q_id", "rank").collect()]
     assert got2 == want
+
+
+def test_vector_index_tick_modified_drop_supersedes_stale_vectors(
+    spark, tmp_path
+):
+    """Regression (r8 ADVICE): a MODIFIED drop file is an update, not
+    a replay — before the ``latest/`` roster, the probe's per-candidate
+    max fold scored an updated id against BOTH its old and new vectors
+    (serving the stale one whenever it scored higher), and compaction
+    kept an arbitrary copy. Pin the fixed semantics: after a modify,
+    (1) a probe of the OLD vector's inverted list no longer returns
+    the id at all — even though the replacement re-assigned to a
+    different cid= list — (2) a probe of the NEW list scores the new
+    vector, (3) compaction physically reclaims the stale rows, and
+    (4) a state-loss reprocess of the modified file leaves answers
+    bit-identical."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    d0 = drops / "d0.parquet"
+
+    def write_drop(rows):
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            str(d0), index=False
+        )
+
+    # two orthogonal inverted lists; id 1 starts in list A (x-axis)
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    write_drop([
+        (1, [1.0, 0.05]),
+        (2, [0.9, 0.1]),
+        (3, [0.05, 1.0]),
+    ])
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), centroids)
+    assert vector_index_tick(spark, str(drops), state, idx)["fired"]
+
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "q_id long, embedding array<double>",
+    )
+    before = {
+        (r["q_id"], r["c_id"]): round(r["cos_sim"], 6)
+        for r in idx.probe(q, k=3, n_probe=1).collect()
+    }
+    assert (10, 1) in before and (11, 1) not in before
+
+    # modify the drop: id 1's vector moves to list B's neighborhood
+    # (ids 2 and 3 unchanged — a partial re-embedding run)
+    write_drop([
+        (1, [0.02, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.05, 1.0]),
+    ])
+    os.utime(str(d0), ns=(time.time_ns(), time.time_ns()))
+    r = vector_index_tick(spark, str(drops), state, idx)
+    assert r["fired"] and r["files"] == ("d0.parquet",)
+
+    after = {
+        (r["q_id"], r["c_id"]): round(r["cos_sim"], 6)
+        for r in idx.probe(q, k=3, n_probe=1).collect()
+    }
+    # (1) stale row masked: the x-axis probe reads list A only, where
+    # id 1's old vector still physically sits — it must not surface
+    assert (10, 1) not in after
+    # (2) the y-axis probe scores the NEW vector
+    assert (11, 1) in after and after[(11, 1)] > 0.99
+    # unchanged ids keep their scores
+    assert after[(10, 2)] == before[(10, 2)]
+
+    # (3) compaction reclaims the stale cross-list row
+    assert idx.maybe_compact(max_files_per_list=0) >= 1
+    posts = spark.read.parquet(str(tmp_path / "ivf" / "postings"))
+    assert posts.count() == 3
+    assert {
+        (r["q_id"], r["c_id"]): round(r["cos_sim"], 6)
+        for r in idx.probe(q, k=3, n_probe=1).collect()
+    } == after
+
+    # (4) state loss: the modified file reprocesses as "new" with the
+    # same mtime ordinal — bit-identical rows, answers unchanged
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    assert vector_index_tick(spark, str(drops), lost, idx)["fired"]
+    assert {
+        (r["q_id"], r["c_id"]): round(r["cos_sim"], 6)
+        for r in idx.probe(q, k=3, n_probe=1).collect()
+    } == after
