@@ -30,6 +30,13 @@ data in the best case and never more than the probed partitions.
 
 Reference scope: the reference engine has no vector surface at all
 (SURVEY §2.10 — driven by BASELINE.json's "similarity search").
+
+Concurrency contract: single writer per index root, enforced — every
+mutation (build/append/maybe_compact) holds the advisory
+``compaction.writer_lock`` flock for the call, so a second writer
+process fails fast instead of racing the parked-previous swap; probe
+frames must be created after the last compaction (same-process
+sequential use, the ingest loops' topology).
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import similarity as _sim
+from .compaction import locked_writer
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
 
@@ -168,6 +176,7 @@ class IVFVectorIndex:
             .drop("__rid", "__rord")
         )
 
+    @locked_writer
     def build(self, corpus: DataFrame) -> None:
         """Map-only nearest-centroid assignment + one partitioned
         write: each inverted list lands in its own ``cid=`` directory."""
@@ -177,6 +186,7 @@ class IVFVectorIndex:
             self._postings_dir()
         )
 
+    @locked_writer
     def append(
         self, new: DataFrame, ordinal: int = 0, supersede: bool = False
     ) -> None:
@@ -221,6 +231,7 @@ class IVFVectorIndex:
             self._postings_dir()
         )
 
+    @locked_writer
     def maybe_compact(self, max_files_per_list: int = 8) -> int:
         """Streaming-loop housekeeping (the index-family discipline):
         fat ``cid=`` inverted lists rewrite as ONE file sorted by id,

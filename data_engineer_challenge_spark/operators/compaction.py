@@ -27,11 +27,22 @@ probes) and at the start of every compaction pass. Readers in OTHER
 processes racing a compaction can observe a missing directory for the
 instant between the two renames — single-writer ownership per index,
 the same contract every append already requires (two concurrent
-appends to one Spark parquet directory are unsafe anyway).
+appends to one Spark parquet directory are unsafe anyway). That
+contract is now ENFORCED, not prose-only: every index mutation takes
+:func:`writer_lock` (flock on ``<index root>/.writer.lock``) for the
+call's duration, so a second writer process fails fast with a clear
+error instead of racing the swap. Within one process the supported
+topology is sequential: a probe DataFrame must be CREATED after the
+last compaction (parquet file listings pin at read time, so a frame
+created before the swap holds paths the swap renames away) — the
+ingest loops comply by compacting inside the tick and serving probes
+from fresh frames, pinned by
+tests/test_streaming.py::test_probe_interleaved_with_compaction.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 
@@ -39,6 +50,58 @@ from pyspark.sql import DataFrame, SparkSession
 
 _OLD = ".old-"
 _TMP = ".compact-"
+_LOCK = ".writer.lock"
+
+
+@contextlib.contextmanager
+def writer_lock(root: str):
+    """Advisory per-index-root writer lock (flock, non-blocking).
+
+    The index stores are single-writer by contract: two processes
+    appending to one Spark parquet directory are unsafe, and a probe
+    in ANOTHER process racing :func:`compact_dir`'s parked-previous
+    swap can observe the live directory missing for the instant
+    between the two renames. This lock makes the contract detectable
+    instead of prose-only — every index mutation (append / build /
+    maybe_compact) takes it for the call's duration, so a second
+    WRITER process fails fast with a clear error rather than
+    interleaving renames. Same-process sequential calls re-acquire
+    freely (the lock is never held across calls), and readers are
+    deliberately not serialized: within one process a probe created
+    AFTER the last compaction is safe, which is the supported
+    topology (the ingest loop compacts inside its tick, then serves
+    probes from fresh DataFrames). A dotfile, so Spark directory
+    listings and ``_data_files`` ignore it."""
+    os.makedirs(root, exist_ok=True)
+    fd = os.open(os.path.join(root, _LOCK), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        import fcntl
+
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            raise RuntimeError(
+                f"{root}: another process holds the writer lock — the "
+                "index stores are single-writer (concurrent appends / "
+                "compactions would interleave renames)"
+            ) from e
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
+
+
+def locked_writer(method):
+    """Decorator form of :func:`writer_lock` for the index classes'
+    mutation methods — locks on ``self.path`` for the call's
+    duration."""
+    import functools
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with writer_lock(self.path):
+            return method(self, *args, **kwargs)
+
+    return wrapper
 
 
 def _data_files(d: str) -> list[str]:

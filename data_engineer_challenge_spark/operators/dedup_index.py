@@ -48,6 +48,13 @@ Reference context: the reference deduplicates only within the current
 load (exo_1.py:32-34 keep-first, exo_2.py:93-97 seen-set); an
 incremental cross-batch dedup index is part of the extended
 LLM-pipeline surface (SURVEY §2.10).
+
+Concurrency contract: single writer per index root, enforced — every
+mutation (build/append/maybe_compact) holds the advisory
+``compaction.writer_lock`` flock for the call, so a second writer
+process fails fast instead of racing the parked-previous swap; probe
+frames must be created after the last compaction (same-process
+sequential use, the ingest loops' topology).
 """
 
 from __future__ import annotations
@@ -58,6 +65,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .compaction import locked_writer
 from .similarity import _require_long_ids
 from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
 
@@ -176,10 +184,12 @@ class MinHashIndex:
         finally:
             base.unpersist()
 
+    @locked_writer
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Create the index from an initial corpus (overwrites)."""
         self._write(docs, id_col, text_col, "overwrite")
 
+    @locked_writer
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Add a (probed, accepted) batch's postings + shingles."""
         self._write(docs, id_col, text_col, "append")
@@ -292,6 +302,7 @@ class MinHashIndex:
             .select("new_id", "dup_of", "jaccard")
         )
 
+    @locked_writer
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline): every ``bh_bucket=`` /

@@ -26,6 +26,13 @@ a batch's distinct windows: membership semantics tolerate duplicate
 ``h`` rows (a healed/replayed batch re-appends postings — probe
 answers are unchanged, only storage grows), the same replay contract
 MinHashIndex documents.
+
+Concurrency contract: single writer per index root, enforced — every
+mutation (build/append/maybe_compact) holds the advisory
+``compaction.writer_lock`` flock for the call, so a second writer
+process fails fast instead of racing the parked-previous swap; probe
+frames must be created after the last compaction (same-process
+sequential use, the ingest loops' topology).
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .compaction import locked_writer
 
 from ..functions.tokenize import word_tokens
 
@@ -262,6 +271,7 @@ class WindowHashIndex:
             .distinct()
         )
 
+    @locked_writer
     def append(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
@@ -359,6 +369,7 @@ class WindowHashIndex:
         finally:
             wins.unpersist()
 
+    @locked_writer
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline ported to the directory store):

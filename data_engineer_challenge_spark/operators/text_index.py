@@ -56,6 +56,13 @@ Reference scope: the reference engine has no retrieval surface at all
 (SURVEY §2.10 — driven by BASELINE.json's search/retrieval north
 star); the scoring itself follows Robertson et al.'s Okapi BM25 in the
 Lucene idf form.
+
+Concurrency contract: single writer per index root, enforced — every
+mutation (build/append/maybe_compact) holds the advisory
+``compaction.writer_lock`` flock for the call, so a second writer
+process fails fast instead of racing the parked-previous swap; probe
+frames must be created after the last compaction (same-process
+sequential use, the ingest loops' topology).
 """
 
 from __future__ import annotations
@@ -68,6 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.tokenize import word_tokens
+from .compaction import locked_writer
 from .similarity import _require_long_ids
 
 #: Okapi defaults, shared with plans/text.docs_bm25_search
@@ -151,6 +159,32 @@ class InvertedTextIndex:
     def _stats_dir(self) -> str:
         return os.path.join(self.path, "stats")
 
+    def _docs_dir(self) -> str:
+        return os.path.join(self.path, "docs")
+
+    def indexed_ids(self) -> DataFrame:
+        """Roster of every doc id ever appended (the WindowHashIndex
+        pattern, passage.py): callers enforcing the disjoint-batch
+        contract anti-join their batch against it BEFORE appending —
+        the warc ingest loop does, so a doc_id recurring in a later
+        tick's different segment keeps its first-indexed postings
+        instead of double-counting n_docs/sum_dl and mixing old- and
+        new-text postings in the per-term max fold (r8 ADVICE fix).
+        Duplicate roster rows across appends/replays are harmless
+        (membership semantics)."""
+        if not os.path.isdir(self._docs_dir()):
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            self.spark.read.schema("doc_id long")
+            .parquet(self._docs_dir())
+            .distinct()
+        )
+
+    def _write_roster(self, docs: DataFrame, id_col: str, mode: str) -> None:
+        docs.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+            mode
+        ).parquet(self._docs_dir())
+
     def _bucket_expr(self, col: str = "term") -> Column:
         """Partition key: ``pmod(hash(term), N)`` — Spark's Murmur3 of
         a string is stable across sessions, so buckets written by one
@@ -214,15 +248,24 @@ class InvertedTextIndex:
             ).coalesce(1).write.mode(
                 "overwrite" if mode == "overwrite" else "append"
             ).parquet(self._stats_dir())
+            # roster LAST (after the stats commit point): a crash
+            # between stats and roster leaves the txn committed with
+            # the roster lagging, and append()'s no-op path backfills
+            # it on replay — the reverse order would roster docs whose
+            # postings/stats never landed, silently excluding them
+            # from every future ingest forever
+            self._write_roster(base, "doc_id", mode)
         finally:
             base.unpersist()
 
     # -- public API ---------------------------------------------------
 
+    @locked_writer
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Create the index from an initial corpus (overwrites)."""
         self._write(docs, id_col, text_col, "overwrite", txn="build")
 
+    @locked_writer
     def append(
         self,
         docs: DataFrame,
@@ -243,6 +286,10 @@ class InvertedTextIndex:
         Without ``txn`` every call counts (a unique anonymous key is
         generated)."""
         if txn is not None and self._txn_committed(txn):
+            # heal the roster: a crash AFTER the stats commit but
+            # before the roster write left these ids unrostered;
+            # re-writing them is idempotent (membership semantics)
+            self._write_roster(docs.select(id_col), id_col, "append")
             return False
         self._write(docs, id_col, text_col, "append", txn=txn)
         return True
@@ -382,6 +429,7 @@ class InvertedTextIndex:
             .select("doc_id")
         )
 
+    @locked_writer
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
         """Streaming-loop housekeeping (the SnapshotTable discipline):
         fat ``t_bucket=`` partitions rewrite as ONE file sorted by
@@ -420,6 +468,15 @@ class InvertedTextIndex:
                 F.max("sum_dl").alias("sum_dl"),
             ),
             ["txn"],
+            max_files=max_files_per_bucket,
+        ):
+            n += 1
+        if os.path.isdir(self._docs_dir()) and compact_flat(
+            self.spark,
+            self._docs_dir(),
+            "doc_id long",
+            lambda df: df.distinct(),
+            ["doc_id"],
             max_files=max_files_per_bucket,
         ):
             n += 1

@@ -1645,20 +1645,13 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", tokens("text").alias("t")
     )
-    # slice(t, 1, size(t) - 1) raises INVALID_PARAMETER_VALUE.LENGTH
-    # for zero-token docs (size-1 = -1); empty/punctuation-only text is
-    # a supported input (P10 only filters empty STRINGS), so guard the
-    # bigram branch exactly like dedup.py guards sequence(0,-1).
-    grams = F.concat(
-        F.col("t"),
-        F.when(
-            F.size("t") >= 2,
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> concat(x, ' ', t[i + 1]))"
-            ),
-        ).otherwise(F.expr("array()")),
-    )
+    # the shared guarded gram expression (defined with the quality
+    # classifier below): slice(t, 1, size(t) - 1) raises
+    # INVALID_PARAMETER_VALUE.LENGTH for zero-token docs (size-1 = -1),
+    # and empty/punctuation-only text is a supported input (P10 only
+    # filters empty STRINGS) — so the bigram branch is guarded exactly
+    # like dedup.py guards sequence(0,-1).
+    grams = F.expr(_GRAMS_EXPR)
     feats = toks.select(
         "doc_id", "lang", F.explode(grams).alias("g")
     ).withColumn("b", md5_long("g") % _DSIR_BUCKETS)
@@ -1698,6 +1691,56 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("log_weight"), "doc_id")
         .limit(_DSIR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (the CCNet / GPT-3 Wikipedia-vs-CC filter
+# stage; fastText architecture — Joulin et al. 2016): mean-pooled
+# hashed unigram+bigram features through a single logistic unit, with
+# weights trained OFFLINE by the deterministic trainer
+# (operators/logreg.train_logreg_hashed) and shipped frozen
+# (plans/quality_weights.py — the bpe_merges/ivf_centroids posture).
+# Scoring is a map-only broadcast dot product: grams explode map-side,
+# join the 256-row weight table broadcast, and the only shuffle is the
+# per-doc aggregate (map-side combined). Fully SQL-replayable.
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 256  # hashed feature dimension (fastText-style buckets)
+
+#: the guarded unigram+bigram expression shared with the DSIR plan —
+#: zero-token docs produce array() instead of a slice(…, -1) error
+_GRAMS_EXPR = (
+    "concat(t, CASE WHEN size(t) >= 2 THEN transform("
+    "slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1])) "
+    "ELSE array() END)"
+)
+
+_GRAMS_SQL = (
+    "list_concat(t, list_transform(range(1, len(t)),"
+    " i -> t[i] || ' ' || t[i+1]))"
+)
+
+
+def quality_gram_feats(docs: DataFrame) -> DataFrame:
+    """Per-doc hashed-gram bucket counts ``(doc_id, b, c, n)`` — the
+    feature extractor BOTH the frozen-weight scorer and the trainer
+    consume (one definition, so the provenance test trains on exactly
+    what the scorer scores). ``n`` is the doc's total gram count,
+    denormalized for the mean-pool."""
+    from pyspark.sql.window import Window
+
+    feats = docs.select(
+        "doc_id", tokens("text").alias("t")
+    ).select(
+        "doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
+    ).withColumn("b", md5_long("g") % _QC_BUCKETS)
+    return (
+        feats.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "n", F.sum("c").over(Window.partitionBy("doc_id"))
+        )
     )
 
 

@@ -159,19 +159,29 @@ def warc_ingest_tick(
         # already-committed txns and no-op instead of re-counting the
         # corpus stats. Long-id surrogate: the minhash caveat verbatim
         # — a collision can misattribute a search hit, never lose a
-        # warehouse row. Known edge (documented, not defended): a
-        # doc_id recurring in a LATER tick's different segment appends
-        # its row again under the new segment's txn — postings
-        # max-fold, but N counts it twice. WARC record ids are
-        # per-record urns (re-crawls mint new ids), so this needs a
-        # pathologically duplicated id to fire.
+        # warehouse row. A doc_id recurring in a LATER tick's
+        # different segment anti-joins away against the index's
+        # ``docs/`` roster (r8 ADVICE fix) — the index keeps the
+        # FIRST-indexed text's postings (keep-first, the dedup
+        # family's rule) and n_docs/sum_dl stay exact, instead of
+        # double-counting the doc and mixing old- and new-text
+        # postings in the per-term max fold.
         wh_rows = wh.read(table)
         for seg in changed:
+            # re-read the roster PER segment: parquet file listings pin
+            # at read time, so a single pre-loop frame would miss ids
+            # the previous iteration just rostered (a doc_id shared by
+            # two segments of one tick)
+            already = text_index.indexed_ids().select(
+                F.col("doc_id").alias("__tid")
+            )
             seg_ids = seg_map.where(
                 F.col("segment").endswith("/" + seg)
             ).select("doc_id")
-            landed = wh_rows.join(seg_ids, "doc_id", "semi").withColumn(
-                "__tid", F.xxhash64("doc_id")
+            landed = (
+                wh_rows.join(seg_ids, "doc_id", "semi")
+                .withColumn("__tid", F.xxhash64("doc_id"))
+                .join(already, "__tid", "left_anti")
             )
             text_index.append(
                 landed, id_col="__tid", text_col="text",

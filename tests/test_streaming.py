@@ -1561,3 +1561,92 @@ def test_vector_index_tick_modified_drop_supersedes_stale_vectors(
         (r["q_id"], r["c_id"]): round(r["cos_sim"], 6)
         for r in idx.probe(q, k=3, n_probe=1).collect()
     } == after
+
+
+def test_writer_lock_second_process_fails_fast(spark, tmp_path):
+    """The single-writer contract is enforced, not prose (r8 ADVICE):
+    while another PROCESS holds an index root's writer lock, every
+    mutation (append / maybe_compact) raises immediately instead of
+    racing the compaction swap's rename window."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import pytest
+
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dogs sleep all day")],
+        "doc_id long, text string",
+    )
+    idx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=8)
+    idx.build(docs)
+
+    # a genuinely separate process takes the flock and holds it until
+    # told to exit (flock conflicts are per open-file-description, so
+    # an in-test thread would not model the cross-process case)
+    holder = subprocess.Popen(
+        [sys.executable, "-c", textwrap.dedent("""
+            import fcntl, os, sys
+            fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            print("held", flush=True)
+            sys.stdin.readline()
+        """), str(tmp_path / "tidx" / ".writer.lock")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        with pytest.raises(RuntimeError, match="writer lock"):
+            idx.append(docs, txn="t2")
+        with pytest.raises(RuntimeError, match="writer lock"):
+            idx.maybe_compact(max_files_per_bucket=0)
+    finally:
+        holder.stdin.write("\n")
+        holder.stdin.flush()
+        holder.wait(timeout=30)
+    # lock released -> mutations proceed again
+    assert idx.maybe_compact(max_files_per_bucket=0) >= 1
+
+
+def test_probe_interleaved_with_compaction(spark, tmp_path):
+    """The supported same-process topology (module contract in all
+    four index docstrings): probes CREATED after the last compaction
+    never error and keep identical answers, across many
+    append→compact→probe ticks — the exact interleaving the ingest
+    loops run. Also pins that a fully-materialized result survives a
+    later compaction (collect() before the swap, reuse after)."""
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    idx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=8)
+    idx.build(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma shared")], "doc_id long, text string"
+        )
+    )
+    want = None
+    for tick in range(1, 7):
+        batch = spark.createDataFrame(
+            [(tick, f"alpha tick{tick} shared words")],
+            "doc_id long, text string",
+        )
+        # materialize a probe BEFORE the mutation (rows, not a lazy
+        # frame — the contract is about when frames are CREATED)
+        pre = {(r["doc_id"], round(r["score"], 6))
+               for r in idx.probe(("alpha",), topk=100).collect()}
+        assert len(pre) == tick
+        idx.append(batch, txn=f"t{tick}")
+        idx.maybe_compact(max_files_per_bucket=0)  # compact EVERY tick
+        post = {(r["doc_id"], round(r["score"], 6))
+                for r in idx.probe(("alpha",), topk=100).collect()}
+        assert len(post) == tick + 1
+        want = post
+    # a final fresh probe after the last compaction: stable
+    got = {(r["doc_id"], round(r["score"], 6))
+           for r in idx.probe(("alpha",), topk=100).collect()}
+    assert got == want

@@ -466,6 +466,89 @@ def test_warc_tick_maintains_text_index(spark, tmp_path):
     assert stats2 == 2
 
 
+def test_warc_tick_recurring_doc_id_keeps_first_and_exact_stats(
+    spark, tmp_path
+):
+    """Regression (r8 ADVICE): a doc_id recurring in a LATER tick's
+    different segment used to append its warehouse row again under the
+    new segment's txn — double-counting n_docs/sum_dl and, since the
+    MERGE had replaced the doc's text, mixing old- and new-text
+    postings in the per-term max fold (scoring a document matching
+    NEITHER version). The docs/ roster anti-join pins the fix:
+    keep-first postings, exact corpus stats."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([("doc-a", "http://x/a", _html(_LONG_A))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+    assert warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    ).docs_merged == 1
+
+    # the same doc_id re-crawled in a later segment with NEW text
+    (warc_dir / "c.warc").write_bytes(
+        _segment([("doc-a", "http://x/a", _html(_LONG_C))])
+    )
+    warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    )
+    # the warehouse holds the replacement text (keyed MERGE semantics)
+    assert wh.read("web_docs").count() == 1
+    assert "petabyte" in wh.read("web_docs").collect()[0]["text"]
+
+    # ...but the INDEX keeps the first-indexed version: old-text terms
+    # still resolve, new-text terms don't (keep-first, never a mix)
+    tid = wh.read("web_docs").select(F.xxhash64("doc_id")).collect()[0][0]
+    assert [r["doc_id"] for r in tidx.probe(("riverbank",), topk=5)
+            .collect()] == [tid]
+    assert not tidx.probe(("petabyte",), topk=5).collect()
+
+    # corpus stats count the doc exactly ONCE across both txns
+    stats = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn")
+        .agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert stats == 1
+
+    # state-loss reprocess: both txns committed -> everything no-ops,
+    # stats unchanged (the roster backfill on no-op is idempotent)
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", text_index=tidx
+    )
+    stats2 = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn")
+        .agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert stats2 == 1
+
+
 # -------------------------------------------------- URL canonicalization
 
 
