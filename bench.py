@@ -86,6 +86,13 @@ HEADLINE = [
     # shuffle; 4096-row model broadcast)
     "inverted_index_probe",
     "docs_dsir_selection",
+    # r8 additions: the learned quality scorer (map-only broadcast dot
+    # product — the cheapest curation stage, benched to prove it);
+    # hybrid RRF through the persisted index (now the driver-surface
+    # variant; the recompute twin stays above for round-over-round
+    # comparability)
+    "docs_quality_classifier",
+    "docs_hybrid_rrf_via_index",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round
@@ -144,6 +151,77 @@ def _bench_merge_batch(spark, sf_dir: str, warm_dir: str | None = None) -> float
     return _run(sf_dir)
 
 
+def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Build-once-probe-many (r8, VERDICT r7 #3): the registered
+    ``inverted_index_probe`` / ``ivf_index_probe`` rows rebuild a
+    throwaway index per call — right for the hash check, but it
+    conflates the one-off build with the serving path. Here each
+    index builds ONCE (timed, reported under ``index_builds``), then
+    the probe runs three times against the prebuilt store and the
+    min lands as a headline row — the number that makes the indexes'
+    reason-to-exist measurable (probe ≪ corpus recompute)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.plans.similarity import (
+        _IVF_CENTROIDS,
+    )
+    from data_engineer_challenge_spark.plans.text import (
+        _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK,
+    )
+
+    builds: dict[str, float] = {}
+    probes: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench-idx-")
+
+    def _min_of(fn, runs: int = 3) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            e = time.perf_counter() - t0
+            best = e if best is None else min(best, e)
+        return round(best, 4)
+
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        tidx = InvertedTextIndex(spark, os.path.join(root, "text"))
+        tidx.build(docs)
+        builds["inverted_index_build"] = round(time.perf_counter() - t0, 4)
+        probes["inverted_index_probe_only"] = _min_of(
+            lambda: tidx.probe(
+                _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+            )
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        vidx = IVFVectorIndex(
+            spark, os.path.join(root, "ivf"), _IVF_CENTROIDS
+        )
+        vidx.build(emb)
+        builds["ivf_index_build"] = round(time.perf_counter() - t0, 4)
+        queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        probes["ivf_index_probe_only"] = _min_of(
+            lambda: vidx.probe(queries, k=10, n_probe=12)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return builds, probes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_engineer_challenge_spark import plans
@@ -193,6 +271,8 @@ def main() -> None:
     timings["warehouse_merge_batch"] = _bench_merge_batch(
         spark, sf_dir, warm_dir=warm_dir if os.path.isdir(warm_dir) else None
     )
+    index_builds, probe_timings = _bench_index_serving(spark, sf_dir)
+    timings.update(probe_timings)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -209,6 +289,9 @@ def main() -> None:
                 "r2_comparable_subtotal": round(
                     sum(t for n, t in timings.items() if n in R2_COMPARABLE), 4
                 ),
+                # one-off index construction, reported OUTSIDE the
+                # headline total (the probe-only rows above are in it)
+                "index_builds": index_builds,
             }
         )
     )

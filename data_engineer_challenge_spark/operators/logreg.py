@@ -57,7 +57,8 @@ def train_logreg_hashed(
     labels: DataFrame,
     buckets: int,
     iters: int = 24,
-    lr: float = 2.0,
+    lr: float = 300.0,
+    lr_bias: float = 2.0,
 ) -> tuple[float, list[float]]:
     """Train mean-pooled hashed-feature logistic regression.
 
@@ -72,6 +73,13 @@ def train_logreg_hashed(
     Returns ``(bias, weights)`` with ``len(weights) == buckets``.
     Deterministic: zero init, fixed iteration count, exact decimal
     cross-document sums, float64 driver-side updates.
+
+    Two learning rates because the mean-pooled features sum to 1
+    across buckets: a single bucket's average activation is ~1/D, so
+    its loss curvature is ~D² smaller than the bias term's — one
+    shared rate either stalls the weights or oscillates the bias.
+    ``lr`` (weights) defaults near the bucket count; ``lr_bias``
+    stays in the classic GD range.
     """
     x = (
         feats.join(labels, "doc_id")
@@ -129,5 +137,5 @@ def train_logreg_hashed(
         )
         for r in g:
             w[int(r["b"])] -= lr * r["gb"] / n_docs
-        bias -= lr * g0 / n_docs
+        bias -= lr_bias * g0 / n_docs
     return bias, w

@@ -637,7 +637,11 @@ _HYBRID_ORACLE = f"""
     "docs_hybrid_rrf_search",
     # r6: ON the driver surface (slot from docs_stats_by_lang_source)
     # — the production RAG retrieval shape, sparse+dense under one
-    # exact hash oracle
+    # exact hash oracle. r8: slot handed to docs_hybrid_rrf_via_index
+    # (same oracle; the index-reading variant is the one worth the
+    # hard hash signal — the inverted_index_probe rationale); still
+    # pytest-oracled here.
+    driver=False,
     oracle=_HYBRID_ORACLE,
 )
 def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,8 +677,8 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares the hybrid oracle verbatim, so the hash equality proves
     # the t_bucket= postings layout is a drop-in for the one-shot
     # TF/DF recompute inside a downstream consumer, not only in
-    # isolation. Off the (full) driver surface; pytest-oracled.
-    driver=False,
+    # isolation. r8: rotated ONTO the driver surface in place of
+    # docs_hybrid_rrf_search (VERDICT r7 #6).
     oracle=_HYBRID_ORACLE,
 )
 def docs_hybrid_rrf_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1097,7 +1097,11 @@ _BM25_ORACLE = f"""
 
 @register(
     "docs_bm25_search",
-    # r5: promoted to the driver surface (slot from emb_norm_stats)
+    # r5: promoted to the driver surface (slot from emb_norm_stats).
+    # r8: demoted — inverted_index_probe carries this exact oracle
+    # verbatim (the redundant-twin rule), freeing the slot for
+    # docs_quality_classifier; still pytest-oracled here.
+    driver=False,
     oracle=_BM25_ORACLE,
 )
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,6 +1724,118 @@ _GRAMS_SQL = (
     "list_concat(t, list_transform(range(1, len(t)),"
     " i -> t[i] || ' ' || t[i+1]))"
 )
+
+
+def _qc_weights_values_sql() -> str:
+    """The frozen weight table as a DuckDB VALUES list — the literals
+    inline into the oracle exactly as they broadcast into the plan."""
+    from .quality_weights import WEIGHTS
+
+    return ", ".join(f"({b}, {w!r})" for b, w in enumerate(WEIGHTS))
+
+
+def _register_quality_classifier() -> None:
+    from .quality_weights import BIAS
+
+    @register(
+        "docs_quality_classifier",
+        # r8: on the driver surface in the slot of docs_bm25_search,
+        # whose oracle inverted_index_probe already carries verbatim
+        # (the redundant-twin demotion rule)
+        oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, lang, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id, lang,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM documents)
+            )
+        ),
+        w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
+        pooled AS (
+            SELECT f.doc_id,
+                   any_value(f.lang) AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   {dec_sum_sql('w.wt')} AS s
+            FROM feats f JOIN w ON w.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, lang, n_grams,
+               ROUND(1.0 / (1.0 + exp(-({BIAS!r} + s / n_grams))), 6)
+                   AS quality_score,
+               ({BIAS!r} + s / n_grams) >= 0.0 AS is_kept
+        FROM pooled
+        ORDER BY quality_score DESC, doc_id
+        """,
+    )
+    def docs_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Learned quality classifier — the CCNet / GPT-3
+        "Wikipedia-vs-CommonCrawl" filter stage (Wenzek et al. 2019;
+        Brown et al. 2020 §A; fastText architecture, Joulin et al.
+        2016): every document scores
+        ``sigmoid(bias + mean_g w[bucket(g)])`` over hashed
+        unigram+bigram features, with weights trained OFFLINE by the
+        deterministic distributed trainer
+        (operators/logreg.train_logreg_hashed) and shipped frozen
+        (plans/quality_weights.py, provenance-pinned: pytest re-runs
+        the trainer and asserts the literals). ``is_kept`` is the
+        logit-sign keep decision (score ≥ 0.5), evaluated on the
+        exact logit so the boundary never depends on exp() rounding.
+
+        Hash-match discipline: the per-doc weight sum goes through
+        the decimal cast (dec_sum — identical double on both
+        engines), the mean divides by the identical long count, and
+        the sigmoid rounds to 6 dp before ranking (the ln()/exp()
+        libm-ulp rule).
+
+        Scale shape: grams explode map-side; the 256-row frozen
+        weight table broadcasts; the ONLY shuffle is the per-doc
+        aggregate (map-side combined, ids+decimal); the sort is by
+        the rounded score (a top-level presentation sort a caller
+        would LIMIT — the scoring itself is one pass). At 100 TB
+        this is the cheapest stage in the curation funnel: no corpus
+        statistics, no second pass, no index — exactly why the
+        public pipelines run a linear scorer over hashed n-grams."""
+        from .quality_weights import BIAS as _bias
+        from .quality_weights import WEIGHTS as _w
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
+        feats = toks.select(
+            "doc_id", "lang", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
+        ).withColumn("b", md5_long("g") % _QC_BUCKETS)
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
+            )
+        )
+        pooled = (
+            feats.join(wdf, "b")
+            .groupBy("doc_id")
+            .agg(
+                F.any_value("lang").alias("lang"),
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                dec_sum("wt").alias("s"),
+            )
+        )
+        logit = F.lit(_bias) + F.col("s") / F.col("n_grams")
+        return pooled.select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+            ).alias("quality_score"),
+            (logit >= 0.0).alias("is_kept"),
+        ).orderBy(F.desc("quality_score"), "doc_id")
+
+
+_register_quality_classifier()
 
 
 def quality_gram_feats(docs: DataFrame) -> DataFrame:

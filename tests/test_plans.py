@@ -294,6 +294,121 @@ def test_dsir_selection_survives_zero_token_docs(spark, tmp_path):
     assert {1, 2, 4} <= ids
 
 
+def test_quality_weights_provenance(spark):
+    """The frozen classifier weights (plans/quality_weights.py) are
+    exactly what the engine's own deterministic distributed trainer
+    produces from the documented invocation — the bpe_merges /
+    ivf_centroids executable-provenance posture. Bit-equality, not
+    approx: the trainer's cross-document sums are exact decimals and
+    its updates float64, so any drift is a real change."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.logreg import (
+        train_logreg_hashed,
+    )
+    from data_engineer_challenge_spark.plans.quality_weights import (
+        BIAS, TRAIN_ITERS, TRAIN_LR, TRAIN_LR_BIAS, WEIGHTS,
+    )
+    from data_engineer_challenge_spark.plans.text import (
+        _QC_BUCKETS, quality_gram_feats,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    bias, w = train_logreg_hashed(
+        quality_gram_feats(docs), labels, _QC_BUCKETS,
+        iters=TRAIN_ITERS, lr=TRAIN_LR, lr_bias=TRAIN_LR_BIAS,
+    )
+    assert bias == BIAS
+    assert w == WEIGHTS
+
+
+def test_quality_classifier_learns_planted_vocabulary_split(
+    spark, tmp_path
+):
+    """Trainer capability on a corpus with REAL signal (the synthetic
+    driver corpus draws all languages from one vocabulary, so the
+    frozen weights there capture only sampling tilt — this test is
+    where the learning is proven, the DSIR planted-corpus
+    discipline): positive docs written in vocabulary A, negatives in
+    vocabulary B, the trained model must separate them perfectly and
+    the scorer must rank every A-doc above every B-doc."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.logreg import (
+        sigmoid, train_logreg_hashed,
+    )
+    from data_engineer_challenge_spark.plans.text import (
+        _QC_BUCKETS, quality_gram_feats,
+    )
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    rng = random.Random(7)
+    va = ("the quick brown fox jumps over lazy dog river bank moon "
+          "light tree stone").split()
+    vb = "zzq wvk jjx qqp mmr ttk bbv ccd lle ffg hhj kkl ppo uui".split()
+    shared = "alpha beta gamma delta".split()
+    rows = []
+    for i in range(120):
+        vocab = (va if i % 2 == 0 else vb) + shared
+        text = " ".join(
+            vocab[rng.randrange(len(vocab))] for _ in range(40)
+        )
+        rows.append((i, text, "en" if i % 2 == 0 else "xx", "s", 40))
+    docs = spark.createDataFrame(rows, TESTDATA["documents"])
+    feats = quality_gram_feats(docs).localCheckpoint()
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    bias, w = train_logreg_hashed(feats, labels, _QC_BUCKETS, iters=16)
+    wdf = spark.createDataFrame(
+        [(b, w[b]) for b in range(_QC_BUCKETS)], "b long, wt double"
+    )
+    scored = (
+        feats.join(F.broadcast(wdf), "b")
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(bias) + F.sum(F.col("wt") * F.col("c")) / F.first("n"))
+            .alias("logit")
+        )
+        .select("doc_id", sigmoid(F.col("logit")).alias("p"))
+        .collect()
+    )
+    pos = [r["p"] for r in scored if r["doc_id"] % 2 == 0]
+    neg = [r["p"] for r in scored if r["doc_id"] % 2 == 1]
+    assert min(pos) > 0.5 > max(neg)  # perfect separation
+    assert min(pos) > max(neg)  # every A-doc above every B-doc
+
+
+def test_quality_classifier_survives_zero_token_docs(spark, tmp_path):
+    """Feature-bearing docs score; zero-gram docs drop cleanly (the
+    same P10-adjacent contract as DSIR — no slice(-1) crash, no NULL
+    division)."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    plans._load()
+    rows = [
+        (1, "the quick brown fox", "en", "srcA", 40),
+        (2, "!!! ... ??? ---", "xx", "srcB", 42),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["documents"])
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        plans.REGISTRY["docs_quality_classifier"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [1]
+
+
 def test_calendar_densified_fills_planted_gaps(spark, tmp_path):
     """The driver corpus is dense (every type logs every day), so the
     zero-fill path never fires in the oracle comparison — plant a
