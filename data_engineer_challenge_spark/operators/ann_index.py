@@ -54,6 +54,29 @@ from .compaction import locked_writer
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
 
+#: scale-aware quantizer defaults (the SemDeDup ARROW_ASSIGN_MIN_K
+#: posture — an auto-switch with the frozen small-corpus shape
+#: preserved below the threshold, so the sf0.01/sf0.1 oracle rows
+#: never change):
+#:
+#: - below IVF_AUTO_MIN_N vectors the caller's (frozen, sample-trained)
+#:   quantizer is the right shape — retraining k≈16 centroids on a
+#:   2,000-row corpus buys nothing and would break oracle replay.
+#: - past it, k ∝ N with a TARGET LIST SIZE: k = ceil(N / 256) keeps
+#:   every inverted list ~constant-sized, so per-query probe work is
+#:   O(n_probe · 256) regardless of corpus scale — the property the
+#:   frozen-k config loses (its lists grow with N, which is exactly
+#:   SCALE.md's measured 12x wall at 30x).
+#: - n_probe from the probed-fraction rule: cover ~10% of the lists
+#:   (the measured sweep's knee — recall >= 0.95 on corpora with
+#:   cluster structure, 0.59 FLOOR on the deliberately structureless
+#:   synthetic rotations; production tunes this against a measured
+#:   recall target exactly like SCALE.md's sweep does).
+IVF_AUTO_MIN_N = 50_000
+IVF_TARGET_LIST_SIZE = 256
+IVF_PROBE_LIST_FRACTION = 0.1
+
+
 class IVFVectorIndex:
     def __init__(
         self,
@@ -185,6 +208,63 @@ class IVFVectorIndex:
         ).write.mode("overwrite").partitionBy("cid").parquet(
             self._postings_dir()
         )
+
+    @classmethod
+    def build_scaled(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        small_centroids: list[list[float]],
+        small_n_probe: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 4,
+        sample_mod: int | None = 8,
+        seed: int = 42,
+    ) -> tuple["IVFVectorIndex", int]:
+        """Scale-aware build (r8, VERDICT r7 #2): below
+        ``IVF_AUTO_MIN_N`` vectors, build with the caller's frozen
+        quantizer and ``small_n_probe`` — the exact registered shape,
+        so oracle replay at sf0.01/sf0.1 is untouched. Past it,
+        retrain k ∝ N (one list per ``IVF_TARGET_LIST_SIZE`` vectors,
+        via the deterministic seeded k-means on a hash-sample — the
+        Arrow assignment kernel engages automatically past
+        ARROW_ASSIGN_MIN_K) and derive n_probe from the
+        probed-fraction rule (``IVF_PROBE_LIST_FRACTION`` of lists,
+        never below ``small_n_probe``'s coverage intent of 1).
+        Constant list size is what keeps per-query probe work flat as
+        the corpus grows — the module constants' docstring carries
+        the measured evidence. Returns ``(index, n_probe)``."""
+        import math
+
+        n = corpus.count()
+        if n < IVF_AUTO_MIN_N:
+            idx = cls(
+                spark, path, small_centroids,
+                id_col=id_col, vec_col=vec_col,
+            )
+            idx.build(corpus)
+            return idx, small_n_probe
+        from .similarity import kmeans_centroids
+
+        k = max(
+            len(small_centroids),
+            math.ceil(n / IVF_TARGET_LIST_SIZE),
+        )
+        cents = kmeans_centroids(
+            corpus,
+            vec=vec_col,
+            id_col=id_col,
+            k=k,
+            iters=iters,
+            seed=seed,
+            sample_mod=sample_mod,
+        )
+        idx = cls(spark, path, cents, id_col=id_col, vec_col=vec_col)
+        idx.build(corpus)
+        n_probe = max(1, math.ceil(IVF_PROBE_LIST_FRACTION * k))
+        return idx, n_probe
 
     @locked_writer
     def append(

@@ -510,18 +510,30 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters (plan-pinned in tests/test_text_dedup.py).
 
     Fresh throwaway index per call (driver and bench call queries
-    repeatedly); cost is one assignment pass over the corpus."""
+    repeatedly); cost is one assignment pass over the corpus.
+
+    Scale-aware default (r8): the build goes through
+    ``IVFVectorIndex.build_scaled`` — below IVF_AUTO_MIN_N vectors
+    (every oracle scale) it uses the frozen k=16 quantizer and
+    n_probe=12, the exact registered shape; past it (SCALE.md's 30x
+    tier) it retrains k ∝ N at one list per 256 vectors and probes
+    ~10% of the lists, the config whose per-query work stays flat as
+    the corpus grows (the frozen config's 12x wall at 30x was the
+    documented wrong shape — VERDICT r7 #2)."""
     from ..operators.ann_index import IVFVectorIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = IVFVectorIndex(
-        spark, scratch_dir("ivf_idx_"), _IVF_CENTROIDS
+    idx, n_probe = IVFVectorIndex.build_scaled(
+        spark,
+        scratch_dir("ivf_idx_"),
+        emb,
+        small_centroids=_IVF_CENTROIDS,
+        small_n_probe=12,
     )
-    idx.build(emb)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return idx.probe(queries, k=10, n_probe=12)
+    return idx.probe(queries, k=10, n_probe=n_probe)
 
 
 @register(

@@ -1442,3 +1442,58 @@ def test_inverted_index_probe_prunes_buckets_and_pushes_terms(
         assert 0 < len(in_list.group(1).split(",")) < 16  # strict subset
         pushed = s.split("PushedFilters: [")[1].split("]")[0]
         assert "In(term" in pushed, pushed
+
+
+def test_ivf_build_scaled_auto_switch(spark, tmp_path, monkeypatch):
+    """The scale-aware IVF default (VERDICT r7 #2, the SemDeDup
+    ARROW_ASSIGN_MIN_K posture): below IVF_AUTO_MIN_N the frozen
+    quantizer + registered n_probe run UNCHANGED (oracle shape —
+    probe answers bit-identical to the direct frozen build); past it
+    the quantizer retrains k ∝ N at one list per IVF_TARGET_LIST_SIZE
+    vectors and n_probe covers IVF_PROBE_LIST_FRACTION of the lists —
+    the config whose per-query probe work stays flat as the corpus
+    grows."""
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    # small corpus (500 < 50,000): frozen shape, registered n_probe
+    idx, n_probe = IVFVectorIndex.build_scaled(
+        spark, str(tmp_path / "auto_small"), emb,
+        small_centroids=CENTROIDS, small_n_probe=12,
+    )
+    assert idx.meta["k"] == len(CENTROIDS) and n_probe == 12
+    direct = IVFVectorIndex(spark, str(tmp_path / "frozen"), CENTROIDS)
+    direct.build(emb)
+    want = [tuple(r) for r in direct.probe(queries, k=5, n_probe=12)
+            .orderBy("q_id", "rank").collect()]
+    got = [tuple(r) for r in idx.probe(queries, k=5, n_probe=12)
+           .orderBy("q_id", "rank").collect()]
+    assert got == want
+
+    # past the (monkeypatched) threshold: k = ceil(N / list_size),
+    # n_probe = ceil(fraction * k)
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 100)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 20)
+    idx2, n_probe2 = IVFVectorIndex.build_scaled(
+        spark, str(tmp_path / "auto_big"), emb,
+        small_centroids=CENTROIDS, small_n_probe=12,
+        sample_mod=None,
+    )
+    assert idx2.meta["k"] == 25  # ceil(500 / 20)
+    assert n_probe2 == 3  # ceil(0.1 * 25)
+    # the retrained index still answers: every self-query's rank-1
+    # neighbor is itself (its own list is always its nearest)
+    self_hits = {
+        r["q_id"]: r["c_id"]
+        for r in idx2.probe(queries, k=1, n_probe=n_probe2).collect()
+    }
+    assert all(q == c for q, c in self_hits.items())
