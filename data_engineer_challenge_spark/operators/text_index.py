@@ -122,14 +122,23 @@ class InvertedTextIndex:
         spark: SparkSession,
         path: str,
         t_buckets: int = 64,
+        positions: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
-        self.meta = {"t_buckets": int(t_buckets)}
+        # positions=True stores each posting's occurrence offsets as a
+        # sorted int array (the Lucene positional-postings layout) —
+        # phrase/adjacency queries then answer INDEX-RESIDENT, never
+        # re-reading document text. Default stays tf-only (the
+        # standard space trade); the flag is part of the layout
+        # fingerprint because probing a tf-only store for positions
+        # would silently return nothing.
+        self.meta = {"t_buckets": int(t_buckets), "positions": bool(positions)}
         meta_path = os.path.join(path, "meta", "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 stored = json.load(f)
+            stored.setdefault("positions", False)  # pre-r8 stores
             if stored != self.meta:
                 raise ValueError(
                     f"InvertedTextIndex at {path!r} was built with "
@@ -215,16 +224,35 @@ class InvertedTextIndex:
             # postings: tokenize map-side, then ONE partial-aggregated
             # shuffle on (term, doc_id) — only distinct (term, doc)
             # rows move, never the token stream
-            hits = base.select(
-                "doc_id",
-                F.size("ts").cast("long").alias("dl"),
-                F.explode("ts").alias("term"),
-            )
-            postings = (
-                hits.groupBy("term", "doc_id", "dl")
-                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-                .withColumn("t_bucket", self._bucket_expr())
-            )
+            if self.meta["positions"]:
+                hits = base.select(
+                    "doc_id",
+                    F.size("ts").cast("long").alias("dl"),
+                    F.posexplode("ts").alias("p", "term"),
+                )
+                postings = (
+                    hits.groupBy("term", "doc_id", "dl")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("tf"),
+                        # sort_array: collect_list order is
+                        # partition-dependent; the stored layout must
+                        # be deterministic (replays re-write
+                        # bit-identical rows)
+                        F.sort_array(F.collect_list("p")).alias("pos"),
+                    )
+                    .withColumn("t_bucket", self._bucket_expr())
+                )
+            else:
+                hits = base.select(
+                    "doc_id",
+                    F.size("ts").cast("long").alias("dl"),
+                    F.explode("ts").alias("term"),
+                )
+                postings = (
+                    hits.groupBy("term", "doc_id", "dl")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                    .withColumn("t_bucket", self._bucket_expr())
+                )
             postings.write.partitionBy("t_bucket").mode(mode).parquet(
                 self._postings_dir()
             )
@@ -429,6 +457,71 @@ class InvertedTextIndex:
             .select("doc_id")
         )
 
+    def phrase_occurrences(
+        self, terms: tuple[str, ...] | list[str]
+    ) -> DataFrame:
+        """INDEX-RESIDENT exact-phrase counting (requires
+        ``positions=True`` at build — the Lucene positional layout):
+        returns ``(doc_id, n_occurrences)`` for documents containing
+        ``terms`` as ADJACENT tokens, computed purely from the stored
+        position arrays — zero document-text reads (contrast
+        :meth:`conjunctive_candidates` + a candidates-only rescan,
+        the tf-only two-stage plan).
+
+        Plan: read only the phrase terms' pruned ``t_bucket=``
+        partitions; per phrase slot i, shift that term's positions by
+        −i; ``len(terms) − 1`` doc_id equi-joins (phrase length is a
+        query parameter, not data); the occurrence count is the size
+        of the running array intersection — a slot-by-slot
+        ``array_intersect`` over sorted int arrays, map-side after
+        the joins. Duplicate postings from replayed appends fold with
+        ``max`` (bit-identical arrays) before joining, so replay
+        multiplicity cannot double joins."""
+        if not self.meta["positions"]:
+            raise ValueError(
+                "phrase_occurrences needs a positions=True index; this "
+                "store is tf-only — use conjunctive_candidates + a "
+                "candidates-only text rescan instead"
+            )
+        terms = tuple(terms)
+        touched = sorted(
+            r[0]
+            for r in self.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        )
+        postings = (
+            self.spark.read.schema(
+                "term string, doc_id long, tf long, dl long,"
+                " pos array<int>, t_bucket int"
+            )
+            .parquet(self._postings_dir())
+            .filter(F.col("t_bucket").isin(touched))
+            .filter(F.col("term").isin(*list(set(terms))))
+            .groupBy("term", "doc_id")
+            .agg(F.max("pos").alias("pos"))  # replay fold
+        )
+        acc: DataFrame | None = None
+        for i, t in enumerate(terms):
+            slot = postings.where(F.col("term") == t).select(
+                "doc_id",
+                F.transform("pos", lambda x: x - i).alias(f"__p{i}"),
+            )
+            acc = slot if acc is None else acc.join(slot, "doc_id")
+        inter = F.col("__p0")
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(inter, F.col(f"__p{i}"))
+        return (
+            acc.select(
+                "doc_id",
+                F.size(inter).cast("long").alias("n_occurrences"),
+            )
+            .where(F.col("n_occurrences") > 0)
+        )
+
     @locked_writer
     def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
         """Streaming-loop housekeeping (the SnapshotTable discipline):
@@ -441,16 +534,24 @@ class InvertedTextIndex:
         (operators/compaction; heals on reopen)."""
         from .compaction import compact_flat, compact_partitioned
 
+        pos = self.meta["positions"]
+
         def fold_postings(df: DataFrame) -> DataFrame:
+            # replayed appends duplicate rows bit-identically, so max
+            # collapses them (arrays order lexicographically; the
+            # duplicates are equal, making the fold a dedup)
             return df.groupBy("term", "doc_id").agg(
-                F.max("tf").alias("tf"), F.max("dl").alias("dl")
+                F.max("tf").alias("tf"),
+                F.max("dl").alias("dl"),
+                *([F.max("pos").alias("pos")] if pos else []),
             )
 
         n = compact_partitioned(
             self.spark,
             self._postings_dir(),
             "t_bucket",
-            "term string, doc_id long, tf long, dl long",
+            "term string, doc_id long, tf long, dl long"
+            + (", pos array<int>" if pos else ""),
             fold_postings,
             ["term", "doc_id"],
             max_files=max_files_per_bucket,

@@ -1561,6 +1561,58 @@ def docs_phrase_search_via_index(
     )
 
 
+@register(
+    "docs_phrase_search_positional",
+    # pytest-oracled (driver surface capped at 50) — shares the
+    # two-stage variant's full-scan oracle verbatim, so the hash
+    # equality proves the positional layout answers identically while
+    # reading ZERO document text (plan-pinned in
+    # tests/test_scale_patterns.py)
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, n_occurrences
+    FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(t)),
+                    i -> t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'))
+                    AS BIGINT) AS n_occurrences
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+    )
+    WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id
+    """,
+)
+def docs_phrase_search_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-phrase retrieval, INDEX-RESIDENT (r8, VERDICT r7 #5): the
+    index builds with ``positions=True`` (per-posting sorted offset
+    arrays — the Lucene positional layout) and
+    ``InvertedTextIndex.phrase_occurrences`` answers the phrase query
+    purely from the stored postings: pruned ``t_bucket=`` scan,
+    slot-shifted position arrays, one doc_id equi-join per extra
+    phrase term, occurrence count = running ``array_intersect`` size.
+    The documents table is read ONCE at build time and never again —
+    the probe plan contains no docs scan (plan-pinned), which is the
+    property the tf-only two-stage plan
+    (``docs_phrase_search_via_index``) gives up at 100 TB where even
+    a candidates-only text rescan re-reads cold data. The tf-only
+    layout stays the DEFAULT (the standard space trade); positions
+    are the opt-in for phrase-heavy workloads."""
+    from ..operators.text_index import InvertedTextIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = InvertedTextIndex(
+        spark, scratch_dir("phrpos_idx_"), positions=True
+    )
+    idx.build(docs)
+    return idx.phrase_occurrences(_PHRASE).orderBy(
+        F.desc("n_occurrences"), "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling" — public method):

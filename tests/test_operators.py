@@ -614,3 +614,78 @@ def test_assignment_auto_switches_to_arrow_kernel(spark, monkeypatch):
     monkeypatch.setattr(sim, "ARROW_ASSIGN_MIN_K", 1)
     got = run_all()
     assert got == want
+
+
+def test_positional_index_phrase_occurrences(spark, tmp_path):
+    """positions=True postings answer phrase queries index-resident:
+    3-term phrases, repeated-token phrases, replayed appends (max
+    fold on bit-identical arrays), compaction of the positional
+    store, and the tf-only guard."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the quick brown cat"),
+            (2, "quick brown things move fast, brown quick things do not"),
+            (3, "the the the repeated tokens stack here the the"),
+            (4, "nothing relevant whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedTextIndex(
+        spark, str(tmp_path / "pidx"), t_buckets=8, positions=True
+    )
+    idx.build(docs)
+
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in idx.phrase_occurrences(
+            ("quick", "brown", "fox")
+        ).collect()
+    }
+    assert got == {(1, 1)}
+    got2 = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in idx.phrase_occurrences(("quick", "brown")).collect()
+    }
+    assert got2 == {(1, 2), (2, 1)}
+    # repeated-token phrase: "the the" occurs at positions (0,1),(1,2)
+    # in the leading run of doc 3 plus (7,8) in the trailing pair
+    got3 = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in idx.phrase_occurrences(("the", "the")).collect()
+    }
+    assert got3 == {(3, 3)}
+
+    # replayed append: answers unchanged (max fold), then compaction
+    # physically dedups and answers are still identical
+    idx.append(docs.where("doc_id = 2"), txn=None)
+    assert {
+        (r["doc_id"], r["n_occurrences"])
+        for r in idx.phrase_occurrences(("quick", "brown")).collect()
+    } == got2
+    assert idx.maybe_compact(max_files_per_bucket=0) >= 1
+    assert {
+        (r["doc_id"], r["n_occurrences"])
+        for r in idx.phrase_occurrences(("quick", "brown")).collect()
+    } == got2
+
+    # the BM25 probe still works over a positional store (positions
+    # are additive — scoring ignores them)
+    hits = idx.probe(("fox",), topk=5).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+
+    # tf-only stores refuse phrase probes loudly
+    flat = InvertedTextIndex(spark, str(tmp_path / "flat"), t_buckets=8)
+    flat.build(docs)
+    with pytest.raises(ValueError, match="positions=True"):
+        flat.phrase_occurrences(("quick", "brown"))
+    # and the layout flag is part of the reopen fingerprint
+    with pytest.raises(ValueError, match="meta|positions|stored"):
+        InvertedTextIndex(
+            spark, str(tmp_path / "flat"), t_buckets=8, positions=True
+        )

@@ -552,3 +552,26 @@ def test_pii_scrub_is_map_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_phrase_search_positional_is_index_resident(spark):
+    """The positional variant (r8): the probe plan reads ONLY the
+    pruned positional postings — no documents scan, no tokenize
+    anywhere in the plan. The documents table is touched once, at
+    build time (VERDICT r7 #5's 'zero document-text reads')."""
+    import re as _re
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_phrase_search_positional"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[t_bucket#\d+ IN \(", plan), plan
+    scans = [
+        l for l in plan.splitlines() if "FileScan parquet" in l
+    ]
+    assert scans, plan
+    assert not any("text#" in l.split("Batched")[0] for l in scans), plan
+    assert "regexp_extract_all" not in plan, plan

@@ -60,6 +60,10 @@ QUERIES = [
     # r7 addition: DSIR selection (three token passes + one doc_id
     # shuffle; the 4096-row model is corpus-size-free)
     "docs_dsir_selection",
+    # r8 addition: learned quality scorer (one gram pass, 256-row
+    # weight broadcast, one per-doc aggregate — should be among the
+    # flattest ratios in the table)
+    "docs_quality_classifier",
 ]
 
 
@@ -415,6 +419,70 @@ QUERIES30 = [
 ]
 
 
+OUT100 = "/tmp/scale100"
+COPIES100 = 100
+
+#: the 100x tier (VERDICT r7 #7): two orders of magnitude on the two
+#: cheapest flagship dedup paths — the ones whose 30x ratios (2.03x /
+#: 3.28x) carried the 100 TB narrative
+QUERIES100 = [
+    "docs_minhash_neardup",
+    "docs_exact_substring_dedup",
+]
+
+
+def build_corpus100(spark) -> None:
+    """100x documents only (both tier-100 queries read documents).
+
+    The rotation family tops out at 36 distinct copies (|[a-z0-9]|),
+    so 100 copies use per-copy SEEDED RANDOM PERMUTATIONS of the
+    alphabet instead: still a token bijection (within-copy near-dup
+    structure preserved exactly), but every copy's mapping is distinct
+    and two copies agree on a token only if every character maps
+    identically — cross-copy Jaccard collapses just like the rotation
+    tiers (cross-copy verified pairs are 0, funnel-checked)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(OUT100, ignore_errors=True)
+    os.makedirs(OUT100)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for i in range(COPIES100):
+        perm = list(ALPHA)
+        random.Random(i).shuffle(perm)
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                F.translate("text", ALPHA, "".join(perm)).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.parquet(f"{OUT100}/documents.parquet")
+
+
+def tier100(spark) -> tuple[list, tuple]:
+    """Run the 100x tier; returns (query rows, funnel)."""
+    from data_engineer_challenge_spark import plans
+
+    build_corpus100(spark)
+    rows = []
+    for name in QUERIES100:
+        b = plans.REGISTRY[name].builder
+        t1, n1 = timed(spark, b, BASE)
+        t100, n100 = timed(spark, b, OUT100)
+        rows.append((name, t1, n1, t100, n100, round(t100 / t1, 2)))
+        print("100x", name, t1, n1, t100, n100, flush=True)
+    c100, s100 = minhash_funnel(spark, OUT100)
+    return rows, (c100, s100)
+
+
 def ivf_recall30(spark) -> list[tuple[str, float, float]]:
     """(config, probe sec, recall@10 vs exact brute force) at 30x.
 
@@ -551,6 +619,7 @@ def main() -> None:
     kv10_t, kv10 = kmv_accuracy(spark, OUT)
     sd_rows = semantic_dedup_scale(spark)
     t30_rows, (c30, s30), recall30, sem30 = tier30(spark)
+    t100_rows, (c100, s100) = tier100(spark)
 
     with open(os.path.join(REPO_ROOT, "SCALE.md"), "w") as f:
         f.write(
@@ -658,6 +727,7 @@ def main() -> None:
         for label, dt, pairs, dropped in sd_rows:
             f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
         _write_tier30(f, t30_rows, c30, s30, recall30, sem30)
+        _write_tier100(f, t100_rows, c100, s100)
     print("wrote SCALE.md")
 
 
@@ -684,12 +754,16 @@ def _write_tier30(f, t30_rows, c30, s30, recall30, sem30) -> None:
         "is ~900x pair volume. The k ∝ N contract row below "
         "(retrained k=480, default Arrow-kernel path) is the "
         "shape production runs at this scale. `ivf_index_probe`'s "
-        "row measures QUADRATIC-in-scale work by construction: "
-        "its query set is vec_id%100 of the corpus, so queries "
-        "AND corpus both grow 30x (900x candidate pairs under the "
-        "frozen 16-list / n_probe=12 config, which probes 75% of "
-        "the corpus per query); the recall sweep below is the "
-        "production list-pruning regime.\n\n"
+        "query set is vec_id%100 of the corpus (queries grow with "
+        "scale), and r8's scale-aware default "
+        "(IVFVectorIndex.build_scaled) FIRES at this tier: 60,000 "
+        "vectors >= IVF_AUTO_MIN_N, so the registered path retrains "
+        "k = ceil(N/256) = 235 constant-sized lists and probes 24 "
+        "(~10%) — per-query probe work stays flat in corpus scale, "
+        "vs the 12.08x wall r7 measured under the frozen "
+        "16-list/n_probe=12 config (which probed 75% of the corpus "
+        "per query). The recall sweep below is the same production "
+        "list-pruning regime.\n\n"
         "| query | 1x sec | 30x sec | 30x rows | time ratio |\n"
         "|---|---|---|---|---|\n"
     )
@@ -730,6 +804,66 @@ def _write_tier30(f, t30_rows, c30, s30, recall30, sem30) -> None:
         f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
 
 
+TIER100_HEADER = (
+    "## 100x tier — two orders of magnitude on the flagship dedup "
+    "paths (VERDICT r7 #7)"
+)
+
+
+def _write_tier100(f, t100_rows, c100, s100) -> None:
+    f.write(
+        f"\n{TIER100_HEADER}\n\n"
+        "Corpus: sf0.1 documents x100 (500,000 rows; per-copy SEEDED "
+        "RANDOM alphabet permutations — the rotation family tops out "
+        "at 36 distinct copies, a random bijection per copy keeps "
+        "within-copy near-dup structure exact while cross-copy "
+        "Jaccard collapses). Same method (warmup, noop sink, min of "
+        "2, caches cleared). A linear engine would show ~10x the 10x "
+        "wall; ratios are vs 1x.\n\n"
+        "| query | 1x sec | 100x sec | 100x rows | time ratio |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for name, t1, n1, t100, n100, r in t100_rows:
+        f.write(f"| `{name}` | {t1} | {t100} | {n100} | {r}x |\n")
+    f.write(
+        "\n**MinHash funnel at 100x** (same 63-hash/21-band "
+        "config):\n\n"
+        "| scale | banded candidate pairs | verified (j >= 0.8) | "
+        "survival |\n|---|---|---|---|\n"
+        f"| 100x | {c100} | {s100} | {s100 / max(c100, 1):.2%} |\n"
+    )
+
+
+def main_tier100_only() -> None:
+    """Re-run ONLY the 100x tier and splice its section into the
+    existing SCALE.md (everything from TIER100_HEADER down is
+    replaced; the 10x/30x tables above it are kept verbatim)."""
+    import io
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-smoke-100x")
+    plans._load()
+    for name in QUERIES100:
+        try:
+            plans.REGISTRY[name].builder(
+                spark, "/root/testdata/sf0.001"
+            ).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    t100_rows, (c100, s100) = tier100(spark)
+    path = os.path.join(REPO_ROOT, "SCALE.md")
+    with open(path) as f:
+        head = f.read().split("\n" + TIER100_HEADER)[0]
+    buf = io.StringIO()
+    _write_tier100(buf, t100_rows, c100, s100)
+    with open(path, "w") as f:
+        f.write(head.rstrip("\n") + "\n" + buf.getvalue())
+    print("wrote SCALE.md (100x section only)")
+
+
 def main_tier30_only() -> None:
     """Re-run ONLY the 30x tier and splice its section into the
     existing SCALE.md (everything from TIER30_HEADER down is
@@ -763,5 +897,7 @@ def main_tier30_only() -> None:
 if __name__ == "__main__":
     if "--tier30-only" in sys.argv:
         main_tier30_only()
+    elif "--tier100-only" in sys.argv:
+        main_tier100_only()
     else:
         main()
