@@ -1890,6 +1890,56 @@ def _register_quality_classifier() -> None:
 _register_quality_classifier()
 
 
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All input columns + ``quality_score`` (double, 6 dp) and
+    ``is_kept`` (boolean) under the FROZEN classifier — the reusable
+    scoring stage behind ``docs_quality_classifier``, shaped for
+    pipeline composition (the WARC ingest tick's quarantine stage
+    takes exactly this frame contract). Zero-gram documents (nothing
+    tokenizable) score NULL and ``is_kept = false`` — a quality
+    filter rejects content it cannot score, mirroring the public
+    pipelines' treatment of empty extractions.
+
+    Same plan shape as the registered query: map-side gram explode,
+    256-row broadcast, ONE per-doc aggregate, then a broadcast-back
+    join keyed on doc_id (the pooled frame is ids+score — small side
+    of the join at any corpus scale, but left as a plain equi-join so
+    AQE picks the strategy from measured sizes)."""
+    from .quality_weights import BIAS as _bias
+    from .quality_weights import WEIGHTS as _w
+
+    spark = docs.sparkSession
+    feats = docs.select(
+        "doc_id", tokens(text_col).alias("t")
+    ).select(
+        "doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
+    ).withColumn("b", md5_long("g") % _QC_BUCKETS)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
+        )
+    )
+    logit = F.lit(_bias) + F.col("s") / F.col("n_grams")
+    pooled = (
+        feats.join(wdf, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            dec_sum("wt").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+            ).alias("quality_score"),
+            (logit >= 0.0).alias("__kept"),
+        )
+    )
+    return docs.join(pooled, "doc_id", "left").withColumn(
+        "is_kept", F.coalesce(F.col("__kept"), F.lit(False))
+    ).drop("__kept")
+
+
 def quality_gram_feats(docs: DataFrame) -> DataFrame:
     """Per-doc hashed-gram bucket counts ``(doc_id, b, c, n)`` — the
     feature extractor BOTH the frozen-weight scorer and the trainer

@@ -45,6 +45,7 @@ class WarcTickReport:
     segments: tuple[str, ...] = ()
     docs_extracted: int = 0
     docs_merged: int = 0
+    docs_rejected: int = 0
 
 
 def warc_ingest_tick(
@@ -56,6 +57,7 @@ def warc_ingest_tick(
     index=None,  # operators.dedup_index.MinHashIndex | None
     passage_index=None,  # operators.passage.WindowHashIndex | None
     text_index=None,  # operators.text_index.InvertedTextIndex | None
+    quality_scorer=None,  # Callable[[DataFrame], DataFrame] | None
     main_content: bool = True,
     state_key: str = "warc",
 ) -> WarcTickReport:
@@ -83,6 +85,35 @@ def warc_ingest_tick(
     # ONCE — the probe, the survivor anti-join, and the report count
     # below would otherwise each re-parse the segments from bytes
     batch = _dedup_batch(docs, ["doc_id"]).localCheckpoint()
+    # extracted = what the crawl yielded, BEFORE any filter stage —
+    # the report's funnel reads extracted >= merged + rejected
+    n_extracted = batch.count()
+    n_rejected = 0
+    if quality_scorer is not None:
+        # the CCNet-stage placement: quality scoring runs FIRST (the
+        # cheapest filter — one map pass + broadcast dot product),
+        # before the dedup probes spend work on documents the filter
+        # discards. The scorer contract: input columns preserved, plus
+        # quality_score (double) + is_kept (boolean) — e.g.
+        # plans.text.with_quality_score (the frozen classifier).
+        # Rejects land in a keyed quarantine table with their scores
+        # (the rejects-branch discipline, operators/quality.py):
+        # MERGE-keyed on doc_id, so a state-loss reprocess re-rejects
+        # idempotently instead of duplicating quarantine rows.
+        scored = quality_scorer(batch).localCheckpoint()  # two consumers
+        rejected = scored.where(~F.col("is_kept"))
+        n_rejected = rejected.count()
+        if n_rejected:
+            wh.merge_upsert(
+                f"{table}_quality_rejects",
+                rejected.drop("is_kept"),
+                ["doc_id"],
+            )
+        batch = (
+            scored.where(F.col("is_kept"))
+            .drop("quality_score", "is_kept")
+            .localCheckpoint()
+        )
     seg_map = None
     if text_index is not None:
         seg_map = batch.select("doc_id", "segment")
@@ -105,7 +136,6 @@ def warc_ingest_tick(
         fresh = keyed.join(dups, "__iid", "left_anti").localCheckpoint()
     else:
         fresh = batch  # already pinned by its own localCheckpoint
-    n_extracted = batch.count()
     n_fresh = fresh.count()
     # MERGE first, index second (crash between the two replays as
     # probe-miss -> idempotent re-MERGE -> append: converges)
@@ -213,4 +243,5 @@ def warc_ingest_tick(
         segments=changed,
         docs_extracted=n_extracted,
         docs_merged=n_fresh,
+        docs_rejected=n_rejected,
     )

@@ -1007,3 +1007,79 @@ def test_warc_ingest_intra_tick_passage_dedup(spark, tmp_path):
     ka, kb = rows["<urn:uuid:doc-a>"].split(), rows["<urn:uuid:doc-b>"].split()
     assert ("chrome0" in ka) != ("chrome0" in kb)  # exactly one owner
     assert "first" in ka and "second" in kb        # own content intact
+
+
+def test_warc_tick_quality_quarantine_stage(spark, tmp_path):
+    """The CCNet-stage composition (r8): the tick scores every
+    extracted doc with the frozen learned classifier BEFORE the dedup
+    probes, merges only the keepers, and quarantines rejects (with
+    their scores) into a keyed <table>_quality_rejects — idempotent
+    under a state-loss full reprocess. Kept/rejected must agree
+    exactly with the standalone scorer on the same extractions."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.plans.text import (
+        with_quality_score,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment(
+            [
+                ("doc-a", "http://x/a", _html(_LONG_A)),
+                ("doc-b", "http://x/b", _html(_LONG_A_NEARDUP)),
+                ("doc-c", "http://y/c", _html(_LONG_C)),
+            ]
+        )
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    r = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs",
+        quality_scorer=with_quality_score,
+    )
+    assert r.fired and r.docs_extracted == 3
+    assert r.docs_merged + r.docs_rejected == 3
+
+    # ground truth: the standalone frozen scorer over the same docs
+    want = {
+        row["doc_id"]: row["is_kept"]
+        for row in with_quality_score(
+            wh.read("web_docs").select("doc_id", "text").unionByName(
+                wh.read("web_docs_quality_rejects")
+                .select("doc_id", "text")
+                if wh.exists("web_docs_quality_rejects")
+                else spark.createDataFrame([], "doc_id string, text string")
+            )
+        ).collect()
+    }
+    kept_ids = {r["doc_id"] for r in wh.read("web_docs").collect()}
+    assert kept_ids == {d for d, k in want.items() if k}
+    if r.docs_rejected:
+        rej = wh.read("web_docs_quality_rejects")
+        assert {row["doc_id"] for row in rej.collect()} == {
+            d for d, k in want.items() if not k
+        }
+        assert "quality_score" in rej.columns
+
+    # state-loss reprocess: same merge + same quarantine, no dupes
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r2 = warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs",
+        quality_scorer=with_quality_score,
+    )
+    assert r2.fired
+    assert {row["doc_id"] for row in wh.read("web_docs").collect()} == kept_ids
+    if r.docs_rejected:
+        rej2 = wh.read("web_docs_quality_rejects")
+        assert rej2.count() == r.docs_rejected  # keyed MERGE, no dupes
