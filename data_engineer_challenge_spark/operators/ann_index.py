@@ -201,19 +201,21 @@ class IVFVectorIndex:
 
     @locked_writer
     def build(self, corpus: DataFrame) -> None:
-        """Map-only nearest-centroid assignment + one partitioned
-        write: each inverted list lands in its own ``cid=`` directory."""
+        """Nearest-centroid assignment + one partitioned write: each
+        inverted list lands in its own ``cid=`` directory. The
+        pre-write shuffle ON cid bounds the file count at one file per
+        list — without it every input task writes a fragment into
+        every list it touches (k × tasks small files: 7,500 at k=235
+        on 32 tasks, which the first scaled 30x build measured as the
+        dominant cost), and probe listing pays for it forever."""
         self._assigned(corpus).withColumn(
             "__ord", F.lit(0).cast("long")
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            self._postings_dir()
-        )
+        ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(self._postings_dir())
 
-    @classmethod
-    def build_scaled(
-        cls,
-        spark: SparkSession,
-        path: str,
+    @staticmethod
+    def scaled_quantizer(
         corpus: DataFrame,
         small_centroids: list[list[float]],
         small_n_probe: int,
@@ -222,30 +224,31 @@ class IVFVectorIndex:
         iters: int = 4,
         sample_mod: int | None = 8,
         seed: int = 42,
-    ) -> tuple["IVFVectorIndex", int]:
-        """Scale-aware build (r8, VERDICT r7 #2): below
-        ``IVF_AUTO_MIN_N`` vectors, build with the caller's frozen
-        quantizer and ``small_n_probe`` — the exact registered shape,
-        so oracle replay at sf0.01/sf0.1 is untouched. Past it,
-        retrain k ∝ N (one list per ``IVF_TARGET_LIST_SIZE`` vectors,
-        via the deterministic seeded k-means on a hash-sample — the
-        Arrow assignment kernel engages automatically past
-        ARROW_ASSIGN_MIN_K) and derive n_probe from the
-        probed-fraction rule (``IVF_PROBE_LIST_FRACTION`` of lists,
-        never below ``small_n_probe``'s coverage intent of 1).
-        Constant list size is what keeps per-query probe work flat as
-        the corpus grows — the module constants' docstring carries
-        the measured evidence. Returns ``(index, n_probe)``."""
+    ) -> tuple[list[list[float]], int]:
+        """The scale-aware quantizer DECISION (r8, VERDICT r7 #2):
+        below ``IVF_AUTO_MIN_N`` vectors, the caller's frozen
+        sample-trained quantizer and ``small_n_probe`` — the exact
+        registered shape, so oracle replay at sf0.01/sf0.1 is
+        untouched. Past it, retrain k ∝ N (one list per
+        ``IVF_TARGET_LIST_SIZE`` vectors, via the deterministic seeded
+        k-means on a hash-sample — the Arrow assignment kernel engages
+        automatically past ARROW_ASSIGN_MIN_K) and derive n_probe from
+        the probed-fraction rule (``IVF_PROBE_LIST_FRACTION`` of
+        lists). Constant list size is what keeps per-query probe work
+        flat as the corpus grows — the module constants' docstring
+        carries the measured evidence.
+
+        Deterministic by construction (seeded init, fixed iterations,
+        hash-sample), so callers may MEMOIZE the result per corpus —
+        production trains the quantizer offline once and ships it as a
+        constant; re-deriving it per query would charge every probe an
+        offline cost (the registered plans-layer path does exactly
+        this). Returns ``(centroids, n_probe)``."""
         import math
 
         n = corpus.count()
         if n < IVF_AUTO_MIN_N:
-            idx = cls(
-                spark, path, small_centroids,
-                id_col=id_col, vec_col=vec_col,
-            )
-            idx.build(corpus)
-            return idx, small_n_probe
+            return small_centroids, small_n_probe
         from .similarity import kmeans_centroids
 
         k = max(
@@ -261,9 +264,37 @@ class IVFVectorIndex:
             seed=seed,
             sample_mod=sample_mod,
         )
+        n_probe = max(1, math.ceil(IVF_PROBE_LIST_FRACTION * k))
+        return cents, n_probe
+
+    @classmethod
+    def build_scaled(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        small_centroids: list[list[float]],
+        small_n_probe: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 4,
+        sample_mod: int | None = 8,
+        seed: int = 42,
+    ) -> tuple["IVFVectorIndex", int]:
+        """:meth:`scaled_quantizer` + build. Returns
+        ``(index, n_probe)``."""
+        cents, n_probe = cls.scaled_quantizer(
+            corpus,
+            small_centroids,
+            small_n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            iters=iters,
+            sample_mod=sample_mod,
+            seed=seed,
+        )
         idx = cls(spark, path, cents, id_col=id_col, vec_col=vec_col)
         idx.build(corpus)
-        n_probe = max(1, math.ceil(IVF_PROBE_LIST_FRACTION * k))
         return idx, n_probe
 
     @locked_writer
@@ -307,9 +338,12 @@ class IVFVectorIndex:
                 F.col(self.id_col).alias("__rid"),
                 F.col("__ord").alias("__rord"),
             ).write.mode("append").parquet(self._latest_dir())
-        assigned.write.mode("append").partitionBy("cid").parquet(
-            self._postings_dir()
-        )
+        # shuffle on cid before the write (the build() rationale):
+        # one file per touched list per append, instead of
+        # tasks × lists fragments for compaction to mop up
+        assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(self._postings_dir())
 
     @locked_writer
     def maybe_compact(self, max_files_per_list: int = 8) -> int:

