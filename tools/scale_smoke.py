@@ -866,8 +866,8 @@ def main_tier100_only() -> None:
 
 def main_tier30_only() -> None:
     """Re-run ONLY the 30x tier and splice its section into the
-    existing SCALE.md (everything from TIER30_HEADER down is
-    replaced; the 10x tables above it are kept verbatim)."""
+    existing SCALE.md (the 10x tables above it and the 100x section
+    below it are kept verbatim)."""
     import io
 
     from data_engineer_challenge_spark import plans
@@ -886,11 +886,18 @@ def main_tier30_only() -> None:
     t30_rows, (c30, s30), recall30, sem30 = tier30(spark)
     path = os.path.join(REPO_ROOT, "SCALE.md")
     with open(path) as f:
-        head = f.read().split("\n" + TIER30_HEADER)[0]
+        whole = f.read()
+    head = whole.split("\n" + TIER30_HEADER)[0]
+    # preserve the 100x section if present (it follows the 30x one)
+    tail = ""
+    if "\n" + TIER100_HEADER in whole:
+        tail = "\n" + TIER100_HEADER + whole.split(
+            "\n" + TIER100_HEADER, 1
+        )[1]
     buf = io.StringIO()
     _write_tier30(buf, t30_rows, c30, s30, recall30, sem30)
     with open(path, "w") as f:
-        f.write(head.rstrip("\n") + "\n" + buf.getvalue())
+        f.write(head.rstrip("\n") + "\n" + buf.getvalue() + tail)
     print("wrote SCALE.md (30x section only)")
 
 
