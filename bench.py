@@ -203,6 +203,23 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
                 _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
             )
         )
+        # the hybrid retriever's serving shape: sparse branch through
+        # the SAME prebuilt index + the dense branch + RRF fusion —
+        # the registered docs_hybrid_rrf_via_index row is honest
+        # build+probe, this is the per-query-set cost it amortizes to
+        from data_engineer_challenge_spark.plans.similarity import (
+            _hybrid_fuse,
+        )
+
+        probes["hybrid_rrf_probe_only"] = _min_of(
+            lambda: _hybrid_fuse(
+                spark,
+                sf_dir,
+                tidx.probe(
+                    _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+                ).select("doc_id", F.col("rank").alias("r_sparse")),
+            )
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         t0 = time.perf_counter()
