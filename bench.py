@@ -183,12 +183,15 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
     probes: dict[str, float] = {}
     root = tempfile.mkdtemp(prefix="bench-idx-")
 
-    def _min_of(fn, runs: int = 3) -> float:
+    def _min_of(fn, runs: int = 3, cleanup=None) -> float:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             e = time.perf_counter() - t0
+            if cleanup is not None:
+                cleanup()  # drop probe-internal caches BETWEEN runs —
+                # a warm-cache repeat would overstate the serving claim
             best = e if best is None else min(best, e)
         return round(best, 4)
 
@@ -233,6 +236,22 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
         )
         probes["ivf_index_probe_only"] = _min_of(
             lambda: vidx.probe(queries, k=10, n_probe=12)
+        )
+
+        # the dedup family member: MinHashIndex over 80% of the
+        # corpus, the 20% micro-batch probed against the prebuilt
+        # store (the dedup_index_probe split, same rationale)
+        from data_engineer_challenge_spark.operators.dedup_index import (
+            MinHashIndex,
+        )
+
+        t0 = time.perf_counter()
+        midx = MinHashIndex(spark, os.path.join(root, "minhash"))
+        midx.build(docs.filter(F.col("doc_id") % 5 != 0))
+        builds["minhash_index_build"] = round(time.perf_counter() - t0, 4)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        probes["minhash_index_probe_only"] = _min_of(
+            lambda: midx.probe(batch), cleanup=midx.release
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
