@@ -1698,6 +1698,18 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). The single-row totals aggregate broadcasts (the documented
     corpus_mixture_weights shape)."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _dsir_rank(docs)
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+def _dsir_rank(docs: DataFrame) -> DataFrame:
+    """DSIR importance weights over ANY documents frame — the scoring
+    core shared by the registered selection query and the curation
+    funnel's final stage. Returns (doc_id, lang, n_feats, log_weight)
+    unranked; callers order/limit."""
     toks = docs.select(
         "doc_id", "lang", tokens("text").alias("t")
     )
@@ -1745,8 +1757,6 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_feats"),
             dec_sum("w").alias("log_weight"),
         )
-        .orderBy(F.desc("log_weight"), "doc_id")
-        .limit(_DSIR_TOPK)
     )
 
 
@@ -1960,6 +1970,160 @@ def quality_gram_feats(docs: DataFrame) -> DataFrame:
             "n", F.sum("c").over(Window.partitionBy("doc_id"))
         )
     )
+
+
+_FUNNEL_TOPK = 100
+
+
+def _register_curation_funnel() -> None:
+    from .quality_weights import BIAS
+
+    norm_sql = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
+
+    @register(
+        "docs_curation_funnel",
+        # pytest-oracled (driver surface capped at 50) — the composed
+        # pipeline under ONE exact hash: each stage already carries
+        # its own driver/pytest oracle, this row proves they compose
+        driver=False,
+        oracle=f"""
+        WITH qfeats AS (
+            SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM documents)
+            )
+        ),
+        w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
+        pooled AS (
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   {dec_sum_sql('w.wt')} AS s
+            FROM qfeats f JOIN w ON w.b = f.b
+            GROUP BY f.doc_id
+        ),
+        kept AS (
+            SELECT d.doc_id, d.lang, d.text,
+                   ROUND(1.0 / (1.0 + exp(-({BIAS!r} + p.s / p.n_grams))),
+                         6) AS quality_score
+            FROM documents d JOIN pooled p USING (doc_id)
+            WHERE ({BIAS!r} + p.s / p.n_grams) >= 0.0
+        ),
+        uniq AS (
+            SELECT doc_id, lang, text, quality_score FROM (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY md5({norm_sql})
+                                          ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   {_MD5_LONG_SQL.format(c='g')} % {_DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, lang, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id, lang,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM uniq)
+            )
+        ),
+        raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
+                WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM feats) AS t_r,
+                       (SELECT COUNT(*) FROM feats WHERE lang = 'en')
+                           AS t_t),
+        ratio AS (
+            SELECT r.b,
+                   ln( (COALESCE(g.c_t, 0) + 1)
+                       * (t.t_r + {_DSIR_BUCKETS}.0)
+                       / ((r.c_r + 1) * (t.t_t + {_DSIR_BUCKETS}.0)) )
+                       AS w
+            FROM raw r LEFT JOIN tgt g USING (b), tot t
+        ),
+        ranked AS (
+            SELECT f.doc_id,
+                   any_value(f.lang) AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   {dec_sum_sql('rt.w')} AS log_weight
+            FROM feats f JOIN ratio rt USING (b)
+            GROUP BY f.doc_id
+        )
+        SELECT r.doc_id, r.lang, u.quality_score, r.n_feats, r.log_weight
+        FROM ranked r JOIN uniq u USING (doc_id)
+        ORDER BY log_weight DESC, doc_id
+        LIMIT {_FUNNEL_TOPK}
+        """,
+    )
+    def docs_curation_funnel(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The composed curation pipeline under ONE exact hash — the
+        end-to-end funnel every public LLM-data recipe runs, stage
+        order per CCNet/RefinedWeb practice (cheapest first):
+
+        1. **Quality gate** — the frozen learned classifier
+           (``with_quality_score``), keep ``logit >= 0``.
+        2. **Exact dedup** — keep-first on the normalized-content md5
+           (``docs_exact_dedup``'s rule) among the keepers.
+        3. **DSIR selection** — importance-resample the survivors
+           toward the target slice (``_dsir_rank``), deterministic
+           top-``_FUNNEL_TOPK``.
+
+        Every stage is individually oracled elsewhere; this row proves
+        the COMPOSITION is hash-exact — the funnel's intermediate
+        frames (kept/uniq) feed stage inputs whose statistics (DSIR's
+        raw/target bucket models) are computed OVER THE SURVIVORS, not
+        the raw corpus, which is where a subtly-wrong composition
+        would diverge (selection statistics contaminated by documents
+        the earlier stages removed).
+
+        Scale shape: stage 1 is the one-pass broadcast scorer; stage 2
+        one fingerprint shuffle over keepers; stage 3 the DSIR
+        three-pass shape over survivors only — strictly less data at
+        every stage, no stage re-reads the raw corpus after stage 1's
+        gate."""
+        docs = load_table(spark, sf_dir, "documents")
+        kept = with_quality_score(docs).where(F.col("is_kept"))
+        norm = F.trim(
+            F.regexp_replace(F.lower("text"), _WS + "+", " ")
+        )
+        from pyspark.sql.window import Window as _W
+
+        uniq = (
+            kept.withColumn(
+                "fingerprint", F.md5(norm.cast("binary"))
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("fingerprint").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("doc_id", "lang", "text", "quality_score")
+            # pin: _dsir_rank consumes this frame in three passes
+            # (raw counts, target counts, scoring) — unpinned, each
+            # pass would re-run the scorer + dedup window
+            .localCheckpoint()
+        )
+        return (
+            _dsir_rank(uniq.select("doc_id", "lang", "text"))
+            .join(uniq.select("doc_id", "quality_score"), "doc_id")
+            .select(
+                "doc_id", "lang", "quality_score", "n_feats",
+                "log_weight",
+            )
+            .orderBy(F.desc("log_weight"), "doc_id")
+            .limit(_FUNNEL_TOPK)
+        )
+
+
+_register_curation_funnel()
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,9 @@ def test_no_cartesian_products(spark):
         # single-row (t_r, t_t) totals broadcast onto the 4096-row
         # bucket model (the corpus_mixture_weights shape)
         "docs_dsir_selection",
+        # same DSIR core (_dsir_rank) as its final stage — the same
+        # single-row totals broadcast
+        "docs_curation_funnel",
         # inherits BM25's corpus-stats broadcasts + a 1-row query
         # vector broadcast (the emb_knn_bruteforce shape)
         "docs_hybrid_rrf_search",

@@ -428,6 +428,9 @@ COPIES100 = 100
 QUERIES100 = [
     "docs_minhash_neardup",
     "docs_exact_substring_dedup",
+    # r8: the learned quality scorer — the funnel's cheapest stage
+    # should show the flattest two-orders-of-magnitude ratio
+    "docs_quality_classifier",
 ]
 
 
