@@ -175,7 +175,10 @@ def warc_ingest_tick(
         n_fresh = rep["docs_merged"]
     else:
         wh.merge_upsert(table, fresh.drop("__iid"), ["doc_id"])
-    if text_index is not None:
+    # wh.exists guard: a quality gate that rejected an entire first
+    # batch leaves the warehouse table uncreated — nothing to read
+    # back (and nothing the index owes)
+    if text_index is not None and wh.exists(table):
         # BM25 search stays fresh as the crawl ingests: append the
         # warehouse rows for THIS batch's ids, read back post-MERGE —
         # not the in-flight frame. Read-back is the replay armor: a
