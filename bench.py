@@ -93,6 +93,10 @@ HEADLINE = [
     # comparability)
     "docs_quality_classifier",
     "docs_hybrid_rrf_via_index",
+    # r8 late addition: the composed curation funnel (quality gate ->
+    # exact dedup -> DSIR over survivors) — the end-to-end pipeline
+    # cost, now a driver-surface row
+    "docs_curation_funnel",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

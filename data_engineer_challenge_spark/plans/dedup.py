@@ -32,6 +32,11 @@ _NORM = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
 @register(
     "docs_exact_dedup",
+    # r8: demoted — documents_clean_corpus's oracle carries this exact
+    # keep-first rule verbatim as its exact_kept CTE (the redundant-
+    # twin rule), freeing the slot for docs_curation_funnel; still
+    # pytest-oracled here.
+    driver=False,
     oracle=f"""
     SELECT doc_id, fingerprint, n_copies FROM (
         SELECT doc_id, fingerprint,

@@ -1982,10 +1982,11 @@ def _register_curation_funnel() -> None:
 
     @register(
         "docs_curation_funnel",
-        # pytest-oracled (driver surface capped at 50) — the composed
-        # pipeline under ONE exact hash: each stage already carries
-        # its own driver/pytest oracle, this row proves they compose
-        driver=False,
+        # r8: ON the driver surface (slot from docs_exact_dedup, whose
+        # keep-first rule documents_clean_corpus's oracle carries
+        # verbatim) — the composed pipeline under ONE exact hash: each
+        # stage already carries its own oracle, this row proves they
+        # COMPOSE (stage statistics over survivors, not the raw corpus)
         oracle=f"""
         WITH qfeats AS (
             SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
