@@ -1083,3 +1083,136 @@ def test_warc_tick_quality_quarantine_stage(spark, tmp_path):
     if r.docs_rejected:
         rej2 = wh.read("web_docs_quality_rejects")
         assert rej2.count() == r.docs_rejected  # keyed MERGE, no dupes
+
+
+def test_warc_tick_full_stack_composition(spark, tmp_path):
+    """ALL four optional stages in ONE tick — quality gate + MinHash
+    near-dup index + passage index + BM25 text index — the full
+    production tick. Pins the stage interactions: the quality gate
+    runs FIRST (rejects never reach any dedup probe, any index, or
+    the warehouse), the surviving docs flow through passage dedup and
+    the read-back text index, the corpus stats count exactly the
+    KEPT-and-merged docs, and a state-loss reprocess converges the
+    warehouse, the quarantine table and the search results
+    bit-identically."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    # deterministic scorer for the INTERACTION test (the frozen
+    # classifier's integration is pinned by
+    # test_warc_tick_quality_quarantine_stage; its sharply-calibrated
+    # weights keep almost nothing on arbitrary planted text, which
+    # would leave the downstream stages unexercised here): keep docs
+    # with >= 10 tokens, scorer contract intact
+    def length_scorer(df):
+        n = F.size(F.split(F.col("text"), " "))
+        return df.withColumn(
+            "quality_score", n.cast("double")
+        ).withColumn("is_kept", n >= 30)
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([
+            ("doc-a", "http://x/a",
+             _html("lead words " + boiler + " riverbank tail")),
+            # clears the HTML good-block threshold but falls under
+            # the 30-token gate: rejected, must never reach any index
+            ("doc-spam", "http://x/spam",
+             _html("genuinely low value spam paragraph repeating "
+                   "nothing interesting whatsoever beyond filler "
+                   "characters and padding words")),
+        ])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    midx = MinHashIndex(spark, str(tmp_path / "midx"))
+    pidx = WindowHashIndex(spark, str(tmp_path / "pidx"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+
+    def tick(st):
+        return warc_ingest_tick(
+            spark, str(warc_dir), st, wh, "web_docs",
+            index=midx, passage_index=pidx, text_index=tidx,
+            quality_scorer=length_scorer,
+        )
+
+    r1 = tick(state)
+    assert r1.fired
+    assert r1.docs_extracted == 2
+    assert (r1.docs_merged, r1.docs_rejected) == (1, 1)
+
+    # a later segment: a fresh page re-using the boilerplate span
+    (warc_dir / "b.warc").write_bytes(
+        _segment([
+            ("doc-b", "http://y/b",
+             _html("petabyte fresh tokens here " + boiler + " own end")),
+        ])
+    )
+    r2 = tick(state)
+    assert r2.fired
+    assert (r2.docs_merged, r2.docs_rejected) == (1, 0)
+
+    rows = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    rejected = {
+        r["doc_id"] for r in wh.read("web_docs_quality_rejects").collect()
+    }
+    # every extracted doc landed exactly once, in exactly one place
+    assert set(rows) == {"<urn:uuid:doc-a>", "<urn:uuid:doc-b>"}
+    assert rejected == {"<urn:uuid:doc-spam>"}
+    # stage interaction: the passage stage cut the repeated span from
+    # the later doc, and the text index (fed by the post-MERGE
+    # read-back) reflects the CUT text — while the rejected doc is
+    # invisible to search entirely
+    assert "boiler0" in rows["<urn:uuid:doc-a>"].split()
+    assert "boiler0" not in rows["<urn:uuid:doc-b>"].split()
+    hit = {r["doc_id"] for r in tidx.probe(("boiler0",), topk=5).collect()}
+    a_tid = wh.read("web_docs").where(
+        F.col("doc_id") == "<urn:uuid:doc-a>"
+    ).select(F.xxhash64("doc_id")).collect()[0][0]
+    assert hit == {a_tid}
+    assert not tidx.probe(("spam",), topk=5).collect()
+    # corpus stats == exactly the kept-and-merged docs
+    stats = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn").agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert stats == len(rows)
+
+    # state-loss reprocess: everything converges bit-identically
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    assert tick(lost).fired
+    after = {r["doc_id"]: r["text"] for r in wh.read("web_docs").collect()}
+    assert after == rows
+    assert {
+        r["doc_id"]
+        for r in wh.read("web_docs_quality_rejects").collect()
+    } == rejected
+    stats2 = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn").agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert stats2 == stats
