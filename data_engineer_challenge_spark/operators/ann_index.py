@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import similarity as _sim
-from .compaction import locked_writer
+from .compaction import locked_writer, writer_lock
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
 
@@ -122,7 +122,10 @@ class IVFVectorIndex:
         # half-swapped inverted list (operators/compaction heal)
         from .compaction import heal
 
-        heal(self._postings_dir())
+        with writer_lock(self.path, blocking=True):
+            # blocking: never unpark another process's in-flight
+            # compaction swap (writer_lock docstring)
+            heal(self._postings_dir())
 
     def _postings_dir(self) -> str:
         return os.path.join(self.path, "postings")
@@ -161,6 +164,19 @@ class IVFVectorIndex:
     def _latest_dir(self) -> str:
         return os.path.join(self.path, "latest")
 
+    def _read_postings(self) -> DataFrame:
+        """Postings reader; ``mergeSchema`` iff a roster exists — a
+        pre-ordinal store that later received a supersede append holds
+        MIXED file schemas, and default single-file schema inference
+        could pick a pre-ordinal file, dropping ``__ord`` and masking
+        both the stale row and its replacement (r8 review finding).
+        The footer-merge cost is paid only by stores that actually
+        hold updates."""
+        reader = self.spark.read
+        if os.path.isdir(self._latest_dir()):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self._postings_dir())
+
     def _roster(self) -> DataFrame | None:
         """Supersession roster: max committed ordinal per UPDATED id
         (``None`` when no update was ever appended — the overwhelmingly
@@ -174,16 +190,20 @@ class IVFVectorIndex:
             .agg(F.max("__rord").alias("__rord"))
         )
 
-    def _live(self, posts: DataFrame) -> DataFrame:
+    def _live(self, posts: DataFrame, roster=None) -> DataFrame:
         """Mask superseded rows: a row is live iff its ordinal is ≥ the
         roster's max ordinal for its id (rows of never-updated ids have
         no roster entry and always pass). This holds even when an
         update moved the vector to a DIFFERENT ``cid=`` list than its
         stale predecessor — the stale row is dropped by ordinal, not by
-        colliding with its replacement in the same list."""
+        colliding with its replacement in the same list. Callers that
+        apply the mask repeatedly (compaction folds, once per fat
+        list) pass a precomputed pinned ``roster`` so the roster scan
+        runs once, not once per list."""
         if "__ord" not in posts.columns:  # store predates ordinals
             posts = posts.withColumn("__ord", F.lit(0).cast("long"))
-        roster = self._roster()
+        if roster is None:
+            roster = self._roster()
         if roster is None:
             return posts
         return (
@@ -365,11 +385,17 @@ class IVFVectorIndex:
         # postings carry the caller's corpus columns, so the row
         # schema is discovered from the store itself (cid lives in
         # the directory name, not the rows)
-        schema = self.spark.read.parquet(pdir).drop("cid").schema
+        schema = self._read_postings().drop("cid").schema
         if "__ord" in schema.fieldNames():
             w = Window.partitionBy(self.id_col).orderBy(
                 F.col("__ord").desc()
             )
+            # roster computed ONCE per compaction pass and pinned —
+            # the fold runs per fat list, and an unpinned roster would
+            # re-list + re-aggregate latest/ for each of them
+            ros = self._roster()
+            if ros is not None:
+                ros = ros.localCheckpoint()
 
             def fold(df: DataFrame) -> DataFrame:
                 kept = (
@@ -377,7 +403,7 @@ class IVFVectorIndex:
                     .where(F.col("__rn") == 1)
                     .drop("__rn")
                 )
-                return self._live(kept)
+                return self._live(kept, roster=ros) if ros is not None else kept
 
         else:  # store predates ordinals
 
@@ -436,7 +462,7 @@ class IVFVectorIndex:
         # union of touched lists: ≤ len(centroids) ints, driver-bounded
         touched = [r["cid"] for r in probes.select("cid").distinct().collect()]
         postings = self._live(
-            self.spark.read.parquet(self._postings_dir()).where(
+            self._read_postings().where(
                 F.col("cid").isin(touched)
             )
         )
@@ -482,7 +508,7 @@ class IVFVectorIndex:
         column stored in the postings."""
         from .similarity import _dominance_audit, norm_sq
 
-        posts = self._live(self.spark.read.parquet(self._postings_dir()))
+        posts = self._live(self._read_postings())
         assigned = posts.select(
             F.col(self.id_col),
             F.col(self.vec_col).alias("__v"),

@@ -54,7 +54,7 @@ _LOCK = ".writer.lock"
 
 
 @contextlib.contextmanager
-def writer_lock(root: str):
+def writer_lock(root: str, blocking: bool = False):
     """Advisory per-index-root writer lock (flock, non-blocking).
 
     The index stores are single-writer by contract: two processes
@@ -71,14 +71,25 @@ def writer_lock(root: str):
     AFTER the last compaction is safe, which is the supported
     topology (the ingest loop compacts inside its tick, then serves
     probes from fresh DataFrames). A dotfile, so Spark directory
-    listings and ``_data_files`` ignore it."""
+    listings and ``_data_files`` ignore it.
+
+    ``blocking=True`` waits for the lock instead of failing — the
+    index CONSTRUCTORS use it around their crash-repair ``heal()``:
+    a reader process opening an index mid-compaction must not unpark
+    the writer's in-flight swap (heal would see the parked dir and
+    restore it between the two renames, crashing the lock-holding
+    writer); waiting the few hundred ms until the swap completes
+    makes open-for-read safe without serializing probes."""
     os.makedirs(root, exist_ok=True)
     fd = os.open(os.path.join(root, _LOCK), os.O_CREAT | os.O_RDWR, 0o644)
     try:
         import fcntl
 
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(
+                fd,
+                fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB),
+            )
         except OSError as e:
             raise RuntimeError(
                 f"{root}: another process holds the writer lock — the "

@@ -65,7 +65,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .compaction import locked_writer
+from .compaction import locked_writer, writer_lock
 from .similarity import _require_long_ids
 from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
 
@@ -113,8 +113,11 @@ class MinHashIndex:
         # half-swapped bucket (operators/compaction heal contract)
         from .compaction import heal
 
-        heal(self._bands_dir())
-        heal(self._shingles_dir())
+        with writer_lock(self.path, blocking=True):
+            # blocking: never unpark another process's in-flight
+            # compaction swap (writer_lock docstring)
+            heal(self._bands_dir())
+            heal(self._shingles_dir())
 
     # -- internals ---------------------------------------------------
 

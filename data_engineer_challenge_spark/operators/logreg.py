@@ -103,7 +103,11 @@ def train_logreg_hashed(
                 [(b, w[b]) for b in range(buckets)], "b long, w double"
             )
         )
-        # per-doc error: exact decimal dot product -> double sigmoid
+        # per-doc error: exact decimal dot product -> double sigmoid.
+        # Pinned: both gradient aggregates below consume it, and an
+        # unpinned plan would recompute the join+aggregate per consumer
+        # (~2x per-iteration cost, r8 review finding); values are
+        # unchanged, so the trained weights are bit-identical.
         err = (
             x.join(wdf, "b")
             .groupBy("doc_id", "y")
@@ -118,6 +122,7 @@ def train_logreg_hashed(
                     "e"
                 ),
             )
+            .localCheckpoint()
         )
         # per-bucket gradient + bias gradient, both exact-decimal
         # cross-document sums (order-independent), ≤ buckets+1 rows

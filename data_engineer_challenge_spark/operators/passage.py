@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .compaction import locked_writer
+from .compaction import locked_writer, writer_lock
 
 from ..functions.tokenize import word_tokens
 
@@ -222,8 +222,11 @@ class WindowHashIndex:
         # half-swapped bucket (operators/compaction heal contract)
         from .compaction import heal
 
-        heal(self._windows_dir())
-        heal(self.path)
+        with writer_lock(self.path, blocking=True):
+            # blocking: never unpark another process's in-flight
+            # compaction swap (writer_lock docstring)
+            heal(self._windows_dir())
+            heal(self.path)
         meta_path = os.path.join(path, "meta", "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:

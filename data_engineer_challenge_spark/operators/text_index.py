@@ -75,7 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.tokenize import word_tokens
-from .compaction import locked_writer
+from .compaction import locked_writer, writer_lock
 from .similarity import _require_long_ids
 
 #: Okapi defaults, shared with plans/text.docs_bm25_search
@@ -157,8 +157,11 @@ class InvertedTextIndex:
         # half-swapped bucket (operators/compaction heal contract)
         from .compaction import heal
 
-        heal(self._postings_dir())
-        heal(self.path)
+        with writer_lock(self.path, blocking=True):
+            # blocking: never unpark another process's in-flight
+            # compaction swap (writer_lock docstring)
+            heal(self._postings_dir())
+            heal(self.path)
 
     # -- internals ---------------------------------------------------
 
@@ -484,6 +487,8 @@ class InvertedTextIndex:
                 "candidates-only text rescan instead"
             )
         terms = tuple(terms)
+        if not terms:
+            raise ValueError("phrase_occurrences needs at least one term")
         touched = sorted(
             r[0]
             for r in self.spark.createDataFrame(

@@ -26,9 +26,10 @@ from . import register
 from .helpers import dec_avg_sql, scratch_dir
 from .ivf_centroids import CENTROIDS as _IVF_CENTROIDS
 
-#: per-corpus-dir memo of IVFVectorIndex.scaled_quantizer decisions —
-#: (centroids, n_probe); deterministic output, so caching is pure
-_SCALED_QUANTIZERS: dict[str, tuple[list[list[float]], int]] = {}
+#: per-(corpus path, mtime) memo of IVFVectorIndex.scaled_quantizer
+#: decisions — (centroids, n_probe); deterministic output, so caching
+#: is pure; the mtime key invalidates on corpus rewrite
+_SCALED_QUANTIZERS: dict[tuple, tuple[list[list[float]], int]] = {}
 
 # cosine in SQL — EXACTLY the formula operators.similarity.cosine uses:
 # dot / sqrt(|a|^2 * |b|^2)
@@ -534,7 +535,11 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trains it OFFLINE once — re-deriving it inside every call would
     # charge each probe the offline cost (the frozen-constant posture
     # of plans/ivf_centroids.py, made executable for the auto tier)
-    key = os.path.realpath(sf_dir)
+    # keyed by (path, corpus file mtime): a rewritten corpus at the
+    # same path (the scale_smoke rmtree+rebuild pattern) invalidates
+    # the memo instead of serving stale centroids
+    emb_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    key = (emb_path, os.stat(emb_path).st_mtime_ns)
     if key not in _SCALED_QUANTIZERS:
         _SCALED_QUANTIZERS[key] = IVFVectorIndex.scaled_quantizer(
             emb, small_centroids=_IVF_CENTROIDS, small_n_probe=12

@@ -200,14 +200,13 @@ def warc_ingest_tick(
         # double-counting the doc and mixing old- and new-text
         # postings in the per-term max fold.
         wh_rows = wh.read(table)
+        # ONE roster read for the whole tick: batch is keep-first
+        # deduped on doc_id, so a doc_id maps to exactly one segment —
+        # nothing an earlier iteration rosters can recur in a later one
+        already = text_index.indexed_ids().select(
+            F.col("doc_id").alias("__tid")
+        )
         for seg in changed:
-            # re-read the roster PER segment: parquet file listings pin
-            # at read time, so a single pre-loop frame would miss ids
-            # the previous iteration just rostered (a doc_id shared by
-            # two segments of one tick)
-            already = text_index.indexed_ids().select(
-                F.col("doc_id").alias("__tid")
-            )
             seg_ids = seg_map.where(
                 F.col("segment").endswith("/" + seg)
             ).select("doc_id")
@@ -216,9 +215,18 @@ def warc_ingest_tick(
                 .withColumn("__tid", F.xxhash64("doc_id"))
                 .join(already, "__tid", "left_anti")
             )
+            # txn keyed by (segment, mtime_ns) — CONTENT-addressed, the
+            # vector tick's ordinal discipline: a replay of the same
+            # file re-derives the committed txn and no-ops, while a
+            # MODIFIED segment (new mtime) is a fresh txn whose landed
+            # set is exactly its not-yet-rostered docs. A name-only key
+            # made append()'s committed-txn roster backfill unsound for
+            # modified segments: a NEW doc arriving under an old txn's
+            # name would be rostered without ever being indexed —
+            # permanently unsearchable (r8 review finding).
             text_index.append(
                 landed, id_col="__tid", text_col="text",
-                txn=f"warctext-{seg}",
+                txn=f"warctext-{seg}@{snapshot[seg]}",
             )
     if index is not None:
         index.append(fresh, id_col="__iid", text_col="text")

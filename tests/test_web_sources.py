@@ -1216,3 +1216,93 @@ def test_warc_tick_full_stack_composition(spark, tmp_path):
         .agg(F.sum("n")).collect()[0][0]
     )
     assert stats2 == stats
+
+
+def test_warc_modified_segment_new_doc_still_indexed(spark, tmp_path):
+    """Regression (r8 review): a MODIFIED segment re-delivering its old
+    doc plus a NEW one used to hit the committed name-keyed txn —
+    append() no-op'd AND roster-backfilled the new doc's id, leaving
+    it in the warehouse but permanently unsearchable. The txn is now
+    content-keyed (segment@mtime_ns): the modified file is a fresh
+    txn, the old doc anti-joins away against the roster (keep-first),
+    the new doc indexes, and corpus stats count each doc exactly
+    once."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    seg = warc_dir / "a.warc"
+    seg.write_bytes(
+        _segment([("doc-a", "http://x/a", _html(_LONG_A))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+    assert warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    ).docs_merged == 1
+
+    # the segment is REWRITTEN in place: old doc + a brand-new one
+    seg.write_bytes(
+        _segment([
+            ("doc-a", "http://x/a", _html(_LONG_A)),
+            ("doc-new", "http://x/new", _html(_LONG_C)),
+        ])
+    )
+    os.utime(str(seg), ns=(time.time_ns(), time.time_ns()))
+    r2 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    )
+    # the plain path keyed-MERGEs both rows (doc-a idempotently
+    # re-upserts); the INDEX must still only ingest the new doc
+    assert r2.fired and r2.docs_merged == 2
+
+    # the NEW doc is searchable (this was the silent loss)
+    tids = {
+        r["doc_id"]: r[1]
+        for r in wh.read("web_docs")
+        .select("doc_id", F.xxhash64("doc_id"))
+        .collect()
+    }
+    hit = [r["doc_id"] for r in tidx.probe(("petabyte",), topk=5).collect()]
+    assert hit == [tids["<urn:uuid:doc-new>"]]
+    # the re-delivered old doc kept its first-indexed postings
+    hit_a = [r["doc_id"] for r in tidx.probe(("riverbank",), topk=5).collect()]
+    assert hit_a == [tids["<urn:uuid:doc-a>"]]
+    # corpus stats: each doc counted exactly once across all txns
+    stats = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn").agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert stats == 2
+
+    # state-loss reprocess: both content-keyed txns committed -> no-op
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", text_index=tidx
+    )
+    stats2 = (
+        spark.read.schema("txn string, n_docs long, sum_dl long")
+        .parquet(str(tmp_path / "tidx" / "stats"))
+        .groupBy("txn").agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert stats2 == 2
