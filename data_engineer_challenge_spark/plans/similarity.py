@@ -26,10 +26,53 @@ from . import register
 from .helpers import dec_avg_sql, scratch_dir
 from .ivf_centroids import CENTROIDS as _IVF_CENTROIDS
 
-#: per-(corpus path, mtime) memo of IVFVectorIndex.scaled_quantizer
-#: decisions — (centroids, n_probe); deterministic output, so caching
-#: is pure; the mtime key invalidates on corpus rewrite
+#: per-corpus memo of IVFVectorIndex.scaled_quantizer decisions —
+#: (centroids, n_probe); deterministic output, so caching is pure.
+#: Keyed on (path, dir mtime, entry count, max part-file mtime): the
+#: directory mtime alone only moves when entries are added/removed, so
+#: an entry-preserving rewrite (same part names — the overwrite-in-
+#: place pattern) would serve stale centroids without the per-file
+#: component (r8 ADVICE). FIFO-capped so long sessions touching many
+#: corpora (the scale_smoke sweep) can't grow the dict unboundedly.
 _SCALED_QUANTIZERS: dict[tuple, tuple[list[list[float]], int]] = {}
+_SCALED_QUANTIZER_CAP = 32
+
+
+def _corpus_quantizer(
+    sf_dir: str, emb: DataFrame
+) -> tuple[list[list[float]], int]:
+    """The memoized scale-aware quantizer decision for ``sf_dir``'s
+    embeddings corpus (shared by ``ivf_index_probe`` and
+    ``emb_semantic_dedup`` — ONE decision per corpus, the offline-
+    training posture made executable): below ``IVF_AUTO_MIN_N``
+    vectors the frozen sample-trained ``plans/ivf_centroids.CENTROIDS``
+    and the registered n_probe=12 (the exact oracle shape); past it, a
+    k ∝ N retrain through the deterministic seeded k-means with
+    n_probe from the probed-fraction rule. Re-deriving the decision
+    inside every call would charge each query the offline cost."""
+    from ..operators.ann_index import IVFVectorIndex
+
+    emb_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb_path)
+    if os.path.isdir(emb_path):  # Spark-written directory-style parquet
+        parts = [n for n in os.listdir(emb_path) if not n.endswith(".crc")]
+        max_part_mtime = max(
+            (
+                os.stat(os.path.join(emb_path, n)).st_mtime_ns
+                for n in parts
+            ),
+            default=0,
+        )
+        key = (emb_path, st.st_mtime_ns, len(parts), max_part_mtime)
+    else:  # single-file parquet (the driver testdata shape)
+        key = (emb_path, st.st_mtime_ns, 1, st.st_size)
+    if key not in _SCALED_QUANTIZERS:
+        while len(_SCALED_QUANTIZERS) >= _SCALED_QUANTIZER_CAP:
+            _SCALED_QUANTIZERS.pop(next(iter(_SCALED_QUANTIZERS)))
+        _SCALED_QUANTIZERS[key] = IVFVectorIndex.scaled_quantizer(
+            emb, small_centroids=_IVF_CENTROIDS, small_n_probe=12
+        )
+    return _SCALED_QUANTIZERS[key]
 
 # cosine in SQL — EXACTLY the formula operators.similarity.cosine uses:
 # dot / sqrt(|a|^2 * |b|^2)
@@ -324,13 +367,26 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (per-cell work only; cell count is the scale knob) and
     fully hash-oracled. Promoted to the driver surface in r6,
     displacing the quadratic label-blocked baseline it subsumes
-    (baseline_emb_neardup_pairs, the pytest-oracled anchor)."""
+    (baseline_emb_neardup_pairs, the pytest-oracled anchor).
+
+    Scale-aware default (r9, VERDICT r8 #1 — the ``ivf_index_probe``
+    pattern): the cell count comes from the memoized
+    ``_corpus_quantizer`` decision. Below IVF_AUTO_MIN_N vectors
+    (every oracle scale) that is the frozen k=16 quantizer — the exact
+    registered shape, bit-identical replay. Past it, k retrains ∝ N at
+    one cell per 256 vectors, which is precisely SemDeDup's own scale
+    posture (k ~ 0.1% of corpus size) — per-cell membership stays
+    roughly constant, so the quadratic-within-cell stage stops growing
+    with the corpus (the frozen-k config's measured 19.4x wall at 30x
+    was the wrong shape); assignment auto-takes the Arrow kernel past
+    ARROW_ASSIGN_MIN_K cells."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = _corpus_quantizer(sf_dir, emb)
     return semantic_dedup(
         emb,
-        centroids=_IVF_CENTROIDS,
+        centroids=cents,
         id_col="vec_id",
         vec="embedding",
         threshold=0.35,
@@ -530,21 +586,7 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import IVFVectorIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # quantizer memoized per corpus dir: the decision is deterministic
-    # (seeded init, fixed iterations, hash-sample), and production
-    # trains it OFFLINE once — re-deriving it inside every call would
-    # charge each probe the offline cost (the frozen-constant posture
-    # of plans/ivf_centroids.py, made executable for the auto tier)
-    # keyed by (path, corpus file mtime): a rewritten corpus at the
-    # same path (the scale_smoke rmtree+rebuild pattern) invalidates
-    # the memo instead of serving stale centroids
-    emb_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
-    key = (emb_path, os.stat(emb_path).st_mtime_ns)
-    if key not in _SCALED_QUANTIZERS:
-        _SCALED_QUANTIZERS[key] = IVFVectorIndex.scaled_quantizer(
-            emb, small_centroids=_IVF_CENTROIDS, small_n_probe=12
-        )
-    cents, n_probe = _SCALED_QUANTIZERS[key]
+    cents, n_probe = _corpus_quantizer(sf_dir, emb)
     idx = IVFVectorIndex(spark, scratch_dir("ivf_idx_"), cents)
     idx.build(emb)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(

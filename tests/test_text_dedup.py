@@ -1497,3 +1497,105 @@ def test_ivf_build_scaled_auto_switch(spark, tmp_path, monkeypatch):
         for r in idx2.probe(queries, k=1, n_probe=n_probe2).collect()
     }
     assert all(q == c for q, c in self_hits.items())
+
+
+def test_semantic_dedup_scaled_auto_switch(spark, monkeypatch):
+    """The registered ``emb_semantic_dedup`` is scale-aware (VERDICT
+    r8 #1, mirroring test_ivf_build_scaled_auto_switch): below
+    IVF_AUTO_MIN_N the frozen k=16 quantizer runs UNCHANGED — the
+    audit frame is bit-identical to calling the operator directly with
+    the frozen centroids (oracle replay untouched); past the
+    (monkeypatched) threshold the cell count retrains k ∝ N and the
+    result equals the operator called directly with the retrained
+    centroids (decision-identical, just auto-selected)."""
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from data_engineer_challenge_spark.plans import similarity as plans_sim
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+
+    # below the threshold: frozen shape, bit-identical to the direct call
+    plans_sim._SCALED_QUANTIZERS.clear()
+    got = [
+        tuple(r)
+        for r in plans_sim.emb_semantic_dedup(spark, sf)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centroids=CENTROIDS, id_col="vec_id",
+            vec="embedding", threshold=0.35,
+        ).orderBy("vec_id").collect()
+    ]
+    assert got == want
+
+    # past the threshold: k = ceil(500/10) = 50 ≥ ARROW_ASSIGN_MIN_K,
+    # so the Arrow assignment kernel engages on the default path too
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 100)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 10)
+    plans_sim._SCALED_QUANTIZERS.clear()
+    scaled = plans_sim.emb_semantic_dedup(spark, sf)
+    cents, _ = plans_sim._corpus_quantizer(sf, emb)
+    assert len(cents) == 50 and len(cents) >= ann_index.IVF_AUTO_MIN_N / 10
+    got2 = [tuple(r) for r in scaled.orderBy("vec_id").collect()]
+    want2 = [
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centroids=cents, id_col="vec_id",
+            vec="embedding", threshold=0.35,
+        ).orderBy("vec_id").collect()
+    ]
+    assert got2 == want2
+    assert max(r[1] for r in got2) > 15  # genuinely more cells than frozen k=16
+    plans_sim._SCALED_QUANTIZERS.clear()
+
+
+def test_scaled_quantizer_memo_cap_and_key(spark, tmp_path):
+    """The quantizer memo evicts FIFO at its cap (long sessions across
+    many corpora must not grow it unboundedly) and its key folds in the
+    part-file count + max part mtime, so an entry-preserving corpus
+    rewrite — same part names, same directory mtime — still
+    invalidates it (r8 ADVICE)."""
+    import os as _os
+
+    from data_engineer_challenge_spark.plans import similarity as plans_sim
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    plans_sim._SCALED_QUANTIZERS.clear()
+    for i in range(plans_sim._SCALED_QUANTIZER_CAP + 5):
+        plans_sim._SCALED_QUANTIZERS[("dummy", i, 0, 0)] = ([], 1)
+    plans_sim._corpus_quantizer(sf, emb)
+    assert len(plans_sim._SCALED_QUANTIZERS) <= plans_sim._SCALED_QUANTIZER_CAP
+
+    # directory-style corpus: bump ONE part file's mtime via utime —
+    # the directory's own mtime does not move, so only the
+    # max-part-mtime key component can catch the rewrite
+    sf2 = str(tmp_path / "sf")
+    emb_dir = _os.path.join(sf2, "embeddings.parquet")
+    emb.limit(50).coalesce(1).write.parquet(emb_dir)
+    emb2 = spark.read.parquet(emb_dir)
+    plans_sim._corpus_quantizer(sf2, emb2)
+    real_dir = _os.path.join(_os.path.realpath(sf2), "embeddings.parquet")
+    before = {k for k in plans_sim._SCALED_QUANTIZERS if k[0] == real_dir}
+    assert before
+    part = next(
+        n for n in _os.listdir(emb_dir) if n.endswith(".parquet")
+    )
+    pst = _os.stat(_os.path.join(emb_dir, part))
+    _os.utime(
+        _os.path.join(emb_dir, part),
+        ns=(pst.st_atime_ns, pst.st_mtime_ns + 10**7),
+    )
+    plans_sim._corpus_quantizer(sf2, emb2)
+    after = {k for k in plans_sim._SCALED_QUANTIZERS if k[0] == real_dir}
+    assert after - before  # a new key was minted for the "rewritten" corpus
+    plans_sim._SCALED_QUANTIZERS.clear()
