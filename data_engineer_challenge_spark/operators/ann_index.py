@@ -76,6 +76,39 @@ IVF_AUTO_MIN_N = 50_000
 IVF_TARGET_LIST_SIZE = 256
 IVF_PROBE_LIST_FRACTION = 0.1
 
+#: maybe_rebucket trigger: retrain when the mean list has fattened past
+#: this multiple of the target size (the store was built/last-bucketed
+#: for a smaller corpus and has since grown via append)
+IVF_REBUCKET_GROWTH = 2.0
+
+
+def _resolve_rebucket(path: str) -> None:
+    """Roll an in-flight :meth:`IVFVectorIndex.maybe_rebucket` forward
+    or back. The rebucket swap has ONE window the generic compaction
+    ``heal`` cannot see: postings renamed to the new layout but the
+    meta commit (``meta.json.new`` → ``meta.json``) not yet landed —
+    probing old-quantizer centroids against new-layout lists would
+    read the wrong inverted lists. The new postings dir carries its
+    quantizer's md5 in a ``.quantizer_md5`` dotfile, so on open we can
+    tell WHICH layout is live: if it matches the staged meta, commit
+    the meta (roll forward); otherwise drop the staged meta (roll
+    back — generic heal then restores the parked previous postings if
+    the swap itself crashed mid-rename)."""
+    staged = os.path.join(path, "meta", "meta.json.new")
+    if not os.path.exists(staged):
+        return
+    with open(staged) as f:
+        want = json.load(f)["centroids_md5"]
+    marker = os.path.join(path, "postings", ".quantizer_md5")
+    got = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            got = f.read().strip()
+    if got == want:
+        os.replace(staged, os.path.join(path, "meta", "meta.json"))
+    else:
+        os.remove(staged)
+
 
 class IVFVectorIndex:
     def __init__(
@@ -100,32 +133,93 @@ class IVFVectorIndex:
             "id_col": id_col,
             "vec_col": vec_col,
         }
-        meta_path = os.path.join(path, "meta", "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                stored = json.load(f)
-            if stored != self.meta:
-                raise ValueError(
-                    f"IVFVectorIndex at {path!r} was built with {stored}; "
-                    f"reopening with {self.meta} would probe the wrong "
-                    "inverted lists"
-                )
-        else:
-            # pin parameters BEFORE any data exists (crash-mid-build
-            # guard, same rationale as MinHashIndex)
-            os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self.meta, f)
-            os.replace(tmp, meta_path)
-        # repair a crashed compaction BEFORE any probe can read a
-        # half-swapped inverted list (operators/compaction heal)
+        #: suggested probe width for this quantizer (populated by
+        #: maybe_rebucket / the persisted quantizer file; None for
+        #: stores whose caller decides n_probe out of band)
+        self.n_probe_hint: int | None = None
+        # repair a crashed rebucket/compaction BEFORE the meta check
+        # and before any probe can read a half-swapped inverted list
         from .compaction import heal
 
         with writer_lock(self.path, blocking=True):
             # blocking: never unpark another process's in-flight
             # compaction swap (writer_lock docstring)
+            _resolve_rebucket(path)
+            heal(path)
             heal(self._postings_dir())
+            meta_path = os.path.join(path, "meta", "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    stored = json.load(f)
+                if stored != self.meta:
+                    raise ValueError(
+                        f"IVFVectorIndex at {path!r} was built with "
+                        f"{stored}; reopening with {self.meta} would "
+                        "probe the wrong inverted lists (a rebucketed "
+                        "store reopens via IVFVectorIndex.open)"
+                    )
+            else:
+                # pin parameters BEFORE any data exists (crash-mid-
+                # build guard, same rationale as MinHashIndex)
+                os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self.meta, f)
+                os.replace(tmp, meta_path)
+            # persist the FULL quantizer beside its fingerprint (keyed
+            # by md5, immutable once written) so a rebucketed store —
+            # whose retrained centroids no caller holds as constants —
+            # can reopen via :meth:`open`; backfills on reopen of
+            # pre-r9 stores for free (the ctor has the full values)
+            qf = self._quantizer_file(self.meta["centroids_md5"])
+            if not os.path.exists(qf):
+                tmp = qf + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"centroids": self.centroids, "n_probe": None}, f
+                    )
+                os.replace(tmp, qf)
+            else:
+                with open(qf) as f:
+                    self.n_probe_hint = json.load(f).get("n_probe")
+
+    def _quantizer_file(self, md5: str) -> str:
+        return os.path.join(self.path, "meta", f"quantizer-{md5}.json")
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFVectorIndex":
+        """Reopen an existing index from its PERSISTED quantizer — the
+        only way to reopen a store that ``maybe_rebucket`` has
+        retrained (its centroids exist nowhere but the store). Rolls a
+        crashed rebucket forward/back first, so the quantizer read is
+        always consistent with the live postings layout."""
+        with writer_lock(path, blocking=True):
+            _resolve_rebucket(path)
+        meta_path = os.path.join(path, "meta", "meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(f"no IVFVectorIndex at {path!r}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        qf = os.path.join(
+            path, "meta", f"quantizer-{meta['centroids_md5']}.json"
+        )
+        if not os.path.exists(qf):
+            raise ValueError(
+                f"IVFVectorIndex at {path!r} predates persisted "
+                "quantizers — reopen once with the build-time centroids "
+                "to backfill"
+            )
+        with open(qf) as f:
+            quant = json.load(f)
+        idx = cls(
+            spark,
+            path,
+            quant["centroids"],
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
+        idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
+        return idx
 
     def _postings_dir(self) -> str:
         return os.path.join(self.path, "postings")
@@ -164,16 +258,58 @@ class IVFVectorIndex:
     def _latest_dir(self) -> str:
         return os.path.join(self.path, "latest")
 
+    def _mixed_marker(self) -> str:
+        return os.path.join(self.path, "meta", "mixed_schema")
+
+    def _mark_mixed_if_needed(self) -> None:
+        """Before an append lands: if any existing data file lacks
+        ``__ord`` (a pre-ordinal store), the store is about to hold
+        MIXED file schemas — drop a marker so every later read merges
+        footers. One parquet-footer sniff of one file, once (the
+        marker short-circuits forever after); r8 ADVICE: keying the
+        mergeSchema decision on ``latest/`` alone missed pre-ordinal
+        stores that receive plain (non-supersede) appends."""
+        marker = self._mixed_marker()
+        if os.path.exists(marker):
+            return
+        pdir = self._postings_dir()
+        if not os.path.isdir(pdir):
+            return
+        from .compaction import _data_files
+
+        for d in sorted(os.listdir(pdir)):
+            if not d.startswith("cid="):
+                continue
+            files = _data_files(os.path.join(pdir, d))
+            if not files:
+                continue
+            import pyarrow.parquet as pq
+
+            names = pq.read_schema(
+                os.path.join(pdir, d, sorted(files)[0])
+            ).names
+            if "__ord" not in names:
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("1")
+                os.replace(tmp, marker)
+            return
+
     def _read_postings(self) -> DataFrame:
-        """Postings reader; ``mergeSchema`` iff a roster exists — a
-        pre-ordinal store that later received a supersede append holds
-        MIXED file schemas, and default single-file schema inference
-        could pick a pre-ordinal file, dropping ``__ord`` and masking
-        both the stale row and its replacement (r8 review finding).
-        The footer-merge cost is paid only by stores that actually
-        hold updates."""
+        """Postings reader; ``mergeSchema`` iff the store holds mixed
+        file schemas — a roster exists (some append superseded) or the
+        mixed-schema marker is set (a pre-ordinal store received ANY
+        post-ordinal append). Default single-file schema inference
+        could otherwise pick a pre-ordinal file, dropping ``__ord``
+        and degrading both the probe's supersession mask and
+        ``maybe_compact``'s ordinal fold (r8 review + ADVICE). The
+        footer-merge cost is paid only by stores that actually hold
+        updates or straddle the format change."""
         reader = self.spark.read
-        if os.path.isdir(self._latest_dir()):
+        if os.path.isdir(self._latest_dir()) or os.path.exists(
+            self._mixed_marker()
+        ):
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(self._postings_dir())
 
@@ -244,6 +380,7 @@ class IVFVectorIndex:
         iters: int = 4,
         sample_mod: int | None = 8,
         seed: int = 42,
+        recall_target: float | None = None,
     ) -> tuple[list[list[float]], int]:
         """The scale-aware quantizer DECISION (r8, VERDICT r7 #2):
         below ``IVF_AUTO_MIN_N`` vectors, the caller's frozen
@@ -263,7 +400,13 @@ class IVFVectorIndex:
         production trains the quantizer offline once and ships it as a
         constant; re-deriving it per query would charge every probe an
         offline cost (the registered plans-layer path does exactly
-        this). Returns ``(centroids, n_probe)``."""
+        this). ``recall_target`` swaps the fixed probed-fraction rule
+        for the measured one: :meth:`select_n_probe` sweeps a held-out
+        query set against exact brute force and returns the smallest
+        swept width meeting the target (VERDICT r8 #4) — only applied
+        past the threshold; the frozen small-corpus shape keeps its
+        registered ``small_n_probe`` untouched. Returns
+        ``(centroids, n_probe)``."""
         import math
 
         n = corpus.count()
@@ -284,7 +427,16 @@ class IVFVectorIndex:
             seed=seed,
             sample_mod=sample_mod,
         )
-        n_probe = max(1, math.ceil(IVF_PROBE_LIST_FRACTION * k))
+        if recall_target is not None:
+            n_probe = IVFVectorIndex.select_n_probe(
+                corpus,
+                cents,
+                recall_target,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            n_probe = max(1, math.ceil(IVF_PROBE_LIST_FRACTION * k))
         return cents, n_probe
 
     @classmethod
@@ -344,12 +496,41 @@ class IVFVectorIndex:
                 "supersede=True requires a nonzero ordinal to order "
                 "the update against the rows it replaces"
             )
+        self._mark_mixed_if_needed()
         assigned = self._assigned(new).withColumn(
             "__ord", F.lit(int(ordinal)).cast("long")
         )
         if supersede:
             # pin: two writes below consume the same batch
             assigned = assigned.localCheckpoint()
+            # ordinal-regression guard (r8 ADVICE): a superseding batch
+            # whose ordinal is STRICTLY BELOW an id's rostered maximum
+            # would append rows the roster instantly masks — the update
+            # silently lost, the stale vector served forever (mtime_ns
+            # regressed: clock skew, cp -p / rsync -t restore, archive
+            # extraction). Fail loudly instead. Equal ordinals stay
+            # allowed — a crashed-tick REPLAY re-appends the same batch
+            # at the same ordinal by design (bit-identical rows).
+            ros = self._roster()
+            if ros is not None:
+                regressed = (
+                    assigned.select(
+                        F.col(self.id_col).alias("__rid")
+                    )
+                    .distinct()
+                    .join(ros, "__rid")
+                    .where(F.col("__rord") > F.lit(int(ordinal)))
+                    .count()
+                )
+                if regressed:
+                    raise ValueError(
+                        f"supersede append at ordinal {ordinal} "
+                        f"regresses {regressed} id(s) already rostered "
+                        "at a higher ordinal — the version source "
+                        "(file mtime_ns) moved backwards (clock skew / "
+                        "mtime-preserving copy?); the update would be "
+                        "silently masked"
+                    )
             # roster FIRST: a crash between the two writes then masks
             # the updated ids entirely (absent until the replay lands)
             # instead of serving the stale vector — the same
@@ -431,6 +612,249 @@ class IVFVectorIndex:
                 max_files=max_files_per_list,
             )
         return done
+
+    def _live_folded(self) -> DataFrame:
+        """Current live rows, one per id: latest-ordinal fold +
+        supersession mask (exactly what a probe would score), with the
+        stored ``cid`` dropped — the caller is about to re-derive it."""
+        posts = self._read_postings()
+        if "__ord" in posts.columns:
+            w = Window.partitionBy(self.id_col).orderBy(
+                F.col("__ord").desc()
+            )
+            kept = (
+                posts.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return self._live(kept).drop("cid")
+        return posts.dropDuplicates([self.id_col]).drop("cid")
+
+    @locked_writer
+    def maybe_rebucket(
+        self,
+        min_n: int | None = None,
+        target_list_size: int | None = None,
+        growth_factor: float | None = None,
+        iters: int = 4,
+        sample_mod: int | None = 8,
+        seed: int = 42,
+        recall_target: float | None = None,
+    ) -> bool:
+        """Growth-triggered quantizer retrain + full re-bucket — the
+        maintenance operation ``build_scaled`` decides only ONCE
+        (VERDICT r8 #2): a store built under ``IVF_AUTO_MIN_N`` that
+        grows past it via ``append`` / the ``vector_index_tick``
+        streaming path otherwise keeps its small quantizer forever,
+        and list sizes (hence probe cost) grow ∝ N/k. Fires when the
+        corpus is past ``min_n`` AND the mean list holds more than
+        ``growth_factor × target_list_size`` rows; retrains
+        k = ⌈N/target⌉ centroids on the LIVE rows (deterministic
+        seeded k-means on the hash-sample), re-assigns every live row,
+        and swaps the new layout in crash-safely:
+
+        - new postings (carrying their quantizer md5 in a
+          ``.quantizer_md5`` dotfile) build in a ``.compact-`` sibling;
+        - the new meta stages as ``meta.json.new`` and the retrained
+          quantizer persists under ``meta/quantizer-<md5>.json``;
+        - the postings dirs swap via the parked-previous renames the
+          compaction family uses, then one atomic ``os.replace``
+          commits the meta. A crash in ANY window resolves on next
+          open (:func:`_resolve_rebucket` + generic heal): the store
+          is always entirely-old or entirely-new.
+
+        The latest/ roster survives as-is (live rows already carry
+        ordinals ≥ their roster entries, so the mask stays a no-op
+        until the next update). Replay-duplicate and superseded rows
+        are physically dropped by the fold — a rebucket is also a full
+        compaction. ``recall_target`` forwards to
+        :meth:`select_n_probe` for the stored probe-width hint;
+        without it the probed-fraction rule applies. Returns True iff
+        a rebucket happened; ``self`` then serves the NEW quantizer."""
+        import math
+        import shutil
+
+        min_n = IVF_AUTO_MIN_N if min_n is None else min_n
+        tls = (
+            IVF_TARGET_LIST_SIZE
+            if target_list_size is None
+            else target_list_size
+        )
+        growth = (
+            IVF_REBUCKET_GROWTH if growth_factor is None else growth_factor
+        )
+        pdir = self._postings_dir()
+        if not os.path.isdir(pdir):
+            return False
+        # trigger check on the raw row count (parquet-metadata-only
+        # job): replay dupes inflate it slightly, never enough to
+        # matter against a 2x growth threshold
+        n_raw = self._read_postings().count()
+        if n_raw < min_n or n_raw <= growth * tls * self.meta["k"]:
+            return False
+        live = self._live_folded().localCheckpoint()
+        try:
+            n_live = live.count()
+            k_new = max(self.meta["k"], math.ceil(n_live / tls))
+            from .similarity import kmeans_centroids
+
+            cents = kmeans_centroids(
+                live,
+                vec=self.vec_col,
+                id_col=self.id_col,
+                k=k_new,
+                iters=iters,
+                seed=seed,
+                sample_mod=sample_mod,
+            )
+            if recall_target is not None:
+                n_probe = self.select_n_probe(
+                    live.select(
+                        F.col(self.id_col), F.col(self.vec_col)
+                    ),
+                    cents,
+                    recall_target,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                )
+            else:
+                n_probe = max(
+                    1, math.ceil(IVF_PROBE_LIST_FRACTION * k_new)
+                )
+            new_md5 = hashlib.md5(
+                json.dumps(cents).encode()
+            ).hexdigest()
+            new_meta = dict(
+                self.meta,
+                k=k_new,
+                dim=len(cents[0]),
+                centroids_md5=new_md5,
+            )
+            # ---- prep (live store untouched throughout) ----
+            tmp = os.path.join(self.path, ".compact-postings")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            if "__ord" not in live.columns:
+                live = live.withColumn("__ord", F.lit(0).cast("long"))
+            old_cents = self.centroids
+            self.centroids = cents  # _assigned reads self.centroids
+            try:
+                # _assigned projects (id, vec, cid) — join each row's
+                # ordinal back by id so the supersession contract
+                # survives the rewrite (live rows keep ordinals ≥
+                # their roster entries; dropping them would zero every
+                # updated id under the surviving roster's mask)
+                self._assigned(live).join(
+                    live.select(self.id_col, "__ord"), self.id_col
+                ).repartition(F.col("cid")).write.mode(
+                    "overwrite"
+                ).partitionBy("cid").parquet(tmp)
+            except BaseException:
+                self.centroids = old_cents
+                raise
+            with open(os.path.join(tmp, ".quantizer_md5"), "w") as f:
+                f.write(new_md5)
+            qf = self._quantizer_file(new_md5)
+            qtmp = qf + ".tmp"
+            with open(qtmp, "w") as f:
+                json.dump({"centroids": cents, "n_probe": n_probe}, f)
+            os.replace(qtmp, qf)
+            staged = os.path.join(self.path, "meta", "meta.json.new")
+            stmp = staged + ".tmp"
+            with open(stmp, "w") as f:
+                json.dump(new_meta, f)
+            os.replace(stmp, staged)
+            # ---- swap ----
+            parked = os.path.join(self.path, ".old-postings")
+            os.rename(pdir, parked)
+            os.rename(tmp, pdir)
+            os.replace(
+                staged, os.path.join(self.path, "meta", "meta.json")
+            )
+            shutil.rmtree(parked)
+            old_qf = self._quantizer_file(self.meta["centroids_md5"])
+            if old_qf != qf and os.path.exists(old_qf):
+                os.remove(old_qf)
+            mixed = self._mixed_marker()
+            if os.path.exists(mixed):  # rewrite made schemas uniform
+                os.remove(mixed)
+            self.meta = new_meta
+            self.n_probe_hint = n_probe
+            return True
+        finally:
+            live.unpersist()
+
+    @staticmethod
+    def select_n_probe(
+        corpus: DataFrame,
+        centroids: list[list[float]],
+        recall_target: float,
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 7,
+        max_queries: int = 64,
+    ) -> int:
+        """Recall-targeted probe-width selection (VERDICT r8 #4): the
+        10%-of-lists rule is a fixed heuristic; this makes the
+        measured lever — SCALE.md's own sweep showed recall rising
+        linearly in n_probe — a library call. A deterministic held-out
+        query set (the ``max_queries`` rows with the smallest
+        ``xxhash64(seed, id)`` — same device as k-means init, so
+        replays pick identical queries) is scored exactly by brute
+        force once, then a doubling ladder of n_probe values is swept
+        through the fused IVF kernel until top-k recall meets
+        ``recall_target``; returns the first (smallest swept) width
+        that does, or the full list count if none short of exact
+        search suffices. Offline-decision cost: one exact pass + at
+        most ⌈log2 k⌉ IVF passes over the corpus — callers memoize
+        alongside the quantizer itself."""
+        from .similarity import (
+            brute_force_topk_vectorized,
+            ivf_topk_vectorized,
+        )
+
+        queries = (
+            corpus.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            .withColumn("__h", F.xxhash64(F.lit(seed), F.col("q_id")))
+            .orderBy("__h")
+            .limit(max_queries)
+            .drop("__h")
+            .localCheckpoint()
+        )
+        cand = corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+        exact = {
+            (r["q_id"], r["c_id"])
+            for r in brute_force_topk_vectorized(
+                queries, cand, k=k
+            ).collect()
+        }
+        if not exact:
+            return 1
+        n_probe = 1
+        k_total = len(centroids)
+        while True:
+            got = {
+                (r["q_id"], r["c_id"])
+                for r in ivf_topk_vectorized(
+                    queries,
+                    cand,
+                    centroids=centroids,
+                    n_probe=min(n_probe, k_total),
+                    k=k,
+                ).collect()
+            }
+            if len(got & exact) / len(exact) >= recall_target:
+                return min(n_probe, k_total)
+            if n_probe >= k_total:
+                return k_total
+            n_probe *= 2
 
     def probe(
         self,

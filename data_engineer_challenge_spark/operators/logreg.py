@@ -89,7 +89,14 @@ def train_logreg_hashed(
             (F.col("c").cast("double") / F.col("n")).alias("x"),
             "y",
         )
-        .localCheckpoint()  # pin: re-read twice per iteration
+        # pin: re-read twice per iteration. persist (not
+        # localCheckpoint): checkpointed frames are invisible to the
+        # cache manager, so they could never be RELEASED — storage
+        # grew linearly in iters for the life of the session (r8
+        # ADVICE). Values are identical either way (deterministic
+        # plan, exact decimal sums), so the frozen-weights provenance
+        # is untouched.
+        .persist()
     )
     n_docs = x.select("doc_id").distinct().count()
     if n_docs == 0:
@@ -97,6 +104,7 @@ def train_logreg_hashed(
     bias = 0.0
     w = [0.0] * buckets
 
+    prev_err = None  # last iteration's pinned frame, freed each loop
     for _ in range(iters):
         wdf = F.broadcast(
             x.sparkSession.createDataFrame(
@@ -108,6 +116,7 @@ def train_logreg_hashed(
         # unpinned plan would recompute the join+aggregate per consumer
         # (~2x per-iteration cost, r8 review finding); values are
         # unchanged, so the trained weights are bit-identical.
+        # persist, not localCheckpoint — see x above.
         err = (
             x.join(wdf, "b")
             .groupBy("doc_id", "y")
@@ -122,7 +131,7 @@ def train_logreg_hashed(
                     "e"
                 ),
             )
-            .localCheckpoint()
+            .persist()
         )
         # per-bucket gradient + bias gradient, both exact-decimal
         # cross-document sums (order-independent), ≤ buckets+1 rows
@@ -140,7 +149,17 @@ def train_logreg_hashed(
             err.agg(F.sum(F.col("e").cast(_ACC)).cast("double").alias("g"))
             .collect()[0]["g"]
         )
+        # both gradient collects have consumed err — release the
+        # PREVIOUS iteration's checkpointed blocks now (r8 ADVICE:
+        # without this, block-manager storage grows linearly in iters
+        # for the life of the session)
+        if prev_err is not None:
+            prev_err.unpersist()
+        prev_err = err
         for r in g:
             w[int(r["b"])] -= lr * r["gb"] / n_docs
         bias -= lr_bias * g0 / n_docs
+    if prev_err is not None:
+        prev_err.unpersist()
+    x.unpersist()
     return bias, w

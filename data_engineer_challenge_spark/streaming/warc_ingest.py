@@ -224,9 +224,23 @@ def warc_ingest_tick(
             # modified segments: a NEW doc arriving under an old txn's
             # name would be rostered without ever being indexed —
             # permanently unsearchable (r8 review finding).
+            #
+            # Legacy-key fallback (r8 ADVICE): a store built before the
+            # content-addressed keys holds ``warctext-<seg>`` txns and
+            # (pre-roster stores) no docs/ — a state-loss reprocess
+            # would re-append every segment, duplicating postings and
+            # double-counting n_docs/sum_dl. If the legacy txn is
+            # committed, append under THAT key instead: it no-ops and
+            # backfills the roster with this segment's ids (keep-first
+            # — the index family's rule; the legacy content stays, a
+            # post-upgrade modification of such a segment is
+            # indistinguishable from its original and also keeps
+            # first).
+            txn = f"warctext-{seg}@{snapshot[seg]}"
+            if text_index.txn_committed(f"warctext-{seg}"):
+                txn = f"warctext-{seg}"
             text_index.append(
-                landed, id_col="__tid", text_col="text",
-                txn=f"warctext-{seg}@{snapshot[seg]}",
+                landed, id_col="__tid", text_col="text", txn=txn
             )
     if index is not None:
         index.append(fresh, id_col="__iid", text_col="text")

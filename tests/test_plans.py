@@ -322,12 +322,18 @@ def test_quality_weights_provenance(spark):
         "doc_id",
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
     bias, w = train_logreg_hashed(
         quality_gram_feats(docs), labels, _QC_BUCKETS,
         iters=TRAIN_ITERS, lr=TRAIN_LR, lr_bias=TRAIN_LR_BIAS,
     )
     assert bias == BIAS
     assert w == WEIGHTS
+    # the trainer releases every frame it pinned (r8 ADVICE: the old
+    # localCheckpoints accumulated one block set per iteration for the
+    # life of the session)
+    assert jsc.getPersistentRDDs().size() <= persisted_before
 
 
 def test_quality_classifier_learns_planted_vocabulary_split(

@@ -1563,6 +1563,88 @@ def test_vector_index_tick_modified_drop_supersedes_stale_vectors(
     } == after
 
 
+def test_vector_index_tick_growth_rebucket(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #2, the tick-level contract: a store built small and
+    grown past the (monkeypatched) threshold ACROSS TICKS retrains its
+    quantizer k ∝ N inside the tick, per-list size comes back to the
+    target, full-width probe answers are identical (no row lost), and
+    the NEXT tick keeps appending into the new layout."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    emb.where("vec_id < 80").toPandas().to_parquet(
+        str(drops / "d0.parquet"), index=False
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    small = [list(c) for c in CENTROIDS[:2]]
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), small)
+
+    r1 = vector_index_tick(spark, str(drops), state, idx)
+    assert r1["fired"] and r1["rebucketed"] is False  # under min_n
+
+    emb.where("vec_id >= 80 and vec_id < 300").toPandas().to_parquet(
+        str(drops / "d1.parquet"), index=False
+    )
+    r2 = vector_index_tick(spark, str(drops), state, idx)
+    # 300 rows ≥ 200 and mean list 150 > 2×25 → the tick rebuckets
+    assert r2["fired"] and r2["rebucketed"] is True
+    assert idx.meta["k"] == 12  # ceil(300 / 25)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    full_before = [
+        tuple(r)
+        for r in idx.probe(queries, k=5, n_probe=idx.meta["k"])
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+
+    # next tick appends into the NEW layout without complaint
+    emb.where("vec_id >= 300").toPandas().to_parquet(
+        str(drops / "d2.parquet"), index=False
+    )
+    r3 = vector_index_tick(spark, str(drops), state, idx)
+    assert r3["fired"]
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "ivf" / "postings")
+    )
+    assert posts.count() == 500
+    sizes = posts.groupBy("cid").count().collect()
+    assert sum(r["count"] for r in sizes) / len(sizes) <= 2 * 25 + 20
+    # the pre-growth rows still answer exactly under the new layout
+    full_after = [
+        tuple(r)
+        for r in idx.probe(
+            queries.where("q_id < 300"), k=5, n_probe=idx.meta["k"]
+        )
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    # rank-5 lists over a larger corpus can shift; compare rank-1
+    # self-hits, the exactness witness that survives corpus growth
+    before_r1 = {
+        t[0]: t[1] for t in full_before if t[3] == 1 and t[0] < 300
+    }
+    assert before_r1
+    assert {t[0]: t[1] for t in full_after if t[3] == 1} == before_r1
+
+
 def test_writer_lock_second_process_fails_fast(spark, tmp_path):
     """The single-writer contract is enforced, not prose (r8 ADVICE):
     while another PROCESS holds an index root's writer lock, every

@@ -1499,6 +1499,326 @@ def test_ivf_build_scaled_auto_switch(spark, tmp_path, monkeypatch):
     assert all(q == c for q, c in self_hits.items())
 
 
+def test_ivf_maybe_rebucket_growth(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #2: a store built small that grows past the
+    threshold retrains k ∝ N and re-buckets. Pins: (a) the trigger
+    fires only past min_n AND fat lists, (b) k_new = ⌈N/target⌉ with
+    the mean list back at target size, (c) FULL-width probes (exact
+    within the live set) are bit-identical before/after — no row lost
+    or duplicated by the rewrite, (d) the rebucketed store probes
+    identically to a FRESH index built with the same retrained
+    quantizer (layout equivalence), (e) reopening with the stale
+    build-time centroids raises, while ``open()`` restores the store
+    with its persisted quantizer and probe-width hint."""
+    import json as _json
+    import os as _os
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [list(c) for c in CENTROIDS[:2]]  # k=2: lists fatten fast
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, small)
+    idx.build(emb.where("vec_id < 80"))
+
+    # under min_n: no trigger even though lists are fat (80/2 > 50)
+    assert idx.maybe_rebucket() is False
+    idx.append(emb.where("vec_id >= 80"))
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # full-width probe = exact search over live rows
+    before = [
+        tuple(r)
+        for r in idx.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+
+    # past min_n (500 ≥ 200) and mean list 250 > 2×25: trigger
+    assert idx.maybe_rebucket() is True
+    assert idx.meta["k"] == 20  # ceil(500 / 25)
+    assert idx.n_probe_hint == 2  # ceil(0.1 * 20)
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(path, "postings")
+    )
+    sizes = posts.groupBy("cid").count().collect()
+    assert posts.count() == 500  # no row lost or duplicated
+    assert sum(r["count"] for r in sizes) / len(sizes) <= 2 * 25
+
+    after = [
+        tuple(r)
+        for r in idx.probe(queries, k=5, n_probe=20)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    assert after == before  # exact-search equivalence preserved
+
+    # (d) layout equivalence vs a fresh build with the same quantizer
+    fresh = IVFVectorIndex(spark, str(tmp_path / "fresh"), idx.centroids)
+    fresh.build(emb)
+    for np_ in (2, 4):
+        assert [
+            tuple(r)
+            for r in idx.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ] == [
+            tuple(r)
+            for r in fresh.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ]
+
+    # (e) stale constants refuse; open() restores quantizer + hint
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rebucketed store reopens"):
+        IVFVectorIndex(spark, path, small)
+    re = IVFVectorIndex.open(spark, path)
+    assert re.meta == idx.meta and re.n_probe_hint == 2
+    assert [
+        tuple(r)
+        for r in re.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ] == [
+        tuple(r)
+        for r in idx.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    # second trigger check is a no-op (lists at target size)
+    assert idx.maybe_rebucket() is False
+    # meta committed atomically: no staged file left behind
+    assert not _os.path.exists(_os.path.join(path, "meta", "meta.json.new"))
+    stored = _json.load(open(_os.path.join(path, "meta", "meta.json")))
+    assert stored["centroids_md5"] == idx.meta["centroids_md5"]
+
+
+def test_ivf_rebucket_crash_windows_resolve(spark, tmp_path, monkeypatch):
+    """Every rebucket crash window resolves at open to an entirely-old
+    or entirely-new store: (A) crash after the postings swap but
+    before the meta commit → rolls FORWARD (staged meta matches the
+    live layout's quantizer marker); (B) crash before any swap with a
+    staged meta → rolls BACK (staged dropped, live store untouched);
+    (C) crash between the two renames (postings parked, replacement
+    not yet in place) → staged dropped, parked postings restored."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [list(c) for c in CENTROIDS[:2]]
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, small)
+    idx.build(emb)
+    old_meta = dict(idx.meta)
+    assert idx.maybe_rebucket() is True
+    new_meta = dict(idx.meta)
+    meta_json = _os.path.join(path, "meta", "meta.json")
+    staged = meta_json + ".new"
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = [
+        tuple(r)
+        for r in idx.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+
+    # (A) re-create "crashed before meta commit": meta.json holds the
+    # OLD fingerprint, staged holds the NEW one, live layout is new
+    with open(meta_json, "w") as f:
+        _json.dump(old_meta, f)
+    with open(staged, "w") as f:
+        _json.dump(new_meta, f)
+    re = IVFVectorIndex.open(spark, path)
+    assert re.meta == new_meta and not _os.path.exists(staged)
+    assert [
+        tuple(r)
+        for r in re.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ] == want
+
+    # (B) staged meta for a layout that never swapped in → dropped
+    bogus = dict(new_meta, centroids_md5="deadbeef")
+    with open(staged, "w") as f:
+        _json.dump(bogus, f)
+    re2 = IVFVectorIndex.open(spark, path)
+    assert re2.meta == new_meta and not _os.path.exists(staged)
+
+    # (C) mid-swap crash: postings parked, staged present → staged
+    # dropped, parked restored, store answers as before
+    _os.rename(
+        _os.path.join(path, "postings"),
+        _os.path.join(path, ".old-postings"),
+    )
+    with open(staged, "w") as f:
+        _json.dump(bogus, f)
+    re3 = IVFVectorIndex.open(spark, path)
+    assert _os.path.isdir(_os.path.join(path, "postings"))
+    assert not _os.path.exists(
+        _os.path.join(path, ".old-postings")
+    ) and not _os.path.exists(staged)
+    assert [
+        tuple(r)
+        for r in re3.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ] == want
+    _shutil.rmtree(path)
+
+
+def test_ivf_supersede_ordinal_regression_raises(spark, tmp_path):
+    """r8 ADVICE: a superseding append whose ordinal is strictly below
+    an id's rostered maximum would be silently masked forever (mtime
+    moved backwards: clock skew / cp -p restore). It now fails loudly;
+    an EQUAL ordinal (crashed-tick replay, bit-identical rows) stays
+    allowed."""
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+
+    idx = IVFVectorIndex(
+        spark, str(tmp_path / "ivf"), [[1.0, 0.0], [0.0, 1.0]]
+    )
+
+    def drop(vec, ordinal, supersede):
+        idx.append(
+            spark.createDataFrame(
+                [(1, vec)], "vec_id long, embedding array<double>"
+            ),
+            ordinal=ordinal,
+            supersede=supersede,
+        )
+
+    drop([1.0, 0.1], 100, False)
+    drop([0.1, 1.0], 200, True)  # genuine update
+    drop([0.1, 1.0], 200, True)  # replay at the same ordinal: fine
+    with _pytest.raises(ValueError, match="regresses 1 id"):
+        drop([0.9, 0.2], 150, True)  # mtime went backwards
+
+
+def test_ivf_mixed_schema_marker_on_plain_append(spark, tmp_path):
+    """r8 ADVICE: a pre-ordinal store that receives a PLAIN (non-
+    supersede) append holds mixed file schemas with no latest/ roster;
+    single-footer inference could drop ``__ord``. The append now sets
+    a content-keyed marker and every later read merges footers, so the
+    ordinal column — and with it compaction's latest-wins fold —
+    survives the mix."""
+    import os as _os
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, [[1.0, 0.0], [0.0, 1.0]])
+    # forge a pre-ordinal store: rows WITHOUT __ord directly in a list
+    spark.createDataFrame(
+        [(1, [1.0, 0.05]), (2, [0.9, 0.2])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(_os.path.join(path, "postings", "cid=0"))
+
+    idx.append(
+        spark.createDataFrame(
+            [(3, [0.05, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=7,
+    )
+    assert _os.path.exists(_os.path.join(path, "meta", "mixed_schema"))
+    posts = idx._read_postings()
+    assert "__ord" in posts.columns and posts.count() == 3
+
+    # supersede across the mix: the NEW row wins the fold + the probe
+    idx.append(
+        spark.createDataFrame(
+            [(1, [0.02, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=9,
+        supersede=True,
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "q_id long, embedding array<double>",
+    )
+    got = {(r["q_id"], r["c_id"]) for r in idx.probe(q, k=3, n_probe=2).collect()}
+    assert (11, 1) in got  # new vector serves
+    idx.maybe_compact(max_files_per_list=0)
+    assert idx._read_postings().count() == 3  # stale row reclaimed
+    got2 = {
+        (r["q_id"], r["c_id"]) for r in idx.probe(q, k=3, n_probe=2).collect()
+    }
+    assert got2 == got
+
+
+def test_select_n_probe_recall_target(spark):
+    """VERDICT r8 #4: the recall-target sweep picks the smallest swept
+    probe width whose held-out top-k recall meets the target — pinned
+    at sf0.1 against the frozen k=16 quantizer: the selected width
+    must actually achieve the target when measured independently, and
+    a stricter target can only widen the probe."""
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        ivf_topk_vectorized,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    np_90 = IVFVectorIndex.select_n_probe(emb, CENTROIDS, 0.90)
+    np_99 = IVFVectorIndex.select_n_probe(emb, CENTROIDS, 0.99)
+    assert 1 <= np_90 <= np_99 <= len(CENTROIDS)
+
+    # independent recall measurement on the SAME deterministic
+    # held-out query set the sweep used
+    queries = (
+        emb.select(F.col("vec_id").alias("q_id"), "embedding")
+        .withColumn("__h", F.xxhash64(F.lit(7), F.col("q_id")))
+        .orderBy("__h")
+        .limit(64)
+        .drop("__h")
+    )
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk_vectorized(queries, corpus, k=10).collect()
+    }
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk_vectorized(
+            queries, corpus, centroids=CENTROIDS, n_probe=np_90, k=10
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.90
+
+
 def test_semantic_dedup_scaled_auto_switch(spark, monkeypatch):
     """The registered ``emb_semantic_dedup`` is scale-aware (VERDICT
     r8 #1, mirroring test_ivf_build_scaled_auto_switch): below

@@ -466,6 +466,105 @@ def test_warc_tick_maintains_text_index(spark, tmp_path):
     assert stats2 == 2
 
 
+def test_warc_tick_legacy_txn_key_state_loss_no_double_count(
+    spark, tmp_path
+):
+    """r8 ADVICE: an index built before the content-addressed txn keys
+    holds name-only ``warctext-<seg>`` txns and (pre-roster stores) no
+    docs/ — a state-loss reprocess used to re-append every such
+    segment, duplicating postings and double-counting n_docs/sum_dl.
+    The tick now recognizes the committed legacy key, no-ops the
+    append under it (backfilling the roster), while NEW segments keep
+    the content-addressed keys."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment([("doc-a", "http://x/a", _html(_LONG_A))])
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    tidx = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+    assert warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", text_index=tidx
+    ).fired
+
+    # forge a pre-r8 store: strip the @mtime suffix from the committed
+    # txn keys and remove the docs/ roster entirely
+    stats_dir = str(tmp_path / "tidx" / "stats")
+    stats_schema = "txn string, n_docs long, sum_dl long"
+    legacy_rows = [
+        (r["txn"].split("@")[0], r["n_docs"], r["sum_dl"])
+        for r in spark.read.schema(stats_schema).parquet(stats_dir).collect()
+    ]
+    shutil.rmtree(stats_dir)
+    spark.createDataFrame(legacy_rows, stats_schema).coalesce(
+        1
+    ).write.parquet(stats_dir)
+    shutil.rmtree(str(tmp_path / "tidx" / "docs"))
+    n_postings = spark.read.parquet(
+        str(tmp_path / "tidx" / "postings")
+    ).count()
+
+    # state loss: full reprocess against the legacy store
+    tidx2 = InvertedTextIndex(spark, str(tmp_path / "tidx"), t_buckets=16)
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    assert warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", text_index=tidx2
+    ).fired
+    txns = {
+        r["txn"]
+        for r in spark.read.schema(stats_schema).parquet(stats_dir).collect()
+    }
+    assert txns == {"warctext-a.warc"}  # no second, @-keyed txn
+    total = (
+        spark.read.schema(stats_schema)
+        .parquet(stats_dir)
+        .groupBy("txn")
+        .agg(F.max("n_docs").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert total == 1  # corpus stats exact, not doubled
+    assert (
+        spark.read.parquet(str(tmp_path / "tidx" / "postings")).count()
+        == n_postings
+    )  # postings not duplicated
+    want_tid = wh.read("web_docs").select(F.xxhash64("doc_id")).collect()[0][0]
+    roster = {r["doc_id"] for r in tidx2.indexed_ids().collect()}
+    assert roster == {want_tid}  # backfilled from the legacy no-op
+
+    # a NEW post-upgrade segment still lands under a content key
+    (warc_dir / "b.warc").write_bytes(
+        _segment([("doc-c", "http://y/c", _html(_LONG_C))])
+    )
+    assert warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", text_index=tidx2
+    ).fired
+    txns2 = {
+        r["txn"]
+        for r in spark.read.schema(stats_schema).parquet(stats_dir).collect()
+    }
+    assert any(t.startswith("warctext-b.warc@") for t in txns2)
+    assert len(tidx2.probe(("petabyte",), topk=5).collect()) == 1
+
+
 def test_warc_tick_recurring_doc_id_keeps_first_and_exact_stats(
     spark, tmp_path
 ):
