@@ -257,6 +257,27 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
         probes["minhash_index_probe_only"] = _min_of(
             lambda: midx.probe(batch), cleanup=midx.release
         )
+
+        # the passage-dedup member (r9, VERDICT r8 #6 — the last
+        # persisted index without a serving split): WindowHashIndex
+        # over the same 80% of the corpus, the held-out 20% batch
+        # probed for already-indexed spans. The probe's pruning claim
+        # (≤ touched h_bucket= partitions, broadcast window join) gets
+        # its number here; probe() caches and releases internally, so
+        # no cleanup hook is needed between runs.
+        from data_engineer_challenge_spark.operators.passage import (
+            WindowHashIndex,
+        )
+
+        t0 = time.perf_counter()
+        widx = WindowHashIndex(spark, os.path.join(root, "windowhash"))
+        widx.append(docs.filter(F.col("doc_id") % 5 != 0))
+        builds["windowhash_index_build"] = round(
+            time.perf_counter() - t0, 4
+        )
+        probes["windowhash_probe_only"] = _min_of(
+            lambda: widx.probe(batch)
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return builds, probes

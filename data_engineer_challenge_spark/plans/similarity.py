@@ -290,7 +290,16 @@ def _ivf_oracle(cents: list[list[float]], n_probe: int, k: int) -> str:
     """
 
 
-@register("emb_ivf_topk", oracle=_ivf_oracle(_IVF_CENTROIDS, n_probe=12, k=10))
+@register(
+    "emb_ivf_topk",
+    # r9: rotated OFF the driver surface — ivf_index_probe runs this
+    # oracle VERBATIM (same quantizer, n_probe, k, query set), so two
+    # driver rows were re-running identical SQL; the freed slot went
+    # to docs_phrase_search_positional (VERDICT r8 #5). Still
+    # pytest-oracled here.
+    driver=False,
+    oracle=_ivf_oracle(_IVF_CENTROIDS, n_probe=12, k=10),
+)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a pretrained coarse quantizer: deterministic
     seeded k-means (k=16, 8 Lloyd iterations) trained once on the 1/2

@@ -1563,12 +1563,14 @@ def docs_phrase_search_via_index(
 
 @register(
     "docs_phrase_search_positional",
-    # pytest-oracled (driver surface capped at 50) — shares the
+    # r9: rotated ONTO the driver surface (VERDICT r8 #5), taking the
+    # slot of emb_ivf_topk — whose oracle ivf_index_probe carries
+    # VERBATIM (same quantizer/n_probe/k/query set), the exact
+    # docs_bm25_search→inverted_index_probe rationale. Shares the
     # two-stage variant's full-scan oracle verbatim, so the hash
     # equality proves the positional layout answers identically while
     # reading ZERO document text (plan-pinned in
     # tests/test_scale_patterns.py)
-    driver=False,
     oracle=f"""
     SELECT doc_id, n_occurrences
     FROM (
