@@ -2090,40 +2090,56 @@ def _register_curation_funnel() -> None:
         three-pass shape over survivors only — strictly less data at
         every stage, no stage re-reads the raw corpus after stage 1's
         gate."""
-        docs = load_table(spark, sf_dir, "documents")
-        kept = with_quality_score(docs).where(F.col("is_kept"))
-        norm = F.trim(
-            F.regexp_replace(F.lower("text"), _WS + "+", " ")
-        )
-        from pyspark.sql.window import Window as _W
+        return curation_funnel(load_table(spark, sf_dir, "documents"))
 
-        uniq = (
-            kept.withColumn(
-                "fingerprint", F.md5(norm.cast("binary"))
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    _W.partitionBy("fingerprint").orderBy("doc_id")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .select("doc_id", "lang", "text", "quality_score")
-            # pin: _dsir_rank consumes this frame in three passes
-            # (raw counts, target counts, scoring) — unpinned, each
-            # pass would re-run the scorer + dedup window
-            .localCheckpoint()
+
+def curation_funnel(
+    docs: DataFrame,
+    scorer=None,
+    topk: int | None = None,
+) -> DataFrame:
+    """The composition core behind ``docs_curation_funnel`` (its
+    docstring carries the pipeline rationale): quality gate →
+    exact-dedup keep-first → DSIR over SURVIVORS, deterministic
+    top-``topk``. Factored out (r9, VERDICT r8 #8) so the composition
+    itself — not a test-local copy — is exercisable with a pluggable
+    ``scorer``: any callable ``docs -> frame`` adding
+    ``quality_score`` (double) and ``is_kept`` (boolean) to the input
+    columns (the ``with_quality_score`` contract, which is the
+    default). The stage-interaction property this enables pinning: a
+    document the gate removes must vanish from DSIR's raw/target
+    bucket models, and dedup's keep-first runs among gate SURVIVORS
+    (a group's lowest-id member being gated hands the group to its
+    next survivor)."""
+    scorer = with_quality_score if scorer is None else scorer
+    kept = scorer(docs).where(F.col("is_kept"))
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    from pyspark.sql.window import Window as _W
+
+    uniq = (
+        kept.withColumn("fingerprint", F.md5(norm.cast("binary")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("fingerprint").orderBy("doc_id")
+            ),
         )
-        return (
-            _dsir_rank(uniq.select("doc_id", "lang", "text"))
-            .join(uniq.select("doc_id", "quality_score"), "doc_id")
-            .select(
-                "doc_id", "lang", "quality_score", "n_feats",
-                "log_weight",
-            )
-            .orderBy(F.desc("log_weight"), "doc_id")
-            .limit(_FUNNEL_TOPK)
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "text", "quality_score")
+        # pin: _dsir_rank consumes this frame in three passes
+        # (raw counts, target counts, scoring) — unpinned, each
+        # pass would re-run the scorer + dedup window
+        .localCheckpoint()
+    )
+    return (
+        _dsir_rank(uniq.select("doc_id", "lang", "text"))
+        .join(uniq.select("doc_id", "quality_score"), "doc_id")
+        .select(
+            "doc_id", "lang", "quality_score", "n_feats", "log_weight"
         )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_FUNNEL_TOPK if topk is None else topk)
+    )
 
 
 _register_curation_funnel()

@@ -232,6 +232,90 @@ def test_no_cartesian_products(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_curation_funnel_stage_interaction_adversarial_scorer(spark):
+    """VERDICT r8 #8: the funnel composition is load-bearing, not
+    vacuously green. With a deterministic custom scorer (the frozen
+    classifier rejects nearly everything on planted text — memory-
+    documented), pin the two interactions the one-hash oracle claims
+    to catch: (1) exact dedup's keep-first runs among GATE SURVIVORS —
+    gating a duplicate group's lowest-id member hands the group to its
+    next survivor; (2) DSIR's raw/target bucket models are computed
+    over survivors — gating a contaminating en-labeled document
+    CHANGES other documents' log_weights, and each run's weights equal
+    _dsir_rank applied directly to the expected survivor set."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.plans.text import (
+        _dsir_rank, curation_funnel,
+    )
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    t_dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, t_dup, "en", "s", len(t_dup)),
+        (2, t_dup, "xx", "s", len(t_dup)),  # exact dup of 1
+        (3, "alpha beta gamma shared words here", "en", "s", 34),
+        (4, "delta epsilon zeta other tokens talk", "xx", "s", 36),
+        # shares grams with the contaminator, so its DSIR weight
+        # depends on whether the contaminator reaches the models
+        (5, "boson hadron overlap with common words", "xx", "s", 38),
+        # the contaminator: distinctive vocabulary, en-labeled — it
+        # tilts the TARGET model wherever it survives the gate
+        (9, "quantum flux boson hadron lepton muon", "en", "s", 37),
+    ]
+    docs = spark.createDataFrame(rows, TESTDATA["documents"])
+
+    def make_scorer(gated):
+        def scorer(d):
+            return d.withColumn(
+                "quality_score", F.col("doc_id") / 100.0
+            ).withColumn(
+                "is_kept",
+                ~F.col("doc_id").isin(*gated)
+                if gated
+                else F.lit(True),
+            )
+
+        return scorer
+
+    def run(gated):
+        out = curation_funnel(
+            docs, scorer=make_scorer(gated), topk=10
+        ).collect()
+        return {r["doc_id"]: r for r in out}
+
+    all_kept = run(set())
+    gated = run({1, 9})
+
+    # (1) keep-first over survivors: with nothing gated, doc 1 owns
+    # the duplicate group; gating doc 1 hands the group to doc 2
+    assert 1 in all_kept and 2 not in all_kept
+    assert 2 in gated and 1 not in gated
+    # the custom scorer's outputs ride the composition verbatim
+    assert all_kept[1]["quality_score"] == 0.01
+    assert gated[2]["quality_score"] == 0.02
+
+    # (2) survivor-computed statistics: each run equals _dsir_rank on
+    # the EXPECTED survivor set, and the two differ on shared docs
+    def direct(ids):
+        frame = docs.where(F.col("doc_id").isin(*ids)).select(
+            "doc_id", "lang", "text"
+        )
+        return {
+            r["doc_id"]: r["log_weight"]
+            for r in _dsir_rank(frame).collect()
+        }
+
+    want_all = direct({1, 3, 4, 5, 9})
+    want_gated = direct({2, 3, 4, 5})
+    assert {d: r["log_weight"] for d, r in all_kept.items()} == want_all
+    assert {d: r["log_weight"] for d, r in gated.items()} == want_gated
+    # gating the contaminator moved doc 5's weight (its grams overlap
+    # the contaminator's) — the exact divergence a raw-corpus-computed
+    # model would hide
+    assert all_kept[5]["log_weight"] != gated[5]["log_weight"]
+
+
 def test_dsir_selection_ranks_target_like_docs_first(spark, tmp_path):
     """DSIR semantics on a planted corpus: among the non-English docs,
     the one written in the English slice's vocabulary must outrank the
