@@ -212,6 +212,92 @@ def compact_partitioned(
     return done
 
 
+def commit_relayout(
+    path: str, data_dirnames: list[str], new_meta: dict
+) -> None:
+    """Crash-safe whole-directory re-layout commit (r9 — the
+    ``maybe_rebucket`` family's swap): the caller has already written
+    a ``.compact-<name>`` sibling for every name in ``data_dirnames``
+    holding the NEW layout; this stamps each with the new meta's md5
+    (a ``.layout_md5`` dotfile), stages the new meta as
+    ``meta/meta.json.new``, parks EVERY live dir, renames every
+    replacement in, and commits with ONE atomic ``os.replace`` of the
+    meta — parked dirs are removed only after the commit, so
+    :func:`resolve_relayout` can always roll a pre-commit crash back.
+    The store is observably entirely-old or entirely-new at every
+    open."""
+    import hashlib
+    import json
+
+    payload = json.dumps(new_meta, sort_keys=True).encode()
+    digest = hashlib.md5(payload).hexdigest()
+    for d in data_dirnames:
+        tmp = os.path.join(path, _TMP + d)
+        if not os.path.isdir(tmp):
+            raise ValueError(
+                f"commit_relayout: replacement dir {tmp!r} missing"
+            )
+        with open(os.path.join(tmp, ".layout_md5"), "w") as f:
+            f.write(digest)
+    staged = os.path.join(path, "meta", "meta.json.new")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    with open(staged + ".tmp", "wb") as f:
+        f.write(payload)
+    os.replace(staged + ".tmp", staged)
+    # park all lives first, then swap all replacements in — the
+    # rollback branch of resolve_relayout depends on every swapped
+    # dir's parked twin existing until the meta commit
+    for d in data_dirnames:
+        os.rename(os.path.join(path, d), os.path.join(path, _OLD + d))
+    for d in data_dirnames:
+        os.rename(os.path.join(path, _TMP + d), os.path.join(path, d))
+    os.replace(staged, os.path.join(path, "meta", "meta.json"))  # COMMIT
+    for d in data_dirnames:
+        shutil.rmtree(os.path.join(path, _OLD + d))
+
+
+def resolve_relayout(path: str, data_dirnames: list[str]) -> None:
+    """Roll an in-flight :func:`commit_relayout` forward or back at
+    open — run BEFORE the meta fingerprint check and before generic
+    :func:`heal`. A staged ``meta.json.new`` whose md5 matches EVERY
+    data dir's ``.layout_md5`` marker means the swap completed and
+    only the commit crashed: roll forward. Anything else rolls back —
+    dirs already carrying the new layout restore from their parked
+    twins (which outlive any pre-commit crash by construction), dirs
+    never swapped are left for heal, and the staged meta drops."""
+    staged = os.path.join(path, "meta", "meta.json.new")
+    if not os.path.exists(staged):
+        return
+    import hashlib
+
+    with open(staged, "rb") as f:
+        want = hashlib.md5(f.read()).hexdigest()
+
+    def marker(d: str) -> str | None:
+        try:
+            with open(os.path.join(path, d, ".layout_md5")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    if all(marker(d) == want for d in data_dirnames):
+        os.replace(staged, os.path.join(path, "meta", "meta.json"))
+        return
+    for d in data_dirnames:
+        if marker(d) == want:
+            parked = os.path.join(path, _OLD + d)
+            live = os.path.join(path, d)
+            if not os.path.isdir(parked):
+                raise RuntimeError(
+                    f"resolve_relayout: {live!r} holds an uncommitted "
+                    "new layout but its parked previous is gone — "
+                    "store needs manual repair"
+                )
+            shutil.rmtree(live)
+            os.rename(parked, live)
+    os.remove(staged)
+
+
 def compact_flat(
     spark: SparkSession,
     path: str,

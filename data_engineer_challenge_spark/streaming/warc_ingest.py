@@ -255,10 +255,18 @@ def warc_ingest_tick(
     # batch idempotently regardless.
     if index is not None:
         index.maybe_compact()
+        # growth maintenance (r9): past the production-sized
+        # per-bucket row target the hash-partitioned layout re-buckets
+        # crash-safely (compaction.commit_relayout) — bucket counts
+        # must scale with the corpus or probe cost grows ∝ N/buckets.
+        # No-op below the threshold (the trigger check is one
+        # parquet-metadata count).
+        index.maybe_rebucket()
     if passage_index is not None:
         passage_index.maybe_compact()
     if text_index is not None:
         text_index.maybe_compact()
+        text_index.maybe_rebucket()
     # offset commits only after the batch landed: a throw above leaves
     # the trigger armed and the retry re-sees the same segments
     state.commit(state_key, snapshot)

@@ -1819,6 +1819,212 @@ def test_select_n_probe_recall_target(spark):
     assert len(got & exact) / len(exact) >= 0.90
 
 
+def test_resolve_relayout_crash_windows(tmp_path):
+    """compaction.commit_relayout's resolve contract, pure-python
+    (r9): a staged meta whose md5 matches EVERY data dir's marker
+    rolls FORWARD; any other state rolls back — swapped dirs restore
+    from their parked twins (which outlive every pre-commit crash),
+    and a swapped dir whose parked twin is gone (impossible by
+    construction) fails loudly instead of serving a mixed store."""
+    import hashlib
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.compaction import (
+        resolve_relayout,
+    )
+
+    def setup(stage_meta, markers, parked=(), old_content="old"):
+        root = tmp_path / f"s{setup.n}"
+        setup.n += 1
+        (root / "meta").mkdir(parents=True)
+        (root / "meta" / "meta.json").write_text(json.dumps({"v": 0}))
+        payload = json.dumps(stage_meta, sort_keys=True).encode()
+        (root / "meta" / "meta.json.new").write_bytes(payload)
+        want = hashlib.md5(payload).hexdigest()
+        for d, mark in markers.items():
+            (root / d).mkdir()
+            if mark is not None:
+                (root / d / ".layout_md5").write_text(
+                    want if mark == "match" else "deadbeef"
+                )
+        for d in parked:
+            (root / f".old-{d}").mkdir()
+            (root / f".old-{d}" / "sentinel").write_text(old_content)
+        return root, want
+
+    setup.n = 0
+
+    # (A) every marker matches -> forward: staged becomes meta.json
+    root, _ = setup({"v": 1}, {"A": "match", "B": "match"})
+    resolve_relayout(str(root), ["A", "B"])
+    assert json.loads((root / "meta" / "meta.json").read_text()) == {"v": 1}
+    assert not (root / "meta" / "meta.json.new").exists()
+
+    # (B) partial swap -> rollback: swapped dir restores from parked,
+    # unswapped dir untouched, staged dropped
+    root, _ = setup({"v": 1}, {"A": "match", "B": None}, parked=("A",))
+    resolve_relayout(str(root), ["A", "B"])
+    assert json.loads((root / "meta" / "meta.json").read_text()) == {"v": 0}
+    assert (root / "A" / "sentinel").read_text() == "old"  # restored
+    assert not (root / ".old-A").exists()
+    assert not (root / "meta" / "meta.json.new").exists()
+
+    # (C) swapped dir with no parked twin -> loud failure, not a mix
+    root, _ = setup({"v": 1}, {"A": "match", "B": "stale"})
+    with _pytest.raises(RuntimeError, match="parked previous is gone"):
+        resolve_relayout(str(root), ["A", "B"])
+
+    # (D) no staged meta -> no-op
+    root, _ = setup({"v": 1}, {"A": "stale"})
+    os.remove(root / "meta" / "meta.json.new")
+    resolve_relayout(str(root), ["A"])
+    assert json.loads((root / "meta" / "meta.json").read_text()) == {"v": 0}
+
+
+def test_text_index_maybe_rebucket(spark, tmp_path):
+    """VERDICT r8 missing #2, the text-store half: t_buckets scales
+    with the corpus. Pins: trigger semantics, probe answers
+    bit-identical across the rewrite, pruning still strict under the
+    new (larger) bucket count, stale ctor args refuse while open()
+    restores the store, stats/docs side-tables untouched."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+
+    path = str(tmp_path / "tidx")
+    idx = InvertedTextIndex(spark, path, t_buckets=4)
+    corpus = spark.createDataFrame(
+        [(i, f"filler{i} words spark window vector doc body {i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx.build(corpus)
+    terms = ("spark", "window", "vector")
+    before = [
+        tuple(r)
+        for r in idx.probe(terms, topk=10).orderBy("rank").collect()
+    ]
+    stats_before = sorted(
+        map(tuple, spark.read.parquet(_os.path.join(path, "stats")).collect())
+    )
+
+    # under the threshold: no-op
+    assert idx.maybe_rebucket(target_bucket_rows=10**6) is False
+    # ~240 posting rows > 1.0 * 2 * 4: trigger; k_new = ceil(n/2)
+    assert idx.maybe_rebucket(
+        target_bucket_rows=2, growth_factor=1.0
+    ) is True
+    k_new = idx.meta["t_buckets"]
+    assert k_new > 4
+    assert _json.load(
+        open(_os.path.join(path, "meta", "meta.json"))
+    )["t_buckets"] == k_new
+
+    probed = idx.probe(terms, topk=10)
+    after = [tuple(r) for r in probed.orderBy("rank").collect()]
+    assert after == before  # bit-identical answers
+    # pruning still strict: the probe reads ≤ len(terms) of the NEW
+    # bucket count
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "t_bucket" in l
+    ]
+    assert scans
+    for s in scans:
+        pf = s.split("PartitionFilters: [")[1].split("]")[0]
+        in_list = _re.search(r"t_bucket#\d+ IN \(([^)]*)\)", pf)
+        assert in_list, pf
+        assert 0 < len(in_list.group(1).split(",")) <= len(terms)
+    # side tables untouched
+    assert sorted(
+        map(tuple, spark.read.parquet(_os.path.join(path, "stats")).collect())
+    ) == stats_before
+
+    with _pytest.raises(ValueError, match="rebucketed store reopens"):
+        InvertedTextIndex(spark, path, t_buckets=4)
+    re_idx = InvertedTextIndex.open(spark, path)
+    assert re_idx.meta["t_buckets"] == k_new
+    assert [
+        tuple(r)
+        for r in re_idx.probe(terms, topk=10).orderBy("rank").collect()
+    ] == before
+    assert not _os.path.exists(
+        _os.path.join(path, "meta", "meta.json.new")
+    )
+
+
+def test_minhash_index_maybe_rebucket(spark, tmp_path):
+    """VERDICT r8 missing #2, the MinHash half: bands AND shingles
+    re-bucket under ONE commit (they share bh_buckets — a mixed store
+    would silently miss candidates). Pins: probe answers identical
+    across the rewrite, both partition layouts at the new count,
+    open() restores, stale ctor args refuse."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+
+    path = str(tmp_path / "midx")
+    idx = MinHashIndex(spark, path, bh_buckets=2)
+    corpus = spark.createDataFrame(
+        [(i, BASE + f" filler{i}") for i in range(1, 21)]
+        + [(100, FAR)],
+        "doc_id long, text string",
+    )
+    idx.build(corpus)
+    batch = spark.createDataFrame(
+        [(200, BASE + " filler1"), (201, FAR), (202, NEAR)],
+        "doc_id long, text string",
+    )
+    before = sorted(map(tuple, idx.probe(batch).collect()))
+    idx.release()
+    assert before  # the planted dups actually probe
+
+    assert idx.maybe_rebucket(target_bucket_rows=10**6) is False
+    assert idx.maybe_rebucket(
+        target_bucket_rows=5, growth_factor=1.0
+    ) is True
+    k_new = idx.meta["bh_buckets"]
+    assert k_new > 2
+    buckets = {
+        n
+        for n in _os.listdir(_os.path.join(path, "bands"))
+        if n.startswith("bh_bucket=")
+    }
+    assert all(int(b.split("=")[1]) < k_new for b in buckets)
+    assert len(buckets) > 2  # genuinely finer layout
+    sh_buckets = {
+        n
+        for n in _os.listdir(_os.path.join(path, "shingles"))
+        if n.startswith("id_bucket=")
+    }
+    assert all(int(b.split("=")[1]) < k_new for b in sh_buckets)
+
+    after = sorted(map(tuple, idx.probe(batch).collect()))
+    idx.release()
+    assert after == before
+
+    with _pytest.raises(ValueError, match="rebucketed store reopens"):
+        MinHashIndex(spark, path, bh_buckets=2)
+    re_idx = MinHashIndex.open(spark, path)
+    assert re_idx.meta["bh_buckets"] == k_new
+    assert sorted(map(tuple, re_idx.probe(batch).collect())) == before
+    re_idx.release()
+
+
 def test_semantic_dedup_scaled_auto_switch(spark, monkeypatch):
     """The registered ``emb_semantic_dedup`` is scale-aware (VERDICT
     r8 #1, mirroring test_ivf_build_scaled_auto_switch): below
