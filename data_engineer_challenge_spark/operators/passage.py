@@ -51,6 +51,11 @@ from ..functions.tokenize import word_tokens
 #: default stride-1 window length (tokens) — plans/dedup.XS_W mirrors
 DEFAULT_WINDOW = 32
 
+#: maybe_rebucket trigger (the text index's posture for the
+#: window-hash layout) — production-sized default; tests pass smaller
+WINDOW_TARGET_BUCKET_ROWS = 1_000_000
+WINDOW_REBUCKET_GROWTH = 2.0
+
 
 def tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, ts, n) for non-empty documents — the shared base frame."""
@@ -218,29 +223,107 @@ class WindowHashIndex:
         # more and falls back to the shuffled join (see probe).
         self.broadcast_max_windows = int(broadcast_max_windows)
         self.meta = {"window": int(window), "h_buckets": int(h_buckets)}
-        # repair a crashed compaction BEFORE any probe can read a
-        # half-swapped bucket (operators/compaction heal contract)
-        from .compaction import heal
+        # repair a crashed rebucket/compaction BEFORE the meta check
+        # and before any probe can read a half-swapped bucket
+        from .compaction import heal, resolve_relayout
 
         with writer_lock(self.path, blocking=True):
             # blocking: never unpark another process's in-flight
             # compaction swap (writer_lock docstring)
+            resolve_relayout(path, ["windows"])
             heal(self._windows_dir())
             heal(self.path)
+            meta_path = os.path.join(path, "meta", "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    stored = json.load(f)
+                if stored != self.meta:
+                    raise ValueError(
+                        f"WindowHashIndex at {path!r} was built with "
+                        f"{stored}; reopening with {self.meta} would "
+                        "hash probes with a different window length "
+                        "and silently miss every stored passage (a "
+                        "rebucketed store reopens via "
+                        "WindowHashIndex.open)"
+                    )
+            else:
+                # pin BEFORE data exists (crashed mid-build stays
+                # guarded)
+                self._write_meta()
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "WindowHashIndex":
+        """Reopen an existing index from its PERSISTED meta — the only
+        way back into a store ``maybe_rebucket`` has re-bucketed.
+        Rolls a crashed rebucket forward/back first."""
+        from .compaction import resolve_relayout
+
+        with writer_lock(path, blocking=True):
+            resolve_relayout(path, ["windows"])
         meta_path = os.path.join(path, "meta", "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                stored = json.load(f)
-            if stored != self.meta:
-                raise ValueError(
-                    f"WindowHashIndex at {path!r} was built with "
-                    f"{stored}; reopening with {self.meta} would hash "
-                    "probes with a different window length and "
-                    "silently miss every stored passage"
-                )
-        else:
-            # pin BEFORE data exists (crashed mid-build stays guarded)
-            self._write_meta()
+        if not os.path.exists(meta_path):
+            raise ValueError(f"no WindowHashIndex at {path!r}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            path,
+            window=meta["window"],
+            h_buckets=meta["h_buckets"],
+        )
+
+    @locked_writer
+    def maybe_rebucket(
+        self,
+        target_bucket_rows: int | None = None,
+        growth_factor: float | None = None,
+    ) -> bool:
+        """Growth-triggered bucket-count scaling — the fourth member
+        of the persisted-store family joins the r9 discipline
+        (``h_buckets`` is frozen in the meta fingerprint, so a store
+        grown across WARC ticks probes ever-fatter ``h_bucket=``
+        partitions). Same trigger/swap as the text index: mean bucket
+        past ``growth_factor × target_bucket_rows`` window rows →
+        rewrite under ``ceil(N/target)`` buckets through the
+        crash-safe :func:`compaction.commit_relayout`; probe answers
+        are decision-identical (membership semantics — bucketing
+        changes where a window row lives, never its content). The
+        docs/ roster is unbucketed and untouched."""
+        import math
+        import shutil
+
+        from .compaction import _TMP, commit_relayout
+
+        tgt = (
+            WINDOW_TARGET_BUCKET_ROWS
+            if target_bucket_rows is None
+            else target_bucket_rows
+        )
+        growth = (
+            WINDOW_REBUCKET_GROWTH
+            if growth_factor is None
+            else growth_factor
+        )
+        wdir = self._windows_dir()
+        if not os.path.isdir(wdir):
+            return False
+        n = self.spark.read.parquet(wdir).count()
+        k = self.meta["h_buckets"]
+        if n <= growth * tgt * k:
+            return False
+        k_new = max(2 * k, math.ceil(n / tgt))
+        new_meta = dict(self.meta, h_buckets=int(k_new))
+        rows = self.spark.read.parquet(wdir).drop("h_bucket")
+        tmp = os.path.join(self.path, _TMP + "windows")
+        shutil.rmtree(tmp, ignore_errors=True)
+        rows.withColumn(
+            "h_bucket", F.pmod(F.hash(F.col("h")), F.lit(int(k_new)))
+        ).repartition(F.col("h_bucket")).write.mode("overwrite").partitionBy(
+            "h_bucket"
+        ).parquet(tmp)
+        commit_relayout(self.path, ["windows"], new_meta)
+        self.meta = new_meta
+        return True
 
     def _write_meta(self) -> None:
         meta_dir = os.path.join(self.path, "meta")

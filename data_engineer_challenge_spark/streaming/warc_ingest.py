@@ -264,6 +264,7 @@ def warc_ingest_tick(
         index.maybe_rebucket()
     if passage_index is not None:
         passage_index.maybe_compact()
+        passage_index.maybe_rebucket()
     if text_index is not None:
         text_index.maybe_compact()
         text_index.maybe_rebucket()

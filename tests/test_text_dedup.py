@@ -1063,6 +1063,76 @@ def test_window_hash_index_incremental_probe(spark, tmp_path):
         WindowHashIndex(spark, str(tmp_path / "xsidx"), window=16)
 
 
+def test_window_hash_index_maybe_rebucket(spark, tmp_path):
+    """The fourth persisted store joins the r9 rebucket discipline:
+    h_buckets scales with the corpus. Pins: probe answers identical
+    across the rewrite (a previously-indexed passage still cuts at
+    any alignment, fresh text still passes), bucket layout at the new
+    count, open() restores, stale ctor args refuse, docs/ roster
+    untouched."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    path = str(tmp_path / "whidx")
+    idx = WindowHashIndex(spark, path, h_buckets=2)
+    passage = " ".join(f"indexed{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(i, f"lead{i} words here " + passage + f" tail{i}")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx.append(corpus)
+    roster_before = sorted(
+        r["doc_id"] for r in idx.indexed_ids().collect()
+    )
+    batch = spark.createDataFrame(
+        [(100, "five odd offset lead words go " + passage + " new tail"),
+         (101, " ".join(f"fresh{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    before = {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_cut"], r["dedup_text"])
+        for r in idx.probe(batch).collect()
+    }
+    assert before[100][1] >= 32 and before[101][1] == 0
+
+    assert idx.maybe_rebucket(target_bucket_rows=10**6) is False
+    assert idx.maybe_rebucket(
+        target_bucket_rows=10, growth_factor=1.0
+    ) is True
+    k_new = idx.meta["h_buckets"]
+    assert k_new > 2
+    buckets = {
+        n for n in _os.listdir(_os.path.join(path, "windows"))
+        if n.startswith("h_bucket=")
+    }
+    assert len(buckets) > 2
+    assert all(int(b.split("=")[1]) < k_new for b in buckets)
+
+    after = {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_cut"], r["dedup_text"])
+        for r in idx.probe(batch).collect()
+    }
+    assert after == before
+    assert sorted(
+        r["doc_id"] for r in idx.indexed_ids().collect()
+    ) == roster_before
+
+    with _pytest.raises(ValueError, match="rebucketed store reopens"):
+        WindowHashIndex(spark, path, h_buckets=2)
+    re_idx = WindowHashIndex.open(spark, path)
+    assert re_idx.meta["h_buckets"] == k_new
+    assert {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_cut"], r["dedup_text"])
+        for r in re_idx.probe(batch).collect()
+    } == before
+
+
 def test_window_hash_index_probe_prunes_buckets(spark, tmp_path):
     """The stored-windows FileScan must carry a non-empty
     PartitionFilters on h_bucket (partition pruning, not a full scan),
