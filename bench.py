@@ -97,6 +97,10 @@ HEADLINE = [
     # exact dedup -> DSIR over survivors) — the end-to-end pipeline
     # cost, now a driver-surface row
     "docs_curation_funnel",
+    # r9 addition: PQ/ADC compressed-index retrieval (map-only 4-bit
+    # encoding over frozen codebooks, LUT-broadcast ADC shortlist,
+    # exact rescore of 60/query — the 32x-compression ANN tier)
+    "emb_pq_adc_knn",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round

@@ -1,0 +1,224 @@
+"""Product quantization (PQ) — Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011, public method):
+split each vector into ``m`` subvectors, vector-quantize every
+subspace with its own small codebook (``ksub`` codewords trained by
+k-means), and represent a vector as ``m`` small codes. Asymmetric
+distance computation (ADC) then scores a full-precision QUERY against
+a CODED candidate as a sum of per-subspace lookup-table entries —
+``m`` table lookups instead of a ``dim``-long dot product, and the
+coded corpus is ~``dim·32 / (m·log2 ksub)``× smaller than float32
+(64-dim float32 → 8 bytes per vector at m=8/ksub=16 codes here).
+
+This module deliberately keeps every stage an EXPRESSION over
+literal codebooks (the ``plans/ivf_centroids.py`` posture):
+
+- encoding is a map-only per-subspace L2 argmin over ``ksub`` literal
+  codewords — no join, no shuffle, no Python;
+- ADC scoring computes each query's ``m × ksub`` lookup table ONCE on
+  the query frame (``m`` literal-codeword dot products per entry) and
+  the per-candidate score is ``m`` ``element_at`` lookups summed in
+  fixed subspace order;
+- both stages are plain float64 arithmetic with deterministic
+  fold/tie order, so the full two-stage retrieval (ADC shortlist →
+  exact rescore) mirrors into a DuckDB oracle exactly like the IVF
+  and int8-SQ tiers (plans/similarity.py).
+
+Codebook training (:func:`train_pq_codebooks`) is a deterministic
+seeded Lloyd per subspace — xxhash64 init (no RNG state), L2 argmin
+assignment, exact-decimal component means (accumulation-order-proof,
+the logreg trainer's discipline), float32-rounded output — so the
+frozen literals in ``plans/pq_codebooks.py`` are reproducible
+bit-for-bit from the documented invocation (provenance-tested).
+
+Reference scope: the reference engine has no vector surface at all
+(SURVEY §2.10 — driven by BASELINE.json's "similarity search").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _lit_vec, dot
+
+#: default geometry for the 64-dim synthetic embeddings: 8 subspaces
+#: × 8 dims, 16 codewords each → 4-bit codes, 8 bytes/vector
+M_SUBSPACES = 8
+KSUB = 16
+
+_DEC = "decimal(30,15)"
+
+
+def _py_norm2(c: list[float]) -> float:
+    """Sequential float64 left fold of Σx² — the same fold the SQL
+    mirror inlines as a literal, so both engines compare identical
+    distance expressions (nearest_centroid's hygiene)."""
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    return s
+
+
+def subvector(vec: Column, s: int, sub_dim: int) -> Column:
+    """Subspace ``s``'s components as float64 (1-based slice — the
+    same convention DuckDB's list slicing uses in the oracle)."""
+    return F.transform(
+        F.slice(vec, s * sub_dim + 1, sub_dim),
+        lambda x: x.cast("double"),
+    )
+
+
+def pq_argmin(sub_col: Column, codewords: list[list[float]]) -> Column:
+    """Map-only L2 argmin over literal codewords: for fixed ``x``,
+    ``argmin_k |x - c_k|²  =  argmin_k (|c_k|² - 2⟨x, c_k⟩)`` — the
+    |x|² term is constant across k and folds away, so each codeword
+    costs one dot product. Ties break to the lowest code via struct
+    ordering (the SQL mirror orders ``d ASC, k ASC``). No zero-norm
+    hazard: L2 needs no normalization (unlike the cosine argmax)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(_py_norm2(cw)) - 2.0 * dot(sub_col, _lit_vec(cw))
+                ).alias("d"),
+                F.lit(k).alias("k"),
+            )
+            for k, cw in enumerate(codewords)
+        ]
+    )
+    return F.array_min(scored)["k"]
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """``(id, code0..code{m-1})`` — one map-only projection, the whole
+    corpus encoded without a join or shuffle."""
+    sub_dim = len(codebooks[0][0])
+    cols = [F.col(id_col)]
+    for s, cb in enumerate(codebooks):
+        cols.append(
+            pq_argmin(subvector(F.col(vec), s, sub_dim), cb).alias(
+                f"code{s}"
+            )
+        )
+    return df.select(*cols)
+
+
+def adc_luts(
+    query_vec: Column, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """Per-subspace inner-product lookup tables for one query row:
+    ``lut_s[k] = ⟨q_s, c_k⟩`` — computed ONCE per query (m·ksub literal
+    dots), so scoring a candidate is m array lookups."""
+    sub_dim = len(codebooks[0][0])
+    out = []
+    for s, cb in enumerate(codebooks):
+        qs = subvector(query_vec, s, sub_dim)
+        out.append(F.array(*[dot(qs, _lit_vec(cw)) for cw in cb]))
+    return out
+
+
+def adc_score(m: int) -> Column:
+    """Approximate inner product from a joined (codes × luts) frame:
+    ``Σ_s lut{s}[code{s}]`` in FIXED subspace order (left-associated
+    sum — the SQL mirror adds its scalar subqueries in the same
+    order, so the doubles agree bit-for-bit)."""
+    expr: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"lut{s}"), (F.col(f"code{s}") + 1).cast("int")
+        )
+        expr = term if expr is None else expr + term
+    assert expr is not None
+    return expr
+
+
+def _pq_cell_means(df: DataFrame, cell_col: str, vec: str) -> DataFrame:
+    """Component-wise mean per cell with EXACT-DECIMAL sums (the
+    logreg trainer's accumulation-order-proof discipline — a plain
+    float avg would drift low bits with partitioning and break the
+    frozen-codebook provenance), rounded to float32 like the stored
+    literals."""
+    return (
+        df.select(
+            F.col(cell_col),
+            F.posexplode(F.col(vec)).alias("pos", "val"),
+        )
+        .groupBy(cell_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast(_DEC)) / F.count(F.lit(1))
+            ).cast("double").alias("mval")
+        )
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mval"))
+            ).alias("pairs")
+        )
+        .select(
+            cell_col,
+            F.transform(
+                F.col("pairs"), lambda p: p["mval"].cast("float")
+            ).alias("centroid"),
+        )
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = M_SUBSPACES,
+    ksub: int = KSUB,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd k-means: init picks the
+    ``ksub`` rows with the smallest ``xxhash64(seed·1000+s, id)``
+    (replay-stable, no RNG state), assignment is the L2
+    :func:`pq_argmin` expression, means are exact-decimal, and the
+    output rounds to float32 — so a retrain reproduces the frozen
+    ``plans/pq_codebooks.py`` literals bit-for-bit (provenance test).
+    At 100 TB the codebooks train on a sample offline, never the full
+    corpus — this is the executable form of that posture."""
+    dim = len(df.select(vec).first()[0])
+    if dim % m:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            subvector(F.col(vec), s, sub_dim).alias("__v"),
+        ).cache()
+        try:
+            init = (
+                base.withColumn(
+                    "__h", F.xxhash64(F.lit(seed * 1000 + s), "__id")
+                )
+                .orderBy("__h")
+                .limit(ksub)
+                .select("__v")
+                .collect()
+            )
+            cb = [[float(x) for x in r["__v"]] for r in init]
+            for _ in range(iters):
+                assigned = base.withColumn(
+                    "__cell", pq_argmin(F.col("__v"), cb)
+                )
+                means = _pq_cell_means(assigned, "__cell", "__v").collect()
+                new = {
+                    r["__cell"]: [float(x) for x in r["centroid"]]
+                    for r in means
+                }
+                # empty cells keep their previous codeword
+                cb = [new.get(k, c) for k, c in enumerate(cb)]
+            out.append(cb)
+        finally:
+            base.unpersist()
+    return out

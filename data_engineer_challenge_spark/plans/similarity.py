@@ -665,6 +665,180 @@ def docs_semantic_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (PQ/ADC): the compressed-index ANN tier ---------
+# Jégou et al. TPAMI 2011: codes are per-subspace L2 argmins over frozen
+# literal codebooks (plans/pq_codebooks.py — trained offline by the
+# deterministic per-subspace Lloyd trainer, the ivf_centroids posture),
+# ADC scores are fixed-order sums of per-subspace lookup entries, and
+# the exact rescore reuses the _SQ_ORACLE two-stage shape — so the
+# entire pipeline mirrors into DuckDB under an exact hash.
+
+#: shortlist width — the PQ analog of IVF's n_probe lever: on the
+#: deliberately structureless synthetic vectors (the adversarial case
+#: for any quantizer) measured shortlist-recall@10 is 0.64/0.80/0.88
+#: at 30/60/100, so 60 is the registered knee; real clustered corpora
+#: sit far higher at the same width
+_PQ_SHORTLIST = 60
+_PQ_K = 10
+
+
+def _pq_norm2(cw: list[float]) -> float:
+    s = 0.0
+    for x in cw:
+        s += float(x) * float(x)
+    return s
+
+
+def _pq_cb_values_sql(cb: list[list[float]]) -> str:
+    rows = ",\n            ".join(
+        f"({k}, [{', '.join(repr(v) for v in cw)}], {_pq_norm2(cw)!r})"
+        for k, cw in enumerate(cb)
+    )
+    return f"(VALUES {rows}) t(k, cv, n2)"
+
+
+def _pq_sub_dot_sql(vec_expr: str, a: int, b: int) -> str:
+    """Float64 dot of ``vec[a:b]`` (1-based inclusive, DuckDB slice =
+    Spark F.slice) against an unnested codeword — the _DOT pattern."""
+    return (
+        "(SELECT SUM(CAST(x AS DOUBLE) * y) FROM "
+        f"(SELECT unnest({vec_expr}[{a}:{b}]) x, unnest(cv) y))"
+    )
+
+
+def _pq_oracle(codebooks: list[list[list[float]]]) -> str:
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cbs = ",\n    ".join(
+        f"cb{s} AS (SELECT * FROM {_pq_cb_values_sql(codebooks[s])})"
+        for s in range(m)
+    )
+    code_cols = ",\n               ".join(
+        f"(SELECT k FROM cb{s} ORDER BY n2 - 2.0 * "
+        f"{_pq_sub_dot_sql('embedding', s * sub_dim + 1, (s + 1) * sub_dim)}"
+        f" ASC, k ASC LIMIT 1) AS code{s}"
+        for s in range(m)
+    )
+    adc = "\n             + ".join(
+        f"(SELECT {_pq_sub_dot_sql('q.qe', s * sub_dim + 1, (s + 1) * sub_dim)}"
+        f" FROM cb{s} WHERE k = c.code{s})"
+        for s in range(m)
+    )
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+    WITH {cbs},
+    codes AS (
+        SELECT vec_id, embedding,
+               {code_cols}
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               {adc} AS adc
+        FROM codes c, q
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY adc DESC, c_id) AS srank
+            FROM scored
+        ) WHERE srank <= {_PQ_SHORTLIST}
+    )
+    SELECT q_id, c_id, cos_sim, rank FROM (
+        SELECT s.q_id, s.c_id,
+               {cos} AS cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                    ORDER BY {cos} DESC, s.c_id) AS INTEGER) AS rank
+        FROM short s
+        JOIN embeddings ea ON ea.vec_id = s.q_id
+        JOIN embeddings eb ON eb.vec_id = s.c_id
+    ) WHERE rank <= {_PQ_K}
+    """
+
+
+from .pq_codebooks import CODEBOOKS as _PQ_CODEBOOKS  # noqa: E402
+
+
+@register(
+    "emb_pq_adc_knn",
+    # pytest-oracled (driver surface capped at 50): the compressed-
+    # index ANN tier — codes are 8 bytes/vector vs 256 for float32
+    driver=False,
+    oracle=_pq_oracle(_PQ_CODEBOOKS),
+)
+def emb_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over PRODUCT-QUANTIZED codes (Jégou et al.
+    TPAMI 2011 — the compressed-index tier FAISS ships as IVF-PQ's
+    scoring half): the corpus encodes into m=8 4-bit codes per vector
+    (map-only per-subspace L2 argmin over the frozen literal
+    codebooks, 32× smaller than float32), the shortlist stage ranks
+    by ADC — each query computes its 8×16 inner-product lookup table
+    once, each candidate costs 8 table lookups summed in fixed
+    subspace order — and only the top-{shortlist} survivors rescore
+    with exact cosine on the original vectors.
+
+    At 100 TB the coded corpus is what the scan touches (8 bytes a
+    vector; the LUTs broadcast with the query set), and full-precision
+    vectors load for ~30 rows per query via the rescore join — the
+    same memory/bandwidth story as emb_quantized_knn's int8 tier, 32×
+    vs its 4×, traded against coarser approximation. Every stage is
+    deterministic float64 expression math over literals, so encoding,
+    ADC ranking and the rescore all replay exactly in DuckDB (recall
+    vs exact brute force additionally asserted in tests; codebook
+    provenance retrained-bit-equal in test_plans)."""
+    from ..operators.pq import M_SUBSPACES, adc_luts, adc_score, encode_pq
+
+    cbs = _PQ_CODEBOOKS
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = encode_pq(emb, cbs)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    q_luts = q.select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            lut.alias(f"lut{s}")
+            for s, lut in enumerate(adc_luts(F.col("embedding"), cbs))
+        ],
+    )
+    scored = codes.crossJoin(F.broadcast(q_luts)).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        adc_score(M_SUBSPACES).alias("__adc"),
+    )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("__adc").desc(), F.col("c_id")
+    )
+    short = (
+        scored.withColumn("__srank", F.row_number().over(ws))
+        .where(F.col("__srank") <= _PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv")
+    )
+    rescored = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _PQ_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 (sparse) + embedding cosine (dense) fused with
 # Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09) — the

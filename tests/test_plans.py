@@ -221,6 +221,9 @@ def test_no_cartesian_products(spark):
         # same fusion, sparse branch read through the persisted index
         # (inverted_index_probe's stats broadcasts)
         "docs_hybrid_rrf_via_index",
+        # bounded query-set LUT broadcast onto the coded corpus (the
+        # emb_knn_bruteforce query-matrix shape: Q rows, never corpus)
+        "emb_pq_adc_knn",
         # 1-row boundary-array broadcast onto the corpus scan
         "docs_range_sharded_export",
     }
@@ -418,6 +421,22 @@ def test_quality_weights_provenance(spark):
     # localCheckpoints accumulated one block set per iteration for the
     # life of the session)
     assert jsc.getPersistentRDDs().size() <= persisted_before
+
+
+def test_pq_codebooks_provenance(spark):
+    """The frozen PQ codebooks (plans/pq_codebooks.py) are exactly
+    what the deterministic per-subspace Lloyd trainer produces from
+    the documented invocation — bit-equality, the quality_weights /
+    ivf_centroids executable-provenance posture (exact-decimal
+    component means make the retrain accumulation-order-proof)."""
+    from data_engineer_challenge_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert train_pq_codebooks(emb) == CODEBOOKS
 
 
 def test_quality_classifier_learns_planted_vocabulary_split(

