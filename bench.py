@@ -246,6 +246,27 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
             lambda: vidx.probe(queries, k=10, n_probe=12)
         )
 
+        # the IVF-PQ member (r9): coded store built once, the ADC
+        # probe's candidate scan reads only the 4-bit code columns
+        from data_engineer_challenge_spark.plans.pq_codebooks import (
+            CODEBOOKS as _PQ_CB,
+        )
+
+        t0 = time.perf_counter()
+        pidx = IVFVectorIndex(
+            spark,
+            os.path.join(root, "ivfpq"),
+            _IVF_CENTROIDS,
+            pq_codebooks=_PQ_CB,
+        )
+        pidx.build(emb)
+        builds["ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
+        probes["ivfpq_probe_only"] = _min_of(
+            lambda: pidx.probe_adc(
+                queries, k=10, n_probe=12, shortlist=60
+            )
+        )
+
         # the dedup family member: MinHashIndex over 80% of the
         # corpus, the 20% micro-batch probed against the prebuilt
         # store (the dedup_index_probe split, same rationale)

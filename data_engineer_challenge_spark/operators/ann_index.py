@@ -118,12 +118,26 @@ class IVFVectorIndex:
         centroids: list[list[float]],
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        pq_codebooks: list[list[list[float]]] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.centroids = [[float(v) for v in c] for c in centroids]
         self.id_col = id_col
         self.vec_col = vec_col
+        #: optional product-quantization codebooks (operators/pq.py):
+        #: postings then ALSO carry m small code columns, and
+        #: :meth:`probe_adc` serves the IVF-PQ shape — the ADC stage's
+        #: scan projects ONLY the codes (parquet column pruning, the
+        #: Spark-native form of FAISS's compressed lists), full vectors
+        #: load for the shortlist's rescore rows alone. Part of the
+        #: layout fingerprint: ADC-probing a store coded with other
+        #: codebooks would score garbage.
+        self.pq_codebooks = (
+            None
+            if pq_codebooks is None
+            else [[[float(v) for v in cw] for cw in cb] for cb in pq_codebooks]
+        )
         self.meta = {
             "k": len(self.centroids),
             "dim": len(self.centroids[0]),
@@ -133,6 +147,10 @@ class IVFVectorIndex:
             "id_col": id_col,
             "vec_col": vec_col,
         }
+        if self.pq_codebooks is not None:
+            self.meta["pq_md5"] = hashlib.md5(
+                json.dumps(self.pq_codebooks).encode()
+            ).hexdigest()
         #: suggested probe width for this quantizer (populated by
         #: maybe_rebucket / the persisted quantizer file; None for
         #: stores whose caller decides n_probe out of band)
@@ -182,6 +200,17 @@ class IVFVectorIndex:
             else:
                 with open(qf) as f:
                     self.n_probe_hint = json.load(f).get("n_probe")
+            # persist the PQ codebooks like the quantizer (md5-keyed,
+            # immutable) so open() restores the full ADC capability
+            if self.pq_codebooks is not None:
+                pf = os.path.join(
+                    self.path, "meta", f"pq-{self.meta['pq_md5']}.json"
+                )
+                if not os.path.exists(pf):
+                    tmp = pf + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(self.pq_codebooks, f)
+                    os.replace(tmp, pf)
 
     def _quantizer_file(self, md5: str) -> str:
         return os.path.join(self.path, "meta", f"quantizer-{md5}.json")
@@ -211,12 +240,19 @@ class IVFVectorIndex:
             )
         with open(qf) as f:
             quant = json.load(f)
+        pq = None
+        if "pq_md5" in meta:
+            with open(
+                os.path.join(path, "meta", f"pq-{meta['pq_md5']}.json")
+            ) as f:
+                pq = json.load(f)
         idx = cls(
             spark,
             path,
             quant["centroids"],
             id_col=meta["id_col"],
             vec_col=meta["vec_col"],
+            pq_codebooks=pq,
         )
         idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
         return idx
@@ -239,7 +275,7 @@ class IVFVectorIndex:
             # past the measured k~160 crossover)
             from .similarity import assign_cells_vectorized
 
-            return assign_cells_vectorized(
+            out = assign_cells_vectorized(
                 corpus,
                 self.centroids,
                 id_col=self.id_col,
@@ -247,13 +283,30 @@ class IVFVectorIndex:
             ).select(
                 self.id_col, self.vec_col, F.col("cell").alias("cid")
             )
-        return corpus.select(
-            self.id_col,
-            self.vec_col,
-            nearest_centroid(F.col(self.vec_col), self.centroids).alias(
-                "cid"
-            ),
-        )
+        else:
+            out = corpus.select(
+                self.id_col,
+                self.vec_col,
+                nearest_centroid(
+                    F.col(self.vec_col), self.centroids
+                ).alias("cid"),
+            )
+        if self.pq_codebooks is not None:
+            # PQ codes ride the same map-only projection (no extra
+            # pass): m per-subspace L2 argmins over literal codewords
+            from .pq import pq_argmin, subvector
+
+            sub_dim = len(self.pq_codebooks[0][0])
+            out = out.select(
+                "*",
+                *[
+                    pq_argmin(
+                        subvector(F.col(self.vec_col), s, sub_dim), cb
+                    ).alias(f"code{s}")
+                    for s, cb in enumerate(self.pq_codebooks)
+                ],
+            )
+        return out
 
     def _latest_dir(self) -> str:
         return os.path.join(self.path, "latest")
@@ -909,6 +962,125 @@ class IVFVectorIndex:
         )
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
+        )
+
+    def probe_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+        shortlist: int = 60,
+        query_id: str = "q_id",
+    ) -> DataFrame:
+        """IVF-PQ serving (the FAISS production shape, index-resident):
+        the probed lists' candidates rank by ADC over the STORED PQ
+        codes — the candidate scan projects ONLY ``(id, code*)``, so
+        parquet column pruning never reads a full vector for the
+        shortlist stage (plan-pinned: ReadSchema excludes the vector
+        column — Spark's native form of FAISS's compressed lists) —
+        and only each query's ``shortlist`` ADC survivors load their
+        full vectors for the exact-cosine rescore. Same output
+        contract as :meth:`probe` (``q_id, c_id, cos_sim, rank``;
+        ranks exact over the rescored set). With every list probed,
+        answers are decision-identical to the registered
+        ``emb_pq_adc_knn`` corpus scan for the same shortlist
+        (pinned in tests — the index changes WHERE bytes are read).
+        Replay-duplicate rows fold per (query, candidate) max exactly
+        like :meth:`probe`."""
+        if "pq_md5" not in self.meta:
+            raise ValueError(
+                "probe_adc needs a PQ-coded store — build the index "
+                "with pq_codebooks=..."
+            )
+        from .pq import adc_luts, adc_score
+
+        m = len(self.pq_codebooks)
+        q = queries.select(
+            F.col(query_id), F.col(self.vec_col).alias("__qv")
+        )
+        qc = q.crossJoin(F.broadcast(self._centroid_df())).select(
+            query_id,
+            "__qv",
+            "cid",
+            cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+        )
+        wq = Window.partitionBy(query_id).orderBy(
+            F.col("__csim").desc(), F.col("cid")
+        )
+        probes = (
+            qc.withColumn("__pr", F.row_number().over(wq))
+            .filter(F.col("__pr") <= n_probe)
+            .select(
+                query_id,
+                "__qv",
+                "cid",
+                *[
+                    lut.alias(f"lut{s}")
+                    for s, lut in enumerate(
+                        adc_luts(F.col("__qv"), self.pq_codebooks)
+                    )
+                ],
+            )
+        )
+        touched = [
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        ]
+        posts = self._read_postings().where(F.col("cid").isin(touched))
+        ord_cols = ["__ord"] if "__ord" in posts.columns else []
+        code_cols = [f"code{s}" for s in range(m)]
+        # codes-only scan: the vector column is never projected here
+        codes = self._live(
+            posts.select(self.id_col, "cid", *ord_cols, *code_cols)
+        )
+        scored = (
+            F.broadcast(probes.drop("__qv"))
+            .join(codes, "cid")
+            .select(
+                query_id,
+                F.col(self.id_col).alias("c_id"),
+                adc_score(m).alias("__adc"),
+            )
+            .groupBy(query_id, "c_id")
+            .agg(F.max("__adc").alias("__adc"))
+        )
+        wsl = Window.partitionBy(query_id).orderBy(
+            F.col("__adc").desc(), F.col("c_id")
+        )
+        short = (
+            scored.withColumn("__sr", F.row_number().over(wsl))
+            .where(F.col("__sr") <= shortlist)
+            .select(query_id, "c_id")
+        )
+        # rescore: full vectors for the shortlist rows only, read from
+        # the same touched lists; superseded versions mask via _live,
+        # surviving duplicates are bit-identical replay copies —
+        # dropDuplicates collapses them
+        vecs = (
+            self._live(
+                posts.select(
+                    self.id_col,
+                    F.col(self.vec_col).alias("__cv"),
+                    *ord_cols,
+                )
+            )
+            .select(F.col(self.id_col).alias("c_id"), "__cv")
+            .dropDuplicates(["c_id"])
+        )
+        rescored = (
+            F.broadcast(short.join(q, query_id))
+            .join(vecs, "c_id")
+            .select(
+                query_id,
+                "c_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            )
+        )
+        wr = Window.partitionBy(query_id).orderBy(
+            F.col("cos_sim").desc(), F.col("c_id")
+        )
+        return (
+            rescored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
         )
 
     def semantic_dedup(

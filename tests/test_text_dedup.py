@@ -1939,6 +1939,112 @@ def test_pq_adc_recall_and_self_consistency(spark):
     assert got_codes == want
 
 
+def test_ivf_pq_probe_adc(spark, tmp_path):
+    """IVF-PQ serving through the persisted index: (a) with every
+    list probed, probe_adc lands on EXACTLY the registered
+    emb_pq_adc_knn rows for the same shortlist — the index changes
+    where bytes are read, not what comes back; (b) the ADC stage's
+    candidate scan projects ONLY the code columns (ReadSchema excludes
+    the vector column — the compressed-list bandwidth claim,
+    plan-pinned) and prunes to the probed cid= partitions; (c) open()
+    restores the full ADC capability from persisted codebooks, while
+    a plain (non-PQ) reopen refuses; (d) a superseding update re-codes
+    the vector — the stale version's codes stop answering."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    idx = IVFVectorIndex(spark, path, CENTROIDS, pq_codebooks=CODEBOOKS)
+    idx.build(emb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    # (a) full-width probe == the registered corpus-scan query
+    want = [
+        tuple(r)
+        for r in plans.REGISTRY["emb_pq_adc_knn"].builder(spark, sf)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    res = idx.probe_adc(
+        queries, k=10, n_probe=len(CENTROIDS), shortlist=60
+    )
+    got = [tuple(r) for r in res.orderBy("q_id", "rank").collect()]
+    assert got == want
+
+    # (b) plan pin on a PARTIAL probe: codes scan has no vector column
+    partial = idx.probe_adc(queries, k=10, n_probe=4, shortlist=60)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "cid" in l
+    ]
+    assert scans
+    code_scans = [s for s in scans if "code0" in s]
+    assert code_scans, plan
+    for s in code_scans:
+        schema = s.split("ReadSchema: ")[-1]
+        assert "embedding" not in schema, s
+        pf = s.split("PartitionFilters: [")[1].split("]")[0]
+        assert _re.search(r"cid#\d+ (IN \(|INSET )", pf), pf
+
+    # (c) open() restores ADC; plain reopen refuses the PQ store
+    re_idx = IVFVectorIndex.open(spark, path)
+    assert re_idx.meta.get("pq_md5") == idx.meta["pq_md5"]
+    assert [
+        tuple(r)
+        for r in re_idx.probe_adc(
+            queries, k=10, n_probe=len(CENTROIDS), shortlist=60
+        ).orderBy("q_id", "rank").collect()
+    ] == want
+    with _pytest.raises(ValueError, match="rebucketed store reopens"):
+        IVFVectorIndex(spark, path, CENTROIDS)
+
+    # (d) supersede re-codes: move one query vector's nearest corpus
+    # neighbor far away; the stale codes must stop answering rank-1
+    vid = want[0][1]  # rank-1 c_id of the first query (its self-hit)
+    moved = emb.where(F.col("vec_id") == vid).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    idx.append(moved, ordinal=999, supersede=True)
+    after = {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in idx.probe_adc(
+            queries, k=10, n_probe=len(CENTROIDS), shortlist=60
+        ).collect()
+    }
+    q0 = want[0][0]
+    assert after[(q0, 1)] != vid  # negated vector no longer the top hit
+
+    # compaction folds the coded postings (latest ordinal per id,
+    # stale cross-list row reclaimed) and answers are unchanged
+    assert idx.maybe_compact(max_files_per_list=0) >= 1
+    assert {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in idx.probe_adc(
+            queries, k=10, n_probe=len(CENTROIDS), shortlist=60
+        ).collect()
+    } == after
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "ivfpq" / "postings")
+    )
+    assert posts.count() == emb.count()  # one physical row per id
+
+
 def test_resolve_relayout_crash_windows(tmp_path):
     """compaction.commit_relayout's resolve contract, pure-python
     (r9): a staged meta whose md5 matches EVERY data dir's marker
