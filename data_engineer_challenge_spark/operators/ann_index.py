@@ -367,45 +367,73 @@ class IVFVectorIndex:
         return reader.parquet(self._postings_dir())
 
     def _roster(self) -> DataFrame | None:
-        """Supersession roster: max committed ordinal per UPDATED id
-        (``None`` when no update was ever appended — the overwhelmingly
-        common case, keeping the plain append/probe plan untouched).
-        O(updated ids), not O(corpus): plain adds never roster."""
+        """Supersession/tombstone roster: each UPDATED or DELETED id's
+        latest committed action as ``(__rid, __rord, __rdel)`` —
+        ``None`` when no update/delete was ever recorded (the
+        overwhelmingly common case, keeping the plain append/probe
+        plan untouched). The per-id fold is a struct max on
+        ``(ordinal, delete-flag)``: the highest ordinal wins, and at
+        an equal ordinal the tombstone wins (deterministic; real
+        callers' mtime_ns ordinals never collide). O(updated ids),
+        not O(corpus): plain adds never roster."""
         if not os.path.isdir(self._latest_dir()):
             return None
+        ros = self.spark.read.option("mergeSchema", "true").parquet(
+            self._latest_dir()
+        )
+        if "__rdel" not in ros.columns:  # no tombstone ever written
+            ros = ros.withColumn("__rdel", F.lit(False))
         return (
-            self.spark.read.parquet(self._latest_dir())
-            .groupBy("__rid")
-            .agg(F.max("__rord").alias("__rord"))
+            ros.groupBy("__rid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__rord"),
+                        F.coalesce(F.col("__rdel"), F.lit(False)).alias(
+                            "__rdel"
+                        ),
+                    )
+                ).alias("__r")
+            )
+            .select(
+                "__rid",
+                F.col("__r.__rord").alias("__rord"),
+                F.col("__r.__rdel").alias("__rdel"),
+            )
         )
 
     def _live(self, posts: DataFrame, roster=None) -> DataFrame:
-        """Mask superseded rows: a row is live iff its ordinal is ≥ the
-        roster's max ordinal for its id (rows of never-updated ids have
-        no roster entry and always pass). This holds even when an
-        update moved the vector to a DIFFERENT ``cid=`` list than its
-        stale predecessor — the stale row is dropped by ordinal, not by
-        colliding with its replacement in the same list. Callers that
-        apply the mask repeatedly (compaction folds, once per fat
-        list) pass a precomputed pinned ``roster`` so the roster scan
-        runs once, not once per list."""
+        """Mask superseded and DELETED rows: a row is live iff its id
+        has no roster entry, or its ordinal is strictly above the
+        roster's latest action, or equals it and that action is an add
+        (a supersede's own rows) rather than a tombstone. This holds
+        even when an update moved the vector to a DIFFERENT ``cid=``
+        list than its stale predecessor — the stale row is dropped by
+        ordinal, not by colliding with its replacement in the same
+        list — and a later re-add at a higher ordinal resurrects a
+        deleted id. Callers that apply the mask repeatedly (compaction
+        folds, once per fat list) pass a precomputed pinned ``roster``
+        so the roster scan runs once, not once per list."""
         if "__ord" not in posts.columns:  # store predates ordinals
             posts = posts.withColumn("__ord", F.lit(0).cast("long"))
         if roster is None:
             roster = self._roster()
         if roster is None:
             return posts
+        ord_ = F.coalesce(F.col("__ord"), F.lit(0))
+        keep = (
+            F.col("__rord").isNull()
+            | (ord_ > F.col("__rord"))
+            | ((ord_ == F.col("__rord")) & ~F.col("__rdel"))
+        )
         return (
             posts.join(
                 roster,
                 posts[self.id_col] == F.col("__rid"),
                 "left",
             )
-            .where(
-                F.coalesce(F.col("__ord"), F.lit(0))
-                >= F.coalesce(F.col("__rord"), F.lit(0))
-            )
-            .drop("__rid", "__rord")
+            .where(keep)
+            .drop("__rid", "__rord", "__rdel")
         )
 
     @locked_writer
@@ -543,7 +571,8 @@ class IVFVectorIndex:
         code served max(cos_sim) over old AND new vectors for an
         updated id (r8 ADVICE finding). Removing ids by omitting them
         from a modified drop file is NOT supported — drops are
-        add/update only (deletes need tombstones, out of scope)."""
+        add/update only; explicit removals go through :meth:`delete`
+        (roster tombstones, r9)."""
         if supersede and not ordinal:
             raise ValueError(
                 "supersede=True requires a nonzero ordinal to order "
@@ -591,6 +620,7 @@ class IVFVectorIndex:
             assigned.select(
                 F.col(self.id_col).alias("__rid"),
                 F.col("__ord").alias("__rord"),
+                F.lit(False).alias("__rdel"),
             ).write.mode("append").parquet(self._latest_dir())
         # shuffle on cid before the write (the build() rationale):
         # one file per touched list per append, instead of
@@ -598,6 +628,51 @@ class IVFVectorIndex:
         assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
             "cid"
         ).parquet(self._postings_dir())
+
+    @locked_writer
+    def delete(self, ids: DataFrame, ordinal: int) -> None:
+        """Tombstone deletes (r9 — closes the documented
+        add/update-only limitation): the batch's ids land in the
+        ``latest/`` roster flagged as deletes at ``ordinal``, and every
+        stored row of those ids at-or-below that ordinal vanishes from
+        probes, ADC probes and semantic_dedup (the :meth:`_live` mask);
+        the next compaction reclaims the rows physically. No postings
+        are touched — a delete is O(deleted ids). A LATER re-add at a
+        higher ordinal resurrects the id (roster folds to the latest
+        action); a replayed delete at the same ordinal is a no-op by
+        value; a delete whose ordinal regresses below an id's rostered
+        maximum fails loudly (the append guard's rationale — it would
+        be silently out-ranked). ``ids``: any frame carrying the
+        index's id column."""
+        if not ordinal:
+            raise ValueError(
+                "delete requires a nonzero ordinal to order the "
+                "tombstone against the rows it removes"
+            )
+        batch = (
+            ids.select(F.col(self.id_col).cast("long").alias("__rid"))
+            .distinct()
+            .localCheckpoint()
+        )
+        ros = self._roster()
+        if ros is not None:
+            regressed = (
+                batch.join(ros, "__rid")
+                .where(F.col("__rord") > F.lit(int(ordinal)))
+                .count()
+            )
+            if regressed:
+                raise ValueError(
+                    f"delete at ordinal {ordinal} regresses "
+                    f"{regressed} id(s) already rostered at a higher "
+                    "ordinal — the version source moved backwards; "
+                    "the tombstone would be silently out-ranked"
+                )
+        batch.select(
+            "__rid",
+            F.lit(int(ordinal)).cast("long").alias("__rord"),
+            F.lit(True).alias("__rdel"),
+        ).write.mode("append").parquet(self._latest_dir())
 
     @locked_writer
     def maybe_compact(self, max_files_per_list: int = 8) -> int:
@@ -657,9 +732,24 @@ class IVFVectorIndex:
             compact_flat(
                 self.spark,
                 self._latest_dir(),
-                "__rid long, __rord long",
-                lambda df: df.groupBy("__rid").agg(
-                    F.max("__rord").alias("__rord")
+                # explicit schema incl. the tombstone flag: pre-r9
+                # roster files lack it and read as null -> false
+                "__rid long, __rord long, __rdel boolean",
+                lambda df: df.groupBy("__rid")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("__rord"),
+                            F.coalesce(
+                                F.col("__rdel"), F.lit(False)
+                            ).alias("__rdel"),
+                        )
+                    ).alias("__r")
+                )
+                .select(
+                    "__rid",
+                    F.col("__r.__rord").alias("__rord"),
+                    F.col("__r.__rdel").alias("__rdel"),
                 ),
                 ["__rid"],
                 max_files=max_files_per_list,

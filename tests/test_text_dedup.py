@@ -1939,6 +1939,84 @@ def test_pq_adc_recall_and_self_consistency(spark):
     assert got_codes == want
 
 
+def test_ivf_tombstone_delete(spark, tmp_path):
+    """r9: explicit removals via roster tombstones (closes the
+    documented add/update-only limitation). Pins: a deleted id
+    vanishes from probe AND semantic_dedup without touching postings;
+    a replayed delete is a value-level no-op; a later re-add at a
+    higher ordinal resurrects the id; compaction physically reclaims
+    the dead rows; a regressing delete fails loudly; supersede
+    machinery keeps working beside tombstones."""
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+
+    idx = IVFVectorIndex(
+        spark, str(tmp_path / "ivf"), [[1.0, 0.0], [0.0, 1.0]]
+    )
+    rows = [(1, [1.0, 0.05]), (2, [0.9, 0.1]), (3, [0.05, 1.0])]
+    idx.build(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "q_id long, embedding array<double>",
+    )
+
+    def hits():
+        return {
+            (r["q_id"], r["c_id"])
+            for r in idx.probe(q, k=3, n_probe=2).collect()
+        }
+
+    assert (10, 2) in hits()
+    ids = spark.createDataFrame([(2,)], "vec_id long")
+    idx.delete(ids, ordinal=100)
+    after = hits()
+    assert not any(c == 2 for _, c in after)
+    assert (10, 1) in after  # neighbors unaffected
+    # semantic_dedup over the index also masks the deleted id
+    sd = {r["vec_id"] for r in idx.semantic_dedup(threshold=-1.0).collect()}
+    assert sd == {1, 3}
+
+    # replayed delete: identical roster row, answers unchanged
+    idx.delete(ids, ordinal=100)
+    assert hits() == after
+
+    # regression: a tombstone below the rostered max fails loudly
+    with _pytest.raises(ValueError, match="regresses 1 id"):
+        idx.delete(ids, ordinal=50)
+
+    # compaction physically reclaims the dead rows
+    assert idx.maybe_compact(max_files_per_list=0) >= 1
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "ivf" / "postings")
+    )
+    assert posts.count() == 2
+    assert hits() == after
+
+    # re-add at a higher ordinal resurrects (and re-scores) the id
+    idx.append(
+        spark.createDataFrame(
+            [(2, [0.1, 0.95])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=200,
+        supersede=True,
+    )
+    scores = {
+        (r["q_id"], r["c_id"]): r["cos_sim"]
+        for r in idx.probe(q, k=3, n_probe=2).collect()
+    }
+    assert scores[(11, 2)] > 0.9  # the NEW vector answers
+    assert scores[(10, 2)] < 0.2  # the old (deleted) vector does not
+
+    # delete interleaves with supersede history: remove it again
+    idx.delete(ids, ordinal=300)
+    assert not any(c == 2 for _, c in hits())
+
+
 def test_ivf_pq_probe_adc(spark, tmp_path):
     """IVF-PQ serving through the persisted index: (a) with every
     list probed, probe_adc lands on EXACTLY the registered
