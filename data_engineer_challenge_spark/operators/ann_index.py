@@ -582,9 +582,15 @@ class IVFVectorIndex:
         assigned = self._assigned(new).withColumn(
             "__ord", F.lit(int(ordinal)).cast("long")
         )
+        pinned = False
         if supersede:
-            # pin: two writes below consume the same batch
-            assigned = assigned.localCheckpoint()
+            # pin: guard + two writes below consume the same batch.
+            # persist, not localCheckpoint — fully consumed inside
+            # this call, so it can be RELEASED (the logreg r8 ADVICE
+            # discipline); an evicted partition recomputes from the
+            # caller's source deterministically.
+            assigned = assigned.persist()
+            pinned = True
             # ordinal-regression guard (r8 ADVICE): a superseding batch
             # whose ordinal is STRICTLY BELOW an id's rostered maximum
             # would append rows the roster instantly masks — the update
@@ -625,9 +631,13 @@ class IVFVectorIndex:
         # shuffle on cid before the write (the build() rationale):
         # one file per touched list per append, instead of
         # tasks × lists fragments for compaction to mop up
-        assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
-            "cid"
-        ).parquet(self._postings_dir())
+        try:
+            assigned.repartition(F.col("cid")).write.mode(
+                "append"
+            ).partitionBy("cid").parquet(self._postings_dir())
+        finally:
+            if pinned:
+                assigned.unpersist()
 
     @locked_writer
     def delete(self, ids: DataFrame, ordinal: int) -> None:
@@ -649,30 +659,36 @@ class IVFVectorIndex:
                 "delete requires a nonzero ordinal to order the "
                 "tombstone against the rows it removes"
             )
+        # persist (consumed twice inside: guard + write), released
+        # before returning — the logreg r8 ADVICE discipline
         batch = (
             ids.select(F.col(self.id_col).cast("long").alias("__rid"))
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
-        ros = self._roster()
-        if ros is not None:
-            regressed = (
-                batch.join(ros, "__rid")
-                .where(F.col("__rord") > F.lit(int(ordinal)))
-                .count()
-            )
-            if regressed:
-                raise ValueError(
-                    f"delete at ordinal {ordinal} regresses "
-                    f"{regressed} id(s) already rostered at a higher "
-                    "ordinal — the version source moved backwards; "
-                    "the tombstone would be silently out-ranked"
+        try:
+            ros = self._roster()
+            if ros is not None:
+                regressed = (
+                    batch.join(ros, "__rid")
+                    .where(F.col("__rord") > F.lit(int(ordinal)))
+                    .count()
                 )
-        batch.select(
-            "__rid",
-            F.lit(int(ordinal)).cast("long").alias("__rord"),
-            F.lit(True).alias("__rdel"),
-        ).write.mode("append").parquet(self._latest_dir())
+                if regressed:
+                    raise ValueError(
+                        f"delete at ordinal {ordinal} regresses "
+                        f"{regressed} id(s) already rostered at a "
+                        "higher ordinal — the version source moved "
+                        "backwards; the tombstone would be silently "
+                        "out-ranked"
+                    )
+            batch.select(
+                "__rid",
+                F.lit(int(ordinal)).cast("long").alias("__rord"),
+                F.lit(True).alias("__rdel"),
+            ).write.mode("append").parquet(self._latest_dir())
+        finally:
+            batch.unpersist()
 
     @locked_writer
     def maybe_compact(self, max_files_per_list: int = 8) -> int:
@@ -835,6 +851,12 @@ class IVFVectorIndex:
         n_raw = self._read_postings().count()
         if n_raw < min_n or n_raw <= growth * tls * self.meta["k"]:
             return False
+        # localCheckpoint, not persist: the swap below RENAMES the
+        # postings paths this frame's lineage reads — an evicted
+        # persisted partition recomputed post-swap would hit missing
+        # files; the checkpoint truncates lineage. Blocks free when
+        # the frame is GC'd (ContextCleaner); rebuckets are rare
+        # growth events, not a per-tick loop.
         live = self._live_folded().localCheckpoint()
         try:
             n_live = live.count()
@@ -925,7 +947,11 @@ class IVFVectorIndex:
             self.n_probe_hint = n_probe
             return True
         finally:
-            live.unpersist()
+            # checkpointed frames are invisible to the cache manager
+            # (unpersist() would be a no-op — the logreg r8 ADVICE
+            # lesson); dropping the reference lets the ContextCleaner
+            # free the blocks on GC
+            del live
 
     @staticmethod
     def select_n_probe(
@@ -957,6 +983,9 @@ class IVFVectorIndex:
             ivf_topk_vectorized,
         )
 
+        # persist, not localCheckpoint: fully consumed inside this
+        # function, so it can be RELEASED before returning (the logreg
+        # r8 ADVICE discipline — checkpointed frames can never be)
         queries = (
             corpus.select(
                 F.col(id_col).alias("q_id"),
@@ -966,38 +995,41 @@ class IVFVectorIndex:
             .orderBy("__h")
             .limit(max_queries)
             .drop("__h")
-            .localCheckpoint()
+            .persist()
         )
-        cand = corpus.select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).alias("embedding"),
-        )
-        exact = {
-            (r["q_id"], r["c_id"])
-            for r in brute_force_topk_vectorized(
-                queries, cand, k=k
-            ).collect()
-        }
-        if not exact:
-            return 1
-        n_probe = 1
-        k_total = len(centroids)
-        while True:
-            got = {
+        try:
+            cand = corpus.select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            exact = {
                 (r["q_id"], r["c_id"])
-                for r in ivf_topk_vectorized(
-                    queries,
-                    cand,
-                    centroids=centroids,
-                    n_probe=min(n_probe, k_total),
-                    k=k,
+                for r in brute_force_topk_vectorized(
+                    queries, cand, k=k
                 ).collect()
             }
-            if len(got & exact) / len(exact) >= recall_target:
-                return min(n_probe, k_total)
-            if n_probe >= k_total:
-                return k_total
-            n_probe *= 2
+            if not exact:
+                return 1
+            n_probe = 1
+            k_total = len(centroids)
+            while True:
+                got = {
+                    (r["q_id"], r["c_id"])
+                    for r in ivf_topk_vectorized(
+                        queries,
+                        cand,
+                        centroids=centroids,
+                        n_probe=min(n_probe, k_total),
+                        k=k,
+                    ).collect()
+                }
+                if len(got & exact) / len(exact) >= recall_target:
+                    return min(n_probe, k_total)
+                if n_probe >= k_total:
+                    return k_total
+                n_probe *= 2
+        finally:
+            queries.unpersist()
 
     def probe(
         self,
