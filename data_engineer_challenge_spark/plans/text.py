@@ -1707,6 +1707,118 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 5_000  # training-mix budget (tokens), the selection cap
+
+
+@register(
+    "docs_token_budget_selection",
+    # pytest-oracled (driver surface capped at 50): the budget-fill
+    # step between importance scoring and training-mix assembly
+    driver=False,
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               {_MD5_LONG_SQL.format(c='g')} % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_concat(
+                       t,
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                   )) AS g
+            FROM (SELECT doc_id, lang,
+                         regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+                  FROM documents)
+        )
+    ),
+    raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
+            WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM feats) AS t_r,
+                   (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS t_t),
+    ratio AS (
+        SELECT r.b,
+               ln( (COALESCE(g.c_t, 0) + 1)
+                   * (t.t_r + {_DSIR_BUCKETS}.0)
+                   / ((r.c_r + 1) * (t.t_t + {_DSIR_BUCKETS}.0)) ) AS w
+        FROM raw r LEFT JOIN tgt g USING (b), tot t
+    ),
+    sel AS (
+        SELECT f.doc_id,
+               any_value(f.lang) AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               {dec_sum_sql('rt.w')} AS log_weight
+        FROM feats f JOIN ratio rt USING (b)
+        GROUP BY f.doc_id
+    ),
+    ntok AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_feats, n_tokens, log_weight, cum_tokens
+    FROM (
+        SELECT s.doc_id, s.lang, s.n_feats, t.n_tokens, s.log_weight,
+               CAST(SUM(t.n_tokens) OVER (
+                   ORDER BY s.log_weight DESC, s.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM sel s JOIN ntok t USING (doc_id)
+    ) WHERE cum_tokens <= {_TOKEN_BUDGET}
+    ORDER BY cum_tokens
+    """,
+)
+def docs_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budgeted training-mix fill: rank the corpus by DSIR
+    importance (the ``_dsir_rank`` core — same model, same weights as
+    the registered selection query) and keep the highest-weight PREFIX
+    whose cumulative token count fits ``_TOKEN_BUDGET`` — the step
+    that turns "score every document" into "assemble exactly the
+    n-token training mix", which is how selection budgets are actually
+    specified (tokens, not document counts).
+
+    Exactness: token counts and the running sum are integers; the
+    ordering key is the decimal-summed log_weight both engines already
+    hash-match; the prefix rule (keep iff cumulative INCLUDING the doc
+    fits) is a plain running-sum window both engines evaluate over the
+    identical order.
+
+    Scale shape: every scored doc carries ≥1 token (zero-gram docs
+    never enter the ranking), so at most ``_TOKEN_BUDGET`` docs can
+    fit — the frame pre-limits to that many rows via
+    TakeOrderedAndProject (per-partition top-k, no global sort of the
+    corpus) and the global running-sum window then touches only the
+    budget-bounded prefix, the docs_bm25_search global-window
+    discipline. The DSIR scoring underneath keeps its documented
+    three-pass, 4096-row-model shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql.window import Window as _W
+
+    capped = (
+        _dsir_rank(docs)
+        .join(ntok, "doc_id")
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_TOKEN_BUDGET)
+    )
+    w = _W.orderBy(F.desc("log_weight"), "doc_id").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    return (
+        capped.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select(
+            "doc_id", "lang", "n_feats", "n_tokens",
+            "log_weight", "cum_tokens",
+        )
+        .orderBy("cum_tokens")
+    )
+
+
 def _dsir_rank(docs: DataFrame) -> DataFrame:
     """DSIR importance weights over ANY documents frame — the scoring
     core shared by the registered selection query and the curation

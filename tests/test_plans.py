@@ -82,6 +82,10 @@ def test_partitioned_windows_everywhere(spark):
     # global rank window consumes a ≤topk-row TakeOrderedAndProject
     # output (pinned, with the bucket pruning, by test_text_dedup.py::
     # test_inverted_index_probe_prunes_buckets_and_pushes_terms).
+    # docs_token_budget_selection: the global running-sum window
+    # consumes a TakeOrderedAndProject-capped prefix (≤ _TOKEN_BUDGET
+    # rows — every scored doc carries ≥1 token, so no doc beyond that
+    # rank can fit the budget); the corpus-sized sort never happens.
     allowed_global_window = {
         "nation_dense_ids",
         "docs_bm25_search",
@@ -89,6 +93,7 @@ def test_partitioned_windows_everywhere(spark):
         "docs_hybrid_rrf_via_index",
         "docs_range_sharded_export",
         "inverted_index_probe",
+        "docs_token_budget_selection",
     }
     # self-check the detector on the known-global-window query
     sample = plans.REGISTRY["nation_dense_ids"].builder(spark, SF_SMOKE)
@@ -215,6 +220,8 @@ def test_no_cartesian_products(spark):
         # same DSIR core (_dsir_rank) as its final stage — the same
         # single-row totals broadcast
         "docs_curation_funnel",
+        # same DSIR core under the token-budget gate — same broadcast
+        "docs_token_budget_selection",
         # inherits BM25's corpus-stats broadcasts + a 1-row query
         # vector broadcast (the emb_knn_bruteforce shape)
         "docs_hybrid_rrf_search",
