@@ -288,6 +288,29 @@ def test_bm25_topk_compiles_to_take_ordered(spark):
     assert "Sort [score" not in plan, plan
 
 
+def test_token_budget_window_is_take_ordered_capped(spark):
+    """docs_token_budget_selection's global running-sum window must
+    consume a TakeOrderedAndProject-capped prefix (≤ _TOKEN_BUDGET
+    rows — every scored doc carries ≥1 token, so no later doc can
+    fit), never sort the corpus globally: the plan carries the
+    budget-limit TakeOrdered and no corpus-sized global Sort feeds
+    the Window. Correctness of the cap itself is the oracle's job;
+    this pins the SHAPE the allowlist entry claims."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.plans.text import _TOKEN_BUDGET
+
+    plans._load()
+    df = plans.REGISTRY["docs_token_budget_selection"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"TakeOrderedAndProject(limit={_TOKEN_BUDGET}" in plan, plan
+    # the one Window in the plan sits ABOVE the TakeOrdered cap
+    w_at = plan.find("Window [")
+    t_at = plan.find("TakeOrderedAndProject")
+    assert 0 <= w_at < t_at, (w_at, t_at)
+
+
 def test_hybrid_rrf_via_index_reads_pruned_postings(spark):
     """The index-backed hybrid retriever's sparse branch must read the
     persisted postings through the bucket-pruned probe (non-empty

@@ -419,6 +419,10 @@ QUERIES30 = [
     # r9 (VERDICT r8 #7): the composed three-stage flagship — the
     # "what this engine is for" pipeline gets its volume datapoints
     "docs_curation_funnel",
+    # r9: the PQ/ADC tier — expression-compile-dominated at small
+    # scales (EXPLAIN.md receipt: +2% wall for 10x), so its volume
+    # ratio should be the flattest row in the table
+    "emb_pq_adc_knn",
 ]
 
 
