@@ -654,16 +654,32 @@ class SnapshotTable:
 
         return self._publish(build, txn=txn, cursor=cursor)
 
-    def replace(self, df: DataFrame) -> int:
-        """Replace the table contents; returns the committed version."""
+    def replace(self, df: DataFrame, txn: str | None = None) -> int | None:
+        """Replace the table contents; returns the committed version.
+
+        ``txn`` makes the replace IDEMPOTENT for refresh loops (the
+        ``append`` txn pattern, r9): a derived-view refresh — e.g. the
+        curation tick re-selecting the training mix — passes a stable
+        refresh identity, and a crashed-and-retried refresh whose txn
+        already appears in the retained history is a silent no-op
+        (returns None) instead of committing an extra identical
+        version. The re-check runs inside the publish loop like
+        append's."""
+        if txn is not None and self._txn_seen(txn):
+            return None
         cdir, cstats = self._write_commit_dir(df)
-        return self._publish(
-            lambda current: {
+
+        def build(current: int | None) -> dict:
+            m = {
                 "op": "replace", "dirs": [cdir], "stats": {cdir: cstats},
                 # replace REDEFINES the table, schema included
                 "schema": df.schema.json(),
             }
-        )
+            if txn is not None:
+                m["txn"] = txn
+            return m
+
+        return self._publish(build, txn=txn)
 
     def read(
         self, version: int | None = None, where: list | None = None

@@ -551,6 +551,53 @@ def ingest_batch_passage_dedup(
     }
 
 
+def curation_refresh_tick(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    table: str,
+    selection,  # operators.snapshot.SnapshotTable
+    txn: str,
+    scorer=None,
+    topk: int | None = None,
+) -> dict:
+    """Periodic derived-selection refresh — the step that closes the
+    continuous-curation loop: the ingest ticks keep the corpus table
+    current (WARC extraction, quality quarantine, passage/minhash
+    dedup, index maintenance); this tick re-runs the BATCH curation
+    funnel (``plans/text.curation_funnel``: quality gate → exact dedup
+    → DSIR over survivors) over the warehouse's CURRENT corpus and
+    commits the selected training mix as a new ``SnapshotTable``
+    version. The selection history is then time-travelable — "exactly
+    which documents were in the mix at version N" is one
+    ``selection.read(version=N)`` — which is the auditable
+    training-data lineage a 100 TB pipeline owes its downstream
+    training runs.
+
+    Exactly-once per refresh identity: ``txn`` (e.g.
+    ``f"curate-{source_offset}"``) rides the snapshot's rolling txn
+    map, so a crashed-and-retried refresh converges on ONE committed
+    version instead of stacking identical ones; the funnel itself is
+    deterministic, so the retry's content is bit-identical anyway.
+    ``wh.read(table)`` must carry the documents contract the funnel
+    scores (``doc_id``, ``lang``, ``text``); ``scorer``/``topk``
+    forward to :func:`curation_funnel`.
+
+    Cost shape: one funnel pass over the corpus per refresh (stage 1's
+    broadcast scorer dominates — SCALE.md's funnel rows), one tiny
+    commit (the selection is topk rows). Refresh cadence is the
+    caller's knob — every N ingest ticks, not every tick."""
+    from ..plans.text import curation_funnel
+
+    docs = wh.read(table)
+    kwargs = {} if topk is None else {"topk": topk}
+    sel = curation_funnel(docs, scorer=scorer, **kwargs)
+    version = selection.replace(sel, txn=txn)
+    return {
+        "version": version,  # None => replayed txn, no new commit
+        "selected": selection.read().count(),
+    }
+
+
 def vector_index_tick(
     spark: SparkSession,
     drop_dir: str,

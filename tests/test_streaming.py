@@ -1563,6 +1563,59 @@ def test_vector_index_tick_modified_drop_supersedes_stale_vectors(
     } == after
 
 
+def test_curation_refresh_tick_versions_training_mix(spark, tmp_path):
+    """The continuous-curation loop's selection step (r9): each
+    refresh runs the batch funnel over the warehouse's CURRENT corpus
+    and commits the mix as a SnapshotTable version. Pins: (1) the
+    committed selection equals the funnel run directly on the same
+    corpus; (2) a replayed refresh txn is a silent no-op (one version,
+    not two); (3) after the corpus grows, a new refresh commits a new
+    version while TIME TRAVEL still reproduces the old mix exactly —
+    the auditable training-data lineage claim."""
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.merge_upsert("docs", docs.where("doc_id < 300"), ["doc_id"])
+    sel = SnapshotTable(spark, str(tmp_path / "selection"))
+
+    r1 = curation_refresh_tick(spark, wh, "docs", sel, txn="curate-1")
+    assert r1["version"] is not None and r1["selected"] > 0
+    want1 = sorted(
+        map(tuple, curation_funnel(wh.read("docs")).collect())
+    )
+    assert sorted(map(tuple, sel.read().collect())) == want1
+
+    # (2) replayed refresh: no new version
+    r2 = curation_refresh_tick(spark, wh, "docs", sel, txn="curate-1")
+    assert r2["version"] is None
+    assert sel.current_version() == r1["version"]
+
+    # (3) corpus grows; a fresh refresh commits a NEW version and the
+    # old mix stays readable at its version
+    wh.merge_upsert("docs", docs.where("doc_id >= 300"), ["doc_id"])
+    r3 = curation_refresh_tick(spark, wh, "docs", sel, txn="curate-2")
+    assert r3["version"] == r1["version"] + 1
+    want2 = sorted(
+        map(tuple, curation_funnel(wh.read("docs")).collect())
+    )
+    assert sorted(map(tuple, sel.read().collect())) == want2
+    assert want2 != want1  # the mix genuinely moved with the corpus
+    assert sorted(
+        map(tuple, sel.read(version=r1["version"]).collect())
+    ) == want1
+
+
 def test_vector_index_tick_growth_rebucket(spark, tmp_path, monkeypatch):
     """VERDICT r8 #2, the tick-level contract: a store built small and
     grown past the (monkeypatched) threshold ACROSS TICKS retrains its
