@@ -666,11 +666,30 @@ class IVFVectorIndex:
             .distinct()
             .persist()
         )
+        fresh = batch
         try:
-            ros = self._roster()
-            if ros is not None:
+            if os.path.isdir(self._latest_dir()):
+                # replay awareness BEFORE the regression guard: ids
+                # whose identical tombstone (same ordinal) is already
+                # recorded are a crashed-tick REPLAY — skipped, and
+                # crucially EXEMPT from the guard, because a genuine
+                # later action (a supersede re-add at a higher
+                # ordinal) may have legitimately out-ranked the
+                # replayed tombstone between the crash and the retry;
+                # raising there would wedge the tick forever.
+                raw = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(self._latest_dir())
+                if "__rdel" not in raw.columns:
+                    raw = raw.withColumn("__rdel", F.lit(False))
+                same = raw.where(
+                    F.coalesce(F.col("__rdel"), F.lit(False))
+                    & (F.col("__rord") == F.lit(int(ordinal)))
+                ).select("__rid")
+                fresh = batch.join(same, "__rid", "left_anti").persist()
+                ros = self._roster()
                 regressed = (
-                    batch.join(ros, "__rid")
+                    fresh.join(ros, "__rid")
                     .where(F.col("__rord") > F.lit(int(ordinal)))
                     .count()
                 )
@@ -682,12 +701,16 @@ class IVFVectorIndex:
                         "backwards; the tombstone would be silently "
                         "out-ranked"
                     )
-            batch.select(
+                if fresh.count() == 0:
+                    return  # pure replay: every tombstone already in
+            fresh.select(
                 "__rid",
                 F.lit(int(ordinal)).cast("long").alias("__rord"),
                 F.lit(True).alias("__rdel"),
             ).write.mode("append").parquet(self._latest_dir())
         finally:
+            if fresh is not batch:
+                fresh.unpersist()
             batch.unpersist()
 
     @locked_writer

@@ -605,6 +605,7 @@ def vector_index_tick(
     index,  # operators.ann_index.IVFVectorIndex
     exts: tuple[str, ...] = (".parquet",),
     state_key: str = "vectors",
+    delete_dir: str | None = None,
 ) -> dict:
     """Continuous ANN-index maintenance over a vector drop directory —
     the fourth member of the index family joins the ingest loop
@@ -643,13 +644,32 @@ def vector_index_tick(
     re-buckets crash-safely, so list sizes (and probe cost) stay
     bounded instead of fattening ∝ N/k forever (VERDICT r8 #2). The
     tick's index handle serves the new quantizer immediately;
-    later processes reopen via ``IVFVectorIndex.open``."""
+    later processes reopen via ``IVFVectorIndex.open``.
+
+    Deletion drop-lists (r9): ``delete_dir`` watches a SECOND
+    directory whose parquet files carry ids to REMOVE (the index's id
+    column) — the takedown/right-to-erasure flow a training-data
+    pipeline owes its sources. Each list's mtime_ns is its tombstone
+    ordinal, so the whole replay discipline carries over: a
+    crashed-tick retry re-derives the identical tombstones and
+    no-ops (even when a later re-add has legitimately out-ranked
+    them — ``delete``'s replay-aware guard), a regenerated list
+    carries a higher ordinal, and ordering between adds and deletes
+    is decided by ORDINALS, not processing order. Removal is
+    O(deleted ids) at tick time; compaction reclaims rows."""
     import os as _os
 
     diff, snapshot = state.peek(state_key, drop_dir, exts)
     changed = tuple(sorted((*diff.new, *diff.modified)))
-    if not changed:
-        return {"fired": False, "files": (), "vectors": 0}
+    del_files: tuple = ()
+    dsnap = None
+    if delete_dir is not None:
+        ddiff, dsnap = state.peek(
+            state_key + ":deletes", delete_dir, exts
+        )
+        del_files = tuple(sorted((*ddiff.new, *ddiff.modified)))
+    if not changed and not del_files:
+        return {"fired": False, "files": (), "vectors": 0, "deleted": 0}
     modified = set(diff.modified)
     n = 0
     for name in changed:  # driver-bounded: files-per-tick, not rows
@@ -660,13 +680,22 @@ def vector_index_tick(
             ordinal=snapshot[name],
             supersede=name in modified,
         )
+    n_del = 0
+    for name in del_files:
+        ids = spark.read.parquet(_os.path.join(delete_dir, name))
+        n_del += ids.count()
+        index.delete(ids, ordinal=dsnap[name])
     index.maybe_compact()
     rebucketed = index.maybe_rebucket()
     state.commit(state_key, snapshot)
+    if dsnap is not None:
+        state.commit(state_key + ":deletes", dsnap)
     state.save()
     return {
         "fired": True,
         "files": changed,
         "vectors": n,
+        "deleted": n_del,
+        "delete_files": del_files,
         "rebucketed": rebucketed,
     }

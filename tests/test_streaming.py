@@ -1563,7 +1563,98 @@ def test_vector_index_tick_modified_drop_supersedes_stale_vectors(
     } == after
 
 
-def test_curation_refresh_tick_versions_training_mix(spark, tmp_path):
+def test_vector_index_tick_deletion_drop_lists(spark, tmp_path):
+    """r9: the takedown flow — a second watched directory of deletion
+    lists. Pins: ids in a delete list vanish from probes after the
+    tick (ordinal = the list file's mtime_ns); a state-loss full
+    reprocess replays BOTH directories and converges (tombstones
+    no-op by value); a doc re-added at a later ordinal after its
+    takedown serves again; compaction reclaims removed rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+
+    drops = tmp_path / "drops"
+    dels = tmp_path / "deletes"
+    drops.mkdir()
+    dels.mkdir()
+    pd.DataFrame(
+        [(1, [1.0, 0.05]), (2, [0.9, 0.1]), (3, [0.05, 1.0])],
+        columns=["vec_id", "embedding"],
+    ).to_parquet(str(drops / "d0.parquet"), index=False)
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    idx = IVFVectorIndex(
+        spark, str(tmp_path / "ivf"), [[1.0, 0.0], [0.0, 1.0]]
+    )
+    r1 = vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )
+    assert r1["fired"] and r1["deleted"] == 0
+
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "q_id long, embedding array<double>",
+    )
+
+    def served():
+        return {
+            r["c_id"] for r in idx.probe(q, k=3, n_probe=2).collect()
+        }
+
+    assert served() == {1, 2, 3}
+
+    # takedown list arrives; quiet drop dir
+    import time as _time
+
+    _time.sleep(0.01)
+    pd.DataFrame([(2,)], columns=["vec_id"]).to_parquet(
+        str(dels / "takedown-0.parquet"), index=False
+    )
+    r2 = vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )
+    assert r2["fired"] and r2["deleted"] == 1 and r2["vectors"] == 0
+    assert served() == {1, 3}
+
+    # state loss: both directories fully reprocess; answers unchanged
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r3 = vector_index_tick(
+        spark, str(drops), lost, idx, delete_dir=str(dels)
+    )
+    assert r3["fired"] and set(r3["delete_files"]) == {
+        "takedown-0.parquet"
+    }
+    assert served() == {1, 3}
+
+    # compaction reclaims; the store physically forgets the id
+    idx.maybe_compact(max_files_per_list=0)
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "ivf" / "postings")
+    )
+    assert {r["vec_id"] for r in posts.select("vec_id").collect()} == {1, 3}
+
+    # re-add later (modified drop => supersede at a newer mtime):
+    # the id serves again — takedown is an ordering fact, not a ban
+    _time.sleep(0.01)
+    pd.DataFrame(
+        [(1, [1.0, 0.05]), (2, [0.88, 0.12]), (3, [0.05, 1.0])],
+        columns=["vec_id", "embedding"],
+    ).to_parquet(str(drops / "d0.parquet"), index=False)
+    import os as _os
+
+    now = _time.time_ns()
+    _os.utime(str(drops / "d0.parquet"), ns=(now, now))
+    r4 = vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )
+    assert r4["fired"] and r4["vectors"] == 3
+    assert served() == {1, 2, 3}
     """The continuous-curation loop's selection step (r9): each
     refresh runs the batch funnel over the warehouse's CURRENT corpus
     and commits the mix as a SnapshotTable version. Pins: (1) the

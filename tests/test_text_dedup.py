@@ -2012,6 +2012,16 @@ def test_ivf_tombstone_delete(spark, tmp_path):
     assert scores[(11, 2)] > 0.9  # the NEW vector answers
     assert scores[(10, 2)] < 0.2  # the old (deleted) vector does not
 
+    # a REPLAYED tombstone after a later re-add must no-op, not raise
+    # (the crashed-tick livelock: delete@100 applied, crash before the
+    # offset commit, supersede re-add@200 lands, the retry re-runs
+    # delete@100 — the id must stay alive and the tick must not wedge)
+    idx.delete(ids, ordinal=100)
+    assert {
+        (r["q_id"], r["c_id"]): r["cos_sim"]
+        for r in idx.probe(q, k=3, n_probe=2).collect()
+    }[(11, 2)] > 0.9  # still served by the ord-200 vector
+
     # delete interleaves with supersede history: remove it again
     idx.delete(ids, ordinal=300)
     assert not any(c == 2 for _, c in hits())
