@@ -559,6 +559,7 @@ def curation_refresh_tick(
     txn: str,
     scorer=None,
     topk: int | None = None,
+    prepare=None,
 ) -> dict:
     """Periodic derived-selection refresh — the step that closes the
     continuous-curation loop: the ingest ticks keep the corpus table
@@ -579,8 +580,13 @@ def curation_refresh_tick(
     version instead of stacking identical ones; the funnel itself is
     deterministic, so the retry's content is bit-identical anyway.
     ``wh.read(table)`` must carry the documents contract the funnel
-    scores (``doc_id``, ``lang``, ``text``); ``scorer``/``topk``
-    forward to :func:`curation_funnel`.
+    scores (``doc_id``, ``lang``, ``text``) — or ``prepare`` adapts
+    it: a callable ``docs -> docs`` applied before the funnel, e.g.
+    deriving ``lang`` for a crawl table via the marker-word language
+    ID (crawled corpora carry no labels; the enrichment is part of
+    the curation, so it belongs inside the refresh and is replayed
+    deterministically with it). ``scorer``/``topk`` forward to
+    :func:`curation_funnel`.
 
     Cost shape: one funnel pass over the corpus per refresh (stage 1's
     broadcast scorer dominates — SCALE.md's funnel rows), one tiny
@@ -589,6 +595,8 @@ def curation_refresh_tick(
     from ..plans.text import curation_funnel
 
     docs = wh.read(table)
+    if prepare is not None:
+        docs = prepare(docs)
     kwargs = {} if topk is None else {"topk": topk}
     sel = curation_funnel(docs, scorer=scorer, **kwargs)
     version = selection.replace(sel, txn=txn)
