@@ -314,40 +314,54 @@ class IVFVectorIndex:
     def _mixed_marker(self) -> str:
         return os.path.join(self.path, "meta", "mixed_schema")
 
+    def _uniform_marker(self) -> str:
+        return os.path.join(self.path, "meta", "ordinal_uniform")
+
     def _mark_mixed_if_needed(self) -> None:
         """Before an append lands: if any existing data file lacks
         ``__ord`` (a pre-ordinal store), the store is about to hold
         MIXED file schemas — drop a marker so every later read merges
-        footers. One parquet-footer sniff of one file, once (the
-        marker short-circuits forever after); r8 ADVICE: keying the
-        mergeSchema decision on ``latest/`` alone missed pre-ordinal
-        stores that receive plain (non-supersede) appends."""
+        footers (r8 ADVICE: keying the mergeSchema decision on
+        ``latest/`` alone missed pre-ordinal stores that receive
+        plain, non-supersede appends). r9 ADVICE hardening: sniffing
+        only the first file of the first non-empty list missed stores
+        that became mixed BEFORE this marker logic existed (a
+        post-ordinal file can sort first), so the scan now keeps
+        reading footers until a pre-ordinal file is found or every
+        data file is cleared. Either verdict is cached forever in one
+        of two markers — ``append`` always stamps ``__ord``, so a
+        store verified uniform can never become mixed later — keeping
+        the per-append cost at zero after the one-time scan."""
         marker = self._mixed_marker()
-        if os.path.exists(marker):
+        if os.path.exists(marker) or os.path.exists(
+            self._uniform_marker()
+        ):
             return
         pdir = self._postings_dir()
         if not os.path.isdir(pdir):
             return
+        import pyarrow.parquet as pq
+
         from .compaction import _data_files
 
+        mixed = False
         for d in sorted(os.listdir(pdir)):
             if not d.startswith("cid="):
                 continue
-            files = _data_files(os.path.join(pdir, d))
-            if not files:
-                continue
-            import pyarrow.parquet as pq
-
-            names = pq.read_schema(
-                os.path.join(pdir, d, sorted(files)[0])
-            ).names
-            if "__ord" not in names:
-                os.makedirs(os.path.dirname(marker), exist_ok=True)
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write("1")
-                os.replace(tmp, marker)
-            return
+            for fn in sorted(_data_files(os.path.join(pdir, d))):
+                if "__ord" not in pq.read_schema(
+                    os.path.join(pdir, d, fn)
+                ).names:
+                    mixed = True
+                    break
+            if mixed:
+                break
+        target = marker if mixed else self._uniform_marker()
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.replace(tmp, target)
 
     def _read_postings(self) -> DataFrame:
         """Postings reader; ``mergeSchema`` iff the store holds mixed
@@ -619,6 +633,51 @@ class IVFVectorIndex:
                         "mtime-preserving copy?); the update would be "
                         "silently masked"
                     )
+                # equal-ordinal tombstone (r9 ADVICE): the roster fold
+                # breaks an ordinal TIE toward the delete (struct max
+                # on (__rord, __rdel)), so a fresh supersede append at
+                # exactly a deleted id's tombstone ordinal would be
+                # accepted and then silently masked forever — the
+                # precise loss mode the strictly-greater check above
+                # exists to prevent, reachable when an add file and a
+                # takedown list share an mtime_ns (archive extraction,
+                # coarse-mtime filesystems). Raise — UNLESS a
+                # non-delete roster row of the same id already sits at
+                # this ordinal: then this append was rostered before
+                # (a crashed add-then-delete tick replaying) and the
+                # masking is the tie's legitimate, already-committed
+                # outcome, so re-appending must no-op, not wedge.
+                raw = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(self._latest_dir())
+                if "__rdel" not in raw.columns:
+                    raw = raw.withColumn("__rdel", F.lit(False))
+                at_ord = raw.where(
+                    F.col("__rord") == F.lit(int(ordinal))
+                )
+                rdel = F.coalesce(F.col("__rdel"), F.lit(False))
+                tied = (
+                    assigned.select(
+                        F.col(self.id_col).alias("__rid")
+                    )
+                    .distinct()
+                    .join(at_ord.where(rdel).select("__rid"), "__rid")
+                    .join(
+                        at_ord.where(~rdel).select("__rid"),
+                        "__rid",
+                        "left_anti",
+                    )
+                    .count()
+                )
+                if tied:
+                    raise ValueError(
+                        f"supersede append at ordinal {ordinal} ties "
+                        f"{tied} id(s)' tombstone ordinal — the "
+                        "roster fold breaks ties toward the delete, "
+                        "so the update would be silently masked; "
+                        "re-stamp the add with a fresh (higher) "
+                        "ordinal"
+                    )
             # roster FIRST: a crash between the two writes then masks
             # the updated ids entirely (absent until the replay lands)
             # instead of serving the stale vector — the same
@@ -650,10 +709,14 @@ class IVFVectorIndex:
         are touched — a delete is O(deleted ids). A LATER re-add at a
         higher ordinal resurrects the id (roster folds to the latest
         action); a replayed delete at the same ordinal is a no-op by
-        value; a delete whose ordinal regresses below an id's rostered
-        maximum fails loudly (the append guard's rationale — it would
-        be silently out-ranked). ``ids``: any frame carrying the
-        index's id column."""
+        value; a delete whose ordinal is already OUT-RANKED by the
+        id's rostered maximum is skipped as a no-op (r9 ADVICE — the
+        fold keeps the higher-ordinal action either way, so the
+        losing tombstone could never mask anything; raising here
+        permanently wedged a tick whose takedown list carried an
+        older mtime than an already-applied action, e.g. archive
+        extraction with preserved timestamps). ``ids``: any frame
+        carrying the index's id column."""
         if not ordinal:
             raise ValueError(
                 "delete requires a nonzero ordinal to order the "
@@ -686,23 +749,29 @@ class IVFVectorIndex:
                     F.coalesce(F.col("__rdel"), F.lit(False))
                     & (F.col("__rord") == F.lit(int(ordinal)))
                 ).select("__rid")
-                fresh = batch.join(same, "__rid", "left_anti").persist()
+                # out-ranked first-time tombstones (r9 ADVICE): an id
+                # whose rostered maximum already EXCEEDS this ordinal
+                # is a semantic no-op either way — the fold keeps the
+                # higher action and ``_live`` never consults the
+                # losing row — so SKIP it rather than raise. The old
+                # loud failure (append's regression rationale) wedged
+                # a tick forever when a takedown list's preserved
+                # mtime predated an action applied in an earlier tick
+                # (no replay exemption could apply: the tombstone was
+                # never recorded), and unlike a lost append there is
+                # nothing to lose: the delete is out-voted by design.
                 ros = self._roster()
-                regressed = (
-                    fresh.join(ros, "__rid")
-                    .where(F.col("__rord") > F.lit(int(ordinal)))
-                    .count()
+                outranked = (
+                    ros.where(F.col("__rord") > F.lit(int(ordinal)))
+                    .select("__rid")
                 )
-                if regressed:
-                    raise ValueError(
-                        f"delete at ordinal {ordinal} regresses "
-                        f"{regressed} id(s) already rostered at a "
-                        "higher ordinal — the version source moved "
-                        "backwards; the tombstone would be silently "
-                        "out-ranked"
-                    )
+                fresh = (
+                    batch.join(same, "__rid", "left_anti")
+                    .join(outranked, "__rid", "left_anti")
+                    .persist()
+                )
                 if fresh.count() == 0:
-                    return  # pure replay: every tombstone already in
+                    return  # replays and/or out-ranked no-ops only
             fresh.select(
                 "__rid",
                 F.lit(int(ordinal)).cast("long").alias("__rord"),

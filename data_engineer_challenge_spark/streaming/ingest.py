@@ -679,20 +679,37 @@ def vector_index_tick(
     if not changed and not del_files:
         return {"fired": False, "files": (), "vectors": 0, "deleted": 0}
     modified = set(diff.modified)
+    # Adds and deletes APPLY in ascending ordinal (mtime_ns) order
+    # across BOTH directories (r9 ADVICE, medium): processing all
+    # adds then all deletes let a same-tick supersede out-rank an
+    # OLDER takedown list mid-tick, tripping ``delete``'s guards and
+    # aborting before ``state.commit`` — and every retry re-ran the
+    # same order, a permanent wedge that also re-appended duplicate
+    # supersede rows. The same hazard held among add files alone:
+    # filename sort could oppose mtime order for two files
+    # superseding one id. Ordinal-sorted application makes the
+    # docstring's claim ("ordering is decided by ordinals, not
+    # processing order") true by construction. Ties: adds before
+    # deletes — the roster fold already breaks an equal-ordinal tie
+    # toward the tombstone, and applying the add first keeps
+    # ``append``'s equal-ordinal tombstone guard replay-exempt.
+    work = [("add", name, snapshot[name]) for name in changed]
+    if dsnap is not None:
+        work += [("del", name, dsnap[name]) for name in del_files]
+    work.sort(key=lambda t: (t[2], t[0] != "add", t[1]))
     n = 0
-    for name in changed:  # driver-bounded: files-per-tick, not rows
-        vecs = spark.read.parquet(_os.path.join(drop_dir, name))
-        n += vecs.count()
-        index.append(
-            vecs,
-            ordinal=snapshot[name],
-            supersede=name in modified,
-        )
     n_del = 0
-    for name in del_files:
-        ids = spark.read.parquet(_os.path.join(delete_dir, name))
-        n_del += ids.count()
-        index.delete(ids, ordinal=dsnap[name])
+    for kind, name, ordinal in work:  # driver-bounded: files-per-tick
+        if kind == "add":
+            vecs = spark.read.parquet(_os.path.join(drop_dir, name))
+            n += vecs.count()
+            index.append(
+                vecs, ordinal=ordinal, supersede=name in modified
+            )
+        else:
+            ids = spark.read.parquet(_os.path.join(delete_dir, name))
+            n_del += ids.count()
+            index.delete(ids, ordinal=ordinal)
     index.maybe_compact()
     rebucketed = index.maybe_rebucket()
     state.commit(state_key, snapshot)

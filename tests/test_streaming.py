@@ -1655,6 +1655,9 @@ def test_vector_index_tick_deletion_drop_lists(spark, tmp_path):
     )
     assert r4["fired"] and r4["vectors"] == 3
     assert served() == {1, 2, 3}
+
+
+def test_curation_refresh_tick(spark, tmp_path):
     """The continuous-curation loop's selection step (r9): each
     refresh runs the batch funnel over the warehouse's CURRENT corpus
     and commits the mix as a SnapshotTable version. Pins: (1) the
@@ -1705,6 +1708,125 @@ def test_vector_index_tick_deletion_drop_lists(spark, tmp_path):
     assert sorted(
         map(tuple, sel.read(version=r1["version"]).collect())
     ) == want1
+
+
+def test_vector_index_tick_ordinal_interleaving(spark, tmp_path):
+    """r9 ADVICE (medium): adds and deletes must APPLY in ascending
+    ordinal order across both watched directories. The wedge case: a
+    takedown list with an OLDER mtime_ns than a same-tick supersede
+    re-add of the same id — the old all-adds-then-all-deletes order
+    made delete() see an out-ranked first-time tombstone mid-tick and
+    abort before state.commit, so every retry re-wedged (and
+    re-appended duplicate supersede rows). Pins: the tick applies
+    ordinal order (delete first, then the newer re-add wins), commits,
+    and a state-loss replay converges on the same answers. Also pins
+    the add-only flavor: two modified files superseding one id whose
+    FILENAME order opposes mtime order."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+
+    drops = tmp_path / "drops"
+    dels = tmp_path / "deletes"
+    drops.mkdir()
+    dels.mkdir()
+    pd.DataFrame(
+        [(1, [1.0, 0.05]), (2, [0.9, 0.1]), (3, [0.05, 1.0])],
+        columns=["vec_id", "embedding"],
+    ).to_parquet(str(drops / "d0.parquet"), index=False)
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    idx = IVFVectorIndex(
+        spark, str(tmp_path / "ivf"), [[1.0, 0.0], [0.0, 1.0]]
+    )
+    assert vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )["fired"]
+
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "q_id long, embedding array<double>",
+    )
+
+    def scores():
+        return {
+            (r["q_id"], r["c_id"]): r["cos_sim"]
+            for r in idx.probe(q, k=3, n_probe=2).collect()
+        }
+
+    # same tick: takedown of id 2 stamped OLDER than the supersede
+    # re-add of id 2 (filename sort also runs adds before deletes —
+    # only ordinal order makes this land correctly)
+    now = _time.time_ns()
+    pd.DataFrame([(2,)], columns=["vec_id"]).to_parquet(
+        str(dels / "takedown.parquet"), index=False
+    )
+    _os.utime(str(dels / "takedown.parquet"), ns=(now, now))
+    pd.DataFrame(
+        [(1, [1.0, 0.05]), (2, [0.05, 0.98]), (3, [0.05, 1.0])],
+        columns=["vec_id", "embedding"],
+    ).to_parquet(str(drops / "d0.parquet"), index=False)
+    _os.utime(str(drops / "d0.parquet"), ns=(now + 10_000, now + 10_000))
+
+    r = vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )
+    assert r["fired"] and r["deleted"] == 1 and r["vectors"] == 3
+    after = scores()
+    # the re-add (newer ordinal) out-ranks the takedown: id 2 serves
+    # its NEW vector; the old x-axis vector is gone
+    assert after[(11, 2)] > 0.9
+    assert after.get((10, 2), 0.0) < 0.2  # old x-axis vector is gone
+
+    # state-loss replay walks the same ordinal order and converges
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r2 = vector_index_tick(
+        spark, str(drops), lost, idx, delete_dir=str(dels)
+    )
+    assert r2["fired"]
+    assert {k: round(v, 6) for k, v in scores().items()} == {
+        k: round(v, 6) for k, v in after.items()
+    }
+
+    # add-only flavor: two files re-modified in one tick window, both
+    # superseding id 9; the name order ("a-" before "b-") OPPOSES the
+    # mtime order — ordinal application must let b-old land first and
+    # a-new win, where filename order tripped append()'s regression
+    # guard instead
+    for name, vec, ts in (
+        ("a-new.parquet", [0.1, 0.97], now + 40_000),
+        ("b-old.parquet", [0.97, 0.1], now + 30_000),
+    ):
+        pd.DataFrame(
+            [(9, vec)], columns=["vec_id", "embedding"]
+        ).to_parquet(str(drops / name), index=False)
+        _os.utime(str(drops / name), ns=(ts, ts))
+    assert vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )["fired"]
+    # both were NEW files (plain appends); now re-modify both so they
+    # take the supersede path with the adversarial name/mtime order
+    for name, vec, ts in (
+        ("a-new.parquet", [0.0, 1.0], now + 80_000),
+        ("b-old.parquet", [1.0, 0.0], now + 60_000),
+    ):
+        pd.DataFrame(
+            [(9, vec)], columns=["vec_id", "embedding"]
+        ).to_parquet(str(drops / name), index=False)
+        _os.utime(str(drops / name), ns=(ts, ts))
+    r3 = vector_index_tick(
+        spark, str(drops), state, idx, delete_dir=str(dels)
+    )
+    assert r3["fired"] and r3["vectors"] == 2
+    final = scores()
+    assert final[(11, 9)] > 0.99  # a-new (highest mtime) serves
 
 
 def test_vector_index_tick_growth_rebucket(spark, tmp_path, monkeypatch):

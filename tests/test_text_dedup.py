@@ -1985,9 +1985,18 @@ def test_ivf_tombstone_delete(spark, tmp_path):
     idx.delete(ids, ordinal=100)
     assert hits() == after
 
-    # regression: a tombstone below the rostered max fails loudly
-    with _pytest.raises(ValueError, match="regresses 1 id"):
-        idx.delete(ids, ordinal=50)
+    # a tombstone below the rostered max is a semantic NO-OP — the
+    # fold keeps the higher action either way — so it is skipped, not
+    # raised (r9 ADVICE: raising wedged every retry of a tick whose
+    # takedown list carried an archive-preserved old mtime)
+    idx.delete(ids, ordinal=50)
+    assert hits() == after
+    latest = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "ivf" / "latest")
+    )
+    assert (  # skipped means NOT written, not written-and-out-voted
+        latest.where("__rord = 50").count() == 0
+    )
 
     # compaction physically reclaims the dead rows
     assert idx.maybe_compact(max_files_per_list=0) >= 1
@@ -2025,6 +2034,140 @@ def test_ivf_tombstone_delete(spark, tmp_path):
     # delete interleaves with supersede history: remove it again
     idx.delete(ids, ordinal=300)
     assert not any(c == 2 for _, c in hits())
+
+
+def test_ivf_equal_ordinal_tombstone_append_guard(spark, tmp_path):
+    """r9 ADVICE: the roster fold breaks an ordinal TIE toward the
+    tombstone, so a FRESH supersede append at exactly a deleted id's
+    tombstone ordinal would be accepted and silently masked forever —
+    append now raises on it. But a REPLAY of an add that was rostered
+    at that ordinal before the tie-winning delete landed (the crashed
+    add-then-delete tick) must no-op, not wedge."""
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+
+    def mk(name):
+        idx = IVFVectorIndex(
+            spark, str(tmp_path / name), [[1.0, 0.0], [0.0, 1.0]]
+        )
+        idx.build(
+            spark.createDataFrame(
+                [(1, [1.0, 0.05]), (2, [0.05, 1.0])],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        return idx
+
+    upd = spark.createDataFrame(
+        [(1, [0.1, 0.95])], "vec_id long, embedding array<double>"
+    )
+    ids = spark.createDataFrame([(1,)], "vec_id long")
+    q = spark.createDataFrame(
+        [(11, [0.0, 1.0])], "q_id long, embedding array<double>"
+    )
+
+    # fresh append at the tombstone's exact ordinal: loud failure
+    a = mk("a")
+    a.delete(ids, ordinal=100)
+    with _pytest.raises(ValueError, match="ties 1 id"):
+        a.append(upd, ordinal=100, supersede=True)
+    # the guard rejected it — nothing silently masked, id stays dead
+    assert not any(
+        r["c_id"] == 1 for r in a.probe(q, k=3, n_probe=2).collect()
+    )
+    # a higher ordinal (the error's own advice) resurrects normally
+    a.append(upd, ordinal=101, supersede=True)
+    assert any(
+        r["c_id"] == 1 for r in a.probe(q, k=3, n_probe=2).collect()
+    )
+
+    # replay exemption: add@100 committed BEFORE delete@100 (the tie
+    # legitimately resolved toward the delete); a crashed-tick retry
+    # re-runs the add at the same ordinal — must no-op, not raise
+    b = mk("b")
+    b.append(upd, ordinal=100, supersede=True)
+    b.delete(ids, ordinal=100)
+    masked = {
+        (r["q_id"], r["c_id"])
+        for r in b.probe(q, k=3, n_probe=2).collect()
+    }
+    assert not any(c == 1 for _, c in masked)  # tie -> delete wins
+    b.append(upd, ordinal=100, supersede=True)  # replay: no raise
+    assert {
+        (r["q_id"], r["c_id"])
+        for r in b.probe(q, k=3, n_probe=2).collect()
+    } == masked
+
+
+def test_ivf_mixed_schema_marker_straddled_store(spark, tmp_path):
+    """r9 ADVICE: a store that became mixed BEFORE the marker logic
+    existed can have a post-ordinal file sorting FIRST in its list
+    dir — the old single-footer sniff concluded 'uniform' and never
+    wrote the marker, so single-file inference could still drop
+    ``__ord``. The scan now keeps reading footers until a pre-ordinal
+    file is found (then caches the verdict in a marker, either way),
+    so the straddled store heals on its next append."""
+    import os as _os
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, [[1.0, 0.0], [0.0, 1.0]])
+    # post-ordinal rows land first (their part files sort first) ...
+    idx.append(
+        spark.createDataFrame(
+            [(3, [0.98, 0.1])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=7,
+    )
+    # ... then forge the legacy pre-ordinal file with a LATER-sorting
+    # name inside the same cid= dir (the r8-era straddle)
+    import pandas as pd
+
+    legacy = pd.DataFrame(
+        {"vec_id": [1], "embedding": [[1.0, 0.05]]}
+    )
+    legacy.to_parquet(
+        _os.path.join(path, "postings", "cid=0", "zzz-legacy.parquet"),
+        index=False,
+    )
+
+    idx.append(
+        spark.createDataFrame(
+            [(4, [0.05, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=9,
+    )
+    assert _os.path.exists(_os.path.join(path, "meta", "mixed_schema"))
+    posts = idx._read_postings()
+    assert "__ord" in posts.columns and posts.count() == 3
+
+    # a genuinely uniform store caches the negative verdict instead
+    u = IVFVectorIndex(
+        spark, str(tmp_path / "uniform"), [[1.0, 0.0], [0.0, 1.0]]
+    )
+    u.build(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    u.append(
+        spark.createDataFrame(
+            [(2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        ordinal=5,
+    )
+    assert _os.path.exists(
+        _os.path.join(str(tmp_path / "uniform"), "meta", "ordinal_uniform")
+    )
+    assert not _os.path.exists(
+        _os.path.join(str(tmp_path / "uniform"), "meta", "mixed_schema")
+    )
 
 
 def test_ivf_pq_probe_adc(spark, tmp_path):
