@@ -1819,11 +1819,15 @@ def docs_token_budget_selection(
     )
 
 
-def _dsir_rank(docs: DataFrame) -> DataFrame:
-    """DSIR importance weights over ANY documents frame — the scoring
-    core shared by the registered selection query and the curation
-    funnel's final stage. Returns (doc_id, lang, n_feats, log_weight)
-    unranked; callers order/limit."""
+def _gram_features(docs: DataFrame) -> DataFrame:
+    """Instance-level hashed unigram+bigram features over a
+    (doc_id, lang, text) frame: one row per gram INSTANCE as
+    (doc_id, lang, g, b) — the shared feature extraction under both
+    DSIR paths (the batch ranker below and the delta-aware refresh's
+    per-doc histograms, streaming/ingest.py). Kept as one function so
+    the two paths cannot drift on tokenization, gram construction, or
+    bucket hashing — drift here would silently break the delta
+    refresh's bit-identity contract."""
     toks = docs.select(
         "doc_id", "lang", tokens("text").alias("t")
     )
@@ -1834,24 +1838,24 @@ def _dsir_rank(docs: DataFrame) -> DataFrame:
     # filters empty STRINGS) — so the bigram branch is guarded exactly
     # like dedup.py guards sequence(0,-1).
     grams = F.expr(_GRAMS_EXPR)
-    feats = toks.select(
+    return toks.select(
         "doc_id", "lang", F.explode(grams).alias("g")
     ).withColumn("b", md5_long("g") % _DSIR_BUCKETS)
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    tgt = (
-        feats.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    # ≤ _DSIR_BUCKETS rows; pinned so the totals fold below doesn't
-    # recompute the two counting passes
-    model = raw.join(tgt, "b", "left").localCheckpoint()
+
+
+def _dsir_ratio(model: DataFrame) -> DataFrame:
+    """Bucket log-likelihood-ratio weights from a DSIR count model —
+    ``model`` is (b, c_r long, c_t nullable long); returns (b, w
+    double). Factored so the delta-aware refresh evaluates the EXACT
+    same arithmetic (same column types, same operation order — the
+    doubles must match bit-for-bit) over a model it folded from
+    persisted per-doc histograms instead of a fresh gram pass."""
     tot = model.agg(
         F.sum("c_r").alias("t_r"),
         F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t"),
     )
     nb = float(_DSIR_BUCKETS)
-    ratio = (
+    return (
         model
         .crossJoin(F.broadcast(tot))
         .select(
@@ -1863,6 +1867,24 @@ def _dsir_rank(docs: DataFrame) -> DataFrame:
             ).alias("w"),
         )
     )
+
+
+def _dsir_rank(docs: DataFrame) -> DataFrame:
+    """DSIR importance weights over ANY documents frame — the scoring
+    core shared by the registered selection query and the curation
+    funnel's final stage. Returns (doc_id, lang, n_feats, log_weight)
+    unranked; callers order/limit."""
+    feats = _gram_features(docs)
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        feats.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    # ≤ _DSIR_BUCKETS rows; pinned so the totals fold below doesn't
+    # recompute the two counting passes
+    model = raw.join(tgt, "b", "left").localCheckpoint()
+    ratio = _dsir_ratio(model)
     return (
         feats.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
@@ -2205,6 +2227,18 @@ def _register_curation_funnel() -> None:
         return curation_funnel(load_table(spark, sf_dir, "documents"))
 
 
+def exact_fingerprint(text_col: str = "text") -> Column:
+    """The funnel's exact-dedup fingerprint: md5 over
+    whitespace-normalized lowercased text — factored so the
+    delta-aware refresh (streaming/ingest.py) fingerprints its delta
+    docs with literally the same expression the batch funnel uses
+    (any drift breaks its bit-identity contract)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(text_col), _WS + "+", " ")
+    )
+    return F.md5(norm.cast("binary"))
+
+
 def curation_funnel(
     docs: DataFrame,
     scorer=None,
@@ -2225,11 +2259,10 @@ def curation_funnel(
     next survivor)."""
     scorer = with_quality_score if scorer is None else scorer
     kept = scorer(docs).where(F.col("is_kept"))
-    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     from pyspark.sql.window import Window as _W
 
     uniq = (
-        kept.withColumn("fingerprint", F.md5(norm.cast("binary")))
+        kept.withColumn("fingerprint", exact_fingerprint())
         .withColumn(
             "rn",
             F.row_number().over(

@@ -1710,6 +1710,125 @@ def test_curation_refresh_tick(spark, tmp_path):
     ) == want1
 
 
+def test_curation_refresh_delta_tick(spark, tmp_path):
+    """VERDICT r9 #1 — the delta-aware refresh. Pins: (1) every tick
+    commits a selection BIT-IDENTICAL (rows and schema, compared as
+    committed SnapshotTable versions) to the full batch funnel over
+    the corpus's current state; (2) after a small append the corpus
+    TABLE is read ∝ delta — the tick's inputFiles are a subset of the
+    delta commit's files, disjoint from the base commit; (3) a pure
+    copy-on-write retraction re-scores NOTHING (carried survivors
+    skipped, docs_scored == 0) yet keeper handoff and model shrink
+    still land exactly; (4) a crash between the state appends and the
+    selection commit retries to convergence without double-appending
+    state; (5) state compaction reclaims superseded rows and changes
+    no answer; (6) a caught-up tick is a no-op."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+        curation_state_compact,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.append(docs.where("doc_id < 300"), txn="load-1")
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    ref = SnapshotTable(spark, str(tmp_path / "ref"))
+    state = str(tmp_path / "state")
+
+    def assert_matches_full(tag):
+        ref.replace(curation_funnel(corpus.read()), txn=f"ref-{tag}")
+        a, b = sel.read(), ref.read()
+        assert str(a.schema) == str(b.schema)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    r1 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r1["version"] is not None and r1["docs_scored"] == 300
+    assert_matches_full("t1")
+
+    # (2) small append: reads ∝ delta (inputFiles-pinned), still exact
+    base_files = set(corpus.read().inputFiles())
+    crafted = spark.createDataFrame(
+        [(9001, "en", "!!!"), (9002, "en", "!!!")],
+        "doc_id long, lang string, text string",
+    )
+    corpus.append(
+        docs.where("doc_id >= 300 and doc_id < 330").unionByName(crafted),
+        txn="load-2",
+    )
+    r2 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r2["docs_scored"] == 32
+    delta_files = set(
+        corpus.read_changes_signed(
+            r2["cursor_from"], r2["cursor_to"]
+        ).inputFiles()
+    )
+    assert set(r2["corpus_files"]) <= delta_files
+    assert not (set(r2["corpus_files"]) & base_files)
+    assert_matches_full("t2")
+
+    # (3) retraction: the rewrite re-emits carried survivors on both
+    # sides of the signed feed — the tick must skip them all (score
+    # NOTHING) while the keeper handoff (9001 was the "!!!" keeper)
+    # and the shrunken DSIR model still match the full recompute
+    corpus.delete_where([("doc_id", "=", 9001)])
+    corpus.delete_where([("doc_id", "<", 20)])
+    r3 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r3["docs_scored"] == 0
+    assert_matches_full("t3")
+
+    # (4) crash window: stats+grams commit, selection commit dies;
+    # the retry must no-op the state appends and land the identical
+    # selection
+    stats = SnapshotTable(spark, _os.path.join(state, "stats"))
+    grams = SnapshotTable(spark, _os.path.join(state, "grams"))
+    corpus.append(docs.where("doc_id >= 330 and doc_id < 345"), txn="load-3")
+    real_replace = sel.replace
+
+    def boom(df, txn=None):
+        raise RuntimeError("simulated crash before the selection commit")
+
+    sel.replace = boom
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        curation_refresh_delta_tick(spark, corpus, sel, state)
+    del sel.replace
+    assert sel.replace.__func__ is real_replace.__func__  # restored
+    sn, gn = stats.read().count(), grams.read().count()
+    r4 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r4["version"] is not None and r4["stats_replayed"] is True
+    assert (stats.read().count(), grams.read().count()) == (sn, gn)
+    assert_matches_full("t4")
+
+    # (5) compaction: superseded/tombstoned rows reclaimed, answers
+    # untouched on the next refresh
+    before = (stats.read().count(), grams.read().count())
+    curation_state_compact(stats, grams, txn="compact-1")
+    after = (stats.read().count(), grams.read().count())
+    assert after[0] < before[0] and after[1] <= before[1]
+    corpus.append(docs.where("doc_id >= 345 and doc_id < 360"), txn="load-4")
+    assert curation_refresh_delta_tick(spark, corpus, sel, state)[
+        "docs_scored"
+    ] == 15
+    assert_matches_full("t5")
+
+    # (6) caught up: no-op
+    assert curation_refresh_delta_tick(spark, corpus, sel, state) == {
+        "version": None, "selected": None, "fired": False,
+    }
+
+
 def test_vector_index_tick_ordinal_interleaving(spark, tmp_path):
     """r9 ADVICE (medium): adds and deletes must APPLY in ascending
     ordinal order across both watched directories. The wedge case: a
