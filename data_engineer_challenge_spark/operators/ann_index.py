@@ -1123,6 +1123,140 @@ class IVFVectorIndex:
         finally:
             queries.unpersist()
 
+    @staticmethod
+    def select_adc_width(
+        corpus: DataFrame,
+        codebooks: list[list[list[float]]],
+        recall_target: float,
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 7,
+        max_queries: int = 64,
+    ) -> int:
+        """Recall-targeted ADC shortlist width (VERDICT r9 #3 — the
+        :meth:`select_n_probe` twin for the PQ tier): the registered
+        width (60) is a fixed constant; this makes it a measured
+        decision. The same deterministic held-out query set (smallest
+        ``xxhash64(seed, id)`` — replays pick identical queries) is
+        scored exactly by brute force once; ADC scores over the full
+        corpus are computed ONCE through the Arrow kernels and
+        pinned; then a doubling ladder of shortlist widths (starting
+        at ``k``) replays only the cheap tail — top-width cut, exact
+        rescore of the shortlist rows, top-``k`` — until final
+        recall@k meets ``recall_target``. Returns the first (smallest
+        swept) width that does, or the corpus size if none short of
+        rescoring everything suffices (at which point the rescore IS
+        exact search).
+
+        Orthogonality: this measures the SHORTLIST-width recall of
+        the corpus-scan ADC form (the ``emb_pq_adc_knn`` semantics —
+        ADC desc / id ties, exact-cosine rescore). ``probe_adc``
+        composes it with the probe width, whose own recall knob is
+        :meth:`select_n_probe`; the two sweeps are the two
+        independent levers of IVF-PQ recall. Offline-decision cost:
+        one exact pass + one encode/score pass + at most ⌈log₂ N/k⌉
+        shortlist tails — callers memoize like the quantizer."""
+        from .pq import (
+            adc_score_cross_vectorized,
+            encode_pq_vectorized,
+            np_adc_luts,
+        )
+        from .similarity import brute_force_topk_vectorized
+
+        queries = (
+            corpus.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            .withColumn("__h", F.xxhash64(F.lit(seed), F.col("q_id")))
+            .orderBy("__h")
+            .limit(max_queries)
+            .drop("__h")
+            .persist()
+        )
+        scored = None
+        try:
+            cand = corpus.select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            exact = {
+                (r["q_id"], r["c_id"])
+                for r in brute_force_topk_vectorized(
+                    queries, cand, k=k
+                ).collect()
+            }
+            if not exact:
+                return k
+            luts = {
+                r["q_id"]: np_adc_luts(list(r["embedding"]), codebooks)
+                for r in queries.collect()
+            }
+            codes = encode_pq_vectorized(
+                corpus, codebooks, id_col=id_col, vec=vec_col
+            )
+            scored = adc_score_cross_vectorized(
+                codes, luts, len(codebooks), id_col=id_col
+            ).persist()
+            n_corpus = corpus.count()
+            wsl = Window.partitionBy("q_id").orderBy(
+                F.col("__adc").desc(), F.col("c_id")
+            )
+            wr = Window.partitionBy("q_id").orderBy(
+                F.col("cos_sim").desc(), F.col("c_id")
+            )
+            width = k
+            while True:
+                short = (
+                    scored.withColumn(
+                        "__sr", F.row_number().over(wsl)
+                    )
+                    .where(F.col("__sr") <= min(width, n_corpus))
+                    .select("q_id", "c_id")
+                )
+                rescored = (
+                    F.broadcast(
+                        short.join(
+                            queries.select(
+                                "q_id",
+                                F.col("embedding").alias("__qv"),
+                            ),
+                            "q_id",
+                        )
+                    )
+                    .join(
+                        cand.select(
+                            "c_id", F.col("embedding").alias("__cv")
+                        ),
+                        "c_id",
+                    )
+                    .select(
+                        "q_id",
+                        "c_id",
+                        cosine(
+                            F.col("__qv"), F.col("__cv")
+                        ).alias("cos_sim"),
+                    )
+                )
+                got = {
+                    (r["q_id"], r["c_id"])
+                    for r in rescored.withColumn(
+                        "rank", F.row_number().over(wr)
+                    )
+                    .where(F.col("rank") <= k)
+                    .collect()
+                }
+                if len(got & exact) / len(exact) >= recall_target:
+                    return min(width, n_corpus)
+                if width >= n_corpus:
+                    return n_corpus
+                width *= 2
+        finally:
+            queries.unpersist()
+            if scored is not None:
+                scored.unpersist()
+
     def probe(
         self,
         queries: DataFrame,
@@ -1185,6 +1319,7 @@ class IVFVectorIndex:
         n_probe: int = 2,
         shortlist: int = 60,
         query_id: str = "q_id",
+        vectorized: bool = True,
     ) -> DataFrame:
         """IVF-PQ serving (the FAISS production shape, index-resident):
         the probed lists' candidates rank by ADC over the STORED PQ
@@ -1200,13 +1335,30 @@ class IVFVectorIndex:
         ``emb_pq_adc_knn`` corpus scan for the same shortlist
         (pinned in tests — the index changes WHERE bytes are read).
         Replay-duplicate rows fold per (query, candidate) max exactly
-        like :meth:`probe`."""
+        like :meth:`probe`.
+
+        ``vectorized`` (default, VERDICT r9 #2) scores the shortlist
+        stage through the Arrow ADC kernel
+        (:func:`~.pq.adc_score_pairs_vectorized`): per-query LUTs are
+        built driver-side (the query frame is the caller-bounded
+        small side this method already collects touched cells from)
+        and each candidate batch is ``m`` numpy gathers — removing
+        the ``m × ksub`` literal-expression tree whose one-time
+        codegen compile dominated serving latency (measured: ~flat in
+        data, seconds per JVM). ``vectorized=False`` keeps the pure
+        expression form; the two are bit-identical (test-pinned), so
+        answers never depend on the switch."""
         if "pq_md5" not in self.meta:
             raise ValueError(
                 "probe_adc needs a PQ-coded store — build the index "
                 "with pq_codebooks=..."
             )
-        from .pq import adc_luts, adc_score
+        from .pq import (
+            adc_luts,
+            adc_score,
+            adc_score_pairs_vectorized,
+            np_adc_luts,
+        )
 
         m = len(self.pq_codebooks)
         q = queries.select(
@@ -1221,10 +1373,33 @@ class IVFVectorIndex:
         wq = Window.partitionBy(query_id).orderBy(
             F.col("__csim").desc(), F.col("cid")
         )
-        probes = (
-            qc.withColumn("__pr", F.row_number().over(wq))
-            .filter(F.col("__pr") <= n_probe)
-            .select(
+        plan = qc.withColumn("__pr", F.row_number().over(wq)).filter(
+            F.col("__pr") <= n_probe
+        )
+        code_cols = [f"code{s}" for s in range(m)]
+        if vectorized:
+            # ONE driver collect (queries × n_probe rows, caller-
+            # bounded) hands back everything the serving pass needs:
+            # the touched cells, each query's numpy LUT, and the
+            # (query, cell) probe pairs — the expression path below
+            # pays a separate job for the touched-cell collect AND
+            # re-evaluates the centroid ranking inside the join
+            rows = plan.select(query_id, "__qv", "cid").collect()
+            luts = {}
+            qcids = []
+            for r in rows:
+                qid = r[query_id]
+                if qid not in luts:
+                    luts[qid] = np_adc_luts(
+                        list(r["__qv"]), self.pq_codebooks
+                    )
+                qcids.append((qid, r["cid"]))
+            touched = sorted({c for _, c in qcids})
+            probes = self.spark.createDataFrame(
+                qcids, f"{query_id} long, cid int"
+            )
+        else:
+            probes = plan.select(
                 query_id,
                 "__qv",
                 "cid",
@@ -1235,28 +1410,45 @@ class IVFVectorIndex:
                     )
                 ],
             )
-        )
-        touched = [
-            r["cid"] for r in probes.select("cid").distinct().collect()
-        ]
+            touched = [
+                r["cid"]
+                for r in probes.select("cid").distinct().collect()
+            ]
         posts = self._read_postings().where(F.col("cid").isin(touched))
         ord_cols = ["__ord"] if "__ord" in posts.columns else []
-        code_cols = [f"code{s}" for s in range(m)]
         # codes-only scan: the vector column is never projected here
         codes = self._live(
             posts.select(self.id_col, "cid", *ord_cols, *code_cols)
         )
-        scored = (
-            F.broadcast(probes.drop("__qv"))
-            .join(codes, "cid")
-            .select(
-                query_id,
-                F.col(self.id_col).alias("c_id"),
-                adc_score(m).alias("__adc"),
+        if vectorized:
+            pairs = (
+                F.broadcast(probes)
+                .join(codes, "cid")
+                .select(
+                    query_id,
+                    F.col(self.id_col).alias("c_id"),
+                    *code_cols,
+                )
             )
-            .groupBy(query_id, "c_id")
-            .agg(F.max("__adc").alias("__adc"))
-        )
+            scored = (
+                adc_score_pairs_vectorized(
+                    pairs, luts, m, q_col=query_id, id_col="c_id"
+                )
+                .groupBy(query_id, "c_id")
+                .agg(F.max("__adc").alias("__adc"))
+            )
+        else:
+            scored = (
+                F.broadcast(probes.drop("__qv"))
+                .join(codes, "cid")
+                .select(
+                    query_id,
+                    F.col(self.id_col).alias("c_id"),
+                    adc_score(m).alias("__adc"),
+                )
+                .groupBy(query_id, "c_id")
+                .agg(F.max("__adc").alias("__adc"))
+            )
         wsl = Window.partitionBy(query_id).orderBy(
             F.col("__adc").desc(), F.col("c_id")
         )

@@ -761,6 +761,45 @@ def _pq_oracle(codebooks: list[list[list[float]]]) -> str:
 
 from .pq_codebooks import CODEBOOKS as _PQ_CODEBOOKS  # noqa: E402
 
+#: past this corpus size the registered PQ/ADC query encodes and
+#: scores through the Arrow kernels instead of the literal-codeword
+#: expressions (VERDICT r9 #2) — the two are bit-identical
+#: (test-pinned), so the oracle stays green either way; below it the
+#: pure expression form remains the EXECUTED oracle shape (the
+#: build_scaled / emb_semantic_dedup auto-switch discipline). The
+#: threshold is low — unlike the quantizer retrain (whose crossover
+#: is a data-size tradeoff at ~50k), the kernel's advantage is the
+#: removal of a fixed ~7 s expression-compile wall (EXPLAIN.md r9:
+#: +2% wall for 10× rows), so it wins at essentially any corpus
+#: size; 1000 just keeps the driver-compare corpus (sf0.01, 500
+#: vectors) running the literal oracle plan
+_PQ_VECTORIZE_MIN_N = 1_000
+
+#: memoized corpus row counts, keyed like _SCALED_QUANTIZERS — the
+#: auto-switch must not charge every query run a fresh count action
+_CORPUS_COUNTS: dict = {}
+
+
+def _corpus_count(sf_dir: str, emb: DataFrame) -> int:
+    emb_path = os.path.join(
+        os.path.realpath(sf_dir), "embeddings.parquet"
+    )
+    st = os.stat(emb_path)
+    if os.path.isdir(emb_path):
+        parts = [n for n in os.listdir(emb_path) if not n.endswith(".crc")]
+        max_part_mtime = max(
+            (os.stat(os.path.join(emb_path, n)).st_mtime_ns for n in parts),
+            default=0,
+        )
+        key = (emb_path, st.st_mtime_ns, len(parts), max_part_mtime)
+    else:
+        key = (emb_path, st.st_mtime_ns, 1, st.st_size)
+    if key not in _CORPUS_COUNTS:
+        while len(_CORPUS_COUNTS) >= _SCALED_QUANTIZER_CAP:
+            _CORPUS_COUNTS.pop(next(iter(_CORPUS_COUNTS)))
+        _CORPUS_COUNTS[key] = emb.count()
+    return _CORPUS_COUNTS[key]
+
 
 @register(
     "emb_pq_adc_knn",
@@ -788,25 +827,54 @@ def emb_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic float64 expression math over literals, so encoding,
     ADC ranking and the rescore all replay exactly in DuckDB (recall
     vs exact brute force additionally asserted in tests; codebook
-    provenance retrained-bit-equal in test_plans)."""
-    from ..operators.pq import M_SUBSPACES, adc_luts, adc_score, encode_pq
+    provenance retrained-bit-equal in test_plans).
+
+    Scale-aware execution (VERDICT r9 #2): below
+    ``_PQ_VECTORIZE_MIN_N`` vectors the plan is the pure expression
+    form above — the exact oracle shape. Past it, encoding and ADC
+    ranking run through the Arrow kernels
+    (``encode_pq_vectorized`` / ``adc_score_cross_vectorized``),
+    which produce bit-identical codes and scores (pinned in tests)
+    without the ``m × ksub`` literal-expression tree whose one-time
+    codegen compile dominated the row's wall (EXPLAIN.md's r9
+    cost-shape note: +2% wall for 10× data — all compile). The
+    rescore stage is shared."""
+    from ..operators.pq import (
+        M_SUBSPACES,
+        adc_luts,
+        adc_score,
+        adc_score_cross_vectorized,
+        encode_pq,
+        encode_pq_vectorized,
+        np_adc_luts,
+    )
 
     cbs = _PQ_CODEBOOKS
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = encode_pq(emb, cbs)
     q = emb.filter(F.col("vec_id") % 100 == 0)
-    q_luts = q.select(
-        F.col("vec_id").alias("q_id"),
-        *[
-            lut.alias(f"lut{s}")
-            for s, lut in enumerate(adc_luts(F.col("embedding"), cbs))
-        ],
-    )
-    scored = codes.crossJoin(F.broadcast(q_luts)).select(
-        "q_id",
-        F.col("vec_id").alias("c_id"),
-        adc_score(M_SUBSPACES).alias("__adc"),
-    )
+    if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
+        codes = encode_pq_vectorized(emb, cbs)
+        luts = {
+            r["vec_id"]: np_adc_luts(list(r["embedding"]), cbs)
+            for r in q.select("vec_id", "embedding").collect()
+        }
+        scored = adc_score_cross_vectorized(
+            codes, luts, M_SUBSPACES, id_col="vec_id"
+        )
+    else:
+        codes = encode_pq(emb, cbs)
+        q_luts = q.select(
+            F.col("vec_id").alias("q_id"),
+            *[
+                lut.alias(f"lut{s}")
+                for s, lut in enumerate(adc_luts(F.col("embedding"), cbs))
+            ],
+        )
+        scored = codes.crossJoin(F.broadcast(q_luts)).select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            adc_score(M_SUBSPACES).alias("__adc"),
+        )
     ws = Window.partitionBy("q_id").orderBy(
         F.col("__adc").desc(), F.col("c_id")
     )

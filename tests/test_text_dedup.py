@@ -1939,6 +1939,174 @@ def test_pq_adc_recall_and_self_consistency(spark):
     assert got_codes == want
 
 
+def test_pq_vectorized_bit_equality(spark):
+    """VERDICT r9 #2: the Arrow ADC tier must be BIT-IDENTICAL to the
+    literal-expression forms it replaces, so the auto-switch can never
+    change an answer. Pins: (a) encode_pq_vectorized == encode_pq on
+    the full corpus; (b) adc_score_cross_vectorized == the
+    codes × broadcast(luts) expression scan, every double equal; (c)
+    the registered emb_pq_adc_knn returns identical rows with the
+    kernel forced ON below the threshold and forced OFF above it."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.pq import (
+        M_SUBSPACES,
+        adc_luts,
+        adc_score,
+        adc_score_cross_vectorized,
+        encode_pq,
+        encode_pq_vectorized,
+        np_adc_luts,
+    )
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+
+    a = sorted(map(tuple, encode_pq(emb, CODEBOOKS).collect()))
+    b = sorted(map(tuple, encode_pq_vectorized(emb, CODEBOOKS).collect()))
+    assert a == b and len(a) > 0
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    codes = encode_pq(emb, CODEBOOKS)
+    q_luts = q.select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            lut.alias(f"lut{s}")
+            for s, lut in enumerate(
+                adc_luts(F.col("embedding"), CODEBOOKS)
+            )
+        ],
+    )
+    expr = codes.crossJoin(F.broadcast(q_luts)).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        adc_score(M_SUBSPACES).alias("__adc"),
+    )
+    luts = {
+        r["vec_id"]: np_adc_luts(list(r["embedding"]), CODEBOOKS)
+        for r in q.select("vec_id", "embedding").collect()
+    }
+    kern = adc_score_cross_vectorized(
+        codes, luts, M_SUBSPACES, id_col="vec_id"
+    )
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, kern.collect())
+    )
+
+    # (c) the registered row is switch-independent: force each path
+    # at sf0.01 (normally below the threshold => expression)
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1  # force the kernel
+        k_rows = sorted(
+            map(tuple, S.emb_pq_adc_knn(spark, sf).collect())
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9  # force the expression
+        e_rows = sorted(
+            map(tuple, S.emb_pq_adc_knn(spark, sf).collect())
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0
+
+
+def test_select_adc_width_recall_target(spark):
+    """VERDICT r9 #3: the shortlist width becomes a measured recall
+    decision (select_n_probe's PQ twin) — pinned at sf0.1 against the
+    frozen codebooks: the selected width, measured INDEPENDENTLY
+    through the registered two-stage semantics, actually meets its
+    target, and a stricter target can only widen the shortlist."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.pq import (
+        M_SUBSPACES,
+        adc_score_cross_vectorized,
+        encode_pq_vectorized,
+        np_adc_luts,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        cosine,
+    )
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql.window import Window as _W
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    w75 = IVFVectorIndex.select_adc_width(emb, CODEBOOKS, 0.75)
+    w90 = IVFVectorIndex.select_adc_width(emb, CODEBOOKS, 0.90)
+    n = emb.count()
+    assert 10 <= w75 <= w90 <= n
+
+    # independent recall measurement at w75 on the SAME deterministic
+    # held-out queries the sweep used
+    queries = (
+        emb.select(F.col("vec_id").alias("q_id"), "embedding")
+        .withColumn("__h", F.xxhash64(F.lit(7), F.col("q_id")))
+        .orderBy("__h")
+        .limit(64)
+        .drop("__h")
+        .localCheckpoint()
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk_vectorized(queries, cand, k=10).collect()
+    }
+    luts = {
+        r["q_id"]: np_adc_luts(list(r["embedding"]), CODEBOOKS)
+        for r in queries.collect()
+    }
+    scored = adc_score_cross_vectorized(
+        encode_pq_vectorized(emb, CODEBOOKS), luts, M_SUBSPACES,
+        id_col="vec_id",
+    )
+    short = (
+        scored.withColumn(
+            "__sr",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(
+                    F.col("__adc").desc(), F.col("c_id")
+                )
+            ),
+        )
+        .where(F.col("__sr") <= w75)
+        .select("q_id", "c_id")
+    )
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in short.join(
+            queries.select("q_id", F.col("embedding").alias("__qv")),
+            "q_id",
+        )
+        .join(cand.select("c_id", F.col("embedding").alias("__cv")), "c_id")
+        .select(
+            "q_id", "c_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("c_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.75
+
+
 def test_ivf_tombstone_delete(spark, tmp_path):
     """r9: explicit removals via roster tombstones (closes the
     documented add/update-only limitation). Pins: a deleted id
@@ -2215,6 +2383,21 @@ def test_ivf_pq_probe_adc(spark, tmp_path):
     )
     got = [tuple(r) for r in res.orderBy("q_id", "rank").collect()]
     assert got == want
+    # the Arrow kernel (default) and the literal-expression form are
+    # bit-identical through the index too (r9 #2)
+    got_expr = [
+        tuple(r)
+        for r in idx.probe_adc(
+            queries,
+            k=10,
+            n_probe=len(CENTROIDS),
+            shortlist=60,
+            vectorized=False,
+        )
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    assert got_expr == want
 
     # (b) plan pin on a PARTIAL probe: codes scan has no vector column
     partial = idx.probe_adc(queries, k=10, n_probe=4, shortlist=60)
