@@ -1631,9 +1631,11 @@ _DSIR_TOPK = 200
 
 @register(
     "docs_dsir_selection",
-    # r7: on the driver surface (hard hash signal for the selection
-    # tier), taking the slot of events_sliding_daily_avg whose window
-    # class events_training_examples already covers
+    # r10 rotation: OFF the driver surface — its entire oracle
+    # (feats/raw/tgt/tot/ratio + the per-doc decimal aggregate) rides
+    # verbatim inside docs_token_budget_selection's, which took the
+    # slot (VERDICT r9 #5); still pytest-oracled via the registry
+    driver=False,
     oracle=f"""
     WITH feats AS (
         SELECT doc_id, lang,
@@ -1712,9 +1714,11 @@ _TOKEN_BUDGET = 5_000  # training-mix budget (tokens), the selection cap
 
 @register(
     "docs_token_budget_selection",
-    # pytest-oracled (driver surface capped at 50): the budget-fill
-    # step between importance scoring and training-mix assembly
-    driver=False,
+    # r10: ON the driver surface (VERDICT r9 #5) — the newest
+    # selection-tier capability, whose TakeOrdered-fed global
+    # running-sum window is exactly the plan shape worth the hard
+    # hash signal; it took docs_dsir_selection's slot, whose oracle
+    # the `sel` CTE below carries verbatim
     oracle=f"""
     WITH feats AS (
         SELECT doc_id, lang,
