@@ -2703,6 +2703,145 @@ def test_minhash_index_maybe_rebucket(spark, tmp_path):
     re_idx.release()
 
 
+def test_minhash_rebucket_cross_process_reader(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #6 — the cross-process READER side of the relayout
+    swap: a reader process that OPENS the store at any point of the
+    all-park-then-all-swap window must see entirely-old or
+    entirely-new, never a mix across MinHash's two dirs. The window
+    states are captured deterministically (a snapshot before/after
+    the real commit_relayout, plus the two mid-window states built by
+    replaying its documented file steps — the
+    test_resolve_relayout_crash_windows construction), and a genuine
+    SEPARATE process (own JVM, own SparkSession) opens and probes
+    each: pre-park → old layout, old answers; partial park (bands
+    swapped, shingles not) → resolve rolls BACK, both dirs old, old
+    answers; all-swapped pre-commit → resolve rolls FORWARD, both
+    dirs new, identical answers; post-commit → new. A mixed store
+    would silently MISS candidates — equality of every probe result
+    is the no-mix proof."""
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import subprocess as _sp
+    import sys as _sys
+
+    from data_engineer_challenge_spark.operators import compaction
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+
+    path = str(tmp_path / "midx")
+    idx = MinHashIndex(spark, path, bh_buckets=2)
+    corpus = spark.createDataFrame(
+        [(i, BASE + f" filler{i}") for i in range(1, 21)] + [(100, FAR)],
+        "doc_id long, text string",
+    )
+    idx.build(corpus)
+    batch = spark.createDataFrame(
+        [(200, BASE + " filler1"), (201, FAR), (202, NEAR)],
+        "doc_id long, text string",
+    )
+    batch_pq = str(tmp_path / "batch.parquet")
+    batch.write.parquet(batch_pq)
+    before = sorted(map(tuple, idx.probe(batch).collect()))
+    idx.release()
+    assert before
+
+    # capture the window's endpoints around the REAL commit_relayout
+    snaps = {n: str(tmp_path / n) for n in ("pre", "partial", "staged", "post")}
+    real_commit = compaction.commit_relayout
+    captured = {}
+
+    def capturing(p, dirnames, new_meta):
+        _shutil.copytree(p, snaps["pre"])
+        captured["meta"] = new_meta
+        captured["dirs"] = list(dirnames)
+        real_commit(p, dirnames, new_meta)
+        _shutil.copytree(p, snaps["post"])
+
+    monkeypatch.setattr(compaction, "commit_relayout", capturing)
+    assert idx.maybe_rebucket(target_bucket_rows=5, growth_factor=1.0)
+    k_new = idx.meta["bh_buckets"]
+    assert k_new > 2 and captured["dirs"] == ["bands", "shingles"]
+
+    # derive the two mid-window states from the pre snapshot by
+    # replaying commit_relayout's documented steps
+    payload = _json.dumps(captured["meta"], sort_keys=True).encode()
+    digest = _hashlib.md5(payload).hexdigest()
+
+    def stage(dst, park_swap):
+        _shutil.copytree(snaps["pre"], dst)
+        for d in captured["dirs"]:
+            with open(
+                _os.path.join(dst, ".compact-" + d, ".layout_md5"), "w"
+            ) as f:
+                f.write(digest)
+        with open(
+            _os.path.join(dst, "meta", "meta.json.new"), "wb"
+        ) as f:
+            f.write(payload)
+        for d in park_swap:
+            _os.rename(
+                _os.path.join(dst, d), _os.path.join(dst, ".old-" + d)
+            )
+            _os.rename(
+                _os.path.join(dst, ".compact-" + d),
+                _os.path.join(dst, d),
+            )
+
+    stage(snaps["partial"], park_swap=["bands"])  # bands in, shingles not
+    stage(snaps["staged"], park_swap=["bands", "shingles"])  # pre-commit
+
+    # the cross-process reader: ONE fresh interpreter + SparkSession
+    # opens every window state and probes the same batch
+    reader = f"""
+import json, sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from data_engineer_challenge_spark.operators.dedup_index import MinHashIndex
+batch = spark.read.parquet({batch_pq!r})
+out = {{}}
+for name, p in json.loads(sys.argv[1]).items():
+    ix = MinHashIndex.open(spark, p)
+    rows = sorted(map(tuple, ix.probe(batch).collect()))
+    ix.release()
+    out[name] = {{"rows": rows, "bh_buckets": ix.meta["bh_buckets"]}}
+print("RESULT " + json.dumps(out))
+"""
+    proc = _sp.run(
+        [_sys.executable, "-c", reader, _json.dumps(snaps)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    got = _json.loads(line[0][len("RESULT "):])
+
+    for name in snaps:
+        assert [tuple(r) for r in got[name]["rows"]] == before, name
+    # layout verdicts: rolled-back states serve the OLD bucket count,
+    # rolled-forward / committed states the new one
+    assert got["pre"]["bh_buckets"] == 2
+    assert got["partial"]["bh_buckets"] == 2  # rollback, no mix
+    assert got["staged"]["bh_buckets"] == k_new  # roll-forward
+    assert got["post"]["bh_buckets"] == k_new
+    # the partial state's reader healed BOTH dirs back to old layout —
+    # no cross-dir mix survives its open
+    for d, pcol in (("bands", "bh_bucket="), ("shingles", "id_bucket=")):
+        parts = [
+            n
+            for n in _os.listdir(_os.path.join(snaps["partial"], d))
+            if n.startswith(pcol)
+        ]
+        assert all(int(p.split("=")[1]) < 2 for p in parts), (d, parts)
+
+
 def test_semantic_dedup_scaled_auto_switch(spark, monkeypatch):
     """The registered ``emb_semantic_dedup`` is scale-aware (VERDICT
     r8 #1, mirroring test_ivf_build_scaled_auto_switch): below
