@@ -419,11 +419,202 @@ QUERIES30 = [
     # r9 (VERDICT r8 #7): the composed three-stage flagship — the
     # "what this engine is for" pipeline gets its volume datapoints
     "docs_curation_funnel",
-    # r9: the PQ/ADC tier — expression-compile-dominated at small
-    # scales (EXPLAIN.md receipt: +2% wall for 10x), so its volume
-    # ratio should be the flattest row in the table
+    # r9: the PQ/ADC tier. r10: past 1000 vectors the registered row
+    # runs the Arrow kernels (bit-identical, pinned), so both scales
+    # here measure the kernel path — the ratio is now genuine data
+    # volume, not the r9 expression-compile wall (which was +2% for
+    # 10x by EXPLAIN.md's receipt and is gone from this config)
     "emb_pq_adc_knn",
 ]
+
+
+def ivfpq_serving30(spark, cents, n_probe) -> dict:
+    """IVF-PQ index-resident serving at 30x (VERDICT r9 #4): the
+    config you'd actually run at 100x — build the PQ-coded store ONCE
+    under the tier's memoized k ∝ N quantizer, then measure
+    probe_adc (Arrow ADC kernel, codes-only pruned scan, exact
+    rescore) on the standard query set, with recall@10 vs exact
+    brute force and the pruned-list fraction beside the wall. The
+    shortlist width is the r10 measured decision
+    (select_adc_width at the 0.75 floor the sf0.1 pin enforces)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+
+    emb = spark.read.parquet(f"{OUT30}/embeddings.parquet")
+    width = IVFVectorIndex.select_adc_width(emb, CODEBOOKS, 0.75)
+    root = "/tmp/scale30_ivfpq"
+    _shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    idx = IVFVectorIndex(spark, root, cents, pq_codebooks=CODEBOOKS)
+    idx.build(emb)
+    build_s = round(time.perf_counter() - t0, 3)
+    queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk_vectorized(
+            queries,
+            emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+            k=10,
+        ).collect()
+    }
+    walls = []
+    got = set()
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in idx.probe_adc(
+                queries, k=10, n_probe=n_probe, shortlist=width
+            ).collect()
+        }
+        walls.append(time.perf_counter() - t0)
+    return {
+        "build_s": build_s,
+        "probe_s": round(min(walls), 3),
+        "recall": len(got & exact) / len(exact),
+        "n_probe": n_probe,
+        "k": len(cents),
+        "shortlist": width,
+        "n": emb.count(),
+    }
+
+
+def rebucket_cost(spark) -> list[tuple[str, int, int, float]]:
+    """maybe_rebucket rewrite cost at two store sizes (VERDICT r9
+    #7): the 2x-growth trigger amortizes the O(N) rewrite to O(1) per
+    appended row ONLY if the rewrite itself stays ~linear in store
+    size — measure it. Each store builds under the frozen k=16
+    quantizer (the grown-small-store scenario), then a forced
+    maybe_rebucket at the production 256-rows/list target retrains
+    k = ceil(N/256) and rewrites everything; the wall divides by rows
+    for the per-row figure the amortization claim needs."""
+    import shutil as _shutil
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+
+    if not os.path.isdir(f"{OUT}/embeddings.parquet"):
+        build_corpus(spark)  # tier30-only invocation: 10x not built yet
+    rows = []
+    for tier, sf_dir in (("10x", OUT), ("30x", OUT30)):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        root = f"/tmp/scale_rebucket_{tier}"
+        _shutil.rmtree(root, ignore_errors=True)
+        idx = IVFVectorIndex(spark, root, [list(c) for c in CENTROIDS])
+        idx.build(emb)
+        n = emb.count()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fired = idx.maybe_rebucket(
+            min_n=1000, target_list_size=256, growth_factor=1.0
+        )
+        wall = time.perf_counter() - t0
+        assert fired, (tier, n)
+        rows.append((tier, int(n), int(idx.meta["k"]), round(wall, 3)))
+    return rows
+
+
+def refresh_delta30(spark) -> dict:
+    """Funnel + refresh composition at 30x with the delta path
+    (VERDICT r9 #8, following #1): seed a corpus SnapshotTable with
+    the 30x documents, run the initial delta-tick (scores everything
+    once), append a 1% delta, and measure the incremental refresh
+    against a full funnel recompute over the same final corpus —
+    asserting the committed mix is IDENTICAL (the tick test's
+    bit-identity contract, held at this tier too) and reporting
+    per-stage survivor counts plus how much of the corpus table the
+    delta tick actually read."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+    )
+
+    root = "/tmp/scale30_refresh"
+    _shutil.rmtree(root, ignore_errors=True)
+    docs30 = spark.read.parquet(f"{OUT30}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    corpus = SnapshotTable(spark, f"{root}/corpus")
+    corpus.append(docs30, txn="load-1")
+    sel = SnapshotTable(spark, f"{root}/sel")
+
+    t0 = time.perf_counter()
+    r1 = curation_refresh_delta_tick(spark, corpus, sel, f"{root}/state")
+    initial_s = round(time.perf_counter() - t0, 3)
+
+    # 1% delta: fresh ids, fresh text (rotation no existing copy uses)
+    base_docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    delta = base_docs.where("doc_id % 100 < 3").select(
+        (F.col("doc_id") + 7_700_000_000).alias("doc_id"),
+        "lang",
+        F.translate("text", ALPHA, ALPHA[7:] + ALPHA[:7]).alias("text"),
+    )
+    corpus.append(delta, txn="load-2")
+
+    t0 = time.perf_counter()
+    r2 = curation_refresh_delta_tick(spark, corpus, sel, f"{root}/state")
+    delta_s = round(time.perf_counter() - t0, 3)
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    full = curation_funnel(corpus.read())
+    full_rows = sorted(map(tuple, full.collect()))
+    full_s = round(time.perf_counter() - t0, 3)
+    got = sorted(map(tuple, sel.read().collect()))
+    assert got == full_rows, "delta refresh diverged from full funnel"
+
+    # stage survivors of the refreshed (post-append) corpus, from the
+    # tick's own state logs: corpus rows, gate-kept live docs, unique
+    # fingerprints among them, selected
+    stats = spark.read.parquet(f"{root}/state/stats")
+    from pyspark.sql.window import Window as _W
+
+    live = (
+        stats.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy(F.col("__v").desc())
+            ),
+        )
+        .where("__rn = 1")
+        .where(~F.col("__dead"))
+    )
+    n_corpus = corpus.read().count()
+    n_kept = live.where("is_kept").count()
+    n_uniq = (
+        live.where("is_kept").select("fingerprint").distinct().count()
+    )
+    return {
+        "initial_s": initial_s,
+        "delta_s": delta_s,
+        "full_s": full_s,
+        "scored_initial": r1["docs_scored"],
+        "scored_delta": r2["docs_scored"],
+        "delta_files": len(r2["corpus_files"]),
+        "corpus_files": len(corpus.read().inputFiles()),
+        "stages": (n_corpus, n_kept, n_uniq, len(got)),
+    }
 
 
 def funnel_stages(spark, sf_dir: str) -> tuple[int, int, int, int]:
@@ -572,7 +763,7 @@ def ivf_recall30(spark) -> list[tuple[str, float, float]]:
     return rows
 
 
-def tier30(spark) -> tuple[list, tuple, list, list, tuple, tuple]:
+def tier30(spark) -> tuple:
     """Run the 30x tier; returns (query rows, funnel, recall rows,
     semantic rows, funnel stage counts, n_probe selection info)."""
     from pyspark.sql import functions as F
@@ -632,7 +823,13 @@ def tier30(spark) -> tuple[list, tuple, list, list, tuple, tuple]:
     )]
     np_sel = IVFVectorIndex.select_n_probe(emb, cents_def, 0.90)
     nprobe_info = (len(cents_def), np_def, np_sel)
-    return rows, (c30, s30), recall, sem, stages30, nprobe_info
+    ivfpq = ivfpq_serving30(spark, cents_def, np_sel)
+    rebucket = rebucket_cost(spark)
+    refresh = refresh_delta30(spark)
+    return (
+        rows, (c30, s30), recall, sem, stages30, nprobe_info,
+        ivfpq, rebucket, refresh,
+    )
 
 
 def main() -> None:
@@ -672,9 +869,8 @@ def main() -> None:
     kv1_t, kv1 = kmv_accuracy(spark, BASE)
     kv10_t, kv10 = kmv_accuracy(spark, OUT)
     sd_rows = semantic_dedup_scale(spark)
-    t30_rows, (c30, s30), recall30, sem30, stages30, nprobe_info = tier30(
-        spark
-    )
+    (t30_rows, (c30, s30), recall30, sem30, stages30, nprobe_info,
+     ivfpq30, rebucket30, refresh30) = tier30(spark)
     t100_rows, (c100, s100), stages100 = tier100(spark)
 
     with open(os.path.join(REPO_ROOT, "SCALE.md"), "w") as f:
@@ -783,7 +979,8 @@ def main() -> None:
         for label, dt, pairs, dropped in sd_rows:
             f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
         _write_tier30(
-            f, t30_rows, c30, s30, recall30, sem30, stages30, nprobe_info
+            f, t30_rows, c30, s30, recall30, sem30, stages30,
+            nprobe_info, ivfpq30, rebucket30, refresh30,
         )
         _write_tier100(f, t100_rows, c100, s100, stages100)
     print("wrote SCALE.md")
@@ -793,7 +990,8 @@ TIER30_HEADER = "## 30x tier — volume starts binding (VERDICT r6 #6)"
 
 
 def _write_tier30(
-    f, t30_rows, c30, s30, recall30, sem30, stages30, nprobe_info
+    f, t30_rows, c30, s30, recall30, sem30, stages30,
+    nprobe_info, ivfpq30, rebucket30, refresh30,
 ) -> None:
     k_def, np_def, np_sel = nprobe_info
     f.write(
@@ -887,6 +1085,74 @@ def _write_tier30(
     )
     for label, dt, pairs, dropped in sem30:
         f.write(f"| {label} | {dt} | {pairs} | {dropped} |\n")
+    f.write(
+        "\n**IVF-PQ index-resident serving at 30x** (r10, VERDICT r9 "
+        "#4 — `probe_adc`, the config you'd run at 100x: Arrow ADC "
+        "kernel over the stored 8-byte codes, codes-only pruned "
+        "scan, exact rescore of the measured shortlist). n_probe is "
+        "the recall-target selection above; the shortlist width is "
+        "`select_adc_width`'s 0.75-floor pick on this adversarial "
+        "corpus (r10, VERDICT r9 #3 — the sf0.1 pin enforces the "
+        "same floor). Recall is end-to-end @10 vs exact brute "
+        "force — it composes BOTH approximations (pruned lists x "
+        "coded shortlist), which is why it sits at/under the sweep "
+        "rows above; real clustered corpora sit far higher at the "
+        "same widths:\n\n"
+        "| metric | value |\n|---|---|\n"
+        f"| corpus | {ivfpq30['n']} vectors |\n"
+        f"| index build (once) | {ivfpq30['build_s']} s |\n"
+        f"| probe_adc wall (min of 2) | {ivfpq30['probe_s']} s |\n"
+        f"| n_probe | {ivfpq30['n_probe']} of {ivfpq30['k']} lists "
+        f"({ivfpq30['n_probe'] / ivfpq30['k']:.0%}) |\n"
+        f"| ADC shortlist (select_adc_width, 0.75 floor) | "
+        f"{ivfpq30['shortlist']} |\n"
+        f"| recall@10 vs exact | {ivfpq30['recall']:.3f} |\n"
+        "\n**Rebucket rewrite cost vs store size** (r10, VERDICT r9 "
+        "#7): `maybe_rebucket` rewrites the whole store (it is also "
+        "a full compaction); the 2x growth trigger amortizes that "
+        "O(N) rewrite to O(1) per appended row ONLY if the rewrite "
+        "stays ~linear in store size. Measured on forced rebuckets "
+        "of frozen-k=16 IVF stores at the production 256-rows/list "
+        "target (retrain + full reassign + swap):\n\n"
+        "| store | rows | k_new | rewrite wall | ms / 1k rows |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for tier, n, k_new, wall in rebucket30:
+        f.write(
+            f"| {tier} | {n} | {k_new} | {wall} s | "
+            f"{1000 * wall / (n / 1000):.0f} |\n"
+        )
+    r = refresh30
+    n_c, n_k, n_u, n_s = r["stages"]
+    f.write(
+        "\n**Delta-aware curation refresh at 30x** (r10, VERDICT r9 "
+        "#1/#8): the corpus seeds a SnapshotTable, the initial "
+        "delta-tick scores everything once, then a ~1% append "
+        "refreshes incrementally. The committed mix is asserted "
+        "IDENTICAL to the full funnel recompute (the bit-identity "
+        "contract, held at this tier), and the corpus TABLE is read "
+        "∝ delta — the residual delta-tick cost is the narrow "
+        "metadata + integer-histogram re-rank the docstring's "
+        "exactness floor requires (DSIR's totals couple every "
+        "weight), which is corpus-proportional but carries none of "
+        "the text-scoring term:\n\n"
+        "| metric | value |\n|---|---|\n"
+        f"| initial delta-tick (scores all) | {r['initial_s']} s "
+        f"({r['scored_initial']} docs scored) |\n"
+        f"| 1%-append delta tick | {r['delta_s']} s "
+        f"({r['scored_delta']} docs scored) |\n"
+        f"| full funnel recompute (comparator) | {r['full_s']} s |\n"
+        f"| corpus files read by the delta tick | {r['delta_files']} "
+        f"of {r['corpus_files']} |\n"
+        "\nPer-stage survivors of the refreshed corpus (from the "
+        "tick's own state logs — the r9 funnel-composition "
+        "invariants hold under the delta fold):\n\n"
+        "| stage | rows |\n|---|---|\n"
+        f"| corpus | {n_c} |\n"
+        f"| quality gate kept (live) | {n_k} |\n"
+        f"| post exact-dedup | {n_u} |\n"
+        f"| DSIR selected | {n_s} |\n"
+    )
 
 
 TIER100_HEADER = (
@@ -978,9 +1244,8 @@ def main_tier30_only() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
-    t30_rows, (c30, s30), recall30, sem30, stages30, nprobe_info = tier30(
-        spark
-    )
+    (t30_rows, (c30, s30), recall30, sem30, stages30, nprobe_info,
+     ivfpq30, rebucket30, refresh30) = tier30(spark)
     path = os.path.join(REPO_ROOT, "SCALE.md")
     with open(path) as f:
         whole = f.read()
@@ -993,7 +1258,8 @@ def main_tier30_only() -> None:
         )[1]
     buf = io.StringIO()
     _write_tier30(
-        buf, t30_rows, c30, s30, recall30, sem30, stages30, nprobe_info
+        buf, t30_rows, c30, s30, recall30, sem30, stages30,
+        nprobe_info, ivfpq30, rebucket30, refresh30,
     )
     with open(path, "w") as f:
         f.write(head.rstrip("\n") + "\n" + buf.getvalue() + tail)
