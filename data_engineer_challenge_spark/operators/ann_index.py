@@ -293,18 +293,19 @@ class IVFVectorIndex:
             )
         if self.pq_codebooks is not None:
             # PQ codes ride the same map-only projection (no extra
-            # pass): m per-subspace L2 argmins over literal codewords
-            from .pq import pq_argmin, subvector
+            # pass). r10: through the Arrow encode kernel (vec + cid
+            # passed through, one Python stage) — bit-identical to
+            # the literal-argmin expressions (test-pinned), without
+            # their one-time codegen compile that dominated
+            # ivfpq_index_build at interactive scales
+            from .pq import encode_pq_vectorized
 
-            sub_dim = len(self.pq_codebooks[0][0])
-            out = out.select(
-                "*",
-                *[
-                    pq_argmin(
-                        subvector(F.col(self.vec_col), s, sub_dim), cb
-                    ).alias(f"code{s}")
-                    for s, cb in enumerate(self.pq_codebooks)
-                ],
+            out = encode_pq_vectorized(
+                out,
+                self.pq_codebooks,
+                id_col=self.id_col,
+                vec=self.vec_col,
+                passthrough=(self.vec_col, "cid"),
             )
         return out
 

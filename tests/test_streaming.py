@@ -1829,6 +1829,89 @@ def test_curation_refresh_delta_tick(spark, tmp_path):
     }
 
 
+def test_crawl_to_mix_fully_incremental(spark, tmp_path):
+    """r10 capstone: the continuous pipeline is now incremental END TO
+    END — raw drops → change-feed dedup ingest
+    (:func:`refresh_from_changes`) → delta-aware curation refresh over
+    the clean corpus → committed training mix. Pins: each refresh's
+    mix is bit-identical to the batch funnel over clean's CURRENT
+    state; the second tick scores only the second wave's dedup
+    survivors (cost ∝ what actually entered the corpus); a takedown
+    (clean.delete_where) propagates into the next mix while scoring
+    NOTHING (carried survivors skipped) — the right-to-erasure flow
+    reaching the training mix itself."""
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+        refresh_from_changes,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    raw = SnapshotTable(spark, str(tmp_path / "raw"))
+    clean = SnapshotTable(spark, str(tmp_path / "clean"))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    idx.build(docs.limit(0))
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    state = str(tmp_path / "state")
+
+    def mix_matches_clean():
+        full = curation_funnel(clean.read())
+        assert sorted(map(tuple, sel.read().collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    # wave 1: crawl lands, dedup-ingests, the first refresh scores all
+    raw.append(docs.where("doc_id < 150"), txn="crawl-1")
+    assert refresh_from_changes(spark, raw, clean, idx) is not None
+    r1 = curation_refresh_delta_tick(spark, clean, sel, state)
+    assert r1["docs_scored"] == clean.read().count()
+    mix_matches_clean()
+
+    # wave 2: new docs + a near-dup the index drops; the refresh pays
+    # only for what survived INTO the corpus
+    t0 = docs.where("doc_id = 3").collect()[0]["text"]
+    wave2 = docs.where("doc_id >= 150 and doc_id < 200").unionByName(
+        spark.createDataFrame(
+            [(900001, "en", t0.rsplit(" ", 1)[0] + " zzz")],
+            "doc_id long, lang string, text string",
+        )
+    )
+    raw.append(wave2, txn="crawl-2")
+    n_before = clean.read().count()
+    assert refresh_from_changes(spark, raw, clean, idx) is not None
+    survivors = clean.read().count() - n_before
+    clean_ids = {
+        r["doc_id"] for r in clean.read().select("doc_id").collect()
+    }
+    assert 900001 not in clean_ids  # the near-dup was dropped at ingest
+    assert 0 < survivors <= 50
+    r2 = curation_refresh_delta_tick(spark, clean, sel, state)
+    assert r2["docs_scored"] == survivors
+    mix_matches_clean()
+
+    # takedown: erase a document from clean; the next refresh scores
+    # NOTHING (the rewrite's carried rows skip) yet the mix drops it
+    from pyspark.sql import functions as F
+
+    victim = sel.read().orderBy(F.desc("log_weight")).first()["doc_id"]
+    clean.delete_where([("doc_id", "=", int(victim))])
+    r3 = curation_refresh_delta_tick(spark, clean, sel, state)
+    assert r3["docs_scored"] == 0
+    assert victim not in {
+        r["doc_id"] for r in sel.read().select("doc_id").collect()
+    }
+    mix_matches_clean()
+
+
 def test_vector_index_tick_ordinal_interleaving(spark, tmp_path):
     """r9 ADVICE (medium): adds and deletes must APPLY in ascending
     ordinal order across both watched directories. The wedge case: a

@@ -2934,9 +2934,18 @@ def test_scaled_quantizer_memo_cap_and_key(spark, tmp_path):
         n for n in _os.listdir(emb_dir) if n.endswith(".parquet")
     )
     pst = _os.stat(_os.path.join(emb_dir, part))
+    # bump PAST the directory-wide max (+1 s), not by one 10 ms kernel
+    # tick: file mtimes quantize to the tick, so a +tick bump can land
+    # exactly on _SUCCESS's timestamp and leave the max — and the
+    # key — unchanged (observed flake)
+    cur_max = max(
+        _os.stat(_os.path.join(emb_dir, n)).st_mtime_ns
+        for n in _os.listdir(emb_dir)
+        if not n.endswith(".crc")
+    )
     _os.utime(
         _os.path.join(emb_dir, part),
-        ns=(pst.st_atime_ns, pst.st_mtime_ns + 10**7),
+        ns=(pst.st_atime_ns, cur_max + 10**9),
     )
     plans_sim._corpus_quantizer(sf2, emb2)
     after = {k for k in plans_sim._SCALED_QUANTIZERS if k[0] == real_dir}

@@ -587,7 +587,7 @@ def refresh_delta30(spark) -> dict:
     # stage survivors of the refreshed (post-append) corpus, from the
     # tick's own state logs: corpus rows, gate-kept live docs, unique
     # fingerprints among them, selected
-    stats = spark.read.parquet(f"{root}/state/stats")
+    stats = SnapshotTable(spark, f"{root}/state/stats").read()
     from pyspark.sql.window import Window as _W
 
     live = (
@@ -599,6 +599,7 @@ def refresh_delta30(spark) -> dict:
         )
         .where("__rn = 1")
         .where(~F.col("__dead"))
+        .localCheckpoint()  # consumed twice below
     )
     n_corpus = corpus.read().count()
     n_kept = live.where("is_kept").count()
@@ -1017,7 +1018,7 @@ def _write_tier30(
         "the DEFAULT retrained path (r8's frozen-k=16 row showed "
         "19.37x — the documented wrong shape, now auto-avoided; "
         "bit-equality below the threshold is pinned by "
-        "test_semantic_dedup_scaled_auto_switch). The recall sweep "
+        "test_semantic_dedup_scaled_auto_switch). The `emb_pq_adc_knn` row runs the r10 Arrow ADC kernels at BOTH scales (the auto-switch fires past 1000 vectors): r9's ~7 s expression-compile wall is gone, so the 1x wall collapsed to ~0.5 s and the ratio now measures genuine data volume instead of fixed cost — absolute 30x wall is ~2x FASTER than the r9 expression form's despite the larger ratio. The recall sweep "
         "below is the same production list-pruning regime. The "
         "one-off quantizer retrain is memoized per corpus "
         "(deterministic seeded k-means — the offline-training "
