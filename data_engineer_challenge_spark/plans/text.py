@@ -2407,6 +2407,77 @@ def docs_range_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reproducible global training order — the dataloader-facing epoch
+# shuffle: every training run needs the corpus in a pseudo-random
+# order that is REPRODUCIBLE (resume mid-epoch, re-run a job, audit
+# which examples step N saw) and assembled without a global sort.
+# ---------------------------------------------------------------------------
+
+_GSHUF_SHARDS = 8
+_GSHUF_SALT = "gshuf-e1-"  # epoch folds into the salt: e2, e3, ...
+
+
+@register(
+    "docs_global_shuffle_order",
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, shard_id, pos FROM (
+        SELECT doc_id,
+               h % {_GSHUF_SHARDS} AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY h % {_GSHUF_SHARDS}
+                   ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     {_MD5_LONG_SQL.format(
+                         c="concat('" + _GSHUF_SALT
+                         + "', CAST(doc_id AS VARCHAR))")} AS h
+              FROM documents)
+    )
+    """,
+)
+def docs_global_shuffle_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reproducible epoch shuffle: assign every document a
+    deterministic pseudo-random position — ``(shard_id, pos)`` — for
+    training-order consumption. The order key is the salted-md5 hash
+    family every deterministic assignment in this registry uses (the
+    salt carries the epoch, so epoch 2 is one constant away and
+    decorrelated), the shard is ``h % shards``, and the position is a
+    per-shard rank on ``(h, doc_id)``.
+
+    Why not ORDER BY rand() or a global sort: rand() is
+    irreproducible (resume/audit impossible — the exact failure
+    repartitionByRange's sampler has, docs_range_sharded_export's
+    rationale), and a single global order would funnel 100 TB through
+    one sort. Hash-sharding makes the shuffle embarrassingly
+    parallel: each shard ranks only its own partition (the window is
+    PARTITIONED — no global window), shards are statistically equal
+    by the hash, and a dataloader reading shards round-robin by
+    ``pos`` consumes the same global pseudo-order every run. At
+    100 TB the shard count scales with the reader fleet; the
+    registered instance pins 8 and epoch 1 for the exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    h = md5_long(
+        F.concat(F.lit(_GSHUF_SALT), F.col("doc_id").cast("string"))
+    )
+    hashed = docs.select(
+        "doc_id", h.alias("h"), (h % _GSHUF_SHARDS).alias("shard_id")
+    )
+    return (
+        hashed.withColumn(
+            "pos",
+            F.row_number()
+            .over(_W.partitionBy("shard_id").orderBy("h", "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "shard_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text-level PII scrubbing — the corpus-release step (C4/Dolma practice:
 # mask emails / IPs / phone numbers in the text itself before
 # publication; the structured-column twin lives in functions/redaction).
