@@ -213,6 +213,27 @@ def test_quantized_knn_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_global_shuffle_order_no_global_sort(spark):
+    """The epoch shuffle's whole point is assembling a reproducible
+    pseudo-random order WITHOUT a global sort: the plan must hash-
+    partition on shard_id for the per-shard rank window and never
+    range-partition (the global-sort signature), and the scan must
+    read only doc_id."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    df = plans.REGISTRY["docs_global_shuffle_order"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard_id#" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all(
+        "ReadSchema: struct<doc_id:bigint>" in l for l in scans
+    ), plan
+
+
 def test_heavy_hitters_verify_pass_plan(spark):
     """The verify pass must be the CHEAP shape: a one-column scan,
     broadcast-LEFT-SEMI-joined against the (distributed) candidate
