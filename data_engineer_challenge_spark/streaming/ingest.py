@@ -591,7 +591,14 @@ def curation_refresh_tick(
     Cost shape: one funnel pass over the corpus per refresh (stage 1's
     broadcast scorer dominates — SCALE.md's funnel rows), one tiny
     commit (the selection is topk rows). Refresh cadence is the
-    caller's knob — every N ingest ticks, not every tick."""
+    caller's knob — every N ingest ticks, not every tick.
+
+    When the corpus lives in a :class:`SnapshotTable` instead of a
+    warehouse table, use :func:`curation_refresh_delta_tick` (r10): it
+    commits the bit-identical selection while scoring only the
+    documents the corpus CHANGED since the last refresh — this
+    full-recompute form remains for keyed warehouse tables, whose
+    MERGE rewrites carry no row-level change feed to drive a delta."""
     from ..plans.text import curation_funnel
 
     docs = wh.read(table)
