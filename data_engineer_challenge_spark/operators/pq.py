@@ -303,7 +303,7 @@ def adc_score_cross_vectorized(
     def score(batches):
         for pdf in batches:
             n = len(pdf)
-            if not n:
+            if not n or not qids:  # no rows / no queries: no pairs
                 continue
             code_arrs = [pdf[f"code{s}"].to_numpy() for s in range(m)]
             ids = pdf[id_col].to_numpy()
