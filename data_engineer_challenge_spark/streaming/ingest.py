@@ -821,10 +821,16 @@ def curation_refresh_delta_tick(
         )
         .where("__rn = 1")
         .select("doc_id", "lang", "quality_score", "__v")
-        # pin: consumed by the grams join AND the final quality join
-        .localCheckpoint()
+        # pin: consumed by the grams join AND the final quality join —
+        # both INSIDE this call, so persist (releasable), not
+        # localCheckpoint (the checkpoint-vs-persist rule: checkpointed
+        # frames are invisible to the cache manager and can never be
+        # freed; lineage here never outlives the call)
+        .persist()
     )
-    sgrams = grams.read().join(surv.select("doc_id", "lang", "__v"), ["doc_id", "__v"])
+    sgrams = grams.read().join(
+        surv.select("doc_id", "lang", "__v"), ["doc_id", "__v"]
+    )
     model = (
         sgrams.groupBy("b")
         .agg(
@@ -832,8 +838,8 @@ def curation_refresh_delta_tick(
             F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("c_t"),
         )
         # small (≤ _DSIR_BUCKETS rows); pinned for the totals fold —
-        # the _dsir_rank discipline
-        .localCheckpoint()
+        # the _dsir_rank discipline, releasable like surv
+        .persist()
     )
     ratio = _dsir_ratio(model)
     # exact-decimal weighted sum: c × decimal(w) summed over a doc's
@@ -862,7 +868,11 @@ def curation_refresh_delta_tick(
         .orderBy(F.desc("log_weight"), "doc_id")
         .limit(_FUNNEL_TOPK if topk is None else topk)
     )
-    version = selection.replace(out, txn=txn)
+    try:
+        version = selection.replace(out, txn=txn)
+    finally:
+        surv.unpersist()
+        model.unpersist()
     return {
         "version": version,  # None => replayed txn, no new commit
         "fired": True,
