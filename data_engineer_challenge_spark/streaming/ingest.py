@@ -735,6 +735,55 @@ def curation_refresh_delta_tick(
     # are skipped; a genuine rewrite (any column moved) still scores.
     carried = plus_raw.intersect(minus_raw)
     plus = plus_raw.join(carried.select("doc_id"), "doc_id", "left_anti")
+    # corpus-contract guard: a + row with NO matching − for a doc a
+    # COMPLETED refresh already scored alive means the append-only
+    # corpus now holds TWO live rows under one doc_id — the funnel's
+    # unique-id contract is violated and its behavior (gram double
+    # counting) is undefined, so bit-identity would break SILENTLY.
+    # Fail loudly instead. Exemptions by construction: a legitimate
+    # rewrite/update emits -old +new (has a −); a re-add after
+    # takedown hits a DEAD stats row; and a crashed-refresh retry's
+    # re-delivered docs carry stats rows only at __v > cursor (their
+    # txn never advanced the cursor), so only genuinely duplicate
+    # appends trip this.
+    if stats.current_version() is not None:
+        from pyspark.sql.window import Window as _WG
+
+        prior_live = (
+            stats.read()
+            .where(F.col("__v") <= F.lit(int(cursor)))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    _WG.partitionBy("doc_id").orderBy(
+                        F.col("__v").desc()
+                    )
+                ),
+            )
+            .where("__rn = 1")
+            .where(~F.col("__dead"))
+            .select("doc_id")
+        )
+        n_dup = (
+            plus_raw.select("doc_id")
+            .distinct()
+            .join(
+                minus_raw.select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .join(prior_live, "doc_id")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"corpus appended {n_dup} doc_id(s) that earlier "
+                "commits already hold live rows for (no retraction in "
+                "between) — the corpus now contains duplicate doc_ids,"
+                " which voids the funnel's unique-id contract; rewrite"
+                " documents via delete_where+append (or replace), "
+                "don't re-append their ids"
+            )
     if prepare is not None:
         plus = prepare(plus)
     scorer = with_quality_score if scorer is None else scorer

@@ -1828,6 +1828,37 @@ def test_curation_refresh_delta_tick(spark, tmp_path):
         "version": None, "selected": None, "fired": False,
     }
 
+    # (7) crash, then the corpus ADVANCES before the retry: the wider
+    # delta re-scores the crashed range under the newer version (the
+    # (doc_id, __v) join serves exactly the newest rows), the dup
+    # guard's cursor exemption stays quiet, and the mix is exact
+    corpus.append(docs.where("doc_id >= 360 and doc_id < 370"), txn="load-5")
+    sel.replace = boom
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        curation_refresh_delta_tick(spark, corpus, sel, state)
+    del sel.replace
+    corpus.append(docs.where("doc_id >= 370 and doc_id < 380"), txn="load-6")
+    r7 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r7["version"] is not None and r7["docs_scored"] == 20
+    assert_matches_full("t7")
+
+    # (8) corpus-contract guard: re-appending an already-live doc_id
+    # with no retraction in between means the corpus genuinely holds
+    # two rows under one id — the tick fails loudly instead of
+    # silently diverging from the (now undefined) batch funnel
+    from pyspark.sql import functions as F
+
+    corpus.append(
+        docs.where("doc_id = 25").select(
+            "doc_id",
+            "lang",
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        ),
+        txn="dup-1",
+    )
+    with _pytest.raises(ValueError, match="duplicate doc_ids"):
+        curation_refresh_delta_tick(spark, corpus, sel, state)
+
 
 def test_crawl_to_mix_fully_incremental(spark, tmp_path):
     """r10 capstone: the continuous pipeline is now incremental END TO
