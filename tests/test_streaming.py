@@ -1860,6 +1860,90 @@ def test_curation_refresh_delta_tick(spark, tmp_path):
         curation_refresh_delta_tick(spark, corpus, sel, state)
 
 
+def test_curation_refresh_delta_randomized_ops(spark, tmp_path):
+    """Seeded randomized-operation equivalence: a corpus driven
+    through an arbitrary interleaving of appends, takedowns, and
+    rewrites (delete + re-append under a new version) must keep every
+    delta refresh bit-identical to the batch funnel — the staged
+    tests pin chosen corners; this sweeps a deterministic random walk
+    over the operation space (fixed seed: reproducible, no flake)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    rng = _random.Random(20260815)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    state = str(tmp_path / "state")
+    pool = list(range(0, 400))
+    in_corpus: set = set()
+    next_batch = 0
+
+    def append_new(n):
+        nonlocal next_batch
+        fresh = [i for i in pool if i not in in_corpus][:n]
+        if not fresh:
+            return
+        in_corpus.update(fresh)
+        next_batch += 1
+        corpus.append(
+            docs.where(F.col("doc_id").isin(fresh)),
+            txn=f"op-{next_batch}",
+        )
+
+    def takedown(n):
+        nonlocal next_batch
+        victims = rng.sample(sorted(in_corpus), min(n, len(in_corpus)))
+        for v in victims:
+            in_corpus.discard(v)
+            corpus.delete_where([("doc_id", "=", int(v))])
+
+    def rewrite(n):
+        nonlocal next_batch
+        victims = rng.sample(sorted(in_corpus), min(n, len(in_corpus)))
+        if not victims:
+            return
+        for v in victims:
+            corpus.delete_where([("doc_id", "=", int(v))])
+        next_batch += 1
+        corpus.append(
+            docs.where(F.col("doc_id").isin(victims)).select(
+                "doc_id",
+                "lang",
+                F.concat(F.col("text"), F.lit(" rewritten")).alias(
+                    "text"
+                ),
+            ),
+            txn=f"op-{next_batch}",
+        )
+
+    append_new(120)  # seed corpus
+    ops = [lambda: append_new(rng.randint(5, 40)),
+           lambda: takedown(rng.randint(1, 5)),
+           lambda: rewrite(rng.randint(1, 6))]
+    for step in range(5):
+        rng.choice(ops)()
+        r = curation_refresh_delta_tick(spark, corpus, sel, state)
+        if r["fired"]:
+            got = sorted(map(tuple, sel.read().collect()))
+            want = sorted(
+                map(tuple, curation_funnel(corpus.read()).collect())
+            )
+            assert got == want, f"diverged at step {step}"
+
+
 def test_crawl_to_mix_fully_incremental(spark, tmp_path):
     """r10 capstone: the continuous pipeline is now incremental END TO
     END — raw drops → change-feed dedup ingest
