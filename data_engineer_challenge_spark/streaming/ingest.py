@@ -622,6 +622,7 @@ def curation_refresh_delta_tick(
     scorer=None,
     topk: int | None = None,
     prepare=None,
+    compact_every: int | None = 16,
 ) -> dict:
     """Delta-aware continuous-curation refresh (VERDICT r9 #1):
     re-selects the training mix like :func:`curation_refresh_tick`,
@@ -699,9 +700,13 @@ def curation_refresh_delta_tick(
     ``scorer``/``topk`` forward as in :func:`curation_refresh_tick`.
 
     State maintenance: superseded (older-``__v``) and tombstoned rows
-    accumulate in the logs; :func:`curation_state_compact` folds both
-    logs down to live rows under one txn when the caller wants the
-    space back. Answers never depend on it."""
+    accumulate in the logs; the tick runs its own housekeeping (the
+    index-tick ``maybe_compact`` discipline) — every ``compact_every``
+    appended log versions it folds both logs down to live rows via
+    :func:`curation_state_compact`, AFTER the selection commit
+    (housekeeping last; a crash in between just defers the fold to
+    the next tick, txn-idempotently). ``compact_every=None`` leaves
+    compaction entirely to the caller. Answers never depend on it."""
     import os
 
     from ..operators.snapshot import SnapshotTable, txn_cursor
@@ -922,6 +927,21 @@ def curation_refresh_delta_tick(
     finally:
         surv.unpersist()
         model.unpersist()
+    compacted = False
+    if compact_every:
+        # versions since the last fold (a replace commit), walk capped
+        # at compact_every manifest reads — driver-side, tiny
+        sv = stats.current_version()
+        since = 0
+        while since < compact_every and sv - since >= 0:
+            if stats._manifest(sv - since)["op"] == "replace":
+                break
+            since += 1
+        if since >= compact_every:
+            curation_state_compact(
+                stats, grams, txn=f"{txn_prefix}-compact-{cur}"
+            )
+            compacted = True
     return {
         "version": version,  # None => replayed txn, no new commit
         "fired": True,
@@ -929,6 +949,7 @@ def curation_refresh_delta_tick(
         "cursor_to": cur,
         "docs_scored": n_scored,
         "stats_replayed": stats_appended is None,
+        "state_compacted": compacted,
         "selected": selection.read().count(),
         "corpus_files": corpus_files,
     }

@@ -1933,15 +1933,22 @@ def test_curation_refresh_delta_randomized_ops(spark, tmp_path):
     ops = [lambda: append_new(rng.randint(5, 40)),
            lambda: takedown(rng.randint(1, 5)),
            lambda: rewrite(rng.randint(1, 6))]
+    compacted = False
     for step in range(5):
         rng.choice(ops)()
-        r = curation_refresh_delta_tick(spark, corpus, sel, state)
+        # compact_every=2: the tick's own housekeeping fires mid-walk,
+        # so the fold's answer-invisibility is swept too
+        r = curation_refresh_delta_tick(
+            spark, corpus, sel, state, compact_every=2
+        )
         if r["fired"]:
+            compacted = compacted or r["state_compacted"]
             got = sorted(map(tuple, sel.read().collect()))
             want = sorted(
                 map(tuple, curation_funnel(corpus.read()).collect())
             )
             assert got == want, f"diverged at step {step}"
+    assert compacted  # the trigger actually fired during the walk
 
 
 def test_crawl_to_mix_fully_incremental(spark, tmp_path):
