@@ -1396,8 +1396,13 @@ class IVFVectorIndex:
                     )
                 qcids.append((qid, r["cid"]))
             touched = sorted({c for _, c in qcids})
+            # the probe frame's query-id type is copied from the
+            # caller's schema (ADVICE r10: a hardcoded `long` broke
+            # string-keyed query frames that the expression path
+            # accepts); the ADC kernel passes ids through untouched
+            q_type = queries.schema[query_id].dataType.simpleString()
             probes = self.spark.createDataFrame(
-                qcids, f"{query_id} long, cid int"
+                qcids, f"{query_id} {q_type}, cid int"
             )
         else:
             probes = plan.select(

@@ -221,12 +221,17 @@ def encode_pq_vectorized(
         f", {c} {df.schema[c].dataType.simpleString()}"
         for c in passthrough
     )
+    # the id column's declared type is copied from the input schema
+    # like the passthrough columns (ADVICE r10: a hardcoded `long`
+    # silently narrowed the contract relative to encode_pq, which
+    # keeps whatever id type the caller projects)
+    id_type = df.schema[id_col].dataType.simpleString()
     code_schema = ", ".join(f"code{s} int" for s in range(m))
     cols = [id_col, *passthrough]
     if vec not in cols:  # vec may itself be a passthrough column
         cols.append(vec)
     return df.select(*cols).mapInPandas(
-        encode, schema=f"{id_col} long{pt_schema}, {code_schema}"
+        encode, schema=f"{id_col} {id_type}{pt_schema}, {code_schema}"
     )
 
 
@@ -244,13 +249,21 @@ def adc_score_pairs_vectorized(
     table. Per batch and per query present in it, the score is a
     left-associated float64 add chain of ``m`` numpy gathers — the
     expression's exact op order — so the doubles agree bit-for-bit
-    (test-pinned). The LUT dict rides the closure like the expression
-    form's broadcast LUT columns; it is query-count-bounded
-    (``m·ksub`` doubles per query)."""
+    (test-pinned). The LUT dict ships as an EXPLICIT Spark broadcast
+    (ADVICE r10): the task closure carries only the broadcast handle,
+    so per-task serialization stays O(1) no matter how many queries
+    (``m·ksub`` doubles per query) the dict holds — the expression
+    form's broadcast-LUT-columns posture, made literal. The
+    ``q_col``/``id_col`` output types are copied from the input
+    schema (ids pass through the kernel untouched), so non-long
+    query/candidate ids keep working on this path."""
     import numpy as np
     import pandas as pd
 
+    bc = pairs.sparkSession.sparkContext.broadcast(luts)
+
     def score(batches):
+        tabs = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -261,7 +274,7 @@ def adc_score_pairs_vectorized(
             adc = np.empty(len(pdf), dtype=np.float64)
             for qid in pd.unique(qs):
                 mask = qs == qid
-                lut = luts[qid]
+                lut = tabs[qid]
                 acc = lut[0][codes[0][mask]]
                 for s in range(1, m):
                     acc = acc + lut[s][codes[s][mask]]
@@ -274,9 +287,11 @@ def adc_score_pairs_vectorized(
                 }
             )
 
+    q_type = pairs.schema[q_col].dataType.simpleString()
+    c_type = pairs.schema[id_col].dataType.simpleString()
     cols = [q_col, id_col, *[f"code{s}" for s in range(m)]]
     return pairs.select(*cols).mapInPandas(
-        score, schema=f"{q_col} long, {id_col} long, __adc double"
+        score, schema=f"{q_col} {q_type}, {id_col} {c_type}, __adc double"
     )
 
 
@@ -294,13 +309,24 @@ def adc_score_cross_vectorized(
     the LUT-literal compile and the crossJoin, emitting
     ``(q_col, out_id, __adc)`` for the |queries| × |batch| grid with
     the same left-associated gather-sum as
-    :func:`adc_score_pairs_vectorized` (bit-equality test-pinned)."""
+    :func:`adc_score_pairs_vectorized` (bit-equality test-pinned).
+
+    The LUT dict ships as an explicit Spark broadcast (ADVICE r10:
+    with queries ∝ corpus — the registered query's ``vec_id % 100``
+    sample — a closure-riding dict would serialize per task and grow
+    linearly with corpus scale; the broadcast ships once per
+    executor). Query ids emit as longs — they exist only as ``luts``
+    keys (no input schema to copy from) and every caller keys by a
+    long ``vec_id``; the candidate-id type IS copied from
+    ``codes``' schema."""
     import numpy as np
     import pandas as pd
 
     qids = list(luts.keys())
+    bc = codes.sparkSession.sparkContext.broadcast(luts)
 
     def score(batches):
+        tabs = bc.value
         for pdf in batches:
             n = len(pdf)
             if not n or not qids:  # no rows / no queries: no pairs
@@ -309,7 +335,7 @@ def adc_score_cross_vectorized(
             ids = pdf[id_col].to_numpy()
             frames = []
             for qid in qids:
-                lut = luts[qid]
+                lut = tabs[qid]
                 acc = lut[0][code_arrs[0]]
                 for s in range(1, m):
                     acc = acc + lut[s][code_arrs[s]]
@@ -324,9 +350,10 @@ def adc_score_cross_vectorized(
                 )
             yield pd.concat(frames, ignore_index=True)
 
+    c_type = codes.schema[id_col].dataType.simpleString()
     cols = [id_col, *[f"code{s}" for s in range(m)]]
     return codes.select(*cols).mapInPandas(
-        score, schema=f"{q_col} long, {out_id} long, __adc double"
+        score, schema=f"{q_col} long, {out_id} {c_type}, __adc double"
     )
 
 

@@ -854,6 +854,9 @@ def emb_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 100 == 0)
     if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
         codes = encode_pq_vectorized(emb, cbs)
+        # the LUT dict (queries ∝ corpus: vec_id % 100) ships as an
+        # explicit Spark broadcast inside the kernel (ADVICE r10) —
+        # per-task closure size stays O(1) at any corpus scale
         luts = {
             r["vec_id"]: np_adc_luts(list(r["embedding"]), cbs)
             for r in q.select("vec_id", "embedding").collect()

@@ -739,6 +739,34 @@ def curation_refresh_delta_tick(
     # equality, so only rows whose every column survived unchanged
     # are skipped; a genuine rewrite (any column moved) still scores.
     carried = plus_raw.intersect(minus_raw)
+    # dup-guard, carried branch (ADVICE r10): the skip below anti-
+    # joins by doc_id ALONE, so a window holding BOTH a carried row
+    # and a distinct extra + row for one doc_id would silently drop
+    # the extra row from scoring — and the n_dup guard exempts the
+    # doc because it has a − row. That window means the corpus holds
+    # two live rows under one doc_id (the carried survivor plus the
+    # fresh append) — the same unique-id-contract violation — so fail
+    # loudly here too: any + row for a carried doc_id beyond the
+    # carried row itself (a distinct row, or a duplicate copy of the
+    # carried one) trips it. exceptAll is bag semantics: it removes
+    # exactly one instance per carried row, leaving the violators.
+    n_mixed = (
+        plus_raw.join(
+            carried.select("doc_id").distinct(), "doc_id"
+        )
+        .exceptAll(carried)
+        .count()
+    )
+    if n_mixed:
+        raise ValueError(
+            f"corpus delta carries {n_mixed} extra + row(s) for "
+            "doc_id(s) that the same window also carries unchanged "
+            "(copy-on-write survivors) — the corpus now holds "
+            "duplicate live rows under one doc_id, which voids the "
+            "funnel's unique-id contract; rewrite documents via "
+            "delete_where+append (or replace), don't append next to "
+            "a carried survivor"
+        )
     plus = plus_raw.join(carried.select("doc_id"), "doc_id", "left_anti")
     # corpus-contract guard: a + row with NO matching − for a doc a
     # COMPLETED refresh already scored alive means the append-only

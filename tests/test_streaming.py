@@ -1860,6 +1860,52 @@ def test_curation_refresh_delta_tick(spark, tmp_path):
         curation_refresh_delta_tick(spark, corpus, sel, state)
 
 
+def test_curation_delta_carried_dup_guard(spark, tmp_path):
+    """ADVICE r10: the carried-survivor skip anti-joins by doc_id
+    alone, so a delta window holding BOTH a carried (identical) row
+    and a distinct extra + row for one doc_id used to silently drop
+    the extra row from scoring — and the plain dup guard exempted the
+    doc because it has a − row. The tick must fail loudly on this
+    branch of the unique-id-contract violation instead."""
+    import pytest as _pytest
+
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    # ONE file so the rewrite below re-emits every survivor as a
+    # carried pair (the guard's trigger needs doc 7 carried)
+    corpus.append(docs.where("doc_id < 60").coalesce(1), txn="load-1")
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    state = str(tmp_path / "state")
+    assert curation_refresh_delta_tick(spark, corpus, sel, state)[
+        "version"
+    ] is not None
+
+    # one window = a copy-on-write rewrite (doc 7 re-emitted carried)
+    # PLUS a fresh duplicate append for doc 7 under new text
+    corpus.delete_where([("doc_id", "=", 5)])
+    corpus.append(
+        docs.where("doc_id = 7").select(
+            "doc_id",
+            "lang",
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        ),
+        txn="dup-2",
+    )
+    with _pytest.raises(ValueError, match="carried"):
+        curation_refresh_delta_tick(spark, corpus, sel, state)
+
+
 def test_curation_refresh_delta_randomized_ops(spark, tmp_path):
     """Seeded randomized-operation equivalence: a corpus driven
     through an arbitrary interleaving of appends, takedowns, and

@@ -2459,6 +2459,68 @@ def test_ivf_pq_probe_adc(spark, tmp_path):
     assert posts.count() == emb.count()  # one physical row per id
 
 
+def test_pq_kernel_id_type_contracts(spark, tmp_path):
+    """ADVICE r10: the Arrow PQ kernels must not narrow the id-type
+    contract relative to the expression forms they replace. Pins:
+    (a) encode_pq_vectorized copies the id column's declared type
+    from the input schema (string ids round-trip, codes equal to
+    encode_pq's); (b) probe_adc with STRING query ids answers
+    identically on the vectorized (default) and expression paths —
+    the hardcoded-long probe frame used to crash this."""
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.pq import (
+        encode_pq,
+        encode_pq_vectorized,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+
+    # (a) string-typed ids pass through the encode kernel unchanged
+    s_emb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    enc_k = encode_pq_vectorized(s_emb, CODEBOOKS)
+    assert enc_k.schema["vec_id"].dataType.simpleString() == "string"
+    assert sorted(map(tuple, enc_k.collect())) == sorted(
+        map(tuple, encode_pq(s_emb, CODEBOOKS).collect())
+    )
+
+    # (b) string query ids through the persisted IVF-PQ serving path
+    idx = IVFVectorIndex(
+        spark, str(tmp_path / "ivfpq_sq"), CENTROIDS,
+        pq_codebooks=CODEBOOKS,
+    )
+    idx.build(emb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.concat(F.lit("q-"), F.col("vec_id").cast("string")).alias(
+            "q_id"
+        ),
+        "embedding",
+    )
+    kern = idx.probe_adc(queries, k=10, n_probe=4, shortlist=60)
+    assert kern.schema["q_id"].dataType.simpleString() == "string"
+    got = sorted(map(tuple, kern.collect()))
+    want = sorted(
+        map(
+            tuple,
+            idx.probe_adc(
+                queries, k=10, n_probe=4, shortlist=60,
+                vectorized=False,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_resolve_relayout_crash_windows(tmp_path):
     """compaction.commit_relayout's resolve contract, pure-python
     (r9): a staged meta whose md5 matches EVERY data dir's marker
