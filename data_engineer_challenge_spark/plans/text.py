@@ -613,6 +613,15 @@ def _winnow_fingerprints_expr(docs: DataFrame) -> DataFrame:
 
 @register(
     "doc_fingerprint_winnowing",
+    # r11: rotated OFF the driver surface (slot for
+    # docs_global_shuffle_order, VERDICT r10 #4): the winnowing
+    # machinery itself — normalization, k-gram hashing, the window
+    # min, the selected-fingerprint set (the `sel` CTE) — rides
+    # VERBATIM inside docs_fingerprint_overlap_pairs' oracle, which
+    # stays on the surface; only the per-doc profile aggregation
+    # (count/xor/min over the same sel rows) moves to the local
+    # pytest oracle, the docs_dsir_selection→token_budget precedent.
+    driver=False,
     oracle=f"""
     WITH {_FP_SEL_SQL}
     SELECT s.doc_id, d.n_kgrams, COUNT(*) AS n_fingerprints,
@@ -2120,14 +2129,7 @@ def _register_curation_funnel() -> None:
 
     norm_sql = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
-    @register(
-        "docs_curation_funnel",
-        # r8: ON the driver surface (slot from docs_exact_dedup, whose
-        # keep-first rule documents_clean_corpus's oracle carries
-        # verbatim) — the composed pipeline under ONE exact hash: each
-        # stage already carries its own oracle, this row proves they
-        # COMPOSE (stage statistics over survivors, not the raw corpus)
-        oracle=f"""
+    funnel_oracle = f"""
         WITH qfeats AS (
             SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
             FROM (
@@ -2198,7 +2200,18 @@ def _register_curation_funnel() -> None:
         FROM ranked r JOIN uniq u USING (doc_id)
         ORDER BY log_weight DESC, doc_id
         LIMIT {_FUNNEL_TOPK}
-        """,
+        """
+
+    @register(
+        "docs_curation_funnel",
+        # r11: rotated OFF the driver surface — its oracle rides
+        # VERBATIM as docs_curation_refresh_delta's (the shared
+        # ``funnel_oracle`` literal below), which runs the SAME batch
+        # semantics through the delta-aware incremental machinery; the
+        # redundant-twin rule that moved docs_exact_dedup out for this
+        # row at r8. Locally pytest-oracled as always.
+        driver=False,
+        oracle=funnel_oracle,
     )
     def docs_curation_funnel(
         spark: SparkSession, sf_dir: str
@@ -2229,6 +2242,80 @@ def _register_curation_funnel() -> None:
         every stage, no stage re-reads the raw corpus after stage 1's
         gate."""
         return curation_funnel(load_table(spark, sf_dir, "documents"))
+
+    @register(
+        "docs_curation_refresh_delta",
+        # r11: ON the driver surface (VERDICT r10 #3, the
+        # ivm_maintained_view precedent — incremental machinery under
+        # the driver's own hash check; slot from docs_curation_funnel,
+        # whose oracle this row carries VERBATIM): the delta-aware
+        # refresh must land a mix bit-identical to the batch funnel,
+        # so the funnel's static SQL IS its exact oracle.
+        oracle=funnel_oracle,
+    )
+    def docs_curation_refresh_delta(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The delta-aware continuous-curation refresh
+        (``streaming/ingest.curation_refresh_delta_tick``) under the
+        driver's hard hash signal: a SnapshotTable corpus is driven
+        through three commits — a bulk load, a copy-on-write takedown,
+        and a re-add-plus-backfill append — with a delta refresh tick
+        after each, and the FINAL committed mix must hash-match the
+        static batch-funnel SQL over the documents table.
+
+        The static-oracle trick (the ``ivm_maintained_view`` pattern):
+        every commit derives from a deterministic doc_id predicate and
+        the sequence ends with exactly the full table live — load
+        ``doc_id % 4 != 3``, take down ``doc_id < 50`` (a pure
+        retraction: the tick must score ZERO documents — pinned below
+        — while keeper handoff and the shrunken DSIR model re-rank
+        exactly), then append everything not currently live (the
+        ``% 4 == 3`` holdout plus the re-added takedown docs, which
+        must revive through their DEAD stats rows). The hash match
+        therefore proves end to end: the signed change feed, the
+        carried-survivor skip, per-version (doc_id, __v) state
+        serving, tombstone revival, the exact-decimal DSIR re-rank,
+        and the shared-txn cursor.
+
+        Fresh throwaway tables per call (driver and bench call queries
+        repeatedly); cost is three delta-sized scoring passes plus
+        three metadata re-ranks — the batch funnel's one full pass,
+        paid incrementally."""
+        from ..operators.snapshot import SnapshotTable
+        from ..streaming.ingest import curation_refresh_delta_tick
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        corpus = SnapshotTable(spark, scratch_dir("crd_corpus_"))
+        sel = SnapshotTable(spark, scratch_dir("crd_sel_"))
+        state = scratch_dir("crd_state_")
+
+        corpus.append(docs.where("doc_id % 4 != 3"), txn="b0")
+        if not curation_refresh_delta_tick(spark, corpus, sel, state)[
+            "fired"
+        ]:
+            raise RuntimeError("bootstrap refresh did not fire")
+        corpus.delete_where([("doc_id", "<", 50)])
+        r2 = curation_refresh_delta_tick(spark, corpus, sel, state)
+        if r2["docs_scored"] != 0:
+            raise RuntimeError(
+                "pure retraction re-scored documents — the carried-"
+                "survivor skip is broken"
+            )
+        corpus.append(
+            docs.where("doc_id % 4 = 3 or doc_id < 50"), txn="b2"
+        )
+        if not curation_refresh_delta_tick(spark, corpus, sel, state)[
+            "fired"
+        ]:
+            raise RuntimeError("final refresh did not fire")
+        if curation_refresh_delta_tick(spark, corpus, sel, state)[
+            "fired"
+        ]:
+            raise RuntimeError("caught-up tick fired — cursor broken")
+        return sel.read()
 
 
 def exact_fingerprint(text_col: str = "text") -> Column:
@@ -2419,7 +2506,10 @@ _GSHUF_SALT = "gshuf-e1-"  # epoch folds into the salt: e2, e3, ...
 
 @register(
     "docs_global_shuffle_order",
-    driver=False,
+    # r11: rotated ONTO the driver surface (VERDICT r10 #4) — the
+    # reproducible-training-order capability under the hard hash
+    # signal; slot from doc_fingerprint_winnowing (its sel CTE rides
+    # verbatim in docs_fingerprint_overlap_pairs' surviving oracle)
     oracle=f"""
     SELECT doc_id, shard_id, pos FROM (
         SELECT doc_id,
@@ -2474,6 +2564,109 @@ def docs_global_shuffle_order(
             .cast("long"),
         )
         .select("doc_id", "shard_id", "pos")
+    )
+
+
+@register(
+    "docs_shuffled_packing",
+    # pytest-oracled (driver surface capped at 50): the composition of
+    # two driver-checked halves — VERDICT r10 #5
+    driver=False,
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, h,
+               h % {_GSHUF_SHARDS} AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY h % {_GSHUF_SHARDS}
+                   ORDER BY h, doc_id) AS BIGINT) AS pos,
+               n_tokens
+        FROM (SELECT doc_id,
+                     {_MD5_LONG_SQL.format(
+                         c="concat('" + _GSHUF_SALT
+                         + "', CAST(doc_id AS VARCHAR))")} AS h,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+              FROM documents)
+    ),
+    packed AS (
+        SELECT doc_id, shard_id, pos, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM hashed WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard_id, pos, n_tokens,
+           CAST(cum_before // {_PACK_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {_PACK_LEN} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def docs_shuffled_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader composition (VERDICT r10 #5):
+    ``docs_global_shuffle_order``'s reproducible epoch order FEEDING
+    ``docs_pack_sequences``' concat-then-chunk packing — documents
+    pack into fixed _PACK_LEN-token sequences in the SHUFFLED order,
+    so step N of a training run reads sequence N of a deterministic,
+    epoch-salted, resumable layout. The two halves agree on one key
+    family by construction: the packing shard IS the shuffle shard
+    (``h % shards``) and the packing order IS the shuffle position
+    (the per-shard ``(h, doc_id)`` rank) — ``pos`` in this output is
+    bit-equal to ``docs_global_shuffle_order``'s for every document
+    (additionally pinned as a set-equality in tests), and
+    ``(seq_id, seq_offset)`` follow ``docs_pack_sequences``' placement
+    rule over that order.
+
+    Shape at scale: identical to its halves — one hash projection, two
+    windows over the SAME shard partitioning (Catalyst reuses the
+    exchange: one shuffle total, plan-pinned in
+    test_scale_patterns.py), no global sort anywhere. Zero-token
+    documents hold a shuffle position but pack nothing, exactly like
+    the standalone packer's ``n_tokens > 0`` gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    h = md5_long(
+        F.concat(F.lit(_GSHUF_SALT), F.col("doc_id").cast("string"))
+    )
+    hashed = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (h % _GSHUF_SHARDS).alias("shard_id"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(_W.partitionBy("shard_id").orderBy("h", "doc_id"))
+        .cast("long"),
+    )
+    w = (
+        _W.partitionBy("shard_id")
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        hashed.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "shard_id",
+            "pos",
+            "n_tokens",
+            cum.alias("__cum"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            "pos",
+            "n_tokens",
+            F.expr(f"__cum div {_PACK_LEN}").alias("seq_id"),
+            (F.col("__cum") % _PACK_LEN).alias("seq_offset"),
+        )
     )
 
 

@@ -234,6 +234,59 @@ def test_global_shuffle_order_no_global_sort(spark):
     ), plan
 
 
+def test_shuffled_packing_one_shuffle_and_pos_agreement(spark):
+    """VERDICT r10 #5 — the dataloader composition. (a) Plan: the two
+    windows (shuffle rank, packing cumsum) share ONE hash partitioning
+    on shard_id — exactly one Exchange, no rangepartitioning, so the
+    composition costs the same single shuffle as either half. (b) Key
+    family: every (doc_id, shard_id, pos) the composition emits is
+    bit-equal to docs_global_shuffle_order's assignment — the packing
+    really consumes the epoch order, not a lookalike."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    df = plans.REGISTRY["docs_shuffled_packing"].builder(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "shard_id#" in exchanges[0], plan
+
+    shuf = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in plans.REGISTRY["docs_global_shuffle_order"]
+        .builder(spark, sf)
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["shard_id"], r["pos"]) for r in df.collect()
+    }
+    assert got <= shuf and len(got) > 0
+    # only zero-token docs may hold a position without packing a seq
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.functions.tokenize import TOKEN_RE
+    from data_engineer_challenge_spark.tables import load_table
+
+    n_zero = (
+        load_table(spark, sf, "documents")
+        .where(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(TOKEN_RE), F.lit(0)
+                )
+            )
+            == 0
+        )
+        .count()
+    )
+    assert len(shuf) - len(got) == n_zero
+
+
 def test_heavy_hitters_verify_pass_plan(spark):
     """The verify pass must be the CHEAP shape: a one-column scan,
     broadcast-LEFT-SEMI-joined against the (distributed) candidate
