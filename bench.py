@@ -101,6 +101,13 @@ HEADLINE = [
     # encoding over frozen codebooks, LUT-broadcast ADC shortlist,
     # exact rescore of 60/query — the 32x-compression ANN tier)
     "emb_pq_adc_knn",
+    # r11 additions (both now driver-surface): the delta-aware
+    # curation refresh (three SnapshotTable commits + three delta
+    # ticks — action-count-dominated like ivm_maintained_view, the
+    # whole incremental story IS the row) and the reproducible epoch
+    # shuffle (one hash projection + one partitioned rank window)
+    "docs_curation_refresh_delta",
+    "docs_global_shuffle_order",
 ]
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round
@@ -157,6 +164,64 @@ def _bench_merge_batch(spark, sf_dir: str, warm_dir: str | None = None) -> float
     if warm_dir:
         _run(warm_dir)  # warmup: result discarded
     return _run(sf_dir)
+
+
+def _bench_image_neardup(spark, sf_dir: str) -> float:
+    """Time the perceptual image near-dup tier (VERDICT r10 #7 — the
+    one §2.10 family with pytest coverage but no bench presence):
+    ``image_neardup_pairs`` (dHash → 4×16-bit band-blocked equi-join →
+    exact hamming verify) over a synthetic BMP corpus sized ∝ sf
+    (20 000·sf images, min 200; half are one-pixel-perturbed copies of
+    the other half, so the banded join has real work at every scale).
+    Corpus synthesis + cache is setup, OUTSIDE the timed region —
+    timed is decode+hash+join+verify, min of 2 like the headline rows;
+    the per-call cached dHash frame is released between runs so run 2
+    re-pays the Python decode pass honestly."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.codecs import encode_bmp
+    from data_engineer_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_neardup_pairs,
+    )
+    from data_engineer_challenge_spark.operators.text_dedup import (
+        release_cached,
+    )
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n = max(200, int(20000 * sf))
+    n_base = n // 2
+    rng = np.random.default_rng(1105)
+    bases = rng.integers(0, 256, size=(n_base, 32, 32, 3), dtype=np.uint8)
+    rows = []
+    for i in range(n):
+        img = bases[i % n_base]
+        if i >= n_base:  # near-dup twin: one pixel flipped
+            img = img.copy()
+            img[i % 32, (i // 7) % 32] ^= 0xFF
+        rows.append(
+            (i, "image", bytes(encode_bmp(img)), ("image/bmp", 32, 32, None))
+        )
+    media = (
+        spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(32).cache()
+    )
+    media.count()  # materialize the corpus before timing starts
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            image_neardup_pairs(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.perf_counter() - t0
+            release_cached()  # drop the per-call cached dHash frame
+            best = elapsed if best is None else min(best, elapsed)
+    finally:
+        media.unpersist()
+    return round(best, 4)
 
 
 def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
@@ -357,6 +422,9 @@ def main() -> None:
     timings["warehouse_merge_batch"] = _bench_merge_batch(
         spark, sf_dir, warm_dir=warm_dir if os.path.isdir(warm_dir) else None
     )
+    # r11 addition: the multimodal perceptual-dedup tier over a
+    # synthetic BMP corpus (decode+dhash+banded join+verify)
+    timings["image_neardup_pairs"] = _bench_image_neardup(spark, sf_dir)
     index_builds, probe_timings = _bench_index_serving(spark, sf_dir)
     timings.update(probe_timings)
 
