@@ -851,12 +851,21 @@ def _dir_bytes(path: str) -> int:
 
 def refresh_log_growth(spark) -> dict:
     """Delta-refresh state-log growth bound (VERDICT r10 #6): drive
-    50 small ticks (~60 appended docs each) against a 30x-seeded
-    corpus, once with the default housekeeping (compact_every=16) and
-    once with none, recording tick wall / log rows / on-disk bytes at
-    checkpoints — so "answers never depend on housekeeping" carries a
-    cost curve showing what it buys."""
+    50 REWRITE ticks (delete_where + re-append of a 500-doc slice —
+    re-scored docs are what accrete superseded log rows; a pure
+    append adds only live rows) against a 30x-seeded corpus, once
+    with the default housekeeping (compact_every=16) and once with
+    none, recording tick wall / current-log rows / current-version
+    bytes at checkpoints — so "answers never depend on housekeeping"
+    carries a cost curve showing what it buys. Copy-0's 5,000 docs
+    seed as ten slice-aligned 500-doc commits so each tick's
+    delete_where prunes to one directory (the documented COW shape);
+    bytes are the CURRENT log version's files (what the rank pass
+    reads) — total on-disk additionally retains superseded versions
+    for time travel, a retention-policy knob, not a read cost."""
     import shutil as _shutil
+
+    from pyspark.sql import functions as F
 
     from data_engineer_challenge_spark.operators.snapshot import (
         SnapshotTable,
@@ -868,8 +877,18 @@ def refresh_log_growth(spark) -> dict:
     docs30 = spark.read.parquet(f"{OUT30}/documents.parquet").select(
         "doc_id", "lang", "text"
     )
-    seed = docs30.where("doc_id % 50 != 0")
     checkpoints = (1, 10, 25, 50)
+
+    def _live_mb(table: SnapshotTable) -> float:
+        return round(
+            sum(
+                os.path.getsize(p.replace("file:", ""))
+                for p in table.read().inputFiles()
+            )
+            / 1e6,
+            1,
+        )
+
     out: dict = {}
     for label, compact_every in (
         ("compact_every=16 (default)", 16),
@@ -881,36 +900,54 @@ def refresh_log_growth(spark) -> dict:
         )
         _shutil.rmtree(root, ignore_errors=True)
         corpus = SnapshotTable(spark, f"{root}/corpus")
-        corpus.append(seed, txn="seed")
+        for s in range(10):  # slice-aligned commits: COW prunes to one
+            corpus.append(
+                docs30.where(
+                    f"doc_id >= {500 * s} and doc_id < {500 * (s + 1)}"
+                ).coalesce(1),
+                txn=f"seed-{s}",
+            )
+        corpus.append(docs30.where("doc_id >= 5000"), txn="seed-rest")
         sel = SnapshotTable(spark, f"{root}/sel")
         state = f"{root}/state"
         curation_refresh_delta_tick(
             spark, corpus, sel, state, compact_every=compact_every
         )
+        stats = SnapshotTable(spark, f"{state}/stats")
+        grams = SnapshotTable(spark, f"{state}/grams")
         rows = []
         for t in range(1, 51):
-            batch = docs30.where(
-                f"doc_id % 50 = 0 and (doc_id div 50) % 50 = {t - 1}"
+            s = (t - 1) % 10
+            lo, hi = 500 * s, 500 * (s + 1)
+            corpus.delete_where(
+                [("doc_id", ">=", lo), ("doc_id", "<", hi)]
             )
-            corpus.append(batch, txn=f"t{t}")
+            corpus.append(
+                docs30.where(f"doc_id >= {lo} and doc_id < {hi}")
+                .select(
+                    "doc_id",
+                    "lang",
+                    F.concat(
+                        F.col("text"), F.lit(f" rewrite{t}")
+                    ).alias("text"),
+                )
+                .coalesce(1),
+                txn=f"t{t}",
+            )
             t0 = time.perf_counter()
             r = curation_refresh_delta_tick(
                 spark, corpus, sel, state, compact_every=compact_every
             )
             wall = time.perf_counter() - t0
-            assert r["fired"], (label, t)
+            assert r["fired"] and r["docs_scored"] == 500, (label, t, r)
             if t in checkpoints:
                 rows.append(
                     (
                         t,
                         round(wall, 3),
-                        SnapshotTable(spark, f"{state}/stats")
-                        .read()
-                        .count(),
-                        SnapshotTable(spark, f"{state}/grams")
-                        .read()
-                        .count(),
-                        round(_dir_bytes(state) / 1e6, 1),
+                        stats.read().count(),
+                        grams.read().count(),
+                        round(_live_mb(stats) + _live_mb(grams), 1),
                     )
                 )
         out[label] = rows
@@ -1509,18 +1546,24 @@ LOGGROWTH_HEADER = (
 def _write_loggrowth(f, lg: dict) -> None:
     f.write(
         f"\n{LOGGROWTH_HEADER}\n\n"
-        "50 small refresh ticks (~60 appended docs each) against a "
-        "30x-seeded corpus (~147k docs), with the tick's own "
-        "housekeeping on (compact_every=16, the default — folds both "
-        "logs to live rows every 16 appended log versions, AFTER the "
-        "selection commit) and off. Committed answers are "
-        "bit-identical either way (the tick tests pin it); this "
-        "table is what housekeeping buys: the stats log stays ~live-"
-        "row-sized instead of accreting one superseded row per "
-        "re-scored doc per tick, and tick wall stays flat because "
-        "the per-tick rank pass reads the folded log:\n\n"
+        "50 REWRITE ticks (delete_where + re-append of a 500-doc "
+        "slice — re-scores are what accrete superseded log rows; "
+        "pure appends add only live rows) against the 30x-seeded "
+        "corpus (150k docs; copy-0 seeds slice-aligned so each "
+        "delete's COW rewrite prunes to one directory), with the "
+        "tick's own housekeeping on (compact_every=16, the default — "
+        "folds both logs to live rows every 16 appended log "
+        "versions, AFTER the selection commit) and off. Committed "
+        "answers are bit-identical either way (the tick tests pin "
+        "it); this table is what housekeeping buys: the logs' "
+        "CURRENT version stays ~live-sized instead of accreting one "
+        "superseded row per re-scored doc per tick. Row counts and "
+        "MB are the current log version — what every tick's rank "
+        "pass reads; total on-disk additionally retains superseded "
+        "versions for time travel (a retention knob, not a read "
+        "cost):\n\n"
         "| variant | tick | tick wall | stats rows | grams rows | "
-        "state MB |\n|---|---|---|---|---|---|\n"
+        "live state MB |\n|---|---|---|---|---|---|\n"
     )
     for label, rows in lg.items():
         for t, wall, n_stats, n_grams, mb in rows:
