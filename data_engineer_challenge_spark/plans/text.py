@@ -850,6 +850,105 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_nostraddle",
+    # pytest-oracled (driver surface capped at 50): the second
+    # standard packing regime, next to concat-then-chunk
+    driver=False,
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               {_MD5_LONG_SQL.format(c='doc_id')} % {_PACK_SHARDS}
+                   AS shard,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                   AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_MD5_LONG_SQL.format(c='doc_id')}
+                       % {_PACK_SHARDS}
+                   ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+    ),
+    pack(shard, rn, doc_id, n_tokens, seq_id, seq_offset, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN 0 ELSE p.fill END,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        FROM pack p JOIN toks t
+             ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id, seq_offset FROM pack
+    """,
+)
+def docs_pack_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-STRADDLE sequence packing (next-fit): a document never
+    crosses a sequence boundary — if it doesn't fit the current
+    sequence's remaining budget, a new sequence starts (an oversized
+    document occupies a sequence alone). The regime used when
+    cross-document attention contamination matters more than the
+    padding waste concat-then-chunk avoids; ``docs_pack_sequences``
+    is the straddling twin, same shard family, same order.
+
+    Next-fit is a SEQUENTIAL fold (each placement depends on the
+    running fill, which resets data-dependently — not expressible as
+    a window function), so the Spark side runs it as one
+    Arrow-batched ``applyInPandas`` per shard: the shard is the
+    parallel unit, exactly the contract the packer family documents —
+    at 100 TB the shard count scales out with the corpus and each
+    shard's fold streams its own docs once. The oracle replays the
+    fold as a recursive CTE (one recursion level per within-shard
+    position, all shards advancing in parallel), so the
+    state-machine semantics are hash-checked exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    import pandas as pd
+
+    cap = _PACK_LEN
+    toks = docs.select(
+        "doc_id",
+        (md5_long(F.col("doc_id")) % _PACK_SHARDS).alias("shard"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        # seed so the FIRST row takes the oracle's base-case branch
+        # (seq 0, offset 0, fill = its tokens) through the same rule
+        # the recursion applies to every later row
+        seq, fill = -1, cap + 1
+        seqs, offs = [], []
+        for n in pdf["n_tokens"]:
+            if fill + n > cap:
+                seq += 1
+                offs.append(0)
+                fill = int(n)
+            else:
+                offs.append(fill)
+                fill += int(n)
+            seqs.append(seq)
+        pdf["seq_id"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "seq_id", "seq_offset"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, shard long, n_tokens long, "
+            "seq_id long, seq_offset long"
+        ),
+    )
+
+
+@register(
     "split_contamination_pairs",
     # pytest-oracled: decontamination audit over the winnowing
     # fingerprint machinery (driver surface capped at 50)

@@ -501,7 +501,20 @@ def ivfpq_serving(spark, sf_dir, root, cents, n_probe) -> dict:
             ).collect()
         }
         plain_walls.append(time.perf_counter() - t0)
+    # interactive serving: ONE query through the same store/config —
+    # the latency floor a dataloader or API caller sees (the batch
+    # rows above amortize planning across the query set)
+    one = queries.orderBy("q_id").limit(1).localCheckpoint()
+    single_walls = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        idx.probe_adc(
+            one, k=10, n_probe=n_probe, shortlist=width
+        ).collect()
+        single_walls.append(time.perf_counter() - t0)
     return {
+        "single_q_s": round(min(single_walls), 3),
         "build_s": build_s,
         "probe_s": round(min(walls), 3),
         "recall": len(got & exact) / len(exact),
@@ -1386,6 +1399,12 @@ def _write_tier30(
         f"| ADC shortlist (select_adc_width, 0.75 floor) | "
         f"{ivfpq30['shortlist']} |\n"
         f"| recall@10 vs exact | {ivfpq30['recall']:.3f} |\n"
+        + (
+            f"| single-query probe_adc (interactive latency) | "
+            f"{ivfpq30['single_q_s']} s |\n"
+            if "single_q_s" in ivfpq30
+            else ""
+        )
         "\n**Rebucket rewrite cost vs store size** (r10, VERDICT r9 "
         "#7): `maybe_rebucket` rewrites the whole store (it is also "
         "a full compaction); the 2x growth trigger amortizes that "
@@ -1546,6 +1565,8 @@ def _write_tier100vec(f, v: dict) -> None:
         f"{ivfpq['probe_plain_s']} s |\n"
         f"| recall@10 vs exact (pruning only) | "
         f"{ivfpq['recall_plain']:.3f} |\n"
+        f"| single-query probe_adc (interactive latency) | "
+        f"{ivfpq['single_q_s']} s |\n"
     )
 
 
