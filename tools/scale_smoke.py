@@ -1405,7 +1405,7 @@ def _write_tier30(
             if "single_q_s" in ivfpq30
             else ""
         )
-        "\n**Rebucket rewrite cost vs store size** (r10, VERDICT r9 "
+        + "\n**Rebucket rewrite cost vs store size** (r10, VERDICT r9 "
         "#7): `maybe_rebucket` rewrites the whole store (it is also "
         "a full compaction); the 2x growth trigger amortizes that "
         "O(N) rewrite to O(1) per appended row ONLY if the rewrite "
