@@ -2666,6 +2666,125 @@ def docs_global_shuffle_order(
     )
 
 
+#: curriculum band cutoffs on the frozen classifier's rounded score:
+#: band 0 = confident keeps, band 1 = marginal keeps (logit just past
+#: 0 ⇔ score ≥ 0.5), band 2 = rejects and unscorable (zero-gram docs
+#: score NULL and fall through both predicates in BOTH engines)
+_CURR_HI = 0.55
+_CURR_LO = 0.5
+_CURR_SALT = "curr-e1-"  # decorrelated from the plain epoch shuffle
+
+
+def _register_curriculum_order() -> None:
+    from .quality_weights import BIAS
+
+    @register(
+        "docs_curriculum_order",
+        # pytest-oracled (driver surface capped at 50): the staged-
+        # training composition of two driver-checked capabilities
+        driver=False,
+        oracle=f"""
+        WITH qfeats AS (
+            SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM documents)
+            )
+        ),
+        w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
+        pooled AS (
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   {dec_sum_sql('w.wt')} AS s
+            FROM qfeats f JOIN w ON w.b = f.b
+            GROUP BY f.doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-({BIAS!r} + p.s / p.n_grams))),
+                         6) AS quality_score
+            FROM documents d LEFT JOIN pooled p USING (doc_id)
+        ),
+        banded AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN quality_score >= {_CURR_HI} THEN 0
+                             WHEN quality_score >= {_CURR_LO} THEN 1
+                             ELSE 2 END AS BIGINT) AS band,
+                   h, h % {_GSHUF_SHARDS} AS shard_id
+            FROM (SELECT doc_id, quality_score,
+                         {_MD5_LONG_SQL.format(
+                             c="concat('" + _CURR_SALT
+                             + "', CAST(doc_id AS VARCHAR))")} AS h
+                  FROM scored)
+        )
+        SELECT doc_id, band, shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY band, shard_id
+                   ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM banded
+        """,
+    )
+    def docs_curriculum_order(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Curriculum training order: the epoch shuffle staged by the
+        frozen quality classifier — every document gets
+        ``(band, shard_id, pos)`` where band 0 is confident-keep
+        content, band 1 marginal keeps, band 2 rejects/unscorable
+        (zero-gram docs score NULL and land here in both engines by
+        the same fell-through CASE), and within each band the order
+        is the salted-hash pseudo-shuffle (fresh salt, so curriculum
+        order is decorrelated from the plain epoch order). A
+        dataloader consumes band 0's shards round-robin by ``pos``,
+        then band 1, then (optionally) band 2 — the
+        easy/clean-examples-first schedule public curricula use,
+        reproducible and resumable like ``docs_global_shuffle_order``.
+
+        Shape at scale: the scoring stage is the quality classifier's
+        (one gram pass, 256-row broadcast, one per-doc aggregate);
+        banding is a map; the rank window partitions by
+        (band, shard) — finer than the plain shuffle's, still never
+        global. Banding by the ROUNDED score keeps the band decision
+        bit-identical across engines (both compare the same 6 dp
+        double)."""
+        docs = load_table(spark, sf_dir, "documents")
+        from pyspark.sql.window import Window as _W
+
+        scored = with_quality_score(docs)
+        h = md5_long(
+            F.concat(F.lit(_CURR_SALT), F.col("doc_id").cast("string"))
+        )
+        banded = scored.select(
+            "doc_id",
+            F.when(F.col("quality_score") >= _CURR_HI, F.lit(0))
+            .when(F.col("quality_score") >= _CURR_LO, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            .alias("band"),
+            h.alias("h"),
+            (h % _GSHUF_SHARDS).alias("shard_id"),
+        )
+        return (
+            banded.withColumn(
+                "pos",
+                F.row_number()
+                .over(
+                    _W.partitionBy("band", "shard_id").orderBy(
+                        "h", "doc_id"
+                    )
+                )
+                .cast("long"),
+            )
+            .select("doc_id", "band", "shard_id", "pos")
+        )
+
+
+_register_curriculum_order()
+
+
 @register(
     "docs_shuffled_packing",
     # pytest-oracled (driver surface capped at 50): the composition of
