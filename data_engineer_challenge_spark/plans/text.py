@@ -2960,3 +2960,352 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrubbed_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled language mix — the data-DEPENDENT sibling of
+# docs_rebalance_sample: instead of a hand-written rate table, per-
+# language keep rates are computed from the corpus's own language
+# counts with alpha-power temperature scaling (the multilingual-
+# pretraining move: sampling probability proportional to n_l^alpha,
+# alpha < 1, flattens the head language and up-weights the tail;
+# Conneau et al. 2020 §3.1 use alpha = 0.3-0.7).
+# ---------------------------------------------------------------------------
+
+#: total document budget the temperature mix targets (a training-run
+#: config, like _TOKEN_BUDGET); alpha is fixed at 0.5 — sqrt is the
+#: one power both engines evaluate IEEE-correctly-rounded, so the one
+#: float step in the rate computation is bit-identical cross-engine
+_TEMP_BUDGET = 300
+_TEMP_SALT = "tmix:"
+
+
+@register(
+    "docs_temperature_mix",
+    # pytest-oracled (driver surface capped at 50): sampling is
+    # pipeline infrastructure, like docs_rebalance_sample
+    driver=False,
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS s6
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS t6 FROM counts),
+    rates AS (
+        SELECT lang,
+               CAST(LEAST(
+                   1000000,
+                   (1000000 * (({_TEMP_BUDGET} * s6) // t6)) // n_docs
+               ) AS BIGINT) AS pct_ppm
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.pct_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_MD5_LONG_SQL.format(c=f"concat('{_TEMP_SALT}', doc_id)")}
+          % 1000000 < r.pct_ppm
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled language rebalancing: per-language keep
+    rates are COMPUTED from the corpus (rate_l ∝ sqrt(n_l), scaled to
+    a _TEMP_BUDGET-document target and capped at 100%), then each
+    document keeps or drops by the salted-hash rule — so the head
+    language is downsampled toward the tail exactly as multilingual
+    pretraining mixes do, and the mix re-derives itself as the corpus
+    grows instead of trusting a stale hand-written table
+    (docs_rebalance_sample is that static twin).
+
+    Cross-engine determinism: the ONE float step is sqrt (IEEE
+    exact-rounded in both engines) followed by floor into a BIGINT
+    millionths grid; everything after — the budget split, the ppm
+    threshold, the hash compare — is integer arithmetic, so the
+    keep/drop frontier cannot sit on a float rounding edge.
+
+    Shape at scale: one map-side-combined groupBy over the lang key
+    (|langs| rows out), a one-row total broadcast-crossed onto it,
+    and the rate table broadcast back onto the corpus — the corpus
+    itself is touched by exactly one map pass, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    counts = counts.withColumn(
+        "s6",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast(
+            "long"
+        ),
+    )
+    total = counts.agg(F.sum("s6").alias("t6"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "target_docs", F.expr(f"({_TEMP_BUDGET} * s6) div t6")
+        )
+        .select(
+            "lang",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("(1000000 * target_docs) div n_docs"),
+            ).alias("pct_ppm"),
+        )
+    )
+    h = md5_long(F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where((h % 1000000) < F.col("pct_ppm"))
+        .select("doc_id", "lang", "pct_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch replay mix — materialized sampling WITH replacement:
+# per-language replay factors (epochs) expand each document into
+# floor(f) copies plus a hash-decided fractional copy, and every copy
+# gets its own position in the epoch-shuffle order. This is the
+# "2 epochs of the rare language, a quarter epoch of the web crawl"
+# schedule training mixes publish, materialized as a deterministic
+# dataloader table.
+# ---------------------------------------------------------------------------
+
+#: per-language replay factors in parts-per-million (1e6 = one epoch);
+#: absent languages run exactly one epoch
+_REPLAY_PPM = {"en": 250000, "fr": 2500000}
+_REPLAY_DEFAULT_PPM = 1000000
+_REPLAY_SALT = "replay:"
+_REPLAY_ORD_SALT = "replayord:"
+
+
+@register(
+    "docs_epoch_replay_mix",
+    # pytest-oracled (driver surface capped at 50): the with-
+    # replacement sibling of the keep/drop samplers
+    driver=False,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CASE lang
+                   WHEN 'en' THEN {_REPLAY_PPM['en']}
+                   WHEN 'fr' THEN {_REPLAY_PPM['fr']}
+                   ELSE {_REPLAY_DEFAULT_PPM} END AS f_ppm,
+               {_MD5_LONG_SQL.format(
+                   c=f"concat('{_REPLAY_SALT}', doc_id)")} AS h
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, lang,
+               CAST(f_ppm // 1000000
+                    + CASE WHEN h % 1000000 < f_ppm % 1000000
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM base
+    ),
+    reps AS (
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                   AS replica
+        FROM copies WHERE n_copies >= 1
+    ),
+    ordered AS (
+        SELECT doc_id, lang, replica,
+               {_MD5_LONG_SQL.format(
+                   c=f"concat('{_REPLAY_ORD_SALT}', replica, ':', doc_id)"
+               )} AS h2
+        FROM reps
+    )
+    SELECT doc_id, lang, replica,
+           CAST(h2 % {_GSHUF_SHARDS} AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY h2 % {_GSHUF_SHARDS}
+               ORDER BY h2, doc_id, replica) AS BIGINT) AS pos
+    FROM ordered
+    """,
+)
+def docs_epoch_replay_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-factor training mix (sampling WITH replacement,
+    materialized): each document appears ``floor(f_lang)`` times plus
+    one more copy iff its salted hash lands under the fractional part
+    — so a 2.5-epoch language repeats every document twice and half
+    the documents (a deterministic, hash-chosen half) a third time,
+    and a 0.25-epoch language keeps a quarter of its documents once.
+    Every copy then takes its own slot in the epoch-shuffle order
+    (fresh per-replica salt, so a document's copies scatter instead
+    of clustering back-to-back — the reason naive concat-the-corpus-
+    twice schedules are avoided).
+
+    Shape at scale: the copy decision is map-only (the factor table
+    rides the closure); materialization is an explode whose fan-out
+    is the replay factor (bounded, config-chosen); the order rank is
+    the shuffle family's PARTITIONED per-shard window. No corpus
+    join, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    f_ppm = F.lit(_REPLAY_DEFAULT_PPM)
+    for lang, ppm in _REPLAY_PPM.items():
+        f_ppm = F.when(F.col("lang") == lang, ppm).otherwise(f_ppm)
+    h = md5_long(
+        F.concat(F.lit(_REPLAY_SALT), F.col("doc_id").cast("string"))
+    )
+    copies = docs.select(
+        "doc_id",
+        "lang",
+        f_ppm.cast("long").alias("f_ppm"),
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("f_ppm div 1000000")
+            + F.when((F.col("h") % 1000000) < (F.col("f_ppm") % 1000000), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_copies"),
+    )
+    reps = copies.where(F.col("n_copies") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("replica"),
+    )
+    h2 = md5_long(
+        F.concat(
+            F.lit(_REPLAY_ORD_SALT),
+            F.col("replica").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return (
+        reps.withColumn("h2", h2)
+        .withColumn("shard_id", (F.col("h2") % _GSHUF_SHARDS).cast("long"))
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(
+                _W.partitionBy("shard_id").orderBy(
+                    "h2", "doc_id", "replica"
+                )
+            )
+            .cast("long"),
+        )
+        .select("doc_id", "lang", "replica", "shard_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence document spans — the loss-mask / attention-reset
+# metadata a dataloader needs on top of docs_pack_sequences' placement:
+# for every (sequence, document) overlap, the token span the document
+# occupies inside that sequence. Cross-document attention masking and
+# per-document loss weighting both consume exactly this table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_packed_doc_spans",
+    # pytest-oracled (driver surface capped at 50): the span expansion
+    # of docs_pack_sequences' placement rule
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_MD5_LONG_SQL.format(c='doc_id')} % {_PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks WHERE n_tokens > 0
+    ),
+    spans AS (
+        SELECT doc_id, shard, n_tokens, cum_before,
+               unnest(generate_series(
+                   cum_before // {_PACK_LEN},
+                   (cum_before + n_tokens - 1) // {_PACK_LEN}
+               )) AS s
+        FROM packed
+    )
+    SELECT doc_id, shard,
+           CAST(s AS BIGINT) AS seq_id,
+           CAST(GREATEST(0, cum_before - s * {_PACK_LEN}) AS BIGINT)
+               AS start_tok,
+           CAST(LEAST({_PACK_LEN}, cum_before + n_tokens - s * {_PACK_LEN})
+               AS BIGINT) AS end_tok
+    FROM spans
+    """,
+)
+def docs_packed_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sequence, document) token spans under docs_pack_sequences'
+    concat-then-chunk placement: document d occupying global tokens
+    [c, c+n) of its shard's stream appears in sequences
+    c div L .. (c+n-1) div L, holding [start_tok, end_tok) inside
+    each (end exclusive; interior sequences of a long document span
+    the full [0, L)). A trainer uses these rows directly as the
+    attention-reset boundaries (no cross-document attention) and the
+    loss-mask offsets (e.g. zero-weight a document's first k tokens).
+
+    Shape at scale: the packing computation itself (hash shards, one
+    PARTITIONED running-sum window per shard) plus a per-row explode
+    whose fan-out is ceil(n_tokens / L) — output rows ≈ corpus tokens
+    / L + documents, i.e. linear in the data with no join and no
+    global sort. The span arithmetic is all BIGINT, so the oracle
+    replays bit-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    md5l = md5_long(F.col("doc_id"))
+    toks = docs.select(
+        "doc_id",
+        (md5l % _PACK_SHARDS).alias("shard"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        _W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    spans = packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "cum_before",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum_before div {_PACK_LEN}"),
+                F.expr(f"(cum_before + n_tokens - 1) div {_PACK_LEN}"),
+            )
+        ).alias("s"),
+    )
+    return spans.select(
+        "doc_id",
+        "shard",
+        F.col("s").cast("long").alias("seq_id"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("cum_before") - F.col("s") * _PACK_LEN,
+        ).alias("start_tok"),
+        F.least(
+            F.lit(_PACK_LEN).cast("long"),
+            F.col("cum_before") + F.col("n_tokens") - F.col("s") * _PACK_LEN,
+        ).alias("end_tok"),
+    )

@@ -233,6 +233,9 @@ def test_no_cartesian_products(spark):
         "emb_pq_adc_knn",
         # 1-row boundary-array broadcast onto the corpus scan
         "docs_range_sharded_export",
+        # single-row sqrt-mass total broadcast onto the |langs|-row
+        # rate table (the corpus_mixture_weights normalizer shape)
+        "docs_temperature_mix",
     }
     for name in plans.REGISTRY:
         if name in allowed:
