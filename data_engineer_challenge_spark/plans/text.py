@@ -3023,10 +3023,11 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, the hash compare — is integer arithmetic, so the
     keep/drop frontier cannot sit on a float rounding edge.
 
-    Shape at scale: one map-side-combined groupBy over the lang key
-    (|langs| rows out), a one-row total broadcast-crossed onto it,
-    and the rate table broadcast back onto the corpus — the corpus
-    itself is touched by exactly one map pass, no corpus shuffle."""
+    Shape at scale: a lang-only column-pruned scan feeds the
+    map-side-combined groupBy (|langs| rows out), a one-row total is
+    broadcast-crossed onto it, and the rate table is broadcast back
+    onto the corpus — two pruned scans total, no corpus shuffle, no
+    corpus-sized join side."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")

@@ -672,3 +672,133 @@ def test_phrase_search_positional_is_index_resident(spark):
     assert scans, plan
     assert not any("text#" in l.split("Batched")[0] for l in scans), plan
     assert "regexp_extract_all" not in plan, plan
+
+
+def test_packed_doc_spans_tile_sequences_exactly(spark):
+    """The loss-mask span table must be a PARTITION of each shard's
+    token stream: per document the spans sum to its token count, and
+    within every (shard, seq_id) the spans are disjoint, start at 0,
+    and chain contiguously (prev end == next start) up to the
+    sequence's fill. Plus the plan shape: partitioned window only, no
+    rangepartitioning (the packing family contract)."""
+    from collections import defaultdict
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.plans.text import _PACK_LEN
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    df = plans.REGISTRY["docs_packed_doc_spans"].builder(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+
+    rows = df.collect()
+    assert rows
+    packed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in plans.REGISTRY["docs_pack_sequences"]
+        .builder(spark, sf)
+        .collect()
+    }
+    per_doc = defaultdict(int)
+    per_seq = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["start_tok"] < r["end_tok"] <= _PACK_LEN, r
+        per_doc[r["doc_id"]] += r["end_tok"] - r["start_tok"]
+        per_seq[(r["shard"], r["seq_id"])].append(
+            (r["start_tok"], r["end_tok"])
+        )
+    assert per_doc == packed  # spans reconstruct every token count
+    for key, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0, (key, spans)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2, (key, spans)  # contiguous, non-overlapping
+
+
+def test_epoch_replay_mix_copy_counts_and_dense_pos(spark):
+    """Replay semantics: a 2.5-epoch language's documents appear 2 or
+    3 times, a 0.25-epoch language's 0 or 1 times, unlisted languages
+    exactly once; replicas are exactly 1..n per document; and pos is a
+    dense 1..count rank within every shard (the dataloader contract).
+    Plan: partitioned window, no rangepartitioning, no join."""
+    from collections import Counter, defaultdict
+
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    df = plans.REGISTRY["docs_epoch_replay_mix"].builder(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+    rows = df.collect()
+    reps = defaultdict(list)
+    lang_of = {}
+    for r in rows:
+        reps[r["doc_id"]].append(r["replica"])
+        lang_of[r["doc_id"]] = r["lang"]
+    allowed = {"en": {1}, "fr": {2, 3}}
+    for doc_id, rs in reps.items():
+        n = len(rs)
+        assert sorted(rs) == list(range(1, n + 1)), (doc_id, rs)
+        assert n in allowed.get(lang_of[doc_id], {1}), (
+            doc_id, lang_of[doc_id], n,
+        )
+    # the fractional copies actually fire both ways at this corpus size
+    fr_counts = Counter(
+        len(rs) for d, rs in reps.items() if lang_of[d] == "fr"
+    )
+    assert fr_counts[2] > 0 and fr_counts[3] > 0, fr_counts
+    per_shard = defaultdict(list)
+    for r in rows:
+        per_shard[r["shard_id"]].append(r["pos"])
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_temperature_mix_rates_match_exact_integer_model(spark):
+    """The data-dependent rate table must equal an independent exact
+    recomputation (math.sqrt + integer arithmetic — the same IEEE ops
+    the engines run), the head language must be throttled below the
+    tail languages, and the plan must broadcast the rate table (no
+    SortMergeJoin: the corpus never shuffles)."""
+    import math
+    from collections import Counter
+
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.plans.text import _TEMP_BUDGET
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    df = plans.REGISTRY["docs_temperature_mix"].builder(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    counts = Counter(
+        r["lang"]
+        for r in load_table(spark, sf, "documents")
+        .select("lang")
+        .collect()
+    )
+    s6 = {l: math.floor(math.sqrt(n) * 1000000.0) for l, n in counts.items()}
+    t6 = sum(s6.values())
+    expect = {
+        l: min(
+            1000000,
+            (1000000 * ((_TEMP_BUDGET * s6[l]) // t6)) // counts[l],
+        )
+        for l in counts
+    }
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["lang"], set()).add(r["pct_ppm"])
+    assert {l: {p} for l, p in expect.items() if l in got} == got
+    # temperature flattening: the head language keeps a smaller share
+    head = max(counts, key=counts.get)
+    assert all(
+        expect[head] <= expect[l] for l in counts
+    ), (head, expect)
