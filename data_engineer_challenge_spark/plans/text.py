@@ -3310,3 +3310,155 @@ def docs_packed_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_before") + F.col("n_tokens") - F.col("s") * _PACK_LEN,
         ).alias("end_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic filter bank — the published rule-based quality gates
+# (Gopher / C4 style) as one audited pass. doc_quality_scores is the
+# soft SCORE; this is the hard RULE BANK a pretraining pipeline runs
+# first: each rule is a named flag so the funnel can report per-rule
+# kill counts, and `keep` is their conjunction. Every rule is
+# integer-exact (ratio thresholds are cross-multiplied onto BIGINT,
+# never computed as floats), so the keep frontier cannot sit on a
+# rounding edge and the DuckDB oracle is bit-safe by construction.
+# At 100 TB this is one map-only pass inside whole-stage codegen —
+# no shuffle, no Python, prunable to (doc_id, text).
+# ---------------------------------------------------------------------------
+
+#: Gopher's stop-list (Rae et al. 2021 §A1.1): a doc must contain at
+#: least _GOPHER_MIN_STOP of these to pass the stop-word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_MIN_STOP = 2
+
+_BULLET_RE = r"^[ \t]*[-*•]"  # line starts with a bullet marker
+_ELLIPSIS_END_RE = r"\.\.\.$"  # line trails off with an ellipsis
+
+
+@register(
+    "docs_heuristic_filter_bank",
+    # pytest-oracled (driver surface capped at 50): the rule bank is
+    # upstream of doc_quality_scores' driver-checked soft score
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, n_words,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS ok_word_count,
+           CAST(n_words > 0 AND 3 * n_words <= sum_len
+                AND sum_len <= 10 * n_words AS BIGINT) AS ok_mean_word_len,
+           CAST(10 * n_sym <= n_words AS BIGINT) AS ok_symbol_ratio,
+           CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) AS ok_bullet_lines,
+           CAST(10 * n_ellipsis <= 3 * n_lines AS BIGINT) AS ok_ellipsis_lines,
+           CAST(n_words > 0 AND 5 * n_alpha >= 4 * n_words AS BIGINT)
+               AS ok_alpha_words,
+           CAST(n_stop >= {_GOPHER_MIN_STOP} AS BIGINT) AS ok_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND n_words > 0 AND 3 * n_words <= sum_len
+                AND sum_len <= 10 * n_words
+                AND 10 * n_sym <= n_words
+                AND 10 * n_bullet <= 9 * n_lines
+                AND 10 * n_ellipsis <= 3 * n_lines
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= {_GOPHER_MIN_STOP} AS BIGINT) AS keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                    AS BIGINT) AS sum_len,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))
+                    AS BIGINT) AS n_sym,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '{_BULLET_RE}')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '{_ELLIPSIS_END_RE}')))
+                    AS BIGINT) AS n_ellipsis,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(list_distinct(toks),
+                        t -> t IN ({", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)})))
+                    AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents)
+    )
+    """,
+)
+def docs_heuristic_filter_bank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based pretraining quality gates (the Gopher filter bank):
+    word-count window, mean-word-length window, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    and minimum stop-word presence — each surfaced as its own 0/1
+    flag plus the conjunctive ``keep``.
+
+    Reference parity: the reference pipeline's only quality gate is
+    the empty-text reject (exo_2.py's dropna); this is the rule bank
+    a corpus pipeline runs at scale. All thresholds are the published
+    Gopher values; every fraction test is cross-multiplied onto
+    integers (``10*n_sym <= n_words`` instead of ``n_sym/n_words <=
+    0.1``) so the decision is exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lines = F.split(F.col("text"), "\n", -1)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_len"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+            + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0))
+        )
+        .cast("long")
+        .alias("n_sym"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_RE)))
+        .cast("long")
+        .alias("n_ellipsis"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.array_distinct(toks),
+                lambda t: t.isin(GOPHER_STOPWORDS),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    c = F.col
+    rules = {
+        "ok_word_count": c("n_words").between(50, 100000),
+        "ok_mean_word_len": (c("n_words") > 0)
+        & (3 * c("n_words") <= c("sum_len"))
+        & (c("sum_len") <= 10 * c("n_words")),
+        "ok_symbol_ratio": 10 * c("n_sym") <= c("n_words"),
+        "ok_bullet_lines": 10 * c("n_bullet") <= 9 * c("n_lines"),
+        "ok_ellipsis_lines": 10 * c("n_ellipsis") <= 3 * c("n_lines"),
+        "ok_alpha_words": (c("n_words") > 0)
+        & (5 * c("n_alpha") >= 4 * c("n_words")),
+        "ok_stopwords": c("n_stop") >= _GOPHER_MIN_STOP,
+    }
+    out = base.select(
+        "doc_id",
+        "n_words",
+        *[v.cast("long").alias(k) for k, v in rules.items()],
+    )
+    keep = None
+    for k in rules:
+        keep = c(k) == 1 if keep is None else keep & (c(k) == 1)
+    return out.withColumn("keep", keep.cast("long"))
