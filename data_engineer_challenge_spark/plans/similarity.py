@@ -1077,3 +1077,110 @@ def _hybrid_fuse(spark: SparkSession, sf_dir: str, sparse: DataFrame) -> DataFra
         F.round(F.col("__rrf"), 6).alias("rrf_score"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced selection — diversity-preserving subsampling: pick a
+# fixed pseudo-random quota per semantic cluster instead of uniformly,
+# so head topics are cut hard and tail topics survive whole (the
+# cluster-based balancing move from the SemDeDup / DataComp family of
+# curation recipes). Deterministic: the per-cluster "random" order is
+# the salted-md5 family every selection in this registry uses.
+# ---------------------------------------------------------------------------
+
+_CBAL_QUOTA = 20  # per-cluster selection quota
+_CBAL_SALT = "cbal-e1-"  # epoch folds into the salt, as in the shuffle
+_CBAL_MD5_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _cluster_balanced_oracle(
+    cents: list[list[float]], quota: int
+) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    h = _CBAL_MD5_SQL.format(
+        c="concat('" + _CBAL_SALT + "', CAST(vec_id AS VARCHAR))"
+    )
+    return f"""
+    WITH cent AS (SELECT * FROM {_cent_values_sql(cents)}),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_ec} DESC, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                    ORDER BY h, vec_id) AS BIGINT) AS pick_rank,
+               CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT)
+                   AS n_cell
+        FROM (SELECT vec_id, cell, {h} AS h FROM assigned)
+    )
+    SELECT vec_id, cell, pick_rank, n_cell
+    FROM ranked WHERE pick_rank <= {quota}
+    """
+
+
+@register(
+    "emb_cluster_balanced_selection",
+    # pytest-oracled (driver surface capped at 50): assignment rides
+    # the driver-checked emb_semantic_dedup quantizer verbatim
+    driver=False,
+    oracle=_cluster_balanced_oracle(_IVF_CENTROIDS, _CBAL_QUOTA),
+)
+def emb_cluster_balanced_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Topic-balanced corpus subsampling: assign every embedding to
+    its nearest frozen-quantizer centroid (the registered SemDeDup /
+    IVF quantizer — map-only literal argmax, zero shuffle), then keep
+    a fixed pseudo-random quota per cluster. ``n_cell`` rides along so
+    the audit shows the rebalancing: a 200-vector head cluster and a
+    21-vector tail cluster both contribute exactly ``quota`` rows.
+
+    Why quota-per-cluster instead of uniform sampling: uniform keeps
+    the corpus's topic skew (head topics dominate the training mix);
+    per-cluster quotas flatten it — the embedding-space analogue of
+    ``docs_temperature_mix``'s per-language rates, with the cluster
+    structure COMPUTED from the data rather than read off a column.
+
+    Scale shape: assignment is map-only against broadcast centroid
+    literals; the rank is ONE window keyed by cell. At 100 TB the
+    quantizer retrains ∝ N offline (the ``_corpus_quantizer`` memo's
+    k = N/256 posture), cells stay ~constant-sized, and the window
+    never sees a hot key; output is quota × k rows — driver-safe by
+    construction. Selection is deterministic (salted md5), so a
+    re-run or a resumed job picks the identical subset."""
+    from ..operators.similarity import nearest_centroid
+
+    from .helpers import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        nearest_centroid(
+            F.col("embedding"),
+            _IVF_CENTROIDS,
+            norm2=norm_sq(F.col("embedding")),
+        ).alias("cell"),
+    )
+    h = md5_long(
+        F.concat(F.lit(_CBAL_SALT), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cell")
+    ranked = assigned.select(
+        "vec_id", "cell", h.alias("__h")
+    ).select(
+        "vec_id",
+        "cell",
+        F.row_number()
+        .over(w.orderBy("__h", "vec_id"))
+        .cast("long")
+        .alias("pick_rank"),
+        F.count("*").over(w).cast("long").alias("n_cell"),
+    )
+    return ranked.where(F.col("pick_rank") <= _CBAL_QUOTA)

@@ -2228,7 +2228,12 @@ def _register_curation_funnel() -> None:
 
     norm_sql = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
 
-    funnel_oracle = f"""
+    # Parameterized over the corpus source so curation_mix_diff can run
+    # the IDENTICAL funnel SQL over two corpus versions; the registered
+    # batch/delta oracles below interpolate src='documents', producing
+    # the same string they always carried.
+    def _funnel_sql(src: str = "documents") -> str:
+        return f"""
         WITH qfeats AS (
             SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
             FROM (
@@ -2236,7 +2241,7 @@ def _register_curation_funnel() -> None:
                 FROM (SELECT doc_id,
                              regexp_extract_all(lower(text), '{TOKEN_RE}')
                                  AS t
-                      FROM documents)
+                      FROM {src})
             )
         ),
         w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
@@ -2251,7 +2256,7 @@ def _register_curation_funnel() -> None:
             SELECT d.doc_id, d.lang, d.text,
                    ROUND(1.0 / (1.0 + exp(-({BIAS!r} + p.s / p.n_grams))),
                          6) AS quality_score
-            FROM documents d JOIN pooled p USING (doc_id)
+            FROM {src} d JOIN pooled p USING (doc_id)
             WHERE ({BIAS!r} + p.s / p.n_grams) >= 0.0
         ),
         uniq AS (
@@ -2300,6 +2305,8 @@ def _register_curation_funnel() -> None:
         ORDER BY log_weight DESC, doc_id
         LIMIT {_FUNNEL_TOPK}
         """
+
+    funnel_oracle = _funnel_sql()
 
     @register(
         "docs_curation_funnel",
@@ -2415,6 +2422,63 @@ def _register_curation_funnel() -> None:
         ]:
             raise RuntimeError("caught-up tick fired — cursor broken")
         return sel.read()
+
+    @register(
+        "curation_mix_diff",
+        # pytest-oracled (driver surface capped at 50): the funnel and
+        # the delta refresh are both driver-hash-checked; this is the
+        # AUDIT over their outputs
+        driver=False,
+        oracle=f"""
+        WITH v1 AS ({_funnel_sql(
+            "(SELECT * FROM documents WHERE doc_id % 4 <> 3)"
+        )}),
+        v2 AS ({_funnel_sql()})
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status,
+               v1.log_weight AS old_log_weight,
+               v2.log_weight AS new_log_weight
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        """,
+    )
+    def curation_mix_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Training-mix release audit: diff the committed mix between
+        two corpus versions — which documents entered, which left, and
+        how the selection weight of every survivor moved. The corpus
+        versions are the delta-refresh row's own pair (v1 = the
+        ``doc_id % 4 != 3`` initial load, v2 = the full table), so the
+        audit covers exactly the transition that row replays.
+
+        Why survivors' weights move at all: DSIR's raw/target bucket
+        models are statistics OVER THE CORPUS VERSION, so adding
+        documents re-weights everyone — a mix release can change
+        composition without any shared document changing bytes. That
+        is precisely what a release audit must surface (and what a
+        naive added/removed id-diff misses); ``status='kept'`` rows
+        carry both weights so the drift is the deliverable.
+
+        Scale shape: two funnel runs (each the audited three-stage
+        shape over ITS corpus version) + one full outer join on
+        doc_id over two top-k-bounded frames — the join input is
+        2×topk rows regardless of corpus size."""
+        docs = load_table(spark, sf_dir, "documents")
+        v1 = curation_funnel(docs.where("doc_id % 4 != 3")).select(
+            "doc_id", F.col("log_weight").alias("old_log_weight")
+        )
+        v2 = curation_funnel(docs).select(
+            "doc_id", F.col("log_weight").alias("new_log_weight")
+        )
+        return v1.join(v2, "doc_id", "full_outer").select(
+            "doc_id",
+            F.when(F.col("old_log_weight").isNull(), F.lit("added"))
+            .when(F.col("new_log_weight").isNull(), F.lit("removed"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "old_log_weight",
+            "new_log_weight",
+        )
 
 
 def exact_fingerprint(text_col: str = "text") -> Column:
@@ -3462,3 +3526,306 @@ def docs_heuristic_filter_bank(
     for k in rules:
         keep = c(k) == 1 if keep is None else keep & (c(k) == 1)
     return out.withColumn("keep", keep.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document line/paragraph dedup-rewrite (the CCNet / RefinedWeb
+# "remove duplicated lines" normalization step): a line is a duplicate
+# if an identical normalized, non-empty line appeared EARLIER in the
+# same document; the cleaned document is the kept lines re-joined in
+# order. The result carries md5(clean_text) so the oracle checks the
+# actual rewritten bytes without shipping text through the hash
+# harness. docs_repetition_stats is the MEASURE (bigram repetition
+# ratios); this is the REWRITE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_paragraph_dedup",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, i AS idx, ls[i] AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents),
+             UNNEST(range(1, len(ls) + 1)) AS r(i)
+    ),
+    marked AS (
+        SELECT doc_id, idx, line,
+               CASE WHEN trim(lower(line)) = '' THEN 0
+                    WHEN idx > MIN(idx) OVER (
+                        PARTITION BY doc_id, trim(lower(line))) THEN 1
+                    ELSE 0 END AS is_dup
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_lines,
+           md5(coalesce(string_agg(CASE WHEN is_dup = 0 THEN line END,
+                                   chr(10) ORDER BY idx), '')) AS clean_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (keep-first, normalized
+    match), returning per-document counts plus ``md5`` of the
+    reconstructed clean text — the rewrite itself is what's checked.
+
+    Shape at scale: posexplode is map-only; the first-occurrence mark
+    is ONE window keyed ``(doc_id, normalized_line)`` (doc-local keys,
+    so the shuffle is uniformly spread — no global hot key is possible
+    by construction); the rebuild is one ``doc_id``-keyed aggregation
+    whose collect is ordered by ``sort_array`` over ``(idx, line)``
+    structs, never by partition arrival order."""
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias("idx0", "line"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "line")
+    norm = F.trim(F.lower(F.col("line")))
+    marked = lines.withColumn(
+        "is_dup",
+        F.when(norm == "", F.lit(0))
+        .when(
+            F.col("idx")
+            > F.min("idx").over(_W.partitionBy("doc_id", norm)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    kept = F.filter(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("is_dup") == 0, F.struct("idx", "line")
+                )
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("is_dup").cast("long").alias("n_dup_lines"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+        ).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mid-epoch dataloader resume — the consumer-side contract of
+# docs_global_shuffle_order: a training job that died G global steps
+# into the epoch restarts by recomputing the SAME epoch order and
+# dropping exactly the consumed prefix. Round-robin-by-pos consumption
+# means after G steps shard s has consumed floor(G/S) + (s < G mod S)
+# items — pure arithmetic on the checkpoint, no consumed-id log needed
+# anywhere (THE point of a deterministic shuffle: the checkpoint is
+# one integer, not a 100 TB bitmap of seen doc_ids).
+# ---------------------------------------------------------------------------
+
+_GSHUF_RESUME_STEP = 100  # the pinned checkpoint (global steps consumed)
+
+
+@register(
+    "docs_shuffle_resume",
+    # pytest-oracled (driver surface capped at 50): the epoch order
+    # itself is driver-hash-checked; this is its resume arithmetic
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, shard_id, pos FROM (
+        SELECT doc_id,
+               h % {_GSHUF_SHARDS} AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY h % {_GSHUF_SHARDS}
+                   ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     {_MD5_LONG_SQL.format(
+                         c="concat('" + _GSHUF_SALT
+                         + "', CAST(doc_id AS VARCHAR))")} AS h
+              FROM documents)
+    )
+    WHERE pos > {_GSHUF_RESUME_STEP} // {_GSHUF_SHARDS}
+              + CASE WHEN shard_id < {_GSHUF_RESUME_STEP % _GSHUF_SHARDS}
+                     THEN 1 ELSE 0 END
+    """,
+)
+def docs_shuffle_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume the reproducible epoch shuffle mid-epoch: recompute
+    ``docs_global_shuffle_order`` and keep only the NOT-yet-consumed
+    suffix implied by a global-step checkpoint (pinned at
+    ``_GSHUF_RESUME_STEP`` for the exact oracle; the expression is the
+    round-robin consumption count per shard).
+
+    Scale shape: identical to the epoch shuffle (one hash projection +
+    one partitioned rank window) plus a map-only filter — the filter
+    cannot push below the rank window (pos IS the window's output),
+    but it prunes before anything downstream, so a resumed job never
+    re-materializes consumed work. The suffix is bit-equal to the full
+    order's suffix by construction — both derive from the same salted
+    hash — which is the property that makes one integer a sufficient
+    checkpoint."""
+    full = docs_global_shuffle_order(spark, sf_dir)
+    consumed = _GSHUF_RESUME_STEP // _GSHUF_SHARDS
+    extra = _GSHUF_RESUME_STEP % _GSHUF_SHARDS
+    return full.where(
+        F.col("pos")
+        > consumed
+        + F.when(F.col("shard_id") < extra, 1).otherwise(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency audit — the number that decides between the two
+# packing regimes: concat-then-chunk wastes only the per-shard tail
+# (but lets documents straddle sequence boundaries), no-straddle
+# next-fit wastes the per-sequence remainder its placement rule
+# refuses to fill. Per (packer, shard): sequences, wasted tokens, and
+# utilization on an exact ppm grid — all integer arithmetic, so the
+# comparison is bit-safe and the trade-off is a table, not an adjective.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_packing_efficiency",
+    # pytest-oracled (driver surface capped at 50): the audit over two
+    # pytest-oracled packers
+    driver=False,
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               {_MD5_LONG_SQL.format(c='doc_id')} % {_PACK_SHARDS}
+                   AS shard,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                   AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_MD5_LONG_SQL.format(c='doc_id')}
+                       % {_PACK_SHARDS}
+                   ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+    ),
+    pack(shard, rn, doc_id, n_tokens, seq_id, seq_offset, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN 0 ELSE p.fill END,
+               CASE WHEN p.fill + t.n_tokens > {_PACK_LEN}
+                    THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        FROM pack p JOIN toks t
+             ON t.shard = p.shard AND t.rn = p.rn + 1
+    ),
+    concat_side AS (
+        SELECT 'concat_chunk' AS packer, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST((SUM(n_tokens) + {_PACK_LEN} - 1) // {_PACK_LEN}
+                   AS BIGINT) AS n_seqs,
+               CAST(((SUM(n_tokens) + {_PACK_LEN} - 1) // {_PACK_LEN})
+                    * {_PACK_LEN} - SUM(n_tokens) AS BIGINT)
+                   AS wasted_tokens
+        FROM toks GROUP BY shard
+    ),
+    ns_seqs AS (
+        SELECT shard, seq_id,
+               MAX(seq_offset + n_tokens) AS fill,
+               COUNT(*) AS n_docs_seq,
+               SUM(n_tokens) AS seq_tokens
+        FROM pack GROUP BY shard, seq_id
+    ),
+    ns_side AS (
+        SELECT 'no_straddle' AS packer, shard,
+               CAST(SUM(n_docs_seq) AS BIGINT) AS n_docs,
+               CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(GREATEST(0, {_PACK_LEN} - fill)) AS BIGINT)
+                   AS wasted_tokens
+        FROM ns_seqs GROUP BY shard
+    ),
+    both_sides AS (
+        SELECT * FROM concat_side UNION ALL SELECT * FROM ns_side
+    )
+    SELECT packer, shard, n_docs, total_tokens, n_seqs, wasted_tokens,
+           CAST(1000000 * (n_seqs * {_PACK_LEN} - wasted_tokens)
+                // (n_seqs * {_PACK_LEN}) AS BIGINT) AS util_ppm
+    FROM both_sides
+    """,
+)
+def docs_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(packer, shard) packing waste: sequences produced, tokens
+    wasted (concat-then-chunk: the shard's tail remainder; no-straddle:
+    each sequence's unfilled remainder, clipped at zero for oversize
+    lone documents), and utilization in exact ppm. The two packers'
+    placement rules are individually hash-checked; this is the
+    capacity-planning audit a dataloader team reads to pick one.
+
+    Scale shape: the concat side needs only per-shard token SUMS (one
+    map-combined aggregation — no placement materialization at all);
+    the no-straddle side aggregates its packer's placements per
+    (shard, seq_id) then per shard. No joins, no global sort; output
+    is 2 × shards rows regardless of corpus size."""
+    pseq_src = docs_pack_sequences(spark, sf_dir)
+    cap = F.lit(_PACK_LEN).cast("long")
+    concat_side = (
+        pseq_src.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.lit("concat_chunk").alias("packer"),
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {_PACK_LEN} - 1) div {_PACK_LEN}")
+            .cast("long")
+            .alias("n_seqs"),
+        )
+        .withColumn(
+            "wasted_tokens",
+            (F.col("n_seqs") * cap - F.col("total_tokens")).cast("long"),
+        )
+    )
+    ns = docs_pack_nostraddle(spark, sf_dir)
+    ns_seqs = ns.groupBy("shard", "seq_id").agg(
+        F.max(F.col("seq_offset") + F.col("n_tokens")).alias("fill"),
+        F.count("*").alias("n_docs_seq"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    ns_side = (
+        ns_seqs.groupBy("shard")
+        .agg(
+            F.sum("n_docs_seq").cast("long").alias("n_docs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum(F.greatest(F.lit(0).cast("long"), cap - F.col("fill")))
+            .cast("long")
+            .alias("wasted_tokens"),
+        )
+        .select(
+            F.lit("no_straddle").alias("packer"),
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            "wasted_tokens",
+        )
+    )
+    both = concat_side.unionByName(ns_side)
+    return both.withColumn(
+        "util_ppm",
+        F.expr(
+            f"(1000000 * (n_seqs * {_PACK_LEN} - wasted_tokens))"
+            f" div (n_seqs * {_PACK_LEN})"
+        ).cast("long"),
+    )

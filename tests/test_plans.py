@@ -653,3 +653,162 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
     assert got[2]["scrubbed_text"] == rows[2][1]  # clean doc untouched
     assert got[3]["n_emails"] == 1 and got[3]["n_ips"] == 1
     assert got[3]["n_phones"] == 1  # space-separated phone shape
+
+
+def test_shuffle_resume_is_exact_suffix_of_epoch_order(spark):
+    """The resume suffix plus the consumed prefix must tile the full
+    epoch order exactly — the property that makes one integer a
+    sufficient dataloader checkpoint."""
+    from data_engineer_challenge_spark.plans.text import (
+        _GSHUF_RESUME_STEP,
+        _GSHUF_SHARDS,
+        docs_global_shuffle_order,
+        docs_shuffle_resume,
+    )
+
+    full = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in docs_global_shuffle_order(spark, SF_SMOKE).collect()
+    }
+    resumed = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in docs_shuffle_resume(spark, SF_SMOKE).collect()
+    }
+    assert resumed <= full
+    consumed = full - resumed
+    # the consumed prefix is exactly the round-robin count per shard
+    # (shards may be smaller than their quota on a tiny corpus)
+    per_shard_quota = {
+        s: _GSHUF_RESUME_STEP // _GSHUF_SHARDS
+        + (1 if s < _GSHUF_RESUME_STEP % _GSHUF_SHARDS else 0)
+        for s in range(_GSHUF_SHARDS)
+    }
+    shard_sizes: dict[int, int] = {}
+    for _, s, _p in full:
+        shard_sizes[s] = shard_sizes.get(s, 0) + 1
+    for s, quota in per_shard_quota.items():
+        want = min(quota, shard_sizes.get(s, 0))
+        got = sum(1 for (_, sh, p) in consumed if sh == s)
+        assert got == want
+        # and it is the PREFIX: every consumed pos <= every resumed pos
+        if want:
+            max_consumed = max(
+                p for (_, sh, p) in consumed if sh == s
+            )
+            assert max_consumed == want
+    assert len(consumed) + len(resumed) == len(full)
+
+
+def test_mix_diff_statuses_agree_with_the_two_funnels(spark):
+    """curation_mix_diff's added/removed/kept partition must agree
+    row-for-row with independently running the funnel on each corpus
+    version."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.text import curation_funnel
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    v1 = {
+        r.doc_id
+        for r in curation_funnel(docs.where("doc_id % 4 != 3"))
+        .select("doc_id")
+        .collect()
+    }
+    v2 = {
+        r.doc_id
+        for r in curation_funnel(docs).select("doc_id").collect()
+    }
+    diff = REGISTRY["curation_mix_diff"].builder(spark, SF_SMOKE).collect()
+    by_status = {"added": set(), "removed": set(), "kept": set()}
+    for r in diff:
+        by_status[r.status].add(r.doc_id)
+        if r.status == "added":
+            assert r.old_log_weight is None
+            assert r.new_log_weight is not None
+        elif r.status == "removed":
+            assert r.new_log_weight is None
+            assert r.old_log_weight is not None
+        else:
+            assert r.old_log_weight is not None
+            assert r.new_log_weight is not None
+    assert by_status["added"] == v2 - v1
+    assert by_status["removed"] == v1 - v2
+    assert by_status["kept"] == v1 & v2
+
+
+def test_packing_efficiency_waste_identities(spark):
+    """Waste identities that must hold by construction: concat-chunk
+    waste < PACK_LEN per shard (it is the tail remainder); no-straddle
+    waste >= concat waste on the same shard contents (next-fit can
+    only fragment more, never less, at equal capacity); utilization is
+    on the exact ppm grid."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.text import _PACK_LEN
+
+    rows = (
+        REGISTRY["docs_packing_efficiency"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    concat = {r.shard: r for r in rows if r.packer == "concat_chunk"}
+    ns = {r.shard: r for r in rows if r.packer == "no_straddle"}
+    assert set(concat) == set(ns)
+    for shard, c in concat.items():
+        n = ns[shard]
+        assert c.n_docs == n.n_docs
+        assert c.total_tokens == n.total_tokens
+        assert 0 <= c.wasted_tokens < _PACK_LEN
+        assert n.n_seqs >= c.n_seqs
+        assert n.wasted_tokens >= c.wasted_tokens
+        for r in (c, n):
+            cap = r.n_seqs * _PACK_LEN
+            assert r.util_ppm == 1000000 * (cap - r.wasted_tokens) // cap
+
+
+def test_cluster_balanced_selection_quota_and_determinism(spark):
+    """Every cluster contributes at most the quota; clusters smaller
+    than the quota are kept whole; two runs pick the identical set."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.similarity import _CBAL_QUOTA
+
+    b = REGISTRY["emb_cluster_balanced_selection"].builder
+    rows = b(spark, SF_SMOKE).collect()
+    per_cell: dict[int, list] = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in per_cell.items():
+        n_cell = rs[0].n_cell
+        assert all(r.n_cell == n_cell for r in rs)
+        assert len(rs) == min(_CBAL_QUOTA, n_cell)
+        assert {r.pick_rank for r in rs} == set(range(1, len(rs) + 1))
+    again = {(r.vec_id, r.cell, r.pick_rank) for r in b(spark, SF_SMOKE).collect()}
+    assert again == {(r.vec_id, r.cell, r.pick_rank) for r in rows}
+
+
+def test_paragraph_dedup_rewrite_on_planted_doc(spark, tmp_path):
+    """A planted document with duplicated lines: the rewrite keeps the
+    first occurrence of each normalized line, preserves order and
+    empty lines, and the md5 matches the hand-built clean text."""
+    import hashlib
+
+    from data_engineer_challenge_spark.plans import REGISTRY
+
+    text = "alpha\nbeta\nAlpha \n\ngamma\nbeta\n\nalpha"
+    # normalized dups: 'Alpha ' (of alpha), second beta, final alpha;
+    # empty lines are never duplicates
+    clean = "alpha\nbeta\n\ngamma\n"  # 5 kept lines, 4 separators
+    df = spark.createDataFrame(
+        [(1, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(f"{sf}/documents.parquet")
+    rows = REGISTRY["docs_paragraph_dedup"].builder(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_lines == 8
+    assert r.n_dup_lines == 3
+    assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
