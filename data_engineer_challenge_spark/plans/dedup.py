@@ -870,3 +870,130 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return self_dedup(docs, "doc_id", "text", w=XS_W)
+
+
+# ---------------------------------------------------------------------------
+# Quality-elected cluster representatives — golden-record survivorship
+# applied to near-dup text clusters: instead of the min-id canonical,
+# elect the LONGEST member of each duplicate cluster (the practical
+# curation rule — dedup should keep the most complete copy, not the
+# one with the smallest id). Integer order key (token count), so the
+# election is bit-safe cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cluster_quality_election",
+    # pytest-oracled (driver surface capped at 50): composes the
+    # driver-checked cluster tier with the survivorship rule
+    driver=False,
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    members AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster, d.doc_id) AS cluster,
+               CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_RE}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster, n_tokens,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY n_tokens DESC, doc_id) = 1 AS BIGINT) AS elected
+    FROM members
+    """,
+)
+def docs_cluster_quality_election(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivorship over near-dup clusters: group documents by their
+    MinHash/Jaccard connected component (``docs_neardup_clusters``'s
+    tier — banded candidates, exact-verify, label propagation) and
+    elect ONE representative per cluster by the curation rule "keep
+    the longest copy" (token count, id tie-break) instead of the
+    min-id default. Singletons are their own cluster and trivially
+    elected, so the output covers every document — the pruned corpus
+    is ``WHERE elected = 1`` and the audit (who lost to whom) rides
+    along.
+
+    Why this exists separately from the warehouse golden-record
+    operator: survivorship there merges CONFLICTING FIELD VALUES
+    across linked records; here the cluster structure itself comes
+    from content similarity and the election is a corpus-size
+    decision — but both are the same argmax-per-group shape, which is
+    why the oracle is plain SQL.
+
+    Scale shape: pairs from the banded MinHash join (never all-pairs),
+    label propagation on ids only, one left join of the (small)
+    cluster map back to the corpus, one window per cluster — cluster
+    keys are near-unique (most docs are singletons), so the window's
+    shuffle is as uniform as a dedup shuffle gets."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.tokenize import word_tokens as _wt
+    from ..operators.graph import dedup_clusters
+
+    pairs = minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=63,
+        bands=21,
+        threshold=0.8,
+        block_cols=("lang",),
+        max_bucket_size=1000,
+    )
+    clusters = dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("canonical").alias("__cluster"),
+    )
+    members = (
+        docs.select(
+            "doc_id", F.size(_wt("text")).cast("long").alias("n_tokens")
+        )
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__cluster"), F.col("doc_id")).alias(
+                "cluster"
+            ),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return members.select(
+        "doc_id",
+        "cluster",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("long").alias("elected"),
+    )

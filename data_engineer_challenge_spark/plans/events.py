@@ -1064,3 +1064,75 @@ def events_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "secs_since_prev_event",
         F.col("value").alias("target_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — the Markov-chain view of user behavior:
+# for every ordered (event_type -> next event_type) pair within a
+# user's stream, the transition count and its probability on an exact
+# ppm grid. The "what do users do next" table product analytics and
+# sequence-model feature pipelines both start from.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS prob_ppm
+    FROM counts
+    """,
+)
+def events_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order transition counts between consecutive events of the
+    same user (ordered by timestamp with the event id as the
+    deterministic tie-break), with per-source-type probabilities
+    floored onto an exact ppm grid — integer end to end, so the
+    matrix is bit-identical across engines.
+
+    Scale shape: ONE window keyed by user (the sessionization
+    shuffle), then a groupBy on (type, next_type) — at most
+    |types|² rows out regardless of corpus size — and a second
+    window over those rows for the row-normalization, which is
+    |types|-partitioned and tiny. No joins; the per-user window never
+    sees a hot key worse than the most active user, the same skew
+    bound every per-user operator in this registry carries."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("1000000 * n").cast("long").alias("__num"),
+        F.sum("n").over(wt).cast("long").alias("__den"),
+    ).select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("__num div __den").cast("long").alias("prob_ppm"),
+    )

@@ -3829,3 +3829,248 @@ def docs_packing_efficiency(
             f" div (n_seqs * {_PACK_LEN})"
         ).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-proportional sampled mix — soft quality filtering: instead
+# of the hard logit >= 0 gate, keep each document with probability
+# equal to its classifier score (the FineWeb-style "sample by quality"
+# recipe), derandomized onto the salted-md5 family: keep iff
+# hash(doc) mod 1e6 < round(score * 1e6). A marginal doc (score 0.5)
+# survives with ~half its mass instead of a cliff at the threshold,
+# and the decision replays exactly on both engines (the score is
+# frozen-classifier-deterministic at 6 dp, the ppm grid is integer).
+# ---------------------------------------------------------------------------
+
+_QSAMP_SALT = "qsamp-e1-"  # epoch folds into the salt
+
+
+def _register_quality_sampled_mix() -> None:
+    from .quality_weights import BIAS
+
+    h_ppm = (
+        _MD5_LONG_SQL.format(
+            c="concat('" + _QSAMP_SALT + "', CAST(doc_id AS VARCHAR))"
+        )
+        + " % 1000000"
+    )
+
+    @register(
+        "docs_quality_sampled_mix",
+        # pytest-oracled (driver surface capped at 50): the soft twin
+        # of the driver-checked hard-gate docs_quality_classifier
+        driver=False,
+        oracle=f"""
+        WITH qfeats AS (
+            SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM documents)
+            )
+        ),
+        w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
+        pooled AS (
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   {dec_sum_sql('w.wt')} AS s
+            FROM qfeats f JOIN w ON w.b = f.b
+            GROUP BY f.doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-({BIAS!r} + p.s / p.n_grams))),
+                         6) AS quality_score,
+                   CAST({h_ppm} AS BIGINT) AS hash_ppm
+            FROM documents d JOIN pooled p USING (doc_id)
+        )
+        SELECT doc_id, quality_score,
+               CAST(ROUND(quality_score * 1000000) AS BIGINT) AS keep_ppm,
+               hash_ppm
+        FROM scored
+        WHERE hash_ppm < CAST(ROUND(quality_score * 1000000) AS BIGINT)
+        """,
+    )
+    def docs_quality_sampled_mix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Soft quality selection: every scorable document is kept
+        with probability EQUAL to its frozen-classifier score — the
+        published alternative to hard thresholding that preserves a
+        calibrated share of mid-quality text — made deterministic by
+        comparing the score (floored onto an exact ppm grid) against
+        the document's salted-md5 residue. Re-runs, resumes, and the
+        DuckDB oracle all pick the identical subset; changing the
+        epoch salt redraws the sample without touching the scores.
+
+        Zero-gram documents score NULL and are excluded by the NULL
+        comparison in both engines — same contract as the hard gate.
+
+        Scale shape: the classifier's one-gram-pass + 256-row
+        broadcast shape, then a map-only hash compare — no new
+        shuffle over the corpus at all; the sample rate is a FREE
+        column (keep_ppm) rather than a config constant, which is
+        what lets one pass implement per-document rates."""
+        docs = load_table(spark, sf_dir, "documents")
+        scored = with_quality_score(docs).where(
+            F.col("quality_score").isNotNull()
+        )
+        h_ppm_c = (
+            md5_long(
+                F.concat(
+                    F.lit(_QSAMP_SALT), F.col("doc_id").cast("string")
+                )
+            )
+            % 1000000
+        ).cast("long")
+        keep_ppm = (
+            F.round(F.col("quality_score") * 1000000, 0).cast("long")
+        )
+        return (
+            scored.select(
+                "doc_id",
+                "quality_score",
+                keep_ppm.alias("keep_ppm"),
+                h_ppm_c.alias("hash_ppm"),
+            )
+            .where(F.col("hash_ppm") < F.col("keep_ppm"))
+        )
+
+
+_register_quality_sampled_mix()
+
+
+# ---------------------------------------------------------------------------
+# Source-reputation table — crawl curation's domain-level gate: before
+# filtering documents one by one, pipelines score whole SOURCES
+# (domains / feeds) on volume, duplication rate, and mean content
+# quality, and blocklist the ones that are mostly spam or mirror
+# farms. Per-source aggregates over the exact-dedup fingerprint and
+# the frozen quality classifier, with the blocklist decision as a
+# flag — integer ppm for the dup rate, decimal-exact mean for quality.
+# ---------------------------------------------------------------------------
+
+_SREP_DUP_PPM = 100_000  # flag sources past 10% exact-dup rate
+_SREP_MIN_Q = 0.5  # ... or below this mean classifier score
+
+
+def _register_source_reputation() -> None:
+    from .quality_weights import BIAS
+
+    @register(
+        "docs_source_reputation",
+        # pytest-oracled (driver surface capped at 50)
+        driver=False,
+        oracle=f"""
+        WITH qfeats AS (
+            SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '{TOKEN_RE}')
+                                 AS t
+                      FROM documents)
+            )
+        ),
+        w(b, wt) AS (VALUES {_qc_weights_values_sql()}),
+        pooled AS (
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   {dec_sum_sql('w.wt')} AS s
+            FROM qfeats f JOIN w ON w.b = f.b
+            GROUP BY f.doc_id
+        ),
+        base AS (
+            SELECT d.doc_id, d.source,
+                   ROUND(1.0 / (1.0 + exp(-({BIAS!r} + p.s / p.n_grams))),
+                         6) AS q,
+                   md5(trim(regexp_replace(lower(d.text), '{_WS}+', ' ',
+                                           'g'))) AS fp
+            FROM documents d LEFT JOIN pooled p USING (doc_id)
+        ),
+        marked AS (
+            SELECT source, q,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY fp ORDER BY doc_id) > 1
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM base
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+               CAST(1000000 * SUM(is_dup) // COUNT(*) AS BIGINT)
+                   AS dup_ppm,
+               {dec_avg_sql('q')} AS mean_quality,
+               CAST((1000000 * SUM(is_dup) // COUNT(*)) > {_SREP_DUP_PPM}
+                    OR {dec_avg_sql('q')} < {_SREP_MIN_Q} AS BIGINT)
+                   AS flagged
+        FROM marked GROUP BY source
+        """,
+    )
+    def docs_source_reputation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-source reputation: document volume, exact-duplicate
+        rate (global keep-first fingerprinting — a mirror farm's
+        copies count against the COPYING source, not the original's),
+        mean frozen-classifier quality over scorable docs, and the
+        blocklist flag (dup rate past {10%} ppm OR mean quality below
+        0.5). The domain-level gate crawl pipelines run BEFORE
+        per-document filtering — one bad source decision prunes
+        millions of documents for the cost of one aggregate row.
+
+        Scale shape: the classifier's gram pass + one fingerprint
+        window (global dedup keys — the exact-dedup shuffle the
+        pipeline already pays) + ONE per-source aggregate; sources are
+        the coarsest key in the corpus, so the final groupBy is
+        map-combined into almost nothing. Mean quality is
+        decimal-summed (order-independent), the dup rate is integer
+        ppm — the flag can't sit on a float edge on either engine."""
+        docs = load_table(spark, sf_dir, "documents")
+        from pyspark.sql.window import Window as _W
+
+        scored = with_quality_score(docs).select(
+            "doc_id",
+            "source",
+            "quality_score",
+            exact_fingerprint().alias("fp"),
+        )
+        marked = scored.select(
+            "source",
+            "quality_score",
+            F.when(
+                F.row_number().over(
+                    _W.partitionBy("fp").orderBy("doc_id")
+                )
+                > 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+        from .helpers import dec_avg
+
+        agg = marked.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            dec_avg("quality_score").alias("mean_quality"),
+        )
+        dup_ppm = F.expr("(1000000 * n_dups) div n_docs").cast("long")
+        return agg.select(
+            "source",
+            "n_docs",
+            "n_dups",
+            dup_ppm.alias("dup_ppm"),
+            "mean_quality",
+            (
+                (dup_ppm > _SREP_DUP_PPM)
+                | (F.col("mean_quality") < _SREP_MIN_Q)
+            )
+            .cast("long")
+            .alias("flagged"),
+        )
+
+
+_register_source_reputation()

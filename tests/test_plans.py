@@ -220,6 +220,9 @@ def test_no_cartesian_products(spark):
         # same DSIR core (_dsir_rank) as its final stage — the same
         # single-row totals broadcast
         "docs_curation_funnel",
+        # runs the funnel TWICE (both corpus versions) — two of the
+        # same single-row DSIR totals broadcasts, nothing unbounded
+        "curation_mix_diff",
         # same DSIR core under the token-budget gate — same broadcast
         "docs_token_budget_selection",
         # inherits BM25's corpus-stats broadcasts + a 1-row query
@@ -812,3 +815,103 @@ def test_paragraph_dedup_rewrite_on_planted_doc(spark, tmp_path):
     assert r.n_lines == 8
     assert r.n_dup_lines == 3
     assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_cluster_election_exactly_one_per_cluster_and_longest_wins(spark):
+    from data_engineer_challenge_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["docs_cluster_quality_election"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    multi = 0
+    for cluster, rs in by_cluster.items():
+        elected = [r for r in rs if r.elected == 1]
+        assert len(elected) == 1
+        win = elected[0]
+        # the winner is the (max tokens, min id) member
+        best = max(rs, key=lambda r: (r.n_tokens, -r.doc_id))
+        assert (win.doc_id, win.n_tokens) == (best.doc_id, best.n_tokens)
+        if len(rs) > 1:
+            multi += 1
+    assert multi > 0  # fixtures must actually exercise real clusters
+
+
+def test_quality_sampled_mix_applies_the_exact_ppm_rule(spark):
+    """The selected set must be exactly {scorable docs with
+    salted-hash residue below the score's ppm floor} — recomputed
+    independently — and the sampling must be PARTIAL (some scorable
+    docs in, some out)."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.helpers import md5_long
+    from data_engineer_challenge_spark.plans.text import (
+        _QSAMP_SALT,
+        with_quality_score,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scored = (
+        with_quality_score(docs)
+        .where(F.col("quality_score").isNotNull())
+        .select(
+            "doc_id",
+            "quality_score",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit(_QSAMP_SALT), F.col("doc_id").cast("string")
+                    )
+                )
+                % 1000000
+            ).alias("h"),
+        )
+        .collect()
+    )
+    want = {
+        r.doc_id
+        for r in scored
+        if r.h < round(r.quality_score * 1000000)
+    }
+    got = {
+        r.doc_id
+        for r in REGISTRY["docs_quality_sampled_mix"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(scored)
+
+
+def test_source_reputation_totals_and_flag_rule(spark):
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.text import (
+        _SREP_DUP_PPM,
+        _SREP_MIN_Q,
+        exact_fingerprint,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = (
+        REGISTRY["docs_source_reputation"].builder(spark, SF_SMOKE).collect()
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_total = docs.count()
+    n_distinct_fp = (
+        docs.select(exact_fingerprint().alias("fp")).distinct().count()
+    )
+    assert sum(r.n_docs for r in rows) == n_total
+    assert sum(r.n_dups for r in rows) == n_total - n_distinct_fp
+    for r in rows:
+        assert r.dup_ppm == 1000000 * r.n_dups // r.n_docs
+        want_flag = int(
+            r.dup_ppm > _SREP_DUP_PPM
+            or (r.mean_quality is not None and r.mean_quality < _SREP_MIN_Q)
+        )
+        assert r.flagged == want_flag
