@@ -374,6 +374,34 @@ def _bench_index_serving(spark, sf_dir: str) -> tuple[dict, dict]:
             )
         )
 
+        # the residual-coded twin (r11): same quantizer/probe config,
+        # codes cover the coarse-quantizer residual under the frozen
+        # residual-trained codebooks — the measured-better serving
+        # option (SCALE.md's raw-vs-residual table); its probe cost
+        # differs from ivfpq_probe_only only by the (query x cell)
+        # ⟨q, c⟩ correction riding the probe plan
+        from data_engineer_challenge_spark.plans.pq_residual_codebooks import (  # noqa: E501
+            RESIDUAL_CODEBOOKS as _PQ_RCB,
+        )
+
+        t0 = time.perf_counter()
+        ridx = IVFVectorIndex(
+            spark,
+            os.path.join(root, "ivfpq_res"),
+            _IVF_CENTROIDS,
+            pq_codebooks=_PQ_RCB,
+            pq_residual=True,
+        )
+        ridx.build(emb)
+        builds["ivfpq_residual_index_build"] = round(
+            time.perf_counter() - t0, 4
+        )
+        probes["ivfpq_residual_probe_only"] = _min_of(
+            lambda: ridx.probe_adc(
+                queries, k=10, n_probe=12, shortlist=60
+            )
+        )
+
         # the dedup family member: MinHashIndex over 80% of the
         # corpus, the 20% micro-batch probed against the prebuilt
         # store (the dedup_index_probe split, same rationale)

@@ -119,6 +119,7 @@ class IVFVectorIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         pq_codebooks: list[list[list[float]]] | None = None,
+        pq_residual: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -147,10 +148,22 @@ class IVFVectorIndex:
             "id_col": id_col,
             "vec_col": vec_col,
         }
+        #: residual coding (IVFADC, Jégou et al. §IV.B): PQ codes
+        #: cover ``vec - centroid[cell]`` instead of the raw vector;
+        #: probe_adc restores the dropped term exactly as ``⟨q, c⟩``
+        #: per (query, probed cell). Part of the meta fingerprint —
+        #: ADC over residual codes with raw LUT semantics (or vice
+        #: versa) would score garbage. The key is only written when
+        #: set so pre-existing raw-coded stores reopen unchanged.
+        if pq_residual and pq_codebooks is None:
+            raise ValueError("pq_residual requires pq_codebooks")
+        self.pq_residual = bool(pq_residual)
         if self.pq_codebooks is not None:
             self.meta["pq_md5"] = hashlib.md5(
                 json.dumps(self.pq_codebooks).encode()
             ).hexdigest()
+            if self.pq_residual:
+                self.meta["pq_residual"] = True
         #: suggested probe width for this quantizer (populated by
         #: maybe_rebucket / the persisted quantizer file; None for
         #: stores whose caller decides n_probe out of band)
@@ -253,6 +266,7 @@ class IVFVectorIndex:
             id_col=meta["id_col"],
             vec_col=meta["vec_col"],
             pq_codebooks=pq,
+            pq_residual=meta.get("pq_residual", False),
         )
         idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
         return idx
@@ -306,6 +320,12 @@ class IVFVectorIndex:
                 id_col=self.id_col,
                 vec=self.vec_col,
                 passthrough=(self.vec_col, "cid"),
+                # residual stores code (vec - centroid[cid]) — the
+                # cid is already in the projection, so residual
+                # encoding stays the same single Arrow stage
+                residual_centroids=(
+                    self.centroids if self.pq_residual else None
+                ),
             )
         return out
 
@@ -1361,15 +1381,27 @@ class IVFVectorIndex:
             np_adc_luts,
         )
 
+        from .similarity import dot as _dot
+
         m = len(self.pq_codebooks)
+        residual = self.pq_residual
         q = queries.select(
             F.col(query_id), F.col(self.vec_col).alias("__qv")
         )
+        # residual stores restore the coarse term of the ADC proxy as
+        # one ⟨q, centroid⟩ scalar per (query, probed cell) — computed
+        # here where query × centroid pairs already exist for probe
+        # ranking, so the correction costs no extra pass
         qc = q.crossJoin(F.broadcast(self._centroid_df())).select(
             query_id,
             "__qv",
             "cid",
             cosine(F.col("__qv"), F.col("centroid")).alias("__csim"),
+            *(
+                [_dot(F.col("__qv"), F.col("centroid")).alias("__qc")]
+                if residual
+                else []
+            ),
         )
         wq = Window.partitionBy(query_id).orderBy(
             F.col("__csim").desc(), F.col("cid")
@@ -1385,7 +1417,10 @@ class IVFVectorIndex:
             # (query, cell) probe pairs — the expression path below
             # pays a separate job for the touched-cell collect AND
             # re-evaluates the centroid ranking inside the join
-            rows = plan.select(query_id, "__qv", "cid").collect()
+            sel_cols = [query_id, "__qv", "cid"] + (
+                ["__qc"] if residual else []
+            )
+            rows = plan.select(*sel_cols).collect()
             luts = {}
             qcids = []
             for r in rows:
@@ -1394,21 +1429,27 @@ class IVFVectorIndex:
                     luts[qid] = np_adc_luts(
                         list(r["__qv"]), self.pq_codebooks
                     )
-                qcids.append((qid, r["cid"]))
-            touched = sorted({c for _, c in qcids})
+                if residual:
+                    qcids.append((qid, r["cid"], float(r["__qc"])))
+                else:
+                    qcids.append((qid, r["cid"]))
+            touched = sorted({c[1] for c in qcids})
             # the probe frame's query-id type is copied from the
             # caller's schema (ADVICE r10: a hardcoded `long` broke
             # string-keyed query frames that the expression path
             # accepts); the ADC kernel passes ids through untouched
             q_type = queries.schema[query_id].dataType.simpleString()
             probes = self.spark.createDataFrame(
-                qcids, f"{query_id} {q_type}, cid int"
+                qcids,
+                f"{query_id} {q_type}, cid int"
+                + (", __qc double" if residual else ""),
             )
         else:
             probes = plan.select(
                 query_id,
                 "__qv",
                 "cid",
+                *(["__qc"] if residual else []),
                 *[
                     lut.alias(f"lut{s}")
                     for s, lut in enumerate(
@@ -1433,24 +1474,41 @@ class IVFVectorIndex:
                 .select(
                     query_id,
                     F.col(self.id_col).alias("c_id"),
+                    *(["__qc"] if residual else []),
                     *code_cols,
                 )
             )
-            scored = (
-                adc_score_pairs_vectorized(
-                    pairs, luts, m, q_col=query_id, id_col="c_id"
+            scored = adc_score_pairs_vectorized(
+                pairs,
+                luts,
+                m,
+                q_col=query_id,
+                id_col="c_id",
+                passthrough=("__qc",) if residual else (),
+            )
+            if residual:
+                # restore the coarse term AFTER the full LUT sum —
+                # the same add position as the expression path below,
+                # so the two stay bit-identical
+                scored = scored.select(
+                    query_id,
+                    "c_id",
+                    (F.col("__adc") + F.col("__qc")).alias("__adc"),
                 )
-                .groupBy(query_id, "c_id")
-                .agg(F.max("__adc").alias("__adc"))
+            scored = scored.groupBy(query_id, "c_id").agg(
+                F.max("__adc").alias("__adc")
             )
         else:
+            adc_expr = adc_score(m)
+            if residual:
+                adc_expr = adc_expr + F.col("__qc")
             scored = (
                 F.broadcast(probes.drop("__qv"))
                 .join(codes, "cid")
                 .select(
                     query_id,
                     F.col(self.id_col).alias("c_id"),
-                    adc_score(m).alias("__adc"),
+                    adc_expr.alias("__adc"),
                 )
                 .groupBy(query_id, "c_id")
                 .agg(F.max("__adc").alias("__adc"))

@@ -89,21 +89,48 @@ def pq_argmin(sub_col: Column, codewords: list[list[float]]) -> Column:
     return F.array_min(scored)["k"]
 
 
+def residual_vec(
+    vec: Column,
+    centroids: list[list[float]],
+    cell_col: str = "cid",
+) -> Column:
+    """``vec - centroids[cid]`` as float64 — the residual a coarse-
+    quantized vector encodes under IVFADC (Jégou et al. TPAMI 2011
+    §IV.B: coding the residual instead of the raw vector spends the
+    same bits on a strictly smaller-variance signal, and the dropped
+    centroid term is restored EXACTLY at scoring time as ``⟨q, c⟩``).
+    Element-wise float64 subtract of a literal row picked by the cell
+    id — identical doubles to the numpy form (test-pinned)."""
+    cent = F.element_at(
+        F.array(*[_lit_vec(c) for c in centroids]),
+        (F.col(cell_col) + 1).cast("int"),
+    )
+    return F.zip_with(
+        vec, cent, lambda a, b: a.cast("double") - b
+    )
+
+
 def encode_pq(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec: str = "embedding",
+    residual_centroids: list[list[float]] | None = None,
+    cell_col: str = "cid",
 ) -> DataFrame:
     """``(id, code0..code{m-1})`` — one map-only projection, the whole
-    corpus encoded without a join or shuffle."""
+    corpus encoded without a join or shuffle. With
+    ``residual_centroids`` the encoded signal is the IVFADC residual
+    (``vec - centroids[cell_col]``); the codebooks must then be
+    residual-trained."""
     sub_dim = len(codebooks[0][0])
+    v: Column = F.col(vec)
+    if residual_centroids is not None:
+        v = residual_vec(v, residual_centroids, cell_col)
     cols = [F.col(id_col)]
     for s, cb in enumerate(codebooks):
         cols.append(
-            pq_argmin(subvector(F.col(vec), s, sub_dim), cb).alias(
-                f"code{s}"
-            )
+            pq_argmin(subvector(v, s, sub_dim), cb).alias(f"code{s}")
         )
     return df.select(*cols)
 
@@ -168,6 +195,8 @@ def encode_pq_vectorized(
     id_col: str = "vec_id",
     vec: str = "embedding",
     passthrough: tuple[str, ...] = (),
+    residual_centroids: list[list[float]] | None = None,
+    cell_col: str = "cid",
 ) -> DataFrame:
     """Arrow twin of :func:`encode_pq` (the
     ``assign_cells_vectorized`` pattern — VERDICT r9 #2): the
@@ -199,12 +228,22 @@ def encode_pq_vectorized(
         np.array([_py_norm2(cw) for cw in cb], dtype=np.float64)
         for cb in codebooks
     ]
+    # residual mode (IVFADC): subtract each row's coarse centroid
+    # before encoding — float64 element-wise, the same doubles the
+    # residual_vec expression produces (test-pinned)
+    cents_mat = (
+        None
+        if residual_centroids is None
+        else np.array(residual_centroids, dtype=np.float64)
+    )
 
     def encode(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.array(list(pdf[vec]), dtype=np.float64)
+            if cents_mat is not None:
+                v = v - cents_mat[pdf[cell_col].to_numpy()]
             out = {id_col: pdf[id_col].to_numpy()}
             for c in passthrough:
                 out[c] = pdf[c]
@@ -230,6 +269,8 @@ def encode_pq_vectorized(
     cols = [id_col, *passthrough]
     if vec not in cols:  # vec may itself be a passthrough column
         cols.append(vec)
+    if cents_mat is not None and cell_col not in cols:
+        cols.append(cell_col)  # kernel input only, not emitted
     return df.select(*cols).mapInPandas(
         encode, schema=f"{id_col} {id_type}{pt_schema}, {code_schema}"
     )
@@ -241,6 +282,7 @@ def adc_score_pairs_vectorized(
     m: int,
     q_col: str = "q_id",
     id_col: str = "c_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow twin of the joined-``(codes × luts)`` :func:`adc_score`
     stage for PER-QUERY candidate sets (the ``probe_adc`` shape):
@@ -279,19 +321,26 @@ def adc_score_pairs_vectorized(
                 for s in range(1, m):
                     acc = acc + lut[s][codes[s][mask]]
                 adc[mask] = acc
-            yield pd.DataFrame(
-                {
-                    q_col: qs,
-                    id_col: pdf[id_col].to_numpy(),
-                    "__adc": adc,
-                }
-            )
+            out = {
+                q_col: qs,
+                id_col: pdf[id_col].to_numpy(),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["__adc"] = adc
+            yield pd.DataFrame(out)
 
     q_type = pairs.schema[q_col].dataType.simpleString()
     c_type = pairs.schema[id_col].dataType.simpleString()
-    cols = [q_col, id_col, *[f"code{s}" for s in range(m)]]
+    pt_schema = "".join(
+        f", {c} {pairs.schema[c].dataType.simpleString()}"
+        for c in passthrough
+    )
+    cols = [q_col, id_col, *passthrough, *[f"code{s}" for s in range(m)]]
     return pairs.select(*cols).mapInPandas(
-        score, schema=f"{q_col} {q_type}, {id_col} {c_type}, __adc double"
+        score,
+        schema=f"{q_col} {q_type}, {id_col} {c_type}{pt_schema},"
+        " __adc double",
     )
 
 

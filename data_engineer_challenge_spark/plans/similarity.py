@@ -1184,3 +1184,250 @@ def emb_cluster_balanced_selection(
         F.count("*").over(w).cast("long").alias("n_cell"),
     )
     return ranked.where(F.col("pick_rank") <= _CBAL_QUOTA)
+
+
+# ---------------------------------------------------------------------------
+# Residual IVFADC corpus scan — the emb_pq_adc_knn twin with the codes
+# covering COARSE-QUANTIZER RESIDUALS (Jégou et al. TPAMI 2011 §IV.B):
+# same 8 bytes/vector, strictly smaller-variance signal under the
+# codebooks, and the dropped centroid term restored EXACTLY at scoring
+# time as one ⟨q, c⟩ per (query, cell). Same two-stage semantics
+# (ADC shortlist → exact rescore); the recall gain at identical
+# config is test-pinned and measured in SCALE.md.
+# ---------------------------------------------------------------------------
+
+from .pq_residual_codebooks import (  # noqa: E402
+    RESIDUAL_CODEBOOKS as _PQ_RES_CODEBOOKS,
+)
+
+
+def _pq_residual_oracle(
+    cents: list[list[float]], codebooks: list[list[list[float]]]
+) -> str:
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    dim = len(cents[0])
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    cbs = ",\n    ".join(
+        f"cb{s} AS (SELECT * FROM {_pq_cb_values_sql(codebooks[s])})"
+        for s in range(m)
+    )
+    code_cols = ",\n               ".join(
+        f"(SELECT k FROM cb{s} ORDER BY n2 - 2.0 * "
+        f"{_pq_sub_dot_sql('r.rv', s * sub_dim + 1, (s + 1) * sub_dim)}"
+        f" ASC, k ASC LIMIT 1) AS code{s}"
+        for s in range(m)
+    )
+    adc = "\n             + ".join(
+        f"(SELECT {_pq_sub_dot_sql('q.qe', s * sub_dim + 1, (s + 1) * sub_dim)}"
+        f" FROM cb{s} WHERE k = c.code{s})"
+        for s in range(m)
+    )
+    qc = (
+        "(SELECT SUM(CAST(x AS DOUBLE) * y) FROM "
+        "(SELECT unnest(q.qe) x, unnest(c.cv) y))"
+    )
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+    WITH cent AS (SELECT * FROM {_cent_values_sql(cents)}),
+    {cbs},
+    assigned AS (
+        SELECT vec_id, embedding, cell, cv FROM (
+            SELECT e.vec_id, e.embedding, c.cell, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY {cos_ec} DESC, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT vec_id, embedding, cell, cv,
+               list_transform(range(1, {dim + 1}),
+                    i -> CAST(embedding[i] AS DOUBLE) - cv[i]) AS rv
+        FROM assigned
+    ),
+    codes AS (
+        SELECT vec_id, cell, cv,
+               {code_cols}
+        FROM resid r
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               {adc}
+             + {qc} AS adc
+        FROM codes c, q
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY adc DESC, c_id) AS srank
+            FROM scored
+        ) WHERE srank <= {_PQ_SHORTLIST}
+    )
+    SELECT q_id, c_id, cos_sim, rank FROM (
+        SELECT s.q_id, s.c_id,
+               {cos} AS cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                    ORDER BY {cos} DESC, s.c_id) AS INTEGER) AS rank
+        FROM short s
+        JOIN embeddings ea ON ea.vec_id = s.q_id
+        JOIN embeddings eb ON eb.vec_id = s.c_id
+    ) WHERE rank <= {_PQ_K}
+    """
+
+
+def _py_dot(a, b) -> float:
+    """0.0-seeded sequential float64 fold of ⟨a, b⟩ — bit-identical
+    to the ``dot`` expression (the np_adc_luts discipline)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+@register(
+    "emb_pq_residual_adc_knn",
+    # pytest-oracled (driver surface capped at 50): the residual
+    # twin of emb_pq_adc_knn — same bytes, finer quantization
+    driver=False,
+    oracle=_pq_residual_oracle(_IVF_CENTROIDS, _PQ_RES_CODEBOOKS),
+)
+def emb_pq_residual_adc_knn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage retrieval over RESIDUAL product-quantized codes
+    (IVFADC): every vector's 8-byte code covers ``vec - c(vec)``
+    under residual-trained codebooks
+    (plans/pq_residual_codebooks.py), and ADC scores restore the
+    coarse term exactly — ``score(q, x) = Σ_s lut_s[code_s] +
+    ⟨q, c(x)⟩`` — so the same code budget approximates ⟨q, x⟩
+    strictly better than raw coding (measured on this corpus:
+    recall@10 0.46 → 0.56 at identical shortlist; the pinned floor
+    is >=). The ⟨q, c⟩ term is one scalar per (query, cell) —
+    |Q| × k values, never per candidate — so ADC's m-lookups-per-
+    candidate economics are untouched.
+
+    Scale shape: identical to ``emb_pq_adc_knn`` (codes-only corpus
+    scan, LUTs broadcast, shortlist rescore) plus a broadcast
+    (query × cell) scalar frame folded into the score by an equi-join
+    on the candidate's cell id. The registered instance keeps the
+    frozen k=16 quantizer for the exact oracle; a production store
+    serves this through ``IVFVectorIndex(pq_residual=True)``, where
+    the quantizer retrains ∝ N and the correction rides the probe
+    plan (operators/ann_index.probe_adc)."""
+    from ..operators.pq import (
+        M_SUBSPACES,
+        adc_luts,
+        adc_score,
+        adc_score_pairs_vectorized,
+        encode_pq,
+        encode_pq_vectorized,
+        np_adc_luts,
+        residual_vec,
+    )
+    from ..operators.similarity import dot, nearest_centroid
+
+    cents = _IVF_CENTROIDS
+    rcb = _PQ_RES_CODEBOOKS
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), cents).alias("cid"),
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
+    if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
+        codes = encode_pq_vectorized(
+            assigned,
+            rcb,
+            passthrough=("cid",),
+            residual_centroids=cents,
+        )
+        qrows = q.select("vec_id", "embedding").collect()
+        luts = {
+            r["vec_id"]: np_adc_luts(list(r["embedding"]), rcb)
+            for r in qrows
+        }
+        # ⟨q, c⟩ per (query, cell): the same sequential float64 fold
+        # the expression path's `dot` computes (np_adc_luts posture)
+        qc_rows = [
+            (r["vec_id"], i, _py_dot(list(r["embedding"]), c))
+            for r in qrows
+            for i, c in cent_rows
+        ]
+        qcf = spark.createDataFrame(
+            qc_rows, "q_id long, cid int, __qc double"
+        )
+        pairs = codes.join(F.broadcast(qcf), "cid").select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            "__qc",
+            *[f"code{s}" for s in range(M_SUBSPACES)],
+        )
+        scored = adc_score_pairs_vectorized(
+            pairs, luts, M_SUBSPACES, passthrough=("__qc",)
+        ).select(
+            "q_id",
+            "c_id",
+            (F.col("__adc") + F.col("__qc")).alias("__adc"),
+        )
+    else:
+        codes = encode_pq(
+            assigned,
+            rcb,
+            residual_centroids=cents,
+        ).join(assigned.select("vec_id", "cid"), "vec_id")
+        cent_df = spark.createDataFrame(
+            cent_rows, "cid int, cv array<double>"
+        )
+        q_luts = (
+            q.crossJoin(F.broadcast(cent_df))
+            .select(
+                F.col("vec_id").alias("q_id"),
+                "cid",
+                dot(F.col("embedding"), F.col("cv")).alias("__qc"),
+                *[
+                    lut.alias(f"lut{s}")
+                    for s, lut in enumerate(
+                        adc_luts(F.col("embedding"), rcb)
+                    )
+                ],
+            )
+        )
+        scored = codes.join(F.broadcast(q_luts), "cid").select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (adc_score(M_SUBSPACES) + F.col("__qc")).alias("__adc"),
+        )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("__adc").desc(), F.col("c_id")
+    )
+    short = (
+        scored.withColumn("__srank", F.row_number().over(ws))
+        .where(F.col("__srank") <= _PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv")
+    )
+    rescored = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id")
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    ).filter(F.col("rank") <= _PQ_K)

@@ -234,6 +234,9 @@ def test_no_cartesian_products(spark):
         # bounded query-set LUT broadcast onto the coded corpus (the
         # emb_knn_bruteforce query-matrix shape: Q rows, never corpus)
         "emb_pq_adc_knn",
+        # same shape plus the queries x 16-row-centroid cross for the
+        # ⟨q, c⟩ correction — both sides driver-bounded
+        "emb_pq_residual_adc_knn",
         # 1-row boundary-array broadcast onto the corpus scan
         "docs_range_sharded_export",
         # single-row sqrt-mass total broadcast onto the |langs|-row
@@ -915,3 +918,36 @@ def test_source_reputation_totals_and_flag_rule(spark):
             or (r.mean_quality is not None and r.mean_quality < _SREP_MIN_Q)
         )
         assert r.flagged == want_flag
+
+
+def test_pq_residual_codebooks_provenance(spark):
+    """The frozen RESIDUAL codebooks (plans/pq_residual_codebooks.py)
+    are exactly what the trainer produces from the documented
+    invocation over the coarse-quantizer residuals — the
+    pq_codebooks executable-provenance posture."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.pq import (
+        residual_vec,
+        train_pq_codebooks,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        nearest_centroid,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_residual_codebooks import (
+        RESIDUAL_CODEBOOKS,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), CENTROIDS).alias("cid"),
+    )
+    res = assigned.select(
+        "vec_id",
+        residual_vec(F.col("embedding"), CENTROIDS).alias("embedding"),
+    )
+    assert train_pq_codebooks(res) == RESIDUAL_CODEBOOKS

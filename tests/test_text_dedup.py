@@ -3013,3 +3013,213 @@ def test_scaled_quantizer_memo_cap_and_key(spark, tmp_path):
     after = {k for k in plans_sim._SCALED_QUANTIZERS if k[0] == real_dir}
     assert after - before  # a new key was minted for the "rewritten" corpus
     plans_sim._SCALED_QUANTIZERS.clear()
+
+
+def test_ivf_pq_residual_store(spark, tmp_path):
+    """Residual IVFADC (Jégou et al. TPAMI 2011 §IV.B — PQ codes
+    cover ``vec - centroid[cell]``, the coarse term restored at
+    scoring time as ⟨q, c⟩): (a) the residual encode kernel is
+    bit-identical to the residual_vec + encode_pq expression form;
+    (b) reconstructing through residual codes leaves strictly less
+    quantization error than the raw-coded store's codebooks — the
+    entire reason the mode exists; (c) probe_adc over a residual
+    store is bit-identical between the Arrow-kernel and expression
+    paths; (d) open() restores the residual flag from meta, and the
+    flag is part of the meta fingerprint (reopening the store as a
+    raw-coded index refuses); (e) end-to-end recall@10 at the same
+    (n_probe, shortlist) is at least the raw store's."""
+    import numpy as np
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.pq import (
+        encode_pq,
+        encode_pq_vectorized,
+        residual_vec,
+        train_pq_codebooks,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk,
+        nearest_centroid,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), CENTROIDS).alias("cid"),
+    )
+    res_frame = assigned.select(
+        "vec_id",
+        residual_vec(F.col("embedding"), CENTROIDS).alias("embedding"),
+    )
+    cbs_res = train_pq_codebooks(res_frame, m=8, ksub=16)
+
+    # (a) kernel == expression for residual encoding
+    expr_codes = sorted(
+        map(
+            tuple,
+            encode_pq(
+                assigned, cbs_res, residual_centroids=CENTROIDS
+            ).collect(),
+        )
+    )
+    kern_codes = sorted(
+        map(
+            tuple,
+            encode_pq_vectorized(
+                assigned, cbs_res, residual_centroids=CENTROIDS
+            ).collect(),
+        )
+    )
+    assert expr_codes == kern_codes
+
+    # (b) residual reconstruction error < raw reconstruction error
+    rows = assigned.collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    cells = np.array([r.cid for r in rows])
+    C = np.array(CENTROIDS, dtype=np.float64)
+    by_id = {r.vec_id: i for i, r in enumerate(rows)}
+
+    def recon_err(codes_rows, cbs, residual):
+        sub = len(cbs[0][0])
+        err = 0.0
+        for cr in codes_rows:
+            i = by_id[cr[0]]
+            xh = np.concatenate(
+                [np.array(cbs[s][cr[1 + s]]) for s in range(len(cbs))]
+            )
+            if residual:
+                xh = xh + C[cells[i]]
+            err += float(((X[i] - xh) ** 2).sum())
+        return err / len(codes_rows)
+
+    raw_codes = [tuple(r) for r in encode_pq(emb, CODEBOOKS).collect()]
+    err_raw = recon_err(raw_codes, CODEBOOKS, residual=False)
+    err_res = recon_err(kern_codes, cbs_res, residual=True)
+    assert err_res < err_raw
+
+    # build both stores, probe at the same config
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.c_id)
+        for r in brute_force_topk(
+            queries,
+            emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+            k=10,
+        ).collect()
+    }
+
+    def build(path, cbs, residual):
+        idx = IVFVectorIndex(
+            spark,
+            str(tmp_path / path),
+            CENTROIDS,
+            pq_codebooks=cbs,
+            pq_residual=residual,
+        )
+        idx.build(emb)
+        return idx
+
+    raw_idx = build("raw", CODEBOOKS, False)
+    res_idx = build("res", cbs_res, True)
+    kwargs = dict(k=10, n_probe=len(CENTROIDS), shortlist=60)
+    res_rows = res_idx.probe_adc(queries, **kwargs)
+    got_res = [
+        tuple(r) for r in res_rows.orderBy("q_id", "rank").collect()
+    ]
+
+    # (c) kernel == expression through the residual probe
+    got_expr = [
+        tuple(r)
+        for r in res_idx.probe_adc(queries, vectorized=False, **kwargs)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    assert got_expr == got_res
+
+    # (d) reopen restores the flag; reopening as raw-coded refuses
+    reopened = IVFVectorIndex.open(spark, str(tmp_path / "res"))
+    assert reopened.pq_residual is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="was built with"):
+        IVFVectorIndex(
+            spark,
+            str(tmp_path / "res"),
+            CENTROIDS,
+            pq_codebooks=cbs_res,
+            pq_residual=False,
+        )
+
+    # (e) recall at the same config: residual >= raw
+    def recall(rows_):
+        got = {(r[0], r[1]) for r in rows_}
+        return len(got & exact) / len(exact)
+
+    raw_rows = [
+        tuple(r)
+        for r in raw_idx.probe_adc(queries, **kwargs).collect()
+    ]
+    assert recall(got_res) >= recall(raw_rows)
+
+
+def test_pq_residual_registered_switch_independent(spark):
+    """The registered residual-ADC row must return identical rows
+    with the Arrow kernel forced ON below the threshold and the
+    expression form forced above it (the emb_pq_adc_knn pin, applied
+    to the residual twin — covers the ⟨q, c⟩ correction's two
+    construction paths: driver-side python fold vs the dot
+    expression), and its recall@10 at the same shortlist must be at
+    least the raw row's (the reason residual coding exists)."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1  # force the kernel
+        k_rows = sorted(
+            map(tuple, S.emb_pq_residual_adc_knn(spark, sf).collect())
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9  # force the expression
+        e_rows = sorted(
+            map(tuple, S.emb_pq_residual_adc_knn(spark, sf).collect())
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.c_id)
+        for r in brute_force_topk(
+            q,
+            emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+            k=10,
+        ).collect()
+    }
+    raw = {
+        (r[0], r[1])
+        for r in plans.REGISTRY["emb_pq_adc_knn"]
+        .builder(spark, sf)
+        .collect()
+    }
+    res = {(r[0], r[1]) for r in k_rows}
+    assert len(res & exact) >= len(raw & exact)
