@@ -997,3 +997,118 @@ def docs_cluster_quality_election(
         "n_tokens",
         (F.row_number().over(w) == 1).cast("long").alias("elected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split — split assignment keyed on the near-dup CLUSTER,
+# not the document: a hash split of individual ids puts two near-
+# duplicate documents on opposite sides of the train/held-out boundary
+# with probability 2·p·(1-p), and the held-out copy then scores as if
+# unseen data were memorized. Splitting by the cluster canonical makes
+# cross-split near-dup leakage impossible BY CONSTRUCTION — the
+# published fix (shared-dedup-then-split), composed from two
+# driver-checked tiers.
+# ---------------------------------------------------------------------------
+
+_LSS_SALT = "lss-e1-"
+_LSS_MD5 = (
+    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "docs_leakage_safe_split",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS s
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src
+    ),
+    keyed AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN {_LSS_MD5.format(
+               c="concat('" + _LSS_SALT + "', CAST(cluster AS VARCHAR))"
+           )} % 100 < 95
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM keyed
+    """,
+)
+def docs_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup-atomic train/held-out split: every document inherits
+    the split of its cluster CANONICAL (MinHash connected components,
+    singletons self-keyed), so a near-duplicate pair can never
+    straddle the boundary — eliminating the silent eval inflation an
+    id-keyed split allows whenever dedup is imperfect or deliberately
+    loose. The cluster-atomicity property (one split per cluster) is
+    additionally pytest-pinned.
+
+    Scale shape: the cluster tier's cost (banded candidates, ids-only
+    label propagation) + one small left join + a map-only hash of the
+    cluster key. The split fraction applies to CLUSTERS, not
+    documents — with mostly-singleton corpora the document-level
+    fraction converges to the same 95/5."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.graph import dedup_clusters
+
+    pairs = minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=63,
+        bands=21,
+        threshold=0.8,
+        block_cols=("lang",),
+        max_bucket_size=1000,
+    )
+    clusters = dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("canonical").alias("__cluster"),
+    )
+    from .helpers import md5_long
+
+    keyed = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__cluster"), F.col("doc_id")).alias("cluster"),
+    )
+    h = md5_long(
+        F.concat(F.lit(_LSS_SALT), F.col("cluster").cast("string"))
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster",
+        F.when(h % 100 < 95, "train").otherwise("heldout").alias("split"),
+    )

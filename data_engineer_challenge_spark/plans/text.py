@@ -4074,3 +4074,163 @@ def _register_source_reputation() -> None:
 
 
 _register_source_reputation()
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated training set — the REWRITE half of
+# split_contamination_pairs: the train split with every document that
+# shares a copied passage with the held-out split REMOVED (the GPT-3 /
+# Llama decontamination action: when train and eval share text, the
+# train copy is what gets dropped, because the eval set is the frozen
+# asset). Flag → rewrite, the paragraph-dedup pattern applied at the
+# split boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_decontaminated_train",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH {_FP_SEL_SQL},
+    assign AS (
+        SELECT doc_id,
+               CASE WHEN {_MD5_LONG_SQL.format(c='doc_id')} % 100 < 95
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM documents
+    ),
+    rare AS (
+        SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {_FP_CAP}
+    ),
+    contaminated AS (
+        SELECT a.doc_id
+        FROM sel a JOIN sel b USING (fp) JOIN rare USING (fp)
+             JOIN assign sa ON sa.doc_id = a.doc_id
+             JOIN assign sb ON sb.doc_id = b.doc_id
+        WHERE sa.split = 'train' AND sb.split = 'heldout'
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_FP_MIN_SHARED}
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_RE}'))
+                AS BIGINT) AS n_tokens
+    FROM documents d JOIN assign USING (doc_id)
+    WHERE assign.split = 'train'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def docs_decontaminated_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The train split with contaminated documents removed: a train
+    document is dropped iff it forms a ``split_contamination_pairs``
+    row with ANY held-out document (>= the shared-fingerprint floor
+    over rare winnowing fingerprints). The kept set is what actually
+    ships to the trainer — the audit query carries the evidence, this
+    carries the corpus.
+
+    Scale shape: the contamination pairs' banded fingerprint join
+    (ids only, boilerplate-capped) followed by ONE left-anti join of
+    the train split against the distinct contaminated ids — the
+    rewrite adds a single ids-only anti-join to the audit's cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = split_contamination_pairs(spark, sf_dir)
+    md5l = md5_long(F.col("doc_id"))
+    train = docs.where((md5l % 100) < 95).select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    contaminated = pairs.select(
+        F.col("train_id").alias("doc_id")
+    ).distinct()
+    return train.join(contaminated, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Stratified split — exact per-stratum proportions: the plain hash
+# split's 95/4/1 is only correct in expectation, so a small stratum
+# (a rare language, a tiny source) can land entirely in train by
+# chance and ship with NO eval coverage. Ranking within each
+# (lang, source) stratum by the salted hash and cutting at exact
+# integer boundaries guarantees every stratum contributes its floor
+# share to val — the sklearn StratifiedShuffleSplit contract, done
+# as two window functions.
+# ---------------------------------------------------------------------------
+
+_STRAT_SALT = "strat-e1-"
+_STRAT_VAL_PCT = 5  # exact floor(n * 5 / 100) rows per stratum to val
+
+
+@register(
+    "docs_stratified_split",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN rk <= n_stratum * {_STRAT_VAL_PCT} // 100
+                THEN 'val' ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id, lang, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, source ORDER BY h, doc_id
+               ) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY lang, source)
+                    AS BIGINT) AS n_stratum
+        FROM (SELECT doc_id, lang, source,
+                     {_MD5_LONG_SQL.format(
+                         c="concat('" + _STRAT_SALT
+                         + "', CAST(doc_id AS VARCHAR))")} AS h
+              FROM documents)
+    )
+    """,
+)
+def docs_stratified_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified train/val split with EXACT per-stratum counts:
+    within every (lang, source) stratum, the ``floor(n · 5%)``
+    smallest salted-hash documents go to val — deterministic,
+    engine-reproducible, and guaranteed representation for every
+    stratum with >= 20 documents (smaller strata keep all rows in
+    train, the floor contract, rather than randomly losing eval
+    coverage or overdrawing).
+
+    Scale shape: one window pair keyed by the stratum (rank + count
+    over the same partitioning → ONE Exchange), map-only otherwise.
+    Strata are corpus-level categories, so the window's key count is
+    small but each partition is processed distributed per key — at
+    100 TB the stratum count (languages × sources) is the
+    parallelism floor, which is exactly the operator's semantics
+    (an exact per-stratum cut is a per-stratum rank by definition;
+    the plain hash split stays the map-only default when
+    in-expectation proportions suffice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    h = md5_long(
+        F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string"))
+    )
+    w = _W.partitionBy("lang", "source")
+    ranked = docs.select(
+        "doc_id", "lang", "source", h.alias("__h")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number()
+        .over(w.orderBy("__h", "doc_id"))
+        .cast("long")
+        .alias("rk"),
+        F.count("*").over(w).cast("long").alias("n_stratum"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.col("rk")
+            <= F.expr(f"(n_stratum * {_STRAT_VAL_PCT}) div 100"),
+            "val",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -46,6 +46,10 @@ class WarcTickReport:
     docs_extracted: int = 0
     docs_merged: int = 0
     docs_rejected: int = 0
+    #: docs dropped by the source-reputation gate (never scored)
+    docs_blocked: int = 0
+    #: hosts on this tick's derived blocklist
+    blocked_hosts: int = 0
 
 
 def warc_ingest_tick(
@@ -60,6 +64,9 @@ def warc_ingest_tick(
     quality_scorer=None,  # Callable[[DataFrame], DataFrame] | None
     main_content: bool = True,
     state_key: str = "warc",
+    source_gate: bool = False,
+    gate_min_docs: int = 20,
+    gate_reject_ppm: int = 500_000,
 ) -> WarcTickReport:
     """Process the segment files that changed since the last committed
     tick; no-op (fired=False) when nothing changed.
@@ -89,6 +96,70 @@ def warc_ingest_tick(
     # the report's funnel reads extracted >= merged + rejected
     n_extracted = batch.count()
     n_rejected = 0
+    n_blocked = 0
+    n_blocked_hosts = 0
+    if source_gate and quality_scorer is not None:
+        # Source-reputation gate (the domain-level crawl filter, run
+        # CONTINUOUSLY): hosts whose RUNNING reject rate — derived
+        # from the two keyed tables every prior tick already
+        # committed, so the numbers are replay-idempotent by
+        # construction, no new counter state to double-add — exceeds
+        # ``gate_reject_ppm`` at ``gate_min_docs`` volume have their
+        # documents dropped HERE, before the scorer spends a gram
+        # pass on them (the cheapest-filter-first discipline, one
+        # broadcast hash join on the host). Blocked docs land in a
+        # keyed table (idempotent under replay) so the decision is
+        # auditable and reversible — unblocking a host is a re-ingest
+        # of its blocked rows, not a re-crawl.
+        from ..functions.urls import url_host
+
+        rej_t = f"{table}_quality_rejects"
+
+        def _per_host(df, col):
+            return (
+                df.select(url_host(F.col("source")).alias("__host"))
+                .groupBy("__host")
+                .agg(F.count(F.lit(1)).alias(col))
+            )
+
+        if wh.exists(rej_t):
+            rej = _per_host(wh.read(rej_t), "n_rej")
+            if wh.exists(table):
+                stats = rej.join(
+                    _per_host(wh.read(table), "n_acc"),
+                    "__host",
+                    "full_outer",
+                ).na.fill(0, ["n_rej", "n_acc"])
+            else:
+                stats = rej.withColumn("n_acc", F.lit(0))
+            total = F.col("n_rej") + F.col("n_acc")
+            # integer ppm compare — the gate can't sit on a float edge
+            blocklist = stats.where(
+                (total >= gate_min_docs)
+                & (1_000_000 * F.col("n_rej") > gate_reject_ppm * total)
+            ).select("__host")
+            n_blocked_hosts = blocklist.count()
+            if n_blocked_hosts:
+                keyed_b = batch.withColumn(
+                    "__host", url_host(F.col("source"))
+                )
+                blocked = (
+                    keyed_b.join(F.broadcast(blocklist), "__host")
+                    .drop("__host")
+                    .localCheckpoint()
+                )
+                n_blocked = blocked.count()
+                if n_blocked:
+                    wh.merge_upsert(
+                        f"{table}_source_blocked", blocked, ["doc_id"]
+                    )
+                    batch = (
+                        keyed_b.join(
+                            F.broadcast(blocklist), "__host", "left_anti"
+                        )
+                        .drop("__host")
+                        .localCheckpoint()
+                    )
     if quality_scorer is not None:
         # the CCNet-stage placement: quality scoring runs FIRST (the
         # cheapest filter — one map pass + broadcast dot product),
@@ -278,4 +349,6 @@ def warc_ingest_tick(
         docs_extracted=n_extracted,
         docs_merged=n_fresh,
         docs_rejected=n_rejected,
+        docs_blocked=n_blocked,
+        blocked_hosts=n_blocked_hosts,
     )

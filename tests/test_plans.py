@@ -951,3 +951,43 @@ def test_pq_residual_codebooks_provenance(spark):
         residual_vec(F.col("embedding"), CENTROIDS).alias("embedding"),
     )
     assert train_pq_codebooks(res) == RESIDUAL_CODEBOOKS
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark):
+    """Every near-dup cluster lands entirely on one side of the
+    split — the property the operator exists for — and known near-dup
+    fixtures share their cluster's split."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["docs_leakage_safe_split"].builder(spark, SF_SMOKE).collect()
+    )
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(
+        len([r for r in rows if r.cluster == c]) > 1 for c in by_cluster
+    ), "fixtures must exercise a real multi-doc cluster"
+    assert {r.split for r in rows} == {"train", "heldout"}
+
+
+def test_stratified_split_exact_floor_counts(spark):
+    """Every (lang, source) stratum sends EXACTLY floor(n*5%) rows to
+    val — the guarantee the in-expectation hash split cannot give."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.text import _STRAT_VAL_PCT
+
+    rows = (
+        REGISTRY["docs_stratified_split"].builder(spark, SF_SMOKE).collect()
+    )
+    strata: dict[tuple, list] = {}
+    for r in rows:
+        strata.setdefault((r.lang, r.source), []).append(r.split)
+    assert strata
+    for (lang, source), splits in strata.items():
+        n = len(splits)
+        assert splits.count("val") == n * _STRAT_VAL_PCT // 100, (
+            lang,
+            source,
+        )

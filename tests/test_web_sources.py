@@ -1500,3 +1500,119 @@ def test_warc_modified_segment_new_doc_still_indexed(spark, tmp_path):
         .agg(F.sum("n")).collect()[0][0]
     )
     assert stats2 == 2
+
+
+def test_warc_tick_source_reputation_gate(spark, tmp_path):
+    """Continuous domain-level gating (the crawl pipelines' source
+    blocklist, derived ONLINE from the tick's own committed tables):
+    (a) tick 1 — no history, nothing blocked, a spam host's documents
+    are rejected by the scorer into the keyed quarantine; (b) tick 2 —
+    the host's running reject rate now exceeds the ppm threshold at
+    the volume floor, so its NEW documents are blocked BEFORE scoring
+    (they would PASS the scorer — the point: a gated source's docs
+    cost one hash join, and the gate is a reputation decision, not a
+    per-doc quality one), landing in the keyed blocked table while a
+    good host ingests normally; (c) a state-loss full reprocess
+    converges the MAIN table exactly, and the spam docs stay out of
+    it (rejected ∪ blocked covers them) — the gate derives from keyed
+    tables, so replay cannot double-count reputation."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.merge import (
+        ParquetWarehouse,
+    )
+    from data_engineer_challenge_spark.streaming.snapshot_diff import (
+        SnapshotState,
+    )
+    from data_engineer_challenge_spark.streaming.warc_ingest import (
+        warc_ingest_tick,
+    )
+
+    def scorer(df):
+        n = F.size(F.split(F.col("text"), " "))
+        return df.withColumn(
+            "quality_score", n.cast("double")
+        ).withColumn("is_kept", n >= 30)
+
+    long_txt = " ".join(f"word{i} interesting content" for i in range(20))
+    # long enough to clear the HTML extractor's good-block threshold,
+    # still under the scorer's 30-token keep gate
+    short_txt = (
+        "genuinely low value spam paragraph repeating nothing "
+        "interesting whatsoever beyond filler characters and padding "
+        "words for threshold clearance purposes"
+    )
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        _segment(
+            [
+                (f"spam-{i}", f"http://spamhost.example/p{i}",
+                 _html(short_txt + f" variant{i}"))
+                for i in range(3)
+            ]
+            + [
+                (f"good-{i}", f"http://goodhost.example/a{i}",
+                 _html(long_txt + f" article{i}"))
+                for i in range(3)
+            ]
+        )
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    kw = dict(
+        quality_scorer=scorer,
+        source_gate=True,
+        gate_min_docs=3,
+        gate_reject_ppm=500_000,
+    )
+    r1 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", **kw
+    )
+    assert r1.fired and r1.docs_blocked == 0 and r1.blocked_hosts == 0
+    assert r1.docs_rejected == 3 and r1.docs_merged == 3
+
+    # tick 2: spamhost's new docs are LONG (the scorer would keep
+    # them) — only the reputation gate can stop them
+    (warc_dir / "b.warc").write_bytes(
+        _segment(
+            [
+                (f"spam-new-{i}", f"http://spamhost.example/n{i}",
+                 _html(long_txt + f" laundered{i}"))
+                for i in range(2)
+            ]
+            + [
+                ("good-new", "http://goodhost.example/new",
+                 _html(long_txt + " fresh article")),
+            ]
+        )
+    )
+    r2 = warc_ingest_tick(
+        spark, str(warc_dir), state, wh, "web_docs", **kw
+    )
+    assert r2.fired
+    assert r2.blocked_hosts == 1
+    assert r2.docs_blocked == 2
+    assert r2.docs_rejected == 0  # blocked docs never reached scoring
+    assert r2.docs_merged == 1
+    main_ids = {r["doc_id"] for r in wh.read("web_docs").collect()}
+    assert not any("spam" in d for d in main_ids)
+    blocked = wh.read("web_docs_source_blocked")
+    assert {r["doc_id"] for r in blocked.collect()} == {
+        "<urn:uuid:spam-new-0>", "<urn:uuid:spam-new-1>",
+    }
+
+    # state-loss reprocess: MAIN table converges; spam never enters it
+    lost = SnapshotState.load(str(tmp_path / "fresh.json"))
+    r3 = warc_ingest_tick(
+        spark, str(warc_dir), lost, wh, "web_docs", **kw
+    )
+    assert r3.fired
+    assert {
+        r["doc_id"] for r in wh.read("web_docs").collect()
+    } == main_ids
+    covered = {
+        r["doc_id"]
+        for r in wh.read("web_docs_quality_rejects").collect()
+    } | {r["doc_id"] for r in wh.read("web_docs_source_blocked").collect()}
+    assert len([d for d in covered if "spam" in d]) == 5
