@@ -1154,6 +1154,7 @@ class IVFVectorIndex:
         vec_col: str = "embedding",
         seed: int = 7,
         max_queries: int = 64,
+        residual_centroids: list[list[float]] | None = None,
     ) -> int:
         """Recall-targeted ADC shortlist width (VERDICT r9 #3 — the
         :meth:`select_n_probe` twin for the PQ tier): the registered
@@ -1210,16 +1211,91 @@ class IVFVectorIndex:
             }
             if not exact:
                 return k
+            qrows = queries.collect()
             luts = {
                 r["q_id"]: np_adc_luts(list(r["embedding"]), codebooks)
-                for r in queries.collect()
+                for r in qrows
             }
-            codes = encode_pq_vectorized(
-                corpus, codebooks, id_col=id_col, vec=vec_col
-            )
-            scored = adc_score_cross_vectorized(
-                codes, luts, len(codebooks), id_col=id_col
-            ).persist()
+            if residual_centroids is None:
+                codes = encode_pq_vectorized(
+                    corpus, codebooks, id_col=id_col, vec=vec_col
+                )
+                scored = adc_score_cross_vectorized(
+                    codes, luts, len(codebooks), id_col=id_col
+                ).persist()
+            else:
+                # residual-coded width selection: assign cells, encode
+                # residuals (one Arrow stage), carry each candidate's
+                # cell through the cross kernel, and restore the
+                # coarse term via a broadcast (query, cell) scalar
+                # join — the probe_adc residual semantics, measured
+                # on the corpus-scan grid
+                cents = residual_centroids
+                if len(cents) >= _sim.ARROW_ASSIGN_MIN_K:
+                    from .similarity import assign_cells_vectorized
+
+                    assigned = assign_cells_vectorized(
+                        corpus, cents, id_col=id_col, vec=vec_col
+                    )
+                else:
+                    assigned = corpus.select(
+                        F.col(id_col),
+                        F.col(vec_col),
+                        nearest_centroid(
+                            F.col(vec_col), cents
+                        ).alias("cell"),
+                    )
+                codes = encode_pq_vectorized(
+                    assigned,
+                    codebooks,
+                    id_col=id_col,
+                    vec=vec_col,
+                    passthrough=("cell",),
+                    residual_centroids=cents,
+                    cell_col="cell",
+                )
+                # ⟨q, c⟩ for the |Q| × k grid via the kernels'
+                # per-dimension-sequential accumulation (one numpy
+                # sweep, bit-identical to the scalar fold the dot
+                # expression evaluates — r11 review: the hand-rolled
+                # triple loop was millions of interpreted ops at
+                # production cell counts)
+                import numpy as _np
+
+                qm = _np.array(
+                    [list(r["embedding"]) for r in qrows],
+                    dtype=_np.float64,
+                )
+                cm = _np.array(cents, dtype=_np.float64)
+                qc = _np.zeros((len(qrows), len(cents)))
+                for i in range(qm.shape[1]):
+                    qc = qc + qm[:, i][:, None] * cm[:, i][None, :]
+                qc_rows = [
+                    (r["q_id"], i, float(qc[a, i]))
+                    for a, r in enumerate(qrows)
+                    for i in range(len(cents))
+                ]
+                qcf = corpus.sparkSession.createDataFrame(
+                    qc_rows, "q_id long, cell int, __qc double"
+                )
+                scored = (
+                    adc_score_cross_vectorized(
+                        codes,
+                        luts,
+                        len(codebooks),
+                        id_col=id_col,
+                        passthrough=("cell",),
+                    )
+                    .join(F.broadcast(qcf), ["q_id", "cell"])
+                    .select(
+                        "q_id",
+                        "c_id",
+                        (F.col("__adc") + F.col("__qc")).alias(
+                            "__adc"
+                        ),
+                    )
+                    .persist()
+                )
             n_corpus = corpus.count()
             wsl = Window.partitionBy("q_id").orderBy(
                 F.col("__adc").desc(), F.col("c_id")

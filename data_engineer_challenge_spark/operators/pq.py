@@ -351,6 +351,7 @@ def adc_score_cross_vectorized(
     id_col: str = "vec_id",
     q_col: str = "q_id",
     out_id: str = "c_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow twin of the ``codes × broadcast(q_luts)`` corpus scan
     (the registered ``emb_pq_adc_knn`` shape): every query in
@@ -388,21 +389,25 @@ def adc_score_cross_vectorized(
                 acc = lut[0][code_arrs[0]]
                 for s in range(1, m):
                     acc = acc + lut[s][code_arrs[s]]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            q_col: np.full(n, qid, dtype=np.int64),
-                            out_id: ids,
-                            "__adc": acc,
-                        }
-                    )
-                )
+                out = {
+                    q_col: np.full(n, qid, dtype=np.int64),
+                    out_id: ids,
+                }
+                for c in passthrough:
+                    out[c] = pdf[c]
+                out["__adc"] = acc
+                frames.append(pd.DataFrame(out))
             yield pd.concat(frames, ignore_index=True)
 
     c_type = codes.schema[id_col].dataType.simpleString()
-    cols = [id_col, *[f"code{s}" for s in range(m)]]
+    pt_schema = "".join(
+        f", {c} {codes.schema[c].dataType.simpleString()}"
+        for c in passthrough
+    )
+    cols = [id_col, *passthrough, *[f"code{s}" for s in range(m)]]
     return codes.select(*cols).mapInPandas(
-        score, schema=f"{q_col} long, {out_id} {c_type}, __adc double"
+        score,
+        schema=f"{q_col} long, {out_id} {c_type}{pt_schema}, __adc double",
     )
 
 

@@ -23,7 +23,7 @@ from ..operators.text_dedup import (
 )
 from ..tables import load_table
 from . import register
-from .helpers import scratch_dir
+from .helpers import MD5_LONG_SQL, scratch_dir
 
 from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
 
@@ -210,6 +210,29 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
 
 
+def neardup_cluster_map(docs) -> DataFrame:
+    """(node, canonical, keep) for every document in a near-dup
+    cluster — THE registered cluster tier (docs_neardup_clusters'
+    exact MinHash banding config + label propagation), factored to one
+    definition so the quality election and the leakage-safe split
+    PROVABLY share its clusters: a tuning of the banding that missed
+    one copy would silently decouple them (r11 review)."""
+    from ..operators.graph import dedup_clusters
+
+    pairs = minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=63,
+        bands=21,
+        threshold=0.8,
+        block_cols=("lang",),
+        max_bucket_size=1000,
+    )
+    return dedup_clusters(pairs)
+
+
 @register(
     "docs_neardup_clusters",
     oracle=f"""
@@ -256,21 +279,8 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the oracle recomputes the clusters independently with an
     exhaustive pair join + a recursive-CTE transitive closure, making
     even this iterative tier hash-checked rather than rows-only."""
-    from ..operators.graph import dedup_clusters
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=2,
-        num_hashes=63,
-        bands=21,
-        threshold=0.8,
-        block_cols=("lang",),
-        max_bucket_size=1000,
-    )
-    return dedup_clusters(pairs)
+    return neardup_cluster_map(docs)
 
 
 @register(
@@ -958,20 +968,8 @@ def docs_cluster_quality_election(
     shuffle is as uniform as a dedup shuffle gets."""
     docs = load_table(spark, sf_dir, "documents")
     from ..functions.tokenize import word_tokens as _wt
-    from ..operators.graph import dedup_clusters
 
-    pairs = minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=2,
-        num_hashes=63,
-        bands=21,
-        threshold=0.8,
-        block_cols=("lang",),
-        max_bucket_size=1000,
-    )
-    clusters = dedup_clusters(pairs).select(
+    clusters = neardup_cluster_map(docs).select(
         F.col("node").alias("doc_id"),
         F.col("canonical").alias("__cluster"),
     )
@@ -1011,9 +1009,6 @@ def docs_cluster_quality_election(
 # ---------------------------------------------------------------------------
 
 _LSS_SALT = "lss-e1-"
-_LSS_MD5 = (
-    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
-)
 
 
 @register(
@@ -1057,7 +1052,7 @@ _LSS_MD5 = (
         FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
     )
     SELECT doc_id, cluster,
-           CASE WHEN {_LSS_MD5.format(
+           CASE WHEN {MD5_LONG_SQL.format(
                c="concat('" + _LSS_SALT + "', CAST(cluster AS VARCHAR))"
            )} % 100 < 95
                 THEN 'train' ELSE 'heldout' END AS split
@@ -1081,20 +1076,7 @@ def docs_leakage_safe_split(
     documents — with mostly-singleton corpora the document-level
     fraction converges to the same 95/5."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..operators.graph import dedup_clusters
-
-    pairs = minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=2,
-        num_hashes=63,
-        bands=21,
-        threshold=0.8,
-        block_cols=("lang",),
-        max_bucket_size=1000,
-    )
-    clusters = dedup_clusters(pairs).select(
+    clusters = neardup_cluster_map(docs).select(
         F.col("node").alias("doc_id"),
         F.col("canonical").alias("__cluster"),
     )

@@ -98,13 +98,22 @@ REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS D
 CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + l_tax AS DECIMAL(4,2))"
 
 
+#: the DuckDB twin of :func:`md5_long` — ONE definition of the paired
+#: SQL literal so the hex width / casting can never drift between an
+#: engine expression and some module-local oracle copy (r11 review)
+MD5_LONG_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
 def md5_long(col: Column | str) -> Column:
     """First 15 hex digits of md5(string(col)) as a 60-bit long — the
     engine-reproducible hash family every deterministic assignment in
     the registry uses (split/shard/sample membership, KMV, SimHash).
     One definition so the subtle construction (binary cast, 15 digits)
-    cannot drift between call sites; the DuckDB twin is the modules'
-    ``_MD5_LONG_SQL`` / ``_H_SQL`` literals."""
+    cannot drift between call sites; the DuckDB twin is
+    :data:`MD5_LONG_SQL`."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(
         F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10

@@ -1090,9 +1090,7 @@ def _hybrid_fuse(spark: SparkSession, sf_dir: str, sparse: DataFrame) -> DataFra
 
 _CBAL_QUOTA = 20  # per-cluster selection quota
 _CBAL_SALT = "cbal-e1-"  # epoch folds into the salt, as in the shuffle
-_CBAL_MD5_SQL = (
-    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
-)
+from .helpers import MD5_LONG_SQL as _CBAL_MD5_SQL  # noqa: E402
 
 
 def _cluster_balanced_oracle(

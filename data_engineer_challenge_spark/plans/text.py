@@ -17,7 +17,14 @@ from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
 from ..operators.text_dedup import _CACHED_FRAMES
 from ..tables import load_table
 from . import register
-from .helpers import dec_avg_sql, dec_sum, dec_sum_sql, md5_long, scratch_dir
+from .helpers import (
+    MD5_LONG_SQL,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+    md5_long,
+    scratch_dir,
+)
 
 # language marker words for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
@@ -771,7 +778,7 @@ _PACK_LEN = 2048
 #: order would funnel the cumsum through one task)
 _PACK_SHARDS = 8
 
-_MD5_LONG_SQL = "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+_MD5_LONG_SQL = MD5_LONG_SQL  # the shared md5_long twin (helpers)
 
 
 @register(
@@ -4233,4 +4240,148 @@ def docs_stratified_split(
         )
         .otherwise("train")
         .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity filter — the CCNet filter stage's shape (score
+# each document by how expected its text is under a language model;
+# CCNet uses a 5-gram KenLM, this is the in-engine bigram form trained
+# on the corpus itself): per-token probability under an interpolated
+# bigram/unigram model, QUANTIZED onto an exact integer ppm grid so no
+# float probability or float log appears anywhere (the
+# doc_unigram_surprisal discipline, extended to conditional
+# probabilities) — Spark and DuckDB hash-match bit-exactly.
+# ---------------------------------------------------------------------------
+
+_BILM_LAMBDA_PPM = 900_000  # bigram weight λ = 0.9 on the ppm grid
+
+
+@register(
+    "docs_bigram_lm_perplexity",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    stream AS (
+        SELECT doc_id, i AS pos, ts[i] AS term,
+               CASE WHEN i > 1 THEN ts[i - 1] END AS prev
+        FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+    ),
+    uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c_uni
+        FROM stream GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS t FROM uni),
+    bi AS (
+        SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c_bi
+        FROM stream WHERE prev IS NOT NULL GROUP BY prev, term
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               GREATEST(1,
+                   CASE WHEN s.prev IS NULL
+                        THEN (1000000 * u.c_uni) // t.t
+                        ELSE ({_BILM_LAMBDA_PPM} * COALESCE(b.c_bi, 0))
+                                 // up.c_uni
+                             + ((1000000 - {_BILM_LAMBDA_PPM}) * u.c_uni)
+                                 // t.t
+                   END) AS p_ppm
+        FROM stream s
+        JOIN uni u ON u.term = s.term
+        LEFT JOIN uni up ON up.term = s.prev
+        LEFT JOIN bi b ON b.prev = s.prev AND b.term = s.term
+        CROSS JOIN total t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(length(bin(1000000 // p_ppm)) - 1 AS BIGINT))
+                AS BIGINT) AS total_bits,
+           CAST(SUM(CAST(length(bin(1000000 // p_ppm)) - 1 AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_bits
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_lm_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document quantized perplexity under an interpolated
+    bigram/unigram LM trained on the corpus itself:
+    ``p(w_i | w_{i-1}) = 0.9·c(w_{i-1} w_i)/c(w_{i-1}) +
+    0.1·c(w_i)/T``, floored onto an integer ppm grid per term, then
+    per-token surprisal as the integer ``floor(log2(1e6 / p_ppm))``
+    (``length(bin(x)) - 1`` — no float probability, no float log,
+    so both engines agree bit-for-bit; the only float is the final
+    exact-int division per output row). High ``avg_bits`` = text the
+    corpus LM finds surprising (garbage, wrong-language, encrypted);
+    LOW = degenerate boilerplate — the CCNet filter cuts both tails.
+
+    Scale shape: the LM "tables" are DataFrames end to end — one
+    token-stream pass builds unigram and bigram counts (map-side
+    combined), scoring re-joins them onto the stream keyed by term /
+    (prev, term) — the bigram join is the big one and shuffles on
+    exactly the key it groups by; the per-doc fold map-combines. The
+    per-doc position/lag structure comes from ONE doc-keyed window.
+    No driver-side model state at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    stream = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "term")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "term",
+    )
+    wd = _W.partitionBy("doc_id").orderBy("pos")
+    stream = stream.withColumn("prev", F.lag("term").over(wd))
+    uni = stream.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_uni")
+    )
+    total = uni.agg(F.sum("c_uni").cast("long").alias("t"))
+    bi = (
+        stream.where(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
+    )
+    lam = _BILM_LAMBDA_PPM
+    scored = (
+        stream.join(uni, "term")
+        .join(
+            uni.select(
+                F.col("term").alias("prev"),
+                F.col("c_uni").alias("c_prev"),
+            ),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "term"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.when(
+                    F.col("prev").isNull(),
+                    F.expr("(1000000 * c_uni) div t"),
+                ).otherwise(
+                    F.expr(f"({lam} * coalesce(c_bi, 0)) div c_prev")
+                    + F.expr(f"((1000000 - {lam}) * c_uni) div t")
+                ),
+            ).alias("p_ppm"),
+        )
+    )
+    bits = (
+        F.length(F.bin(F.expr("1000000 div p_ppm"))) - 1
+    ).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(bits).cast("long").alias("total_bits"),
+        (F.sum(bits).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bits"
+        ),
     )

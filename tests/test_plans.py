@@ -214,6 +214,9 @@ def test_no_cartesian_products(spark):
         "supplier_cosupply_triangles",
         # single-row (tot, tot_w) normalizer broadcast onto the strata
         "corpus_mixture_weights",
+        # single-row total-token count broadcast onto the token stream
+        # (doc_unigram_surprisal's shape, under the interpolated LM)
+        "docs_bigram_lm_perplexity",
         # single-row (t_r, t_t) totals broadcast onto the 4096-row
         # bucket model (the corpus_mixture_weights shape)
         "docs_dsir_selection",

@@ -3223,3 +3223,58 @@ def test_pq_residual_registered_switch_independent(spark):
     }
     res = {(r[0], r[1]) for r in k_rows}
     assert len(res & exact) >= len(raw & exact)
+
+
+def test_select_adc_width_residual_narrower(spark):
+    """Residual-aware width selection: with residual-trained codebooks
+    and the coarse-term correction, the recall-targeted shortlist is
+    never WIDER than the raw selection at the same target (the
+    SCALE.md sweep's curve shift, as a decision function), and a
+    stricter target can only widen it — the raw selector's
+    monotonicity contract, inherited."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.pq import (
+        residual_vec,
+        train_pq_codebooks,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        nearest_centroid,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.plans.pq_residual_codebooks import (
+        RESIDUAL_CODEBOOKS,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    target = 0.75
+    w_raw = IVFVectorIndex.select_adc_width(emb, CODEBOOKS, target)
+    # the sf0.1 residual codebooks: retrain on this corpus's residuals
+    # (the frozen artifact is sf0.01-trained — selection must measure
+    # the codebooks it will serve with)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), CENTROIDS).alias("cid"),
+    )
+    rcb = train_pq_codebooks(
+        assigned.select(
+            "vec_id",
+            residual_vec(F.col("embedding"), CENTROIDS).alias(
+                "embedding"
+            ),
+        )
+    )
+    w_res = IVFVectorIndex.select_adc_width(
+        emb, rcb, target, residual_centroids=CENTROIDS
+    )
+    assert w_res <= w_raw
+    w_res_strict = IVFVectorIndex.select_adc_width(
+        emb, rcb, min(0.95, target + 0.1), residual_centroids=CENTROIDS
+    )
+    assert w_res_strict >= w_res
