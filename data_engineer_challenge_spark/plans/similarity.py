@@ -1429,3 +1429,198 @@ def emb_pq_residual_adc_knn(
     return rescored.withColumn(
         "rank", F.row_number().over(wr).cast("int")
     ).filter(F.col("rank") <= _PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking — Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998, the standard diversity-aware serving step): greedily
+# re-rank a relevance shortlist so each pick balances similarity to
+# the QUERY against similarity to what is already picked. The greedy
+# objective is a data-dependent sequential fold (each step depends on
+# the selected set), so Spark runs it as one Arrow applyInPandas per
+# query over the 20-candidate shortlist; quantizing both cosines onto
+# a micro-unit integer grid makes the objective INTEGER arithmetic
+# (7·rel − 3·max_sim, λ=0.7 exactly), so the greedy replays bit-
+# exactly in a DuckDB recursive CTE — the docs_pack_nostraddle
+# state-machine-oracle pattern, applied to retrieval.
+# ---------------------------------------------------------------------------
+
+_MMR_SHORTLIST = 20
+_MMR_K = 10
+_MMR_LAMBDA10 = 7  # λ numerator on the tenths grid: obj = 7·rel − 3·sim
+
+
+def _mmr_oracle() -> str:
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    lam = _MMR_LAMBDA10
+    return f"""
+    WITH RECURSIVE
+    allcos AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {cos_ab} AS c
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+    ),
+    cand AS (
+        SELECT a_id AS q_id, b_id AS c_id,
+               CAST(ROUND(c * 1000000) AS BIGINT) AS rel_u
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+              FROM allcos) WHERE rn <= {_MMR_SHORTLIST}
+    ),
+    sims AS (
+        SELECT ca.q_id, ca.c_id AS a, cb.c_id AS b,
+               CAST(ROUND({_cos_sql("ea.embedding", "eb.embedding")}
+                    * 1000000) AS BIGINT) AS sim_u
+        FROM cand ca
+        JOIN cand cb ON ca.q_id = cb.q_id AND ca.c_id <> cb.c_id
+        JOIN embeddings ea ON ea.vec_id = ca.c_id
+        JOIN embeddings eb ON eb.vec_id = cb.c_id
+    ),
+    pick(q_id, step, selected, last_id) AS (
+        SELECT q_id, 1, [c_id], c_id FROM (
+            SELECT q_id, c_id, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY rel_u DESC, c_id) AS rn
+            FROM cand) WHERE rn = 1
+        UNION ALL
+        SELECT p.q_id, p.step + 1,
+               list_append(p.selected, nxt.c_id), nxt.c_id
+        FROM pick p, LATERAL (
+            SELECT c.c_id
+            FROM cand c
+            WHERE c.q_id = p.q_id
+              AND NOT list_contains(p.selected, c.c_id)
+            ORDER BY {lam} * c.rel_u - {10 - lam} * (
+                  SELECT MAX(s.sim_u) FROM sims s
+                  WHERE s.q_id = p.q_id AND s.a = c.c_id
+                    AND list_contains(p.selected, s.b)) DESC,
+                  c.c_id
+            LIMIT 1
+        ) nxt
+        WHERE p.step < {_MMR_K}
+    )
+    SELECT q_id, CAST(step AS BIGINT) AS rank, last_id AS c_id
+    FROM pick
+    """
+
+
+@register(
+    "emb_mmr_rerank",
+    # pytest-oracled (driver surface capped at 50): the diversity-
+    # aware serving stage over the driver-checked brute-force tier
+    driver=False,
+    oracle=_mmr_oracle(),
+)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: take each query's top-20 exact-cosine
+    shortlist, then greedily pick 10 by Maximal Marginal Relevance —
+    ``argmax 0.7·rel(c) − 0.3·max_{s∈selected} sim(c, s)`` — so
+    near-duplicate hits stop crowding out coverage (the semantic-dedup
+    insight applied at SERVING time instead of corpus time). Both
+    cosines quantize to integer micro-units before the greedy, making
+    the objective ``7·rel_u − 3·max sim_u`` exact integer arithmetic:
+    the per-query Arrow fold and the DuckDB recursive-CTE replay
+    cannot diverge on a float edge, and ties break (objective, lowest
+    candidate id) identically.
+
+    Scale shape: the shortlist stage is the brute-force/IVF serving
+    tier's problem (any retriever that yields (q_id, c_id, cos) top-N
+    plugs in); MMR itself touches 20 candidates + a 20×20 sim matrix
+    PER QUERY — one Arrow task per query partition, driver never
+    involved, cost independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv")
+    )
+    cand_all = q.crossJoin(
+        emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    ).where(F.col("q_id") != F.col("c_id"))
+    scored = cand_all.select(
+        "q_id",
+        "c_id",
+        "embedding",
+        cosine(F.col("__qv"), F.col("embedding")).alias("__cos"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__cos").desc(), F.col("c_id")
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= _MMR_SHORTLIST)
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.col("__cos") * 1000000, 0)
+            .cast("long")
+            .alias("rel_u"),
+            "embedding",
+        )
+    )
+    a = cand.select(
+        "q_id",
+        F.col("c_id").alias("a"),
+        F.col("rel_u").alias("rel_a"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = cand.select(
+        "q_id",
+        F.col("c_id").alias("b"),
+        F.col("embedding").alias("__eb"),
+    )
+    sims = (
+        a.join(b, "q_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "q_id",
+            "a",
+            "rel_a",
+            "b",
+            F.round(
+                cosine(F.col("__ea"), F.col("__eb")) * 1000000, 0
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    lam = _MMR_LAMBDA10
+    k = _MMR_K
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["q_id"].iloc[0]
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a] = r.rel_a
+            sim[(r.a, r.b)] = r.sim_u
+        remaining = set(rel)
+        selected = []
+        out = []
+        while remaining and len(selected) < k:
+            if not selected:
+                best = max(
+                    remaining, key=lambda c: (rel[c], -c)
+                )
+            else:
+                best = max(
+                    remaining,
+                    key=lambda c: (
+                        lam * rel[c]
+                        - (10 - lam)
+                        * max(sim[(c, s)] for s in selected),
+                        -c,
+                    ),
+                )
+            remaining.discard(best)
+            selected.append(best)
+            out.append((qid, len(selected), best))
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "c_id"]
+        )
+
+    return sims.groupBy("q_id").applyInPandas(
+        greedy, schema="q_id long, rank long, c_id long"
+    )

@@ -204,6 +204,9 @@ def test_no_cartesian_products(spark):
     allowed = {
         "emb_knn_bruteforce",
         "emb_quantized_knn",
+        # the brute-force shortlist stage (tiny query side) feeding
+        # the per-query MMR fold
+        "emb_mmr_rerank",
         "ivf_index_probe",
         "docs_bm25_search",
         # same two single-row corpus-stats broadcasts as
@@ -994,3 +997,62 @@ def test_stratified_split_exact_floor_counts(spark):
             lang,
             source,
         )
+
+
+def test_mmr_rerank_diversifies_and_respects_relevance(spark):
+    """MMR invariants: (a) every query returns ranks 1..k; (b) the
+    first pick IS the top-relevance candidate; (c) diversity actually
+    improves — the mean max-pairwise similarity inside MMR's picked
+    set is <= the plain relevance top-k's (the objective's purpose),
+    measured over all queries."""
+    from data_engineer_challenge_spark.plans import REGISTRY
+    from data_engineer_challenge_spark.plans.similarity import _MMR_K
+    from data_engineer_challenge_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    rows = REGISTRY["emb_mmr_rerank"].builder(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.c_id)
+    assert by_q
+    for q, picks in by_q.items():
+        assert len(picks) == _MMR_K
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        queries,
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=_MMR_K + 1,  # may include the query itself
+    ).collect()
+    plain: dict[int, list] = {}
+    for r in sorted(topk, key=lambda r: (r.q_id, r.rank)):
+        if r.c_id != r.q_id and len(plain.setdefault(r.q_id, [])) < _MMR_K:
+            plain[r.q_id].append(r.c_id)
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b]
+            / np.sqrt((vecs[a] @ vecs[a]) * (vecs[b] @ vecs[b]))
+        )
+
+    def max_pair_sim(ids):
+        return max(
+            cos(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]
+        )
+
+    mmr_div, plain_div = [], []
+    for q, picks in by_q.items():
+        assert picks[0] == plain[q][0]  # (b) first pick = top relevance
+        mmr_div.append(max_pair_sim(picks))
+        plain_div.append(max_pair_sim(plain[q]))
+    assert np.mean(mmr_div) <= np.mean(plain_div) + 1e-12
