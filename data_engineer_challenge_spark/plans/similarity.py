@@ -1531,33 +1531,70 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from ..operators.similarity import cosine
 
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv")
-    )
-    cand_all = q.crossJoin(
-        emb.select(F.col("vec_id").alias("c_id"), "embedding")
-    ).where(F.col("q_id") != F.col("c_id"))
-    scored = cand_all.select(
-        "q_id",
-        "c_id",
-        "embedding",
-        cosine(F.col("__qv"), F.col("embedding")).alias("__cos"),
-    )
     wq = Window.partitionBy("q_id").orderBy(
         F.col("__cos").desc(), F.col("c_id")
     )
-    cand = (
-        scored.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= _MMR_SHORTLIST)
-        .select(
+    if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
+        # shortlist via the Arrow brute-force kernel (bit-identical
+        # to the expression form — emb_knn_vectorized's shared-oracle
+        # pin), the same auto-switch posture as the ADC tier: the
+        # |Q| x N literal-cosine crossJoin was this row's 47x wall at
+        # the 30x corpus (SCALE.md r11 audit table, first cut). Self
+        # always ranks first at cos = 1.0, so top-(W+1) minus the
+        # self row IS the top-W non-self shortlist, order preserved.
+        from ..operators.similarity import brute_force_topk_vectorized
+
+        short = brute_force_topk_vectorized(
+            emb.filter(F.col("vec_id") % 100 == 0).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            ),
+            emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+            k=_MMR_SHORTLIST + 1,
+        ).select(
+            "q_id", "c_id", F.col("cos_sim").alias("__cos")
+        )
+        cand = (
+            short.where(F.col("q_id") != F.col("c_id"))
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= _MMR_SHORTLIST)
+            .select(
+                "q_id",
+                "c_id",
+                F.round(F.col("__cos") * 1000000, 0)
+                .cast("long")
+                .alias("rel_u"),
+            )
+            .join(
+                emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+                "c_id",
+            )
+        )
+    else:
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("__qv"),
+        )
+        cand_all = q.crossJoin(
+            emb.select(F.col("vec_id").alias("c_id"), "embedding")
+        ).where(F.col("q_id") != F.col("c_id"))
+        scored = cand_all.select(
             "q_id",
             "c_id",
-            F.round(F.col("__cos") * 1000000, 0)
-            .cast("long")
-            .alias("rel_u"),
             "embedding",
+            cosine(F.col("__qv"), F.col("embedding")).alias("__cos"),
         )
-    )
+        cand = (
+            scored.withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= _MMR_SHORTLIST)
+            .select(
+                "q_id",
+                "c_id",
+                F.round(F.col("__cos") * 1000000, 0)
+                .cast("long")
+                .alias("rel_u"),
+                "embedding",
+            )
+        )
     a = cand.select(
         "q_id",
         F.col("c_id").alias("a"),

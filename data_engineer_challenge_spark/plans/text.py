@@ -4385,3 +4385,116 @@ def docs_bigram_lm_perplexity(
             "avg_bits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-result snippets — the serving step after retrieval: for every
+# document matching the query, the W-token window that best covers the
+# query terms (most DISTINCT terms, then most matches, then leftmost —
+# the Lucene highlighter's objective). Window starts are anchored at
+# match positions (an optimal window always starts at a match), so the
+# candidate set is per-doc match-count-sized, never text-length-sized;
+# the snippet's actual bytes are hash-checked via md5 of the token
+# window, the paragraph-dedup rewrite discipline.
+# ---------------------------------------------------------------------------
+
+_SNIP_W = 15  # snippet width (tokens)
+
+
+@register(
+    "docs_search_snippets",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, i AS p, t[i] AS term
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+        WHERE t[i] IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+    ),
+    wins AS (
+        SELECT a.doc_id, a.p AS win_start,
+               CAST(COUNT(DISTINCT b.term) AS BIGINT) AS n_terms,
+               CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM m a JOIN m b
+          ON b.doc_id = a.doc_id
+         AND b.p >= a.p AND b.p < a.p + {_SNIP_W}
+        GROUP BY a.doc_id, a.p
+    ),
+    best AS (
+        SELECT doc_id, win_start, n_terms, n_matches FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY n_terms DESC, n_matches DESC, win_start
+            ) AS rn FROM wins
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CAST(b.win_start AS BIGINT) AS win_start,
+           b.n_terms, b.n_matches,
+           md5(array_to_string(
+               t[b.win_start : b.win_start + {_SNIP_W} - 1], ' '))
+               AS snippet_md5
+    FROM best b JOIN toks USING (doc_id)
+    """,
+)
+def docs_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet per matching document for the registered
+    BM25 query terms: maximize distinct query-term coverage in a
+    {W}-token window, tie-break by total matches then leftmost start;
+    the emitted ``snippet_md5`` hashes the exact token window, so the
+    oracle checks the highlighted BYTES, not just the placement.
+
+    Scale shape: the match stream is filtered at the explode (only
+    query-term positions move — the BM25 scorer's property); window
+    scoring is a per-doc range self-join on that SPARSE stream
+    (match-count², not text-length²), one rank window per doc, and
+    one join back to the token arrays for the final slice. Every key
+    is doc-local; no global sort, no text shuffle beyond the final
+    slice projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    m = toks.select(
+        "doc_id", F.posexplode(F.col("t")).alias("p0", "term")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "term"
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    a = m.select("doc_id", F.col("p").alias("win_start"))
+    b = m.select("doc_id", F.col("p").alias("bp"), "term")
+    wins = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("bp") >= F.col("win_start"))
+            & (F.col("bp") < F.col("win_start") + _SNIP_W)
+        )
+        .groupBy("doc_id", "win_start")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        )
+    )
+    wd = _W.partitionBy("doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_matches"), F.asc("win_start")
+    )
+    best = (
+        wins.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return best.join(toks, "doc_id").select(
+        "doc_id",
+        F.col("win_start").cast("long").alias("win_start"),
+        "n_terms",
+        "n_matches",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), F.col("win_start"), F.lit(_SNIP_W)),
+                " ",
+            )
+        ).alias("snippet_md5"),
+    )

@@ -3278,3 +3278,30 @@ def test_select_adc_width_residual_narrower(spark):
         emb, rcb, min(0.95, target + 0.1), residual_centroids=CENTROIDS
     )
     assert w_res_strict >= w_res
+
+
+def test_mmr_rerank_switch_independent(spark):
+    """emb_mmr_rerank must return identical rows with the Arrow
+    brute-force shortlist forced ON and the expression crossJoin
+    forced OFF (the emb_pq_adc_knn switch pin, applied to the MMR
+    shortlist stage — the greedy consumes integer micro-units, so any
+    float drift between the two shortlist paths would move a pick)."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1  # force the kernel
+        k_rows = sorted(
+            map(tuple, S.emb_mmr_rerank(spark, sf).collect())
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9  # force the expression
+        e_rows = sorted(
+            map(tuple, S.emb_mmr_rerank(spark, sf).collect())
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0

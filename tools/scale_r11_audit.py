@@ -34,6 +34,19 @@ QUERIES_R11 = [
     "docs_shuffle_resume",
     "curation_mix_diff",
     "emb_cluster_balanced_selection",
+    # the session's later additions — the full r11 operator table
+    "docs_cluster_quality_election",
+    "docs_quality_sampled_mix",
+    "docs_source_reputation",
+    # (events_transition_matrix is omitted: the 30x corpus holds
+    # documents + embeddings only — its shape is the sessionization
+    # tier's, already measured)
+    "docs_decontaminated_train",
+    "docs_leakage_safe_split",
+    "docs_stratified_split",
+    "docs_bigram_lm_perplexity",
+    "emb_pq_residual_adc_knn",
+    "emb_mmr_rerank",
 ]
 
 HEADER = "## 30x tier — r11 audit/selection operators"
