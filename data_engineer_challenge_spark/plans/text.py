@@ -4498,3 +4498,192 @@ def docs_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("snippet_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback — the classic query-expansion loop
+# (Lavrenko & Croft relevance models, the Anserini/Lucene RM3
+# default): run BM25, treat the top-10 as pseudo-relevant, harvest the
+# most frequent non-query terms from them, and re-score with the
+# expanded weighted query. Dynamic terms break the fixed-term-order
+# conditional-aggregation trick the registered BM25 uses, so the
+# re-score sums per-(doc, term) components through the EXACT-DECIMAL
+# fold (order-independent — the helpers.dec_sum discipline), keeping
+# the whole two-stage loop hash-checkable.
+# ---------------------------------------------------------------------------
+
+_RM3_FEEDBACK_DOCS = 10
+_RM3_EXP_TERMS = 3
+_RM3_ORIG_WEIGHT = 2  # original terms count double vs expansions
+
+
+def _rm3_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    orig = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    orig_rows = ", ".join(
+        f"('{t}', {_RM3_ORIG_WEIGHT})" for t in _BM25_TERMS
+    )
+    return f"""
+    WITH fb AS (
+        SELECT doc_id FROM ({_BM25_ORACLE})
+        WHERE rank <= {_RM3_FEEDBACK_DOCS}
+    ),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    expansion AS (
+        SELECT term FROM (
+            SELECT t.term, CAST(COUNT(*) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (
+                       ORDER BY COUNT(*) DESC, t.term) AS rn
+            FROM toks JOIN fb USING (doc_id), UNNEST(ts) AS t(term)
+            WHERE t.term NOT IN ({orig})
+            GROUP BY t.term
+        ) WHERE rn <= {_RM3_EXP_TERMS}
+    ),
+    qterms(term, w) AS (
+        SELECT * FROM (VALUES {orig_rows})
+        UNION ALL
+        SELECT term, 1 FROM expansion
+    ),
+    hits AS (
+        SELECT toks.doc_id, len(ts) AS dl, t.term
+        FROM toks, UNNEST(ts) AS t(term)
+        WHERE t.term IN (SELECT term FROM qterms)
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM hits GROUP BY doc_id, dl, term
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(len(ts)) / COUNT(*) AS avgdl
+        FROM toks
+    ),
+    tdf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    comp AS (
+        SELECT tf.doc_id,
+               q.w * ln(1 + (c.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+                   * (tf.tf * {k1 + 1.0}) / (tf.tf + {k1} *
+                     (1 - {b} + {b} * tf.dl / c.avgdl)) AS part
+        FROM tf
+        JOIN tdf USING (term)
+        JOIN qterms q USING (term)
+        CROSS JOIN corpus c
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, {dec_sum_sql('part')} AS score
+        FROM comp GROUP BY doc_id
+    )
+    QUALIFY rank <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "docs_rm3_search",
+    # pytest-oracled (driver surface capped at 50): the feedback loop
+    # over the driver-checked BM25 tier
+    driver=False,
+    oracle=_rm3_oracle(),
+)
+def docs_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback: the registered BM25
+    top-{10} act as pseudo-relevant documents, their {3} most frequent
+    non-query terms join the query at weight 1 (originals at weight
+    {2}), and the expanded query re-ranks the corpus. Expansion terms
+    are DATA-DEPENDENT, so the re-score cannot inline per-term
+    expression columns — instead each (doc, term) BM25 component is
+    weighted and folded through the exact-decimal sum
+    (order-independent), which is what keeps a dynamic-term scorer
+    hash-checkable at all.
+
+    Scale shape: stage 1 is the registered BM25 plan; term harvesting
+    explodes ONLY the 10 feedback docs; the re-score is the BM25
+    shape with the term set as a 6-row broadcast frame (never a
+    literal list — the terms are data), per-term df/corpus stats tiny,
+    one (doc, term)-keyed partial-aggregated shuffle, and a final
+    WindowGroupLimit top-k. The second corpus pass is the price of
+    feedback everywhere (Anserini pays it identically); everything
+    else is broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    fb = (
+        docs_bm25_search(spark, sf_dir)
+        .where(F.col("rank") <= _RM3_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    exp = (
+        toks.join(fb, "doc_id")
+        .select(F.explode("ts").alias("term"))
+        .where(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.orderBy(F.desc("c"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rn") <= _RM3_EXP_TERMS)
+        .select("term", F.lit(1).alias("w"))
+    )
+    qterms = spark.createDataFrame(
+        [(t, _RM3_ORIG_WEIGHT) for t in _BM25_TERMS], "term string, w int"
+    ).unionByName(exp)
+    hits = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("dl"),
+        F.explode("ts").alias("term"),
+    ).join(F.broadcast(qterms), "term")
+    tf = hits.groupBy("doc_id", "dl", "term", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum(F.size("ts").cast("long")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tdf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    comp = (
+        tf.join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.col("w")
+                * F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    scored = comp.groupBy("doc_id").agg(dec_sum("part").alias("score"))
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(_W.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= _BM25_TOPK)
+    )

@@ -89,6 +89,10 @@ def test_partitioned_windows_everywhere(spark):
     allowed_global_window = {
         "nation_dense_ids",
         "docs_bm25_search",
+        # BM25's global top-k shape twice over (feedback rank + final
+        # rank) plus the expansion-term rank, whose input is the
+        # exploded tokens of TEN feedback documents — all bounded
+        "docs_rm3_search",
         "docs_hybrid_rrf_search",
         "docs_hybrid_rrf_via_index",
         "docs_range_sharded_export",
@@ -209,6 +213,9 @@ def test_no_cartesian_products(spark):
         "emb_mmr_rerank",
         "ivf_index_probe",
         "docs_bm25_search",
+        # BM25's corpus-stats broadcasts, in both the feedback stage
+        # and the expanded re-score
+        "docs_rm3_search",
         # same two single-row corpus-stats broadcasts as
         # docs_bm25_search (shared bm25_score kernel), read from the
         # index's stats table instead of a corpus aggregate
