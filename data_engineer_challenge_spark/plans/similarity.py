@@ -1661,3 +1661,121 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.groupBy("q_id").applyInPandas(
         greedy, schema="q_id long, rank long, c_id long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data prep: for every
+# anchor, the most similar vectors with a DIFFERENT label (the
+# negatives that actually move a contrastive loss; random negatives
+# are trivially separable). The per-anchor exclusion set depends on
+# the anchor's own label, so the scale path partitions the work BY
+# LABEL: queries of label L score against the corpus minus class L
+# through the Arrow brute-force kernel — |labels| bounded kernel
+# passes (class counts are catalog-sized), never a per-row Python
+# filter.
+# ---------------------------------------------------------------------------
+
+_HNEG_K = 5
+
+
+@register(
+    "emb_hard_negatives",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    SELECT q_id, neg_id, cos_sim, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+               ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+                   AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql("a.embedding", "b.embedding")}
+                       DESC, b.vec_id) AS BIGINT) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label <> b.label
+        WHERE a.vec_id % 100 = 0
+    ) WHERE rank <= {_HNEG_K}
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} hardest negatives per anchor: most-cosine-similar
+    vectors whose ``label`` differs from the anchor's — the mining
+    step of a contrastive / embedding-training pipeline (the
+    anchor's own class is what a random sampler would leak in as
+    false negatives).
+
+    Scale shape: below the ADC tier's threshold, one labeled
+    crossJoin + per-anchor rank (the exact oracle plan). Past it,
+    the work partitions by ANCHOR LABEL: for each class L the
+    anchors of label L run through the Arrow brute-force kernel
+    against the corpus EXCLUDING class L — |labels| kernel passes
+    (class vocabularies are catalog-sized), each bit-identical to
+    the expression form (the emb_knn_vectorized pin), candidate
+    filtering done by the scan predicate, never per-row Python.
+    Rounding to 6 dp happens AFTER ranking on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine
+
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__cos").desc(), F.col("neg_id")
+    )
+    if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
+        from ..operators.similarity import brute_force_topk_vectorized
+
+        labels = sorted(
+            r["label"]
+            for r in emb.select("label").distinct().collect()
+        )
+        parts = []
+        for lab in labels:
+            qs = emb.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("label") == lab)
+            ).select(F.col("vec_id").alias("q_id"), "embedding")
+            cand = emb.filter(F.col("label") != lab).select(
+                F.col("vec_id").alias("c_id"), "embedding"
+            )
+            parts.append(
+                brute_force_topk_vectorized(qs, cand, k=_HNEG_K).select(
+                    "q_id",
+                    F.col("c_id").alias("neg_id"),
+                    F.col("cos_sim").alias("__cos"),
+                )
+            )
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+    else:
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("__ql"),
+            F.col("embedding").alias("__qv"),
+        )
+        scored = (
+            q.crossJoin(
+                emb.select(
+                    F.col("vec_id").alias("neg_id"),
+                    F.col("label").alias("__cl"),
+                    "embedding",
+                )
+            )
+            .where(F.col("__ql") != F.col("__cl"))
+            .select(
+                "q_id",
+                "neg_id",
+                cosine(F.col("__qv"), F.col("embedding")).alias(
+                    "__cos"
+                ),
+            )
+        )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(wq).cast("long")
+        )
+        .where(F.col("rank") <= _HNEG_K)
+        .select(
+            "q_id",
+            "neg_id",
+            F.round(F.col("__cos"), 6).alias("cos_sim"),
+            "rank",
+        )
+    )

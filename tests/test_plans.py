@@ -211,6 +211,9 @@ def test_no_cartesian_products(spark):
         # the brute-force shortlist stage (tiny query side) feeding
         # the per-query MMR fold
         "emb_mmr_rerank",
+        # the same labeled crossJoin shape (tiny anchor side) below
+        # the kernel threshold
+        "emb_hard_negatives",
         "ivf_index_probe",
         "docs_bm25_search",
         # BM25's corpus-stats broadcasts, in both the feedback stage

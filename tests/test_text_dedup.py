@@ -3305,3 +3305,36 @@ def test_mmr_rerank_switch_independent(spark):
     finally:
         S._PQ_VECTORIZE_MIN_N = old
     assert k_rows == e_rows and len(k_rows) > 0
+
+
+def test_hard_negatives_switch_independent_and_label_disjoint(spark):
+    """emb_hard_negatives: identical rows with the per-label Arrow
+    kernel forced ON vs the labeled crossJoin expression (the MMR
+    switch pin), and no negative ever shares its anchor's label."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1
+        k_rows = sorted(
+            map(tuple, S.emb_hard_negatives(spark, sf).collect())
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9
+        e_rows = sorted(
+            map(tuple, S.emb_hard_negatives(spark, sf).collect())
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    for q_id, neg_id, _cos, _rank in k_rows:
+        assert labels[q_id] != labels[neg_id]

@@ -47,6 +47,9 @@ QUERIES_R11 = [
     "docs_bigram_lm_perplexity",
     "emb_pq_residual_adc_knn",
     "emb_mmr_rerank",
+    "docs_search_snippets",
+    "docs_rm3_search",
+    "emb_hard_negatives",
 ]
 
 HEADER = "## 30x tier — r11 audit/selection operators"
