@@ -4687,3 +4687,144 @@ def docs_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — the tokenizer-evaluation number multilingual
+# pipelines track per language: BPE tokens per whitespace word
+# (fertility ~1 means the vocabulary fits the language; >>1 means the
+# language is being byte-shredded and is underserved by the token
+# budget). Exact-decimal ratio of two integer sums per (lang, source)
+# stratum — the doc_token_stats counters, aggregated where the
+# decision is made.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_tokenizer_fertility",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(ROUND(CAST(SUM(n_bpe) AS DECIMAL(30,10))
+                      / SUM(n_ws), 6) AS DOUBLE) AS fertility
+    FROM (
+        SELECT lang,
+               CAST(len(regexp_extract_all(lower(text),
+                    '{BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+               CAST(len(string_split_regex(text, '{_WS}+')) AS BIGINT)
+                   AS n_ws
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def docs_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word (the GPT-2-style pre-tokenization count over the whitespace
+    denominator — the standard proxy for how efficiently a byte-pair
+    vocabulary covers each language; the number multilingual token
+    budgets are set against). Integer sums, one exact-decimal
+    division per output row, rounded at 6 dp identically on both
+    engines.
+
+    Scale shape: map-only token counting inside whole-stage codegen +
+    one map-combined per-lang aggregate — the doc_token_stats pass,
+    folded to the decision grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)
+    ).cast("long")
+    n_ws = F.size(F.split(F.col("text"), _WS + "+")).cast("long")
+    per_doc = docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.sum(F.col("n_bpe").cast("decimal(30,10)"))
+            / F.sum("n_ws"),
+            6,
+        )
+        .cast("double")
+        .alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-version drift report — the pre-selection regression gate a
+# corpus release runs before any training-mix decision: per source,
+# how document and token volume moved between two corpus versions
+# (the delta-refresh row's own v1/v2 pair). curation_mix_diff audits
+# the SELECTED mix; this audits the RAW corpus it was selected from —
+# the two reports together localize whether a mix change came from
+# the corpus or from the selection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_version_drift",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                    AS BIGINT) AS n_tok,
+               CAST(doc_id % 4 <> 3 AS BIGINT) AS in_v1
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(in_v1) AS BIGINT) AS docs_v1,
+           CAST(COUNT(*) AS BIGINT) AS docs_v2,
+           CAST(SUM(n_tok * in_v1) AS BIGINT) AS tokens_v1,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_v2,
+           CASE WHEN SUM(n_tok * in_v1) = 0 THEN NULL
+                ELSE CAST(1000000 * (SUM(n_tok) - SUM(n_tok * in_v1))
+                          // SUM(n_tok * in_v1) AS BIGINT)
+           END AS token_growth_ppm
+    FROM per_doc GROUP BY source
+    """,
+)
+def corpus_version_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source volume drift between two corpus versions (v1 = the
+    ``doc_id % 4 != 3`` load, v2 = the full table — the same version
+    pair the delta refresh and the mix diff replay): document and
+    token counts per version and the token growth on an exact ppm
+    grid. A source whose volume jumped 10x between versions is a
+    crawler or takedown incident to investigate BEFORE selection
+    re-runs — the report that tells corpus ops whether to ship.
+
+    Scale shape: ONE pass over the corpus (the version membership is
+    a predicate on the id, so both versions' sums come from the same
+    scan via conditional aggregation — never two reads), one
+    map-combined per-source aggregate; integer end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_v1 = (F.col("doc_id") % 4 != 3).cast("long")
+    n_tok = F.size(tokens("text")).cast("long")
+    per_doc = docs.select(
+        "source", in_v1.alias("in_v1"), n_tok.alias("n_tok")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("in_v1").cast("long").alias("docs_v1"),
+        F.count(F.lit(1)).cast("long").alias("docs_v2"),
+        F.sum(F.col("n_tok") * F.col("in_v1"))
+        .cast("long")
+        .alias("tokens_v1"),
+        F.sum("n_tok").cast("long").alias("tokens_v2"),
+    )
+    return agg.withColumn(
+        "token_growth_ppm",
+        F.when(F.col("tokens_v1") == 0, F.lit(None).cast("long")).otherwise(
+            F.expr(
+                "(1000000 * (tokens_v2 - tokens_v1)) div tokens_v1"
+            ).cast("long")
+        ),
+    )
