@@ -1779,3 +1779,171 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-triplet assembly — the artifact a metric-learning /
+# embedding-training job actually consumes: (anchor, hardest positive,
+# hardest negative) with the margin. Positive = most similar SAME-
+# label vector (excluding self; "hardest" in the useful sense — the
+# pair the loss must hold together), negative = most similar
+# DIFFERENT-label vector (emb_hard_negatives' rank-1). A negative
+# margin = an active triplet (the negative currently sits closer than
+# the positive), which is exactly the mining criterion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_training_triplets",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH pos AS (
+        SELECT q_id, pos_id, pos_cos FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS pos_id,
+                   ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+                       AS pos_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_cos_sql("a.embedding", "b.embedding")}
+                           DESC, b.vec_id) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT q_id, neg_id, neg_cos FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+                   ROUND({_cos_sql("a.embedding", "b.embedding")}, 6)
+                       AS neg_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_cos_sql("a.embedding", "b.embedding")}
+                           DESC, b.vec_id) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.label <> b.label
+            WHERE a.vec_id % 100 = 0
+        ) WHERE rn = 1
+    )
+    SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
+           ROUND(pos_cos - neg_cos, 6) AS margin
+    FROM pos JOIN neg USING (q_id)
+    """,
+)
+def emb_training_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hardest-positive / hardest-negative triplets per anchor with
+    the margin — negative margins are the ACTIVE triplets a
+    triplet/contrastive loss actually learns from, so this frame IS
+    the mined training batch (emb_hard_negatives supplies depth
+    beyond rank-1 when a loss wants several negatives).
+
+    Scale shape: two label-partitioned similarity searches (the
+    emb_hard_negatives posture — per-label kernel passes past the
+    threshold, the labeled join below it) + one q_id-keyed join of
+    two one-row-per-anchor frames. Margins subtract two 6-dp-rounded
+    doubles — deterministic on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine
+
+    def _top1(same_label: bool) -> DataFrame:
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("__cos").desc(), F.col("o_id")
+        )
+        if _corpus_count(sf_dir, emb) >= _PQ_VECTORIZE_MIN_N:
+            from ..operators.similarity import (
+                brute_force_topk_vectorized,
+            )
+
+            labels = sorted(
+                r["label"]
+                for r in emb.select("label").distinct().collect()
+            )
+            parts = []
+            for lab in labels:
+                qs = emb.filter(
+                    (F.col("vec_id") % 100 == 0)
+                    & (F.col("label") == lab)
+                ).select(F.col("vec_id").alias("q_id"), "embedding")
+                cand_pred = (
+                    (F.col("label") == lab)
+                    if same_label
+                    else (F.col("label") != lab)
+                )
+                cand = emb.filter(cand_pred).select(
+                    F.col("vec_id").alias("c_id"), "embedding"
+                )
+                # k=2 on the same-label side: self is always rank 1
+                parts.append(
+                    brute_force_topk_vectorized(
+                        qs, cand, k=2 if same_label else 1
+                    ).select(
+                        "q_id",
+                        F.col("c_id").alias("o_id"),
+                        F.col("cos_sim").alias("__cos"),
+                    )
+                )
+            scored = parts[0]
+            for p in parts[1:]:
+                scored = scored.unionByName(p)
+            scored = scored.where(F.col("q_id") != F.col("o_id"))
+        else:
+            q = emb.filter(F.col("vec_id") % 100 == 0).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("label").alias("__ql"),
+                F.col("embedding").alias("__qv"),
+            )
+            pred = (
+                (F.col("__ql") == F.col("__cl"))
+                if same_label
+                else (F.col("__ql") != F.col("__cl"))
+            )
+            scored = (
+                q.crossJoin(
+                    emb.select(
+                        F.col("vec_id").alias("o_id"),
+                        F.col("label").alias("__cl"),
+                        "embedding",
+                    )
+                )
+                .where(pred & (F.col("q_id") != F.col("o_id")))
+                .select(
+                    "q_id",
+                    "o_id",
+                    cosine(F.col("__qv"), F.col("embedding")).alias(
+                        "__cos"
+                    ),
+                )
+            )
+        return (
+            scored.withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") == 1)
+            .select(
+                "q_id",
+                "o_id",
+                F.round(F.col("__cos"), 6).alias("__rcos"),
+            )
+        )
+
+    pos = _top1(True).select(
+        "q_id",
+        F.col("o_id").alias("pos_id"),
+        F.col("__rcos").alias("pos_cos"),
+    )
+    neg = _top1(False).select(
+        "q_id",
+        F.col("o_id").alias("neg_id"),
+        F.col("__rcos").alias("neg_cos"),
+    )
+    return pos.join(neg, "q_id").select(
+        "q_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias(
+            "margin"
+        ),
+    )

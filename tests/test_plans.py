@@ -214,6 +214,8 @@ def test_no_cartesian_products(spark):
         # the same labeled crossJoin shape (tiny anchor side) below
         # the kernel threshold
         "emb_hard_negatives",
+        # two of that shape (hardest positive + hardest negative)
+        "emb_training_triplets",
         "ivf_index_probe",
         "docs_bm25_search",
         # BM25's corpus-stats broadcasts, in both the feedback stage

@@ -3338,3 +3338,38 @@ def test_hard_negatives_switch_independent_and_label_disjoint(spark):
     }
     for q_id, neg_id, _cos, _rank in k_rows:
         assert labels[q_id] != labels[neg_id]
+
+
+def test_training_triplets_semantics(spark):
+    """Triplets: positives share the anchor's label, negatives don't,
+    margin arithmetic checks out, and the switch pin holds (kernel
+    forced ON == expression forced OFF)."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.tables import load_table
+
+    plans._load()
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1
+        k_rows = sorted(
+            map(tuple, S.emb_training_triplets(spark, sf).collect())
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9
+        e_rows = sorted(
+            map(tuple, S.emb_training_triplets(spark, sf).collect())
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    for q_id, pos_id, pos_cos, neg_id, neg_cos, margin in k_rows:
+        assert labels[q_id] == labels[pos_id] and q_id != pos_id
+        assert labels[q_id] != labels[neg_id]
+        assert abs(margin - round(pos_cos - neg_cos, 6)) < 1e-12
