@@ -1947,3 +1947,94 @@ def emb_training_triplets(
             "margin"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall monitoring as a first-class query — the serving-quality
+# number every vector deployment watches, computed IN the engine
+# instead of a test harness: recall@k of the registered IVF
+# configuration against exact brute force on the same query set, per
+# k, on an exact ppm grid. When the corpus drifts or a quantizer
+# rebuild degrades, this row moves — the monitoring contract.
+# ---------------------------------------------------------------------------
+
+_RECALL_KS = (1, 5, 10)
+
+
+def _ann_recall_oracle() -> str:
+    per_k = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(a.c_id) AS BIGINT) AS hits,
+               CAST(1000000 * COUNT(a.c_id)
+                    // ({k} * COUNT(DISTINCT e.q_id)) AS BIGINT)
+                   AS recall_ppm
+        FROM exact e LEFT JOIN approx a
+          ON a.q_id = e.q_id AND a.c_id = e.c_id AND a.rank <= {k}
+        WHERE e.rank <= {k}"""
+        for k in _RECALL_KS
+    )
+    return f"""
+    WITH exact AS ({_KNN_ORACLE}),
+    approx AS ({_ivf_oracle(_IVF_CENTROIDS, n_probe=12, k=10)})
+    {per_k}
+    """
+
+
+@register(
+    "emb_ann_recall_report",
+    # pytest-oracled (driver surface capped at 50): the quality
+    # monitor over two driver-checked tiers
+    driver=False,
+    oracle=_ann_recall_oracle(),
+)
+def emb_ann_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k (k = 1, 5, 10) of the registered IVF configuration
+    vs exact brute force, one row per k with hits and recall on an
+    exact integer ppm grid — ANN quality monitoring as a REGISTERED
+    query rather than a test-only assertion, so a deployment can
+    alert on it like any other metric (a quantizer rebuild or corpus
+    drift that degrades recall moves this row, and ONLY the engine's
+    own machinery computes it).
+
+    Scale shape: the exact side is the brute-force baseline (paid by
+    any recall measurement, on the held-out query set only); the
+    approx side is the registered IVF plan; the comparison is one
+    (q_id, c_id)-keyed join of two top-k-bounded frames + a 3-row
+    aggregate. Integer ppm — no float near the alert threshold."""
+    exact = emb_knn_bruteforce(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("__er")
+    )
+    approx = emb_ivf_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("__ar")
+    )
+    joined = exact.join(approx, ["q_id", "c_id"], "left").localCheckpoint()
+    parts = []
+    for k in _RECALL_KS:
+        sub = joined.where(F.col("__er") <= k)
+        parts.append(
+            sub.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.countDistinct("q_id").cast("long").alias("n_queries"),
+                F.count(
+                    F.when(F.col("__ar") <= k, F.lit(1))
+                )
+                .cast("long")
+                .alias("hits"),
+            ).select(
+                "k",
+                "n_queries",
+                "hits",
+                F.expr(
+                    f"(1000000 * hits) div ({k} * n_queries)"
+                )
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -216,6 +216,8 @@ def test_no_cartesian_products(spark):
         "emb_hard_negatives",
         # two of that shape (hardest positive + hardest negative)
         "emb_training_triplets",
+        # contains the brute-force baseline side verbatim
+        "emb_ann_recall_report",
         "ivf_index_probe",
         "docs_bm25_search",
         # BM25's corpus-stats broadcasts, in both the feedback stage
