@@ -4828,3 +4828,113 @@ def corpus_version_drift(
             ).cast("long")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask layout — the denoising-objective metadata a
+# T5-style training job consumes: which token spans of each document
+# are masked. Derandomized the way every sampling decision in this
+# registry is (the epoch-shuffle/sampled-mix doctrine): tokens tile
+# into fixed-length blocks, and each document masks the block residue
+# its salted hash selects — a deterministic ~1/N-rate block layout
+# (mean span length = the block size, corruption rate = 1/N exactly
+# in the long run), reproducible across reruns, engines, and resumes,
+# with the phase decorrelated across documents by the hash.
+# ---------------------------------------------------------------------------
+
+_SPANC_BLOCK = 3  # masked-span length (tokens) — T5's mean span
+_SPANC_PERIOD = 7  # every 7th block masks => corruption rate 1/7
+_SPANC_SALT = "spanc-e1-"
+
+
+@register(
+    "docs_span_corruption_masks",
+    # pytest-oracled (driver surface capped at 50)
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                    AS BIGINT) AS n_tokens,
+               {_MD5_LONG_SQL.format(
+                   c="concat('" + _SPANC_SALT
+                   + "', CAST(doc_id AS VARCHAR))")} % {_SPANC_PERIOD}
+                   AS phase
+        FROM documents
+    )
+    SELECT doc_id, span_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(start_tok + {_SPANC_BLOCK}, n_tokens) AS BIGINT)
+               AS end_tok
+    FROM (
+        SELECT doc_id, n_tokens,
+               CAST(i AS BIGINT) AS span_id,
+               (phase + i * {_SPANC_PERIOD}) * {_SPANC_BLOCK}
+                   AS start_tok
+        FROM toks,
+             UNNEST(range(0, 1 + n_tokens
+                 // ({_SPANC_BLOCK} * {_SPANC_PERIOD}))) AS r(i)
+    )
+    WHERE start_tok < n_tokens
+    """,
+)
+def docs_span_corruption_masks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Masked-span layout per document for a denoising objective:
+    token positions tile into {block}-token blocks, and blocks whose
+    index ≡ hash(doc) (mod {period}) mask — spans
+    ``[start_tok, end_tok)`` with the final span clipped at the
+    document end. Rate and mean span length are the T5 defaults
+    (~15%, 3 tokens) as EXACT integers; the per-document phase
+    decorrelates mask positions across documents while keeping the
+    layout a pure function of (doc_id, token count) — the property
+    that makes the corrupted dataset reproducible and the mask
+    auditable (this frame IS the audit).
+
+    Scale shape: map-only per doc + a bounded explode (one row per
+    masked span ≈ tokens/21); no joins, no shuffle before the
+    output. Composes with ``docs_pack_sequences``' placement the way
+    ``docs_packed_doc_spans`` does — both are (doc, span) frames
+    keyed in token space."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("long")
+    phase = (
+        md5_long(
+            F.concat(F.lit(_SPANC_SALT), F.col("doc_id").cast("string"))
+        )
+        % _SPANC_PERIOD
+    )
+    base = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), phase.alias("phase")
+    )
+    stride = _SPANC_BLOCK * _SPANC_PERIOD
+    spans = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"n_tokens div {stride}"),
+            )
+        ).alias("span_id"),
+        "phase",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("span_id").cast("long").alias("span_id"),
+        (
+            (F.col("phase") + F.col("span_id") * _SPANC_PERIOD)
+            * _SPANC_BLOCK
+        ).alias("start_tok"),
+    )
+    return spans.where(F.col("start_tok") < F.col("n_tokens")).select(
+        "doc_id",
+        "span_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(
+            F.col("start_tok") + _SPANC_BLOCK, F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("end_tok"),
+    )
