@@ -1070,3 +1070,90 @@ def test_mmr_rerank_diversifies_and_respects_relevance(spark):
         mmr_div.append(max_pair_sim(picks))
         plain_div.append(max_pair_sim(plain[q]))
     assert np.mean(mmr_div) <= np.mean(plain_div) + 1e-12
+
+
+def test_mmr_rerank_single_candidate_query(spark, tmp_path):
+    """Regression (r11 ADVICE): a query whose non-self shortlist holds
+    exactly ONE candidate has zero pairwise-similarity rows, and a
+    greedy driven off the pairwise frame alone silently dropped the
+    query from Spark output while the DuckDB oracle's recursive CTE
+    still emitted its rank-1 pick. The fold's input is now seeded from
+    the candidate frame, so the degenerate query survives."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    plans._load()
+    rows = [(0, [1.0, 0.0], 1), (1, [0.6, 0.8], 1)]
+    df = spark.createDataFrame(rows, TESTDATA["embeddings"])
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = (
+        plans.REGISTRY["emb_mmr_rerank"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert [(r.q_id, r.rank, r.c_id) for r in got] == [(0, 1, 1)]
+
+
+def test_hard_negatives_kernel_path_skips_null_labels(spark, tmp_path):
+    """Regression (r11 ADVICE): the per-label kernel path collected
+    and sorted the distinct label list, so a NULL label raised
+    TypeError (None vs int) while the expression path — and the DuckDB
+    oracle, whose label <> predicate never matches NULL — silently
+    excluded those rows. Both paths must now agree: NULL-label vectors
+    appear on neither side of the mining join."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    plans._load()
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 2),
+        (2, [0.8, 0.2], None),  # must be ignored, not crash
+        (100, [0.7, 0.3], 2),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["embeddings"])
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1  # force the per-label kernel
+        k_rows = sorted(
+            map(
+                tuple,
+                plans.REGISTRY["emb_hard_negatives"]
+                .builder(spark, str(tmp_path))
+                .collect(),
+            )
+        )
+        t_rows = sorted(
+            map(
+                tuple,
+                plans.REGISTRY["emb_training_triplets"]
+                .builder(spark, str(tmp_path))
+                .collect(),
+            )
+        )
+        S._PQ_VECTORIZE_MIN_N = 10**9  # force the expression path
+        e_rows = sorted(
+            map(
+                tuple,
+                plans.REGISTRY["emb_hard_negatives"]
+                .builder(spark, str(tmp_path))
+                .collect(),
+            )
+        )
+        te_rows = sorted(
+            map(
+                tuple,
+                plans.REGISTRY["emb_training_triplets"]
+                .builder(spark, str(tmp_path))
+                .collect(),
+            )
+        )
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+    assert k_rows == e_rows and len(k_rows) > 0
+    assert t_rows == te_rows
+    anchors = {r[0] for r in k_rows}
+    negs = {r[1] for r in k_rows}
+    assert 2 not in anchors and 2 not in negs  # NULL label excluded
