@@ -104,5 +104,6 @@ def _load() -> None:
     from . import events  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import release  # noqa: F401
 
     _LOADED = True

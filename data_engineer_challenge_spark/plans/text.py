@@ -1389,14 +1389,79 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    """Full DuckDB replay of the frozen-merge BPE encoder (r12,
+    VERDICT r11 #4 — the docs_pack_nostraddle recursive-CTE
+    precedent): the merge table is a literal ranks VALUES list, and
+    the encoder's loop — merge the LOWEST-rank adjacent pair present,
+    leftmost on rank ties, rescan — is a deterministic state machine
+    per word, replayed as a recursive CTE whose recursive term picks
+    the next merge via LATERAL argmin (ORDER BY rank, position
+    LIMIT 1) and terminates when no pair joins the rank table. Only
+    corpus-DISTINCT words enter the recursion (the production tier's
+    own vocabulary-not-occurrences shape), then subword counts join
+    back onto the exploded words. Closes the registry's last
+    rows-only entry."""
+    from .bpe_merges import MERGES
+
+    ranks = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(MERGES)
+    )
+    return f"""
+    WITH RECURSIVE
+    ranks(rank, a, b) AS (VALUES {ranks}),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+        FROM documents
+    ),
+    words AS (
+        SELECT DISTINCT t.w FROM toks, UNNEST(ws) AS t(w)
+    ),
+    enc AS (
+        SELECT w, string_split(w, '') AS syms, 0 AS step FROM words
+        UNION ALL
+        SELECT e.w,
+               list_concat(list_concat(e.syms[1:p.bi-1],
+                                       [e.syms[p.bi] || e.syms[p.bi+1]]),
+                           e.syms[p.bi+2:]),
+               e.step + 1
+        FROM enc e, LATERAL (
+            SELECT i AS bi
+            FROM UNNEST(range(1, len(e.syms))) AS t(i)
+            JOIN ranks r ON r.a = e.syms[i] AND r.b = e.syms[i+1]
+            ORDER BY r.rank, i LIMIT 1
+        ) p
+    ),
+    final AS (
+        SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM (
+            SELECT w, syms, ROW_NUMBER() OVER (
+                PARTITION BY w ORDER BY step DESC) AS rn
+            FROM enc) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT e.doc_id, CAST(SUM(f.n_sub) AS BIGINT) AS n_bpe
+        FROM (SELECT doc_id, t.w FROM toks, UNNEST(ws) AS t(w)) e
+        JOIN final f USING (w)
+        GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_words,
+           COALESCE(s.n_bpe, 0) AS n_bpe_tokens,
+           CASE WHEN len(t.ws) > 0
+                THEN CAST(COALESCE(s.n_bpe, 0) AS DOUBLE) / len(t.ws)
+                ELSE 0.0 END AS bpe_per_word
+    FROM toks t LEFT JOIN sums s USING (doc_id)
+    """
+
+
 @register(
     "doc_bpe_token_stats",
-    # rows-only: BPE's iterative ranked merging has no tractable SQL
-    # replay (the documented oracle-exception class); correctness is
-    # held by pytest — an independently-written reference encoder,
-    # golden merges on a hand-checked corpus, and determinism tests
+    # r12: the registry's last rows-only entry gains a full DuckDB
+    # oracle (VERDICT r11 #4) — the ranked merge loop replayed as a
+    # recursive CTE over distinct words (_bpe_oracle). Off the 50-row
+    # driver surface as before; the local replica hash-checks it.
     driver=False,
-    oracle=None,
+    oracle=_bpe_oracle(),
 )
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL subword token statistics under the frozen BPE merge table
@@ -1685,7 +1750,13 @@ def docs_phrase_search_via_index(
     # two-stage variant's full-scan oracle verbatim, so the hash
     # equality proves the positional layout answers identically while
     # reading ZERO document text (plan-pinned in
-    # tests/test_scale_patterns.py)
+    # tests/test_scale_patterns.py).
+    # r12: rotated OFF again (VERDICT r11 #1) — that same shared
+    # oracle keeps it hash-checked in the local replica alongside
+    # docs_phrase_search_via_index, the plan pin still proves the
+    # zero-text-scan property, and its slot went to the r11
+    # retrieval/mining tier.
+    driver=False,
     oracle=f"""
     SELECT doc_id, n_occurrences
     FROM (
@@ -2230,17 +2301,17 @@ def quality_gram_feats(docs: DataFrame) -> DataFrame:
 _FUNNEL_TOPK = 100
 
 
-def _register_curation_funnel() -> None:
+# Parameterized over the corpus source so curation_mix_diff can run
+# the IDENTICAL funnel SQL over two corpus versions (and the corpus-
+# release capstone can run it over the filter bank's keepers); the
+# registered batch/delta oracles interpolate src='documents',
+# producing the same string they always carried. Module-level (r12)
+# so plans/release.py chains it verbatim into the capstone oracle.
+def funnel_sql(src: str = "documents") -> str:
     from .quality_weights import BIAS
 
     norm_sql = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
-
-    # Parameterized over the corpus source so curation_mix_diff can run
-    # the IDENTICAL funnel SQL over two corpus versions; the registered
-    # batch/delta oracles below interpolate src='documents', producing
-    # the same string they always carried.
-    def _funnel_sql(src: str = "documents") -> str:
-        return f"""
+    return f"""
         WITH qfeats AS (
             SELECT doc_id, {_MD5_LONG_SQL.format(c='g')} % {_QC_BUCKETS} AS b
             FROM (
@@ -2313,7 +2384,9 @@ def _register_curation_funnel() -> None:
         LIMIT {_FUNNEL_TOPK}
         """
 
-    funnel_oracle = _funnel_sql()
+
+def _register_curation_funnel() -> None:
+    funnel_oracle = funnel_sql()
 
     @register(
         "docs_curation_funnel",
@@ -2437,10 +2510,10 @@ def _register_curation_funnel() -> None:
         # AUDIT over their outputs
         driver=False,
         oracle=f"""
-        WITH v1 AS ({_funnel_sql(
+        WITH v1 AS ({funnel_sql(
             "(SELECT * FROM documents WHERE doc_id % 4 <> 3)"
         )}),
-        v2 AS ({_funnel_sql()})
+        v2 AS ({funnel_sql()})
         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
                CASE WHEN v1.doc_id IS NULL THEN 'added'
                     WHEN v2.doc_id IS NULL THEN 'removed'
@@ -3471,11 +3544,22 @@ def docs_heuristic_filter_bank(
     Gopher values; every fraction test is cross-multiplied onto
     integers (``10*n_sym <= n_words`` instead of ``n_sym/n_words <=
     0.1``) so the decision is exact on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    return filter_bank_flags(load_table(spark, sf_dir, "documents"))
+
+
+def filter_bank_flags(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The Gopher rule bank over an arbitrary docs frame — factored
+    (r12) so the corpus-release capstone applies the bank INLINE over
+    its input (map-only, no self-join back to the corpus); ``carry``
+    propagates extra input columns (e.g. lang/text for downstream
+    funnel stages) through the flags projection."""
     toks = tokens("text")
     lines = F.split(F.col("text"), "\n", -1)
     base = docs.select(
         "doc_id",
+        *carry,
         F.size(toks).cast("long").alias("n_words"),
         F.coalesce(
             F.aggregate(
@@ -3526,6 +3610,7 @@ def docs_heuristic_filter_bank(
     }
     out = base.select(
         "doc_id",
+        *carry,
         "n_words",
         *[v.cast("long").alias(k) for k, v in rules.items()],
     )
@@ -4403,8 +4488,11 @@ _SNIP_W = 15  # snippet width (tokens)
 
 @register(
     "docs_search_snippets",
-    # pytest-oracled (driver surface capped at 50)
-    driver=False,
+    # r12: rotated ONTO the driver surface (VERDICT r11 #1) — the
+    # sparse match-stream window search (and the md5-of-token-window
+    # byte check) under the driver's own hash; took
+    # docs_phrase_search_positional's slot (whose oracle the two-stage
+    # phrase variant shares verbatim in the local replica)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
@@ -4588,9 +4676,11 @@ def _rm3_oracle() -> str:
 
 @register(
     "docs_rm3_search",
-    # pytest-oracled (driver surface capped at 50): the feedback loop
-    # over the driver-checked BM25 tier
-    driver=False,
+    # r12: rotated ONTO the driver surface (VERDICT r11 #1) — RM3's
+    # dynamic-expansion-term decimal fold now runs under the driver's
+    # own hash, and its oracle embeds _BM25_ORACLE verbatim, restoring
+    # a driver-checked carrier for the BM25 SQL; took
+    # cdw_fr_date_roundtrip's slot (subsumed by the other cdw rows)
     oracle=_rm3_oracle(),
 )
 def docs_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
