@@ -3373,3 +3373,77 @@ def test_training_triplets_semantics(spark):
         assert labels[q_id] == labels[pos_id] and q_id != pos_id
         assert labels[q_id] != labels[neg_id]
         assert abs(margin - round(pos_cos - neg_cos, 6)) < 1e-12
+
+
+def test_probe_local_matches_probe_adc(spark, tmp_path):
+    """probe_local (driver-side point serving, no Spark job) must
+    answer BIT-identically to probe_adc for the same (query, k,
+    n_probe, shortlist) — raw-coded and residual-coded stores, and
+    across a supersede + tombstone (the roster/live mask replayed in
+    pandas must agree with _live's)."""
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.plans.pq_residual_codebooks import (
+        RESIDUAL_CODEBOOKS,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(3)
+        .collect()
+    )
+
+    def check(idx):
+        for r in qrows:
+            queries = emb.where(
+                F.col("vec_id") == r["vec_id"]
+            ).select(F.col("vec_id").alias("q_id"), "embedding")
+            want = [
+                (row["c_id"], row["cos_sim"], row["rank"])
+                for row in idx.probe_adc(
+                    queries, k=10, n_probe=4, shortlist=60
+                )
+                .orderBy("rank")
+                .collect()
+            ]
+            got = idx.probe_local(
+                list(r["embedding"]), k=10, n_probe=4, shortlist=60
+            )
+            assert got == want, r["vec_id"]
+
+    for name, cbs, residual in [
+        ("raw", CODEBOOKS, False),
+        ("res", RESIDUAL_CODEBOOKS, True),
+    ]:
+        idx = IVFVectorIndex(
+            spark,
+            str(tmp_path / name),
+            CENTROIDS,
+            pq_codebooks=cbs,
+            pq_residual=residual,
+        )
+        idx.build(emb)
+        check(idx)
+
+    # mutation coverage on the raw store: supersede one corpus vector
+    # and tombstone another — both paths must keep agreeing through
+    # the roster mask
+    idx = IVFVectorIndex.open(spark, str(tmp_path / "raw"))
+    vid0 = int(qrows[0]["vec_id"])
+    moved = emb.where(F.col("vec_id") == vid0 + 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    idx.append(moved, ordinal=999, supersede=True)
+    idx.delete(
+        emb.where(F.col("vec_id") == vid0 + 2).select("vec_id"),
+        ordinal=1000,
+    )
+    check(idx)
