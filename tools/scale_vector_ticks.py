@@ -31,8 +31,7 @@ HEADER = (
 )
 
 ROOT = "/tmp/scalevecticks"
-N_TICKS = 20
-SLICE = 5  # copies 0..89 seed the store; 90..99 drip in over ticks
+N_TICKS = 20  # copies 0..49 seed the store; 50..99 drip in over ticks
 
 
 def main() -> None:
@@ -63,12 +62,12 @@ def main() -> None:
         print("building 100x vector corpus ...", flush=True)
         build_corpus100_vec(spark)
     emb = spark.read.parquet(f"{OUT100V}/embeddings.parquet")
-    copy = F.col("vec_id") // 100_000_000
+    copy = F.expr("vec_id div 100000000")
 
     shutil.rmtree(ROOT, ignore_errors=True)
     seed_dir = f"{ROOT}/seed"
     os.makedirs(seed_dir)
-    seed = emb.where(copy < 90)
+    seed = emb.where(copy < 50)
     seed.repartition(32).write.parquet(f"{seed_dir}/embeddings.parquet")
     seed = spark.read.parquet(f"{seed_dir}/embeddings.parquet")
     n_seed = seed.count()
@@ -88,36 +87,52 @@ def main() -> None:
     dels = f"{ROOT}/dels"
     os.makedirs(drops)
     os.makedirs(dels)
-    state = SnapshotState(f"{ROOT}/state.json")
+    state = SnapshotState.load(f"{ROOT}/state.json")
 
-    # the drip corpus: copies 90..99 (110k vectors), in per-tick
-    # half-copy slices — each tick lands ~5,500 vectors
-    drip = emb.where(copy >= 90).withColumn(
+    # the drip corpus: copies 50..99 (100k vectors) in 20 per-tick
+    # slices of 2-3 copies (~5,000 vectors each) — the raw row count
+    # crosses the 2x-growth rebucket trigger (2 x 256 x k_seed) near
+    # the end of the run, so the amortized maintenance event fires
+    # inside the measured window
+    drip = emb.where(copy >= 50).withColumn(
         "__slot",
-        ((copy - 90) * 2 + (F.col("vec_id") % 2)).cast("int"),
+        F.expr("((vec_id div 100000000) - 50) * 20 div 50").cast(
+            "int"
+        ),
     )
+
+    def _n_files() -> int:
+        total = 0
+        pdir = os.path.join(store, "postings")
+        for d in os.listdir(pdir):
+            if d.startswith("cid="):
+                total += sum(
+                    1
+                    for f in os.listdir(os.path.join(pdir, d))
+                    if not f.startswith((".", "_"))
+                )
+        return total
+
     rows = []
     for t in range(1, N_TICKS + 1):
         slot = t - 1
         add = drip.where(F.col("__slot") == slot).drop("__slot")
         fn = f"{drops}/drop_{slot:03d}.parquet"
-        add.coalesce(1).write.mode("overwrite").parquet(fn)
+        # single-FILE drops: the mtime snapshot diff watches files —
+        # the realistic shape of an upstream embedding job's output
+        add.toPandas().to_parquet(fn, index=False)
         if t == 10:
             # supersede: re-drop tick-5's file (same name, new
-            # mtime) with negated vectors — a genuine update
-            upd = (
-                spark.read.parquet(f"{drops}/drop_004.parquet")
-                .select(
-                    "vec_id",
-                    F.transform(
-                        "embedding", lambda x: -x
-                    ).alias("embedding"),
-                    "label",
-                )
+            # mtime) with negated vectors — a genuine update;
+            # float32-preserving negation keeps the store schema
+            import numpy as np
+            import pandas as pd
+
+            pdf = pd.read_parquet(f"{drops}/drop_004.parquet")
+            pdf["embedding"] = pdf["embedding"].map(
+                lambda a: (-np.asarray(a, dtype=np.float32))
             )
-            upd.coalesce(1).write.mode("overwrite").parquet(
-                f"{drops}/drop_004.parquet"
-            )
+            pdf.to_parquet(f"{drops}/drop_004.parquet", index=False)
         n_del = 0
         if t % 4 == 0:
             # takedown list: 500 ids from the seed corpus
@@ -126,8 +141,8 @@ def main() -> None:
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 500)
             )
             n_del = ids.count()
-            ids.coalesce(1).write.mode("overwrite").parquet(
-                f"{dels}/del_{t:03d}.parquet"
+            ids.toPandas().to_parquet(
+                f"{dels}/del_{t:03d}.parquet", index=False
             )
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -136,15 +151,40 @@ def main() -> None:
         )
         wall = round(time.perf_counter() - t0, 2)
         assert r["fired"], t
+        nf = _n_files()
         rows.append(
-            (t, r["vectors"], n_del, r["rebucketed"], wall)
+            (t, r["vectors"], n_del, r["rebucketed"], wall, nf)
         )
         print(
             f"tick {t}: +{r['vectors']} -{n_del} "
             f"rebucket={r['rebucketed']} k={idx.meta['k']} "
-            f"{wall}s",
+            f"{wall}s files={nf}",
             flush=True,
         )
+
+    # tick 21 — the growth event: one more supersede re-drop pushes
+    # the raw row count over the 2x trigger (compaction folds kept it
+    # just under through tick 20), so the rebucket retrain+rewrite
+    # fires INSIDE the measured run
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{drops}/drop_000.parquet")
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda a: (-np.asarray(a, dtype=np.float32))
+    )
+    pdf.to_parquet(f"{drops}/drop_000.parquet", index=False)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    r = vector_index_tick(spark, drops, state, idx, delete_dir=dels)
+    wall = round(time.perf_counter() - t0, 2)
+    assert r["fired"]
+    rows.append((21, r["vectors"], 0, r["rebucketed"], wall, _n_files()))
+    print(
+        f"tick 21: +{r['vectors']} -0 rebucket={r['rebucketed']} "
+        f"k={idx.meta['k']} {wall}s files={_n_files()}",
+        flush=True,
+    )
 
     # final serving check on the mutated store: probe + recall vs
     # exact brute force over the LIVE corpus
@@ -169,7 +209,7 @@ def main() -> None:
     got = {
         (r["q_id"], r["c_id"])
         for r in idx.probe_adc(
-            queries, k=10, n_probe=n_probe, shortlist=60
+            queries, k=10, n_probe=n_probe, shortlist=2048
         ).collect()
     }
     probe_s = round(time.perf_counter() - t0, 1)
@@ -182,35 +222,47 @@ def main() -> None:
 
     reb_ticks = [t for t, *_r in rows if _r[2]]
     tick_rows = "\n".join(
-        f"| {t} | +{a} | −{d} | {'yes' if rb else ''} | {w} |"
-        for t, a, d, rb, w in rows
+        f"| {t} | +{a} | −{d} | {'yes' if rb else ''} | {w} | {nf} |"
+        for t, a, d, rb, w, nf in rows
     )
     body = (
         f"{HEADER}\n\n"
-        f"`vector_index_tick` (appends + supersede re-drop at tick "
-        f"10 + takedown lists every 4th tick) against a PQ-coded "
-        f"store seeded with {n_seed:,} of the 200k corpus "
-        f"(k={len(cents)} scaled quantizer, build {build_s} s). "
-        f"Each tick lands ~5,500 vectors through the drop "
-        f"directory; housekeeping is the tick's own maybe_compact + "
+        f"`vector_index_tick` (appends + a supersede re-drop at tick "
+        f"10 + 500-id takedown lists every 4th tick) against a "
+        f"PQ-coded store seeded with {n_seed:,} of the 200k corpus "
+        f"(k={len(cents)} scaled quantizer trained on the seed, "
+        f"build {build_s} s). Each tick lands ~5,000 vectors as a "
+        f"single-file drop; housekeeping is the tick's own "
+        f"maybe_compact (default 8-files-per-list threshold) + "
         f"maybe_rebucket — the 2x-growth trigger "
-        f"(2 × 256 × k rows) fires once the drip crosses it"
-        f"{' (tick ' + ', '.join(map(str, reb_ticks)) + ')' if reb_ticks else ''}, "
-        f"retraining k ∝ N and re-bucketing crash-safely inside the "
-        f"tick.\n\n"
-        f"| tick | appended | deleted | rebucket | wall s |\n"
-        f"|---|---|---|---|---|\n"
+        f"(2 × 256 × k = {2 * 256 * len(cents):,} raw rows) fires "
+        f"once the drip crosses it"
+        f"{' (tick ' + ', '.join(map(str, reb_ticks)) + ')' if reb_ticks else ' (not reached this run)'}"
+        f", retraining k ∝ N and re-bucketing crash-safely inside "
+        f"the tick.\n\n"
+        f"| tick | appended | deleted | rebucket | wall s | store "
+        f"files after |\n"
+        f"|---|---|---|---|---|---|\n"
         f"{tick_rows}\n\n"
-        f"Steady-state tick wall is ∝ the delta (~5,500 vectors), "
-        f"flat across the run except the rebucket tick, which pays "
-        f"the one-off retrain+rewrite the growth trigger amortizes "
-        f"(every earlier tick skipped it for one metadata-only row "
-        f"count). After 20 ticks of mutation the store serves: "
-        f"{n_final:,} live vectors under k={k_now}, probe_adc "
-        f"{probe_s} s over {nq} queries at n_probe={n_probe}, "
+        f"Reading the walls honestly: a quiet tick costs the "
+        f"~5,000-row append (+ the takedown's O(deleted-ids) pass on "
+        f"every 4th). The spikes are HOUSEKEEPING, visible in the "
+        f"file-count column: each append adds one file per touched "
+        f"list, and when lists cross the 8-file threshold "
+        f"maybe_compact folds them (file count drops, that tick pays "
+        f"the fold); the supersede tick additionally rosters + "
+        f"re-codes its re-dropped file, and the rebucket tick pays "
+        f"the full retrain+rewrite the trigger amortizes (every "
+        f"other tick's trigger check is one parquet-metadata count). "
+        f"That is the designed cost model: per-tick work ∝ delta + "
+        f"amortized maintenance bursts, never ∝ corpus.\n\n"
+        f"After 21 ticks of mutation the store serves: {n_final:,} "
+        f"live vectors under k={k_now}, probe_adc {probe_s} s over "
+        f"{nq} queries at n_probe={n_probe}/shortlist=2048, "
         f"recall@10 {recall} vs exact brute force on the live "
-        f"corpus (adversarial-floor corpus, same caveat as the "
-        f"tiers above).\n"
+        f"corpus (adversarial-floor corpus — the same structureless "
+        f"caveat as the tiers above; the clustered tier shows what "
+        f"structure buys).\n"
     )
     _splice_section(HEADER, body, [])
     print("SCALE.md section spliced", flush=True)
