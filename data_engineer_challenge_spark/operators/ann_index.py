@@ -1830,36 +1830,48 @@ class IVFVectorIndex:
             return acc
 
         qn = _sdot(q, q)
-        # centroid ranking, vectorized in the scalar fold's exact op
-        # order: per-dimension-sequential accumulation across the
-        # centroid matrix is the same add sequence per centroid as
-        # the 0.0-seeded scalar loop (the kernel discipline); the
-        # matrix and its norms are q-independent, cached per call set
-        C = getattr(self, "_plc_cent_mat", None)
-        if C is None or len(C) != len(self.centroids):
+        state = self._local_store_state()
+        if (
+            getattr(self, "_plc_state", None) != state
+            or getattr(self, "_plc_cent_src", None) is not self.centroids
+        ):
+            # one guard invalidates EVERYTHING resident: the cells,
+            # the roster, and the centroid matrix. The identity check
+            # on self.centroids catches an in-process maybe_rebucket
+            # that retrained the SAME k (r12 review: a length-keyed
+            # cache served stale centroids against the new layout).
+            self._plc_state = state
+            self._plc_cent_src = self.centroids
+            self._plc_cells = {}
+            self._plc_roster = self._local_roster()
             C = np.asarray(self.centroids, dtype=np.float64)
             cn = np.zeros(len(C))
             for i in range(C.shape[1]):
                 cn += C[:, i] * C[:, i]
             self._plc_cent_mat = C
             self._plc_cent_norms = cn
+        # centroid ranking, vectorized in the scalar fold's exact op
+        # order: per-dimension-sequential accumulation across the
+        # centroid matrix is the same add sequence per centroid as
+        # the 0.0-seeded scalar loop (the kernel discipline)
+        C = self._plc_cent_mat
         cn = self._plc_cent_norms
         dots = np.zeros(len(C))
         for i in range(C.shape[1]):
             dots += q[i] * C[:, i]
         csim = dots / np.sqrt(qn * cn)
-        # (csim desc, cid asc) — row_number's order in probe_adc
-        order_c = np.lexsort((np.arange(len(C)), -csim))
+        # (csim desc, cid asc) — row_number's order in probe_adc.
+        # NaN (a zero-norm centroid or query) maps to +inf first:
+        # Spark sorts NaN GREATEST, numpy sorts it last — without the
+        # substitution the two paths would rank degenerate cells
+        # differently (r12 review).
+        order_c = np.lexsort(
+            (np.arange(len(C)), -np.where(np.isnan(csim), np.inf, csim))
+        )
         probed = [int(c) for c in order_c[:n_probe]]
         residual = self.pq_residual
         luts = np_adc_luts(q, self.pq_codebooks)
         m = len(self.pq_codebooks)
-
-        state = self._local_store_state()
-        if getattr(self, "_plc_state", None) != state:
-            self._plc_state = state
-            self._plc_cells = {}
-            self._plc_roster = self._local_roster()
         cells = []
         for cid in probed:
             cell = self._plc_cells.get(cid)
@@ -1898,7 +1910,9 @@ class IVFVectorIndex:
         # ids are exactly the top-shortlist of the max-folded frame
         # (a later duplicate never raises a max); np.unique's
         # return_index gives those first occurrences.
-        order = np.lexsort((all_ids, -all_adc))
+        order = np.lexsort(
+            (all_ids, -np.where(np.isnan(all_adc), np.inf, all_adc))
+        )
         ordered_ids = all_ids[order]
         _, first_idx = np.unique(ordered_ids, return_index=True)
         first_idx.sort()
@@ -1916,9 +1930,14 @@ class IVFVectorIndex:
             dot += q[i] * V[:, i]
             cnorm += V[:, i] * V[:, i]
         cos = dot / np.sqrt(qn * cnorm)
+        # NaN-greatest final rank, matching Spark's desc order on
+        # degenerate (zero-norm) vectors
         out = sorted(
             zip(sel_ids.tolist(), cos.tolist()),
-            key=lambda t: (-t[1], t[0]),
+            key=lambda t: (
+                -(float("inf") if t[1] != t[1] else t[1]),
+                t[0],
+            ),
         )
         return [
             (int(cid_), cs, rank + 1)

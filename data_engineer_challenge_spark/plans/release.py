@@ -189,11 +189,17 @@ def docs_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = curation_funnel(filtered)
     # 3. cluster-keyed split over the FULL corpus
     splits = docs_leakage_safe_split(spark, sf_dir)
+    # tmix feeds BOTH the decontamination join and the released
+    # anti-join; without the (lazy) checkpoint one action would run
+    # the filter bank + funnel twice (r12 review — the
+    # emb_ann_recall_report shared-subplan fix, applied here)
     tmix = mix.join(
         splits.where(F.col("split") == "train").select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=False)
     # 4. decontaminate train-side mix against the held-out pool
+    # both sides of the contamination join read this frame — the
+    # lazy checkpoint keeps the winnowing scan to one execution
     rare = (
         _winnow_fingerprints(docs)
         .withColumn(
@@ -201,6 +207,7 @@ def docs_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__n") <= _FP_CAP)
         .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
     )
     left = rare.join(tmix.select("doc_id"), "doc_id")
     right = rare.join(

@@ -1647,8 +1647,14 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = {}
         sim = {}
         for r in pdf.itertuples(index=False):
-            rel[int(r.a)] = int(r.rel_a)
-            if pd.notna(r.b):
+            # NaN rel/sim (a null or zero-norm embedding in the
+            # shortlist has no cosine direction) is SKIPPED, not
+            # int()-crashed: the candidate simply cannot be ranked,
+            # the same exclusion the quantized tiers apply to
+            # zero-norm vectors (r12 review)
+            if pd.notna(r.rel_a):
+                rel[int(r.a)] = int(r.rel_a)
+            if pd.notna(r.b) and pd.notna(r.sim_u):
                 sim[(int(r.a), int(r.b))] = int(r.sim_u)
         remaining = set(rel)
         selected = []
@@ -1659,15 +1665,23 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     remaining, key=lambda c: (rel[c], -c)
                 )
             else:
-                best = max(
-                    remaining,
-                    key=lambda c: (
-                        lam * rel[c]
-                        - (10 - lam)
-                        * max(sim[(c, s)] for s in selected),
-                        -c,
-                    ),
-                )
+
+                def _obj(c):
+                    # present pairs only — DuckDB's MAX ignores the
+                    # NULL sims the NaN skip above dropped; a
+                    # candidate with NO scorable pair gets -inf
+                    # (NULL objective sorts last in the oracle's
+                    # ORDER BY ... DESC)
+                    ps = [
+                        sim[(c, s)]
+                        for s in selected
+                        if (c, s) in sim
+                    ]
+                    if not ps:
+                        return float("-inf")
+                    return lam * rel[c] - (10 - lam) * max(ps)
+
+                best = max(remaining, key=lambda c: (_obj(c), -c))
             remaining.discard(best)
             selected.append(best)
             out.append((qid, len(selected), best))
@@ -1769,9 +1783,16 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cos_sim").alias("__cos"),
                 )
             )
-        scored = parts[0]
-        for p in parts[1:]:
-            scored = scored.unionByName(p)
+        if parts:
+            scored = parts[0]
+            for p in parts[1:]:
+                scored = scored.unionByName(p)
+        else:
+            # every label NULL: the expression path (and the oracle)
+            # return empty — match it instead of raising (r12 review)
+            scored = spark.createDataFrame(
+                [], "q_id long, neg_id long, __cos double"
+            )
     else:
         q = emb.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("q_id"),
@@ -1919,10 +1940,17 @@ def emb_training_triplets(
                         F.col("cos_sim").alias("__cos"),
                     )
                 )
-            scored = parts[0]
-            for p in parts[1:]:
-                scored = scored.unionByName(p)
-            scored = scored.where(F.col("q_id") != F.col("o_id"))
+            if parts:
+                scored = parts[0]
+                for p in parts[1:]:
+                    scored = scored.unionByName(p)
+                scored = scored.where(F.col("q_id") != F.col("o_id"))
+            else:
+                # every label NULL — match the expression path's
+                # empty result instead of raising (r12 review)
+                scored = spark.createDataFrame(
+                    [], "q_id long, o_id long, __cos double"
+                )
         else:
             q = emb.filter(F.col("vec_id") % 100 == 0).select(
                 F.col("vec_id").alias("q_id"),

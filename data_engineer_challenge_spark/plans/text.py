@@ -1449,73 +1449,99 @@ _register_curation_funnel()
 
 
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
 # Module split (r12, VERDICT r11 #6): the retrieval, curation, and
-# packing/split families moved to sibling modules; importing them here
-# (a) runs their @register calls exactly as before and (b) keeps
-# ``plans.text`` the stable import façade for every symbol that ever
-# lived here (tests, tools, and streaming import through this module).
+# packing/split families moved to sibling modules. Importing them here
+# runs their @register calls exactly as before, and the PEP-562
+# __getattr__ below keeps ``plans.text`` the stable import façade for
+# every symbol that ever lived here (tests, tools, and streaming
+# import through this module). The re-export is LAZY on purpose: an
+# eager ``from .text_packing import X`` here would break DIRECT
+# imports of the submodules (the submodule imports .text at its top;
+# text.py reaching back into the still-partially-initialized importer
+# for attributes raises ImportError — r12 review finding). A bare
+# ``from . import <mod>`` only binds the module object, which is safe
+# in both import orders.
 # ---------------------------------------------------------------------------
 
-from .text_retrieval import (  # noqa: E402,F401
-    _BM25_B,
-    _BM25_K1,
-    _BM25_ORACLE,
-    _BM25_TERMS,
-    _BM25_TOPK,
-    _CHUNK_LEN,
-    _CHUNK_STRIDE,
-    _PHRASE,
-    _SNIP_W,
-    docs_bm25_search,
-    docs_chunk_windows,
-    docs_phrase_search_positional,
-    docs_phrase_search_via_index,
-    docs_rm3_search,
-    docs_search_snippets,
-    inverted_index_probe,
-)
-from .text_curation import (  # noqa: E402,F401
-    GOPHER_STOPWORDS,
-    _QSAMP_SALT,
-    _REBALANCE_DEFAULT_PCT,
-    _REBALANCE_PCT,
-    _SREP_DUP_PPM,
-    _SREP_MIN_Q,
-    _TEMP_BUDGET,
-    _TOKEN_BUDGET,
-    corpus_mixture_weights,
-    corpus_ngram_topk,
-    docs_bigram_lm_perplexity,
-    docs_dsir_selection,
-    docs_epoch_replay_mix,
-    docs_heuristic_filter_bank,
-    docs_paragraph_dedup,
-    docs_pii_scrub,
-    docs_rebalance_sample,
-    docs_repetition_stats,
-    docs_temperature_mix,
-    docs_token_budget_selection,
-    filter_bank_flags,
-)
-from .text_packing import (  # noqa: E402,F401
-    _GSHUF_RESUME_STEP,
-    _GSHUF_SALT,
-    _GSHUF_SHARDS,
-    _PACK_LEN,
-    _PACK_SHARDS,
-    _STRAT_SALT,
-    _STRAT_VAL_PCT,
-    docs_decontaminated_train,
-    docs_global_shuffle_order,
-    docs_pack_nostraddle,
-    docs_pack_sequences,
-    docs_packed_doc_spans,
-    docs_packing_efficiency,
-    docs_range_sharded_export,
-    docs_shuffle_resume,
-    docs_shuffled_packing,
-    docs_span_corruption_masks,
-    docs_stratified_split,
-    docs_train_val_split,
-    split_contamination_pairs,
-)
+from . import text_retrieval  # noqa: E402,F401
+from . import text_curation  # noqa: E402,F401
+from . import text_packing  # noqa: E402,F401
+
+#: façade map: public/legacy name -> owning submodule (see __getattr__)
+_SPLIT_EXPORTS = {
+    "GOPHER_STOPWORDS": "text_curation",
+    "_BM25_B": "text_retrieval",
+    "_BM25_K1": "text_retrieval",
+    "_BM25_ORACLE": "text_retrieval",
+    "_BM25_TERMS": "text_retrieval",
+    "_BM25_TOPK": "text_retrieval",
+    "_CHUNK_LEN": "text_retrieval",
+    "_CHUNK_STRIDE": "text_retrieval",
+    "_GSHUF_RESUME_STEP": "text_packing",
+    "_GSHUF_SALT": "text_packing",
+    "_GSHUF_SHARDS": "text_packing",
+    "_PACK_LEN": "text_packing",
+    "_PACK_SHARDS": "text_packing",
+    "_PHRASE": "text_retrieval",
+    "_QSAMP_SALT": "text_curation",
+    "_REBALANCE_DEFAULT_PCT": "text_curation",
+    "_REBALANCE_PCT": "text_curation",
+    "_SNIP_W": "text_retrieval",
+    "_SREP_DUP_PPM": "text_curation",
+    "_SREP_MIN_Q": "text_curation",
+    "_STRAT_SALT": "text_packing",
+    "_STRAT_VAL_PCT": "text_packing",
+    "_TEMP_BUDGET": "text_curation",
+    "_TOKEN_BUDGET": "text_curation",
+    "corpus_mixture_weights": "text_curation",
+    "corpus_ngram_topk": "text_curation",
+    "docs_bigram_lm_perplexity": "text_curation",
+    "docs_bm25_search": "text_retrieval",
+    "docs_chunk_windows": "text_retrieval",
+    "docs_decontaminated_train": "text_packing",
+    "docs_dsir_selection": "text_curation",
+    "docs_epoch_replay_mix": "text_curation",
+    "docs_global_shuffle_order": "text_packing",
+    "docs_heuristic_filter_bank": "text_curation",
+    "docs_pack_nostraddle": "text_packing",
+    "docs_pack_sequences": "text_packing",
+    "docs_packed_doc_spans": "text_packing",
+    "docs_packing_efficiency": "text_packing",
+    "docs_paragraph_dedup": "text_curation",
+    "docs_phrase_search_positional": "text_retrieval",
+    "docs_phrase_search_via_index": "text_retrieval",
+    "docs_pii_scrub": "text_curation",
+    "docs_range_sharded_export": "text_packing",
+    "docs_rebalance_sample": "text_curation",
+    "docs_repetition_stats": "text_curation",
+    "docs_rm3_search": "text_retrieval",
+    "docs_search_snippets": "text_retrieval",
+    "docs_shuffle_resume": "text_packing",
+    "docs_shuffled_packing": "text_packing",
+    "docs_span_corruption_masks": "text_packing",
+    "docs_stratified_split": "text_packing",
+    "docs_temperature_mix": "text_curation",
+    "docs_token_budget_selection": "text_curation",
+    "docs_train_val_split": "text_packing",
+    "filter_bank_flags": "text_curation",
+    "inverted_index_probe": "text_retrieval",
+    "split_contamination_pairs": "text_packing",
+}
+
+
+def __getattr__(name: str):
+    """Lazy re-export of the split modules' symbols (PEP 562): fires
+    only for names NOT defined in this module, so text.py's own
+    definitions always win. Resolution imports the owning submodule
+    (a no-op after _load) and returns its attribute."""
+    mod = _SPLIT_EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    return getattr(
+        importlib.import_module(f".{mod}", __package__), name
+    )

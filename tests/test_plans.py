@@ -1222,3 +1222,80 @@ def test_corpus_release_composition_invariants(spark):
         c = cum.get(r.shard_id, 0)
         assert r.seq_id == c // _PACK_LEN and r.seq_offset == c % _PACK_LEN
         cum[r.shard_id] = c + r.n_tokens
+
+
+def test_split_modules_import_directly():
+    """r12 review: the text.py module split must not leave a circular
+    import — `import plans.text_packing` (without going through
+    plans.text first) has to work, in a FRESH interpreter (this
+    process has long since imported everything)."""
+    import subprocess
+    import sys
+
+    for mod in ("text_retrieval", "text_curation", "text_packing"):
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"import data_engineer_challenge_spark.plans.{mod} as m;"
+                f"assert m.__name__.endswith('{mod}')",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, (mod, r.stderr[-500:])
+
+
+def test_mining_kernel_all_null_labels_returns_empty(spark, tmp_path):
+    """r12 review: a corpus whose labels are ALL NULL must return an
+    empty mining result on the kernel path (matching the expression
+    path and the oracle), not IndexError on parts[0]."""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+    import data_engineer_challenge_spark.plans.similarity as S
+
+    plans._load()
+    rows = [(0, [1.0, 0.0], None), (1, [0.9, 0.1], None)]
+    df = spark.createDataFrame(rows, TESTDATA["embeddings"])
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    old = S._PQ_VECTORIZE_MIN_N
+    try:
+        S._PQ_VECTORIZE_MIN_N = 1
+        for name in ("emb_hard_negatives", "emb_training_triplets"):
+            got = (
+                plans.REGISTRY[name]
+                .builder(spark, str(tmp_path))
+                .collect()
+            )
+            assert got == [], name
+    finally:
+        S._PQ_VECTORIZE_MIN_N = old
+
+
+def test_mmr_survives_null_embedding(spark, tmp_path):
+    """r12 review: a NULL embedding in the shortlist produces NULL
+    cosines (NaN once Arrow hands the group to pandas); the greedy
+    must skip the unrankable candidate instead of crashing on
+    int(NaN), and still rank the rest. (A zero-NORM vector is a
+    different failure: ANSI Spark raises DIVIDE_BY_ZERO inside the
+    cosine expression itself, upstream of every consumer — the
+    quantized tiers' amax>0 exclusion is the posture for those.)"""
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.schemas import TESTDATA
+
+    plans._load()
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.6, 0.8], 1),
+        (2, None, 1),  # NULL embedding: NULL cosine everywhere
+        (3, [0.8, 0.6], 1),
+    ]
+    df = spark.createDataFrame(rows, TESTDATA["embeddings"])
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = (
+        plans.REGISTRY["emb_mmr_rerank"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    picked = [r.c_id for r in sorted(got, key=lambda r: r.rank)]
+    assert 2 not in picked and set(picked) == {1, 3}

@@ -3447,3 +3447,45 @@ def test_probe_local_matches_probe_adc(spark, tmp_path):
         ordinal=1000,
     )
     check(idx)
+
+
+def test_probe_local_survives_same_k_rebucket(spark, tmp_path):
+    """r12 review: maybe_rebucket can retrain the SAME k with
+    different centroid values (k_new = max(old_k, ceil(n/target))),
+    and a length-keyed centroid cache would keep ranking cells
+    against the OLD centroids over the NEW layout. probe_local must
+    track the rebucket and stay bit-identical to probe_adc."""
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    idx = IVFVectorIndex(
+        spark,
+        str(tmp_path / "ivfpq"),
+        CENTROIDS,
+        pq_codebooks=CODEBOOKS,
+    )
+    idx.build(emb)
+    q = emb.orderBy("vec_id").first()
+    qv = list(q["embedding"])
+    idx.probe_local(qv, k=10, n_probe=4, shortlist=60)  # warm cache
+    assert idx.maybe_rebucket(
+        min_n=100, target_list_size=256, growth_factor=0.0
+    )
+    assert int(idx.meta["k"]) == len(CENTROIDS)  # SAME k, new values
+    queries = emb.where(F.col("vec_id") == q["vec_id"]).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = [
+        (r["c_id"], r["cos_sim"], r["rank"])
+        for r in idx.probe_adc(queries, k=10, n_probe=4, shortlist=60)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = idx.probe_local(qv, k=10, n_probe=4, shortlist=60)
+    assert got == want
