@@ -271,6 +271,20 @@ class IVFVectorIndex:
         idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
         return idx
 
+    @classmethod
+    def open_local(cls, path: str) -> "IVFVectorIndex":
+        """Reopen for DRIVER-SIDE SERVING ONLY — no SparkSession, no
+        JVM (r12, the tools/serve_query.py entry): the handle supports
+        :meth:`probe_local` (pure pyarrow + numpy) and nothing that
+        plans a Spark job. ``open()``'s crash-healing, meta/quantizer/
+        codebook restoration, and layout fingerprints all run
+        identically — they are filesystem + JSON operations; ``spark``
+        is only ever STORED by the constructor, so a ``None`` session
+        is safe until a batch method would first touch it (and every
+        batch method's first touch raises AttributeError loudly rather
+        than serving anything wrong)."""
+        return cls.open(None, path)  # type: ignore[arg-type]
+
     def _postings_dir(self) -> str:
         return os.path.join(self.path, "postings")
 

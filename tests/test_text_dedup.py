@@ -3489,3 +3489,68 @@ def test_probe_local_survives_same_k_rebucket(spark, tmp_path):
     ]
     got = idx.probe_local(qv, k=10, n_probe=4, shortlist=60)
     assert got == want
+
+
+def test_serve_query_cli_sparkless(spark, tmp_path):
+    """tools/serve_query.py must answer from a persisted store in a
+    SUBPROCESS that never starts a SparkSession or JVM (open_local),
+    bit-identical to probe_adc in this session."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    store = str(tmp_path / "ivfpq")
+    idx = IVFVectorIndex(spark, store, CENTROIDS, pq_codebooks=CODEBOOKS)
+    idx.build(emb)
+    q = emb.orderBy("vec_id").first()
+    want = [
+        [r["c_id"], r["cos_sim"], r["rank"]]
+        for r in idx.probe_adc(
+            emb.where(F.col("vec_id") == q["vec_id"]).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            ),
+            k=10,
+            n_probe=4,
+            shortlist=60,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    vec = ",".join(str(float(x)) for x in q["embedding"])
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/serve_query.py",
+            "--store",
+            store,
+            "--vec",
+            vec,
+            "--n-probe",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={
+            **__import__("os").environ,
+            # a JVM accidentally started in the serving process would
+            # need these; their absence doesn't matter for the pure
+            # pyarrow path and keeps the test honest about "no Spark"
+            "SPARK_LOCAL_IP": "127.0.0.1",
+        },
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["results"] == want
+    # sanity: the subprocess never built a Spark context (a JVM launch
+    # writes this banner to stderr)
+    assert "SparkContext" not in r.stderr
