@@ -802,3 +802,24 @@ def test_temperature_mix_rates_match_exact_integer_model(spark):
     assert all(
         expect[head] <= expect[l] for l in counts
     ), (head, expect)
+
+
+def test_corpus_release_packing_shares_one_exchange(spark):
+    """r12 capstone plan pin: docs_corpus_release's final stage — the
+    shuffled-packing rank + cumsum windows over the RELEASED set —
+    must share ONE hash partitioning on shard_id (the
+    docs_shuffled_packing pin, surviving the composition) and never
+    fall back to rangepartitioning anywhere in the plan."""
+    from data_engineer_challenge_spark import plans
+
+    plans._load()
+    sf = "/root/testdata/sf0.001"
+    df = plans.REGISTRY["docs_corpus_release"].builder(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    shard_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "shard_id#" in l
+    ]
+    assert len(shard_exchanges) == 1, plan
