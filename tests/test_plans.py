@@ -1292,10 +1292,25 @@ def test_mmr_survives_null_embedding(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, TESTDATA["embeddings"])
     df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
-    got = (
-        plans.REGISTRY["emb_mmr_rerank"]
-        .builder(spark, str(tmp_path))
-        .collect()
-    )
+    spec = plans.REGISTRY["emb_mmr_rerank"]
+    got = spec.builder(spark, str(tmp_path)).collect()
     picked = [r.c_id for r in sorted(got, key=lambda r: r.rank)]
     assert 2 not in picked and set(picked) == {1, 3}
+    # r13 (advisor): the oracle must exclude the NULL candidate TOO —
+    # before the symmetric isNotNull filter its LATERAL argmin seated
+    # c_id=2 at rank 3 (NULLS LAST still ranks), a latent driver-hash
+    # mismatch this fixture now pins on BOTH engines.
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/embeddings.parquet/*.parquet')"
+        )
+        oracle_rows = con.execute(spec.oracle).fetchall()
+    finally:
+        con.close()
+    assert sorted((r[0], r[1], r[2]) for r in oracle_rows) == sorted(
+        (r.q_id, r.rank, r.c_id) for r in got
+    )

@@ -58,7 +58,15 @@ def main() -> None:
     )
 
     idx = IVFVectorIndex.open_local(args.store)
-    n_probe = args.n_probe or idx.n_probe_hint or 2
+    # identity check, not truthiness: an explicit --n-probe 0 must
+    # error, never be silently replaced by the store hint (r13 review)
+    if args.n_probe is not None and args.n_probe <= 0:
+        ap.error("--n-probe must be positive")
+    n_probe = (
+        args.n_probe
+        if args.n_probe is not None
+        else (idx.n_probe_hint or 2)
+    )
     t0 = time.perf_counter()
     res = idx.probe_local(
         vec, k=args.k, n_probe=n_probe, shortlist=args.shortlist
