@@ -165,9 +165,13 @@ class IVFVectorIndex:
             if self.pq_residual:
                 self.meta["pq_residual"] = True
         #: suggested probe width for this quantizer (populated by
-        #: maybe_rebucket / the persisted quantizer file; None for
-        #: stores whose caller decides n_probe out of band)
+        #: maybe_rebucket / reselect_serving / the persisted
+        #: quantizer file; None for stores whose caller decides
+        #: n_probe out of band)
         self.n_probe_hint: int | None = None
+        #: suggested ADC shortlist width for coded stores (populated
+        #: by reselect_serving — r13, VERDICT r12 #3)
+        self.adc_shortlist_hint: int | None = None
         # repair a crashed rebucket/compaction BEFORE the meta check
         # and before any probe can read a half-swapped inverted list
         from .compaction import heal
@@ -212,7 +216,9 @@ class IVFVectorIndex:
                 os.replace(tmp, qf)
             else:
                 with open(qf) as f:
-                    self.n_probe_hint = json.load(f).get("n_probe")
+                    quant = json.load(f)
+                self.n_probe_hint = quant.get("n_probe")
+                self.adc_shortlist_hint = quant.get("adc_shortlist")
             # persist the PQ codebooks like the quantizer (md5-keyed,
             # immutable) so open() restores the full ADC capability
             if self.pq_codebooks is not None:
@@ -269,6 +275,9 @@ class IVFVectorIndex:
             pq_residual=meta.get("pq_residual", False),
         )
         idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
+        idx.adc_shortlist_hint = (
+            quant.get("adc_shortlist") or idx.adc_shortlist_hint
+        )
         return idx
 
     @classmethod
@@ -818,7 +827,11 @@ class IVFVectorIndex:
             batch.unpersist()
 
     @locked_writer
-    def maybe_compact(self, max_files_per_list: int = 8) -> int:
+    def maybe_compact(
+        self,
+        max_files_per_list: int = 8,
+        budget: int | None = None,
+    ) -> int:
         """Streaming-loop housekeeping (the index-family discipline):
         fat ``cid=`` inverted lists rewrite as ONE file sorted by id,
         duplicate rows from replayed appends physically fold away
@@ -826,7 +839,13 @@ class IVFVectorIndex:
         even before this runs), and rows superseded by an update —
         including stale rows whose replacement re-assigned to another
         list — reclaim via the roster. Crash-safe parked-previous
-        swap; a crashed compaction heals on the next call."""
+        swap; a crashed compaction heals on the next call.
+
+        ``budget`` bounds the lists folded PER CALL (fattest-first;
+        see ``compact_partitioned``) so a uniform drop that fattens
+        every list at once cannot trigger a whole-store rewrite in
+        one tick — ``vector_index_tick`` passes its per-tick budget
+        here (r13, VERDICT r12 #2)."""
         import os as _os
 
         from .compaction import compact_flat, compact_partitioned
@@ -870,6 +889,7 @@ class IVFVectorIndex:
             fold,
             [self.id_col],
             max_files=max_files_per_list,
+            budget=budget,
         )
         if _os.path.isdir(self._latest_dir()):
             compact_flat(
@@ -1105,6 +1125,32 @@ class IVFVectorIndex:
         search suffices. Offline-decision cost: one exact pass + at
         most ⌈log2 k⌉ IVF passes over the corpus — callers memoize
         alongside the quantizer itself."""
+        return IVFVectorIndex._sweep_n_probe(
+            corpus,
+            centroids,
+            recall_target,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            max_queries=max_queries,
+        )[0]
+
+    @staticmethod
+    def _sweep_n_probe(
+        corpus: DataFrame,
+        centroids: list[list[float]],
+        recall_target: float,
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 7,
+        max_queries: int = 64,
+    ) -> tuple[int, float]:
+        """:meth:`select_n_probe`'s sweep, also returning the recall
+        MEASURED at the returned width on the held-out set — so
+        :meth:`reselect_serving` can persist a receipt alongside the
+        hint without re-running the sweep (r13, VERDICT r12 #3)."""
         from .similarity import (
             brute_force_topk_vectorized,
             ivf_topk_vectorized,
@@ -1136,7 +1182,7 @@ class IVFVectorIndex:
                 ).collect()
             }
             if not exact:
-                return 1
+                return 1, 1.0
             n_probe = 1
             k_total = len(centroids)
             while True:
@@ -1150,13 +1196,89 @@ class IVFVectorIndex:
                         k=k,
                     ).collect()
                 }
-                if len(got & exact) / len(exact) >= recall_target:
-                    return min(n_probe, k_total)
-                if n_probe >= k_total:
-                    return k_total
+                recall = len(got & exact) / len(exact)
+                if recall >= recall_target or n_probe >= k_total:
+                    return min(n_probe, k_total), recall
                 n_probe *= 2
         finally:
             queries.unpersist()
+
+    @locked_writer
+    def reselect_serving(
+        self,
+        recall_target: float,
+        k: int = 10,
+        max_queries: int = 64,
+    ) -> dict:
+        """Re-measure and re-persist the store's serving widths
+        against the CURRENT quantizer and LIVE rows (r13, VERDICT
+        r12 #3): a store that grew and rebucketed kept serving its
+        build-time ``n_probe`` hint — probe answers stay exact for
+        the lists probed, but recall@k silently drifts (0.656 at the
+        end of the r12 21-tick walk). Runs the held-out recall sweep
+        (:meth:`select_n_probe`'s ladder) over the live folded rows,
+        persists the chosen ``n_probe`` into the quantizer file (the
+        hint ``open`` / ``open_local`` / tools/serve_query.py read)
+        and — for coded stores — re-runs :meth:`select_adc_width`
+        and persists ``adc_shortlist`` beside it. Returns
+        ``{"n_probe", "recall", "adc_shortlist"}`` where ``recall``
+        is the one MEASURED at the returned width.
+        ``vector_index_tick`` calls this after every rebucket;
+        cadence callers can invoke it directly — cost is one exact
+        pass + the ladder, amortized as a rare growth event."""
+        live = (
+            self._live_folded()
+            .select(F.col(self.id_col), F.col(self.vec_col))
+            .persist()
+        )
+        try:
+            n_probe, recall = self._sweep_n_probe(
+                live,
+                self.centroids,
+                recall_target,
+                k=k,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                max_queries=max_queries,
+            )
+            adc = None
+            if self.pq_codebooks is not None:
+                adc = self.select_adc_width(
+                    live,
+                    self.pq_codebooks,
+                    recall_target,
+                    k=k,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                    max_queries=max_queries,
+                    residual_centroids=(
+                        self.centroids if self.pq_residual else None
+                    ),
+                )
+        finally:
+            live.unpersist()
+        # the quantizer file's centroids are immutable (md5-keyed);
+        # the serving hints beside them are MUTABLE metadata — this
+        # rewrite is atomic and changes no probe answer, only the
+        # default widths future opens serve with
+        qf = self._quantizer_file(self.meta["centroids_md5"])
+        with open(qf) as f:
+            quant = json.load(f)
+        quant["n_probe"] = n_probe
+        if adc is not None:
+            quant["adc_shortlist"] = adc
+        tmp = qf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(quant, f)
+        os.replace(tmp, qf)
+        self.n_probe_hint = n_probe
+        if adc is not None:
+            self.adc_shortlist_hint = adc
+        return {
+            "n_probe": n_probe,
+            "recall": recall,
+            "adc_shortlist": adc,
+        }
 
     @staticmethod
     def select_adc_width(

@@ -189,6 +189,7 @@ def compact_partitioned(
     fold,
     order_by: list[str],
     max_files: int = 8,
+    budget: int | None = None,
 ) -> int:
     """Compact every ``<prefix>=<value>`` partition directory under
     ``root`` holding more than ``max_files`` data files; heal first.
@@ -197,16 +198,36 @@ def compact_partitioned(
     the directory name and survives the rewrite untouched). Returns
     the number of directories compacted — the amortized contract is
     one rewrite of a bucket per ``max_files`` appends to it, so probe
-    file-listing cost stays O(buckets), not O(ticks)."""
+    file-listing cost stays O(buckets), not O(ticks).
+
+    ``budget`` caps the rewrites PER CALL (r13, VERDICT r12 #2): a
+    uniform drop touches ~every bucket, so all of them cross the
+    ``max_files`` threshold in the SAME tick and an unbounded pass
+    becomes a whole-store rewrite stalling the ingest loop (the
+    classic unstaggered-LSM burst — ~122 s vs ~10 s steady in the
+    21-tick SCALE table). With a budget the pass folds only the
+    ``budget`` FATTEST eligible dirs (file-count desc, name asc —
+    deterministic, and self-balancing without any persisted cursor:
+    a deferred dir keeps accumulating files and rises to the top,
+    so nothing starves). Probes stay correct throughout — a
+    not-yet-compacted list is just more files to read — and
+    maintenance cost amortizes to ≤ budget rewrites per tick."""
     heal(root)
-    done = 0
     if not os.path.isdir(root):
         return 0
+    eligible: list[tuple[int, str]] = []
     for n in sorted(os.listdir(root)):
         if not n.startswith(prefix + "="):
             continue
-        if len(_data_files(os.path.join(root, n))) <= max_files:
+        k = len(_data_files(os.path.join(root, n)))
+        if k <= max_files:
             continue
+        eligible.append((k, n))
+    if budget is not None:
+        eligible.sort(key=lambda t: (-t[0], t[1]))
+        eligible = eligible[: max(0, budget)]
+    done = 0
+    for _, n in eligible:
         compact_dir(spark, root, n, schema, fold, order_by)
         done += 1
     return done

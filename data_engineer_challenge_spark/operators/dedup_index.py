@@ -398,7 +398,11 @@ class MinHashIndex:
         )
 
     @locked_writer
-    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+    def maybe_compact(
+        self,
+        max_files_per_bucket: int = 8,
+        budget: int | None = None,
+    ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline): every ``bh_bucket=`` /
         ``id_bucket=`` partition that accumulated more than
@@ -411,7 +415,9 @@ class MinHashIndex:
         Probe answers are unchanged; file-listing cost returns to
         O(buckets). Crash-safe parked-previous swap
         (operators/compaction; heals on reopen). Returns directories
-        rewritten."""
+        rewritten. ``budget`` bounds folds per call PER STORE SIDE
+        (bands + shingles each get ``budget``, fattest-first — r13,
+        VERDICT r12 #2)."""
         from .compaction import compact_partitioned
 
         n = compact_partitioned(
@@ -422,6 +428,7 @@ class MinHashIndex:
             lambda df: df.distinct(),
             ["band", "bh", "id"],
             max_files=max_files_per_bucket,
+            budget=budget,
         )
         n += compact_partitioned(
             self.spark,
@@ -431,5 +438,6 @@ class MinHashIndex:
             lambda df: df.groupBy("id").agg(F.max("hs").alias("hs")),
             ["id"],
             max_files=max_files_per_bucket,
+            budget=budget,
         )
         return n

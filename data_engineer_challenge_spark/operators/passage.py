@@ -456,7 +456,11 @@ class WindowHashIndex:
             wins.unpersist()
 
     @locked_writer
-    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+    def maybe_compact(
+        self,
+        max_files_per_bucket: int = 8,
+        budget: int | None = None,
+    ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline ported to the directory store):
         every ``h_bucket=`` partition that accumulated more than
@@ -468,7 +472,9 @@ class WindowHashIndex:
         to its distinct ids the same way. Crash-safe via the
         parked-previous swap (operators/compaction); a crash mid-pass
         heals on the next open or compaction. Returns the number of
-        directories rewritten."""
+        directories rewritten. ``budget`` bounds window buckets folded
+        per call (fattest-first — r13, VERDICT r12 #2; the flat
+        roster dir stays unbudgeted)."""
         from .compaction import compact_flat, compact_partitioned
 
         def fold_windows(df: DataFrame) -> DataFrame:
@@ -490,6 +496,7 @@ class WindowHashIndex:
             fold_windows,
             ["h"],
             max_files=max_files_per_bucket,
+            budget=budget,
         )
         if compact_flat(
             self.spark,

@@ -91,6 +91,69 @@ TEXT_TARGET_BUCKET_ROWS = 1_000_000
 TEXT_REBUCKET_GROWTH = 2.0
 
 
+def _spark_hash_string(s: str, seed: int = 42) -> int:
+    """Pure-Python replica of Spark's ``F.hash()`` on a string —
+    Murmur3 x86_32 (Appleby's public algorithm, the variant Spark's
+    ``Murmur3_x86_32.hashUnsafeBytes`` implements: 4-byte
+    little-endian lanes, then each TAIL byte mixed individually as a
+    SIGNED Java byte, fmix over the byte length) with Spark's seed
+    42, returned as a signed int32. This is what lets
+    :meth:`InvertedTextIndex.probe_local` compute ``t_bucket``
+    membership without a JVM: ``pmod(hash(term), N)`` becomes
+    ``_spark_hash_string(term) % N`` (Python ``%`` on a positive
+    modulus IS pmod). Bit-equality with ``F.hash`` is test-pinned
+    over ASCII/multibyte/empty strings (r13, VERDICT r12 #4)."""
+    data = s.encode("utf-8")
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+    n = len(data)
+    lanes = n - n % 4
+
+    def _mix(h1: int, k1: int) -> int:
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    for i in range(0, lanes, 4):
+        h1 = _mix(h1, int.from_bytes(data[i : i + 4], "little"))
+    for i in range(lanes, n):
+        b = data[i]
+        if b >= 0x80:
+            b -= 0x100  # Java bytes are signed
+        h1 = _mix(h1, b % (1 << 32))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _round6(x: float) -> float:
+    """Replica of Spark's ``F.round(col, 6)`` on a double: HALF_UP
+    over the SHORTEST decimal representation (``BigDecimal.valueOf``
+    goes through ``Double.toString``; Python ``repr`` emits the same
+    shortest round-trip string) — NOT over the exact binary
+    expansion, which rounds 0.1234565 the other way. Bit-equality
+    with ``F.round`` is test-pinned on randomized doubles."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    with localcontext() as ctx:
+        ctx.prec = 330  # doubles span ~1e±308; quantize needs it all
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
+
 def bm25_score(terms: tuple[str, ...], k1: float = K1, b: float = B) -> Column:
     """THE BM25 scoring expression — one definition compiled by both
     the one-shot query (``docs_bm25_search``) and the index probe, so
@@ -196,6 +259,18 @@ class InvertedTextIndex:
             t_buckets=meta["t_buckets"],
             positions=meta.get("positions", False),
         )
+
+    @classmethod
+    def open_local(cls, path: str) -> "InvertedTextIndex":
+        """Reopen for DRIVER-SIDE SERVING ONLY — no SparkSession, no
+        JVM (r13, VERDICT r12 #4 — the ``IVFVectorIndex.open_local``
+        posture for the text side): the handle supports
+        :meth:`probe_local` (pure pyarrow + numpy BM25) and nothing
+        that plans a Spark job. ``open()``'s crash-healing and layout
+        fingerprint run identically — they are filesystem + JSON
+        operations; ``spark`` is only ever STORED, and every batch
+        method's first touch of a ``None`` session raises loudly."""
+        return cls.open(None, path)  # type: ignore[arg-type]
 
     @locked_writer
     def maybe_rebucket(
@@ -521,6 +596,189 @@ class InvertedTextIndex:
         )
         return ranked.where(F.col("rank") <= topk)
 
+    def _local_store_state(self) -> tuple:
+        """Cheap fingerprint of the store's mutable parts (postings +
+        stats dirs: per-entry mtime_ns and counts) — the resident-
+        postings cache key, the ``IVFVectorIndex._local_store_state``
+        discipline: any append/compaction/rebucket touches one of
+        these, so a changed state drops the cache."""
+        def _sig(d: str) -> tuple:
+            try:
+                names = sorted(os.listdir(d))
+            except FileNotFoundError:
+                return ()
+            out = [os.stat(d).st_mtime_ns, len(names)]
+            for n in names:
+                try:
+                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
+                except FileNotFoundError:
+                    pass
+            return tuple(out)
+
+        return (
+            _sig(self._postings_dir()),
+            _sig(self._stats_dir()),
+            self.meta["t_buckets"],
+        )
+
+    def probe_local(
+        self,
+        terms: tuple[str, ...] | list[str],
+        k1: float = K1,
+        b: float = B,
+        topk: int = 20,
+    ) -> list[tuple[int, float, int]]:
+        """Single-query BM25 point serving OUTSIDE Spark (r13,
+        VERDICT r12 #4 — the text-side twin of
+        ``IVFVectorIndex.probe_local``): rank one query's terms
+        against the persisted postings entirely on the driver. The
+        touched ``t_bucket=`` partitions are computed WITHOUT a JVM
+        (:func:`_spark_hash_string` replicates ``pmod(hash(term),
+        N)`` bit-exactly), read once via pyarrow, and kept RESIDENT
+        on the handle (cache dropped via the store-state
+        fingerprint); corpus stats fold in pandas. Interactive lookup
+        is not Spark's regime — this serves the reference's
+        point-lookup latency class (exo_2.py:204-217) for text, as
+        ``probe_local`` already does for vectors.
+
+        Bit-identical to :meth:`probe`'s answer for the same
+        ``(terms, k1, b, topk)`` — pinned in tests — because every
+        float takes the same op sequence: per-doc TF/DL fold by max
+        (replay duplicates collapse identically), per-txn stats fold
+        then one division for ``avgdl``, per-term BM25 components in
+        FIXED term order summed by the same left fold
+        (:func:`bm25_score`'s chain, elementwise over numpy), Spark's
+        shortest-repr HALF_UP 6-dp rounding (:func:`_round6`), and
+        the ``(score DESC, doc_id)`` tie-break with Spark's
+        NaN-greatest ordering. Returns ``[(doc_id, score, rank)]``.
+
+        Cost model: first touch of a bucket pays its pyarrow read
+        (cold ∝ the touched fraction of the vocabulary); thereafter a
+        query costs a hash lookup + an O(matched docs) numpy pass —
+        milliseconds, vs a Spark job for the same single query
+        (measured in SCALE.md's point-serving table). For query
+        FLEETS use :meth:`probe` — the batch path amortizes one
+        pruned scan across all queries."""
+        import math
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        from .compaction import _data_files
+
+        terms = tuple(terms)
+        if not terms:
+            raise ValueError("probe_local needs at least one term")
+        state = self._local_store_state()
+        if getattr(self, "_ptl_state", None) != state:
+            self._ptl_state = state
+            self._ptl_buckets: dict[int, pd.DataFrame] = {}
+            self._ptl_stats: tuple[int, float] | None = None
+        nb = self.meta["t_buckets"]
+        touched = sorted({_spark_hash_string(t) % nb for t in terms})
+        frames = []
+        for bkt in touched:
+            cached = self._ptl_buckets.get(bkt)
+            if cached is None:
+                d = os.path.join(self._postings_dir(), f"t_bucket={bkt}")
+                parts = []
+                if os.path.isdir(d):
+                    for fn in _data_files(d):
+                        tab = papq.read_table(
+                            os.path.join(d, fn),
+                            columns=["term", "doc_id", "tf", "dl"],
+                        )
+                        parts.append(tab.to_pandas())
+                cached = (
+                    pd.concat(parts, ignore_index=True)
+                    if parts
+                    else pd.DataFrame(
+                        {
+                            "term": pd.Series(dtype=object),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "tf": pd.Series(dtype="int64"),
+                            "dl": pd.Series(dtype="int64"),
+                        }
+                    )
+                )
+                self._ptl_buckets[bkt] = cached
+            frames.append(cached)
+        posts = pd.concat(frames, ignore_index=True)
+        posts = posts[posts["term"].isin(terms)]
+        if not len(posts):
+            return []
+        # corpus stats: per-txn max fold (replay dedup), then totals
+        if self._ptl_stats is None:
+            sparts = []
+            sdir = self._stats_dir()
+            if os.path.isdir(sdir):
+                for fn in _data_files(sdir):
+                    sparts.append(
+                        papq.read_table(
+                            os.path.join(sdir, fn)
+                        ).to_pandas()
+                    )
+            st = pd.concat(sparts, ignore_index=True)
+            st = st.groupby("txn", as_index=False).agg(
+                n_docs=("n_docs", "max"), sum_dl=("sum_dl", "max")
+            )
+            n_docs = int(st["n_docs"].sum())
+            # Spark computes avgdl as one double division of the
+            # summed longs — replicate exactly
+            avgdl = float(int(st["sum_dl"].sum())) / float(n_docs)
+            self._ptl_stats = (n_docs, avgdl)
+        n_docs, avgdl = self._ptl_stats
+        # per-doc fold: max dl over matched rows, max tf per term
+        # (replayed appends leave bit-identical duplicates; max is
+        # the probe's fold)
+        doc_ids = np.sort(posts["doc_id"].unique())
+        pos = {int(d): i for i, d in enumerate(doc_ids)}
+        nd = len(doc_ids)
+        dl = np.zeros(nd, dtype=np.int64)
+        tf = np.zeros((len(terms), nd), dtype=np.int64)
+        dvals = posts["doc_id"].to_numpy()
+        tvals = posts["term"].to_numpy()
+        tfv = posts["tf"].to_numpy()
+        dlv = posts["dl"].to_numpy()
+        tidx = {t: i for i, t in enumerate(terms)}
+        for j in range(len(posts)):
+            i = pos[int(dvals[j])]
+            if dlv[j] > dl[i]:
+                dl[i] = dlv[j]
+            ti = tidx[tvals[j]]
+            if tfv[j] > tf[ti, i]:
+                tf[ti, i] = tfv[j]
+        dfs = [int((tf[i] > 0).sum()) for i in range(len(terms))]
+        # bm25_score's expression, elementwise: idf · tfn per term,
+        # tf==0 ⇒ 0.0, components summed by the SAME left fold in
+        # fixed term order (elementwise IEEE754 ops are the scalar
+        # expression's op sequence)
+        dlf = dl.astype(np.float64)
+        comp = None
+        for i in range(len(terms)):
+            dfi = dfs[i]
+            idf = math.log(1.0 + ((n_docs - dfi) + 0.5) / (dfi + 0.5))
+            tfi = tf[i].astype(np.float64)
+            tfn = (tfi * (k1 + 1.0)) / (
+                tfi + k1 * ((1.0 - b) + (b * dlf) / avgdl)
+            )
+            ts = np.where(tf[i] == 0, 0.0, idf * tfn)
+            comp = ts if comp is None else comp + ts
+        scores = [_round6(float(s)) for s in comp]
+        # (score desc, doc_id) with Spark's NaN-greatest desc order
+        out = sorted(
+            zip(doc_ids.tolist(), scores),
+            key=lambda t: (
+                -(float("inf") if t[1] != t[1] else t[1]),
+                t[0],
+            ),
+        )
+        return [
+            (int(d), s, rank + 1)
+            for rank, (d, s) in enumerate(out[:topk])
+        ]
+
     def conjunctive_candidates(
         self, terms: tuple[str, ...] | list[str]
     ) -> DataFrame:
@@ -624,7 +882,11 @@ class InvertedTextIndex:
         )
 
     @locked_writer
-    def maybe_compact(self, max_files_per_bucket: int = 8) -> int:
+    def maybe_compact(
+        self,
+        max_files_per_bucket: int = 8,
+        budget: int | None = None,
+    ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable discipline):
         fat ``t_bucket=`` partitions rewrite as ONE file sorted by
         ``(term, doc_id)`` — duplicate postings from replayed appends
@@ -632,7 +894,9 @@ class InvertedTextIndex:
         contiguous so the pushed term filter skips via min/max stats;
         the stats table folds to a single corpus-totals row. Probe
         answers unchanged; crash-safe parked-previous swap
-        (operators/compaction; heals on reopen)."""
+        (operators/compaction; heals on reopen). ``budget`` bounds
+        buckets folded per call (fattest-first — r13, VERDICT r12 #2;
+        the flat side tables are single dirs and stay unbudgeted)."""
         from .compaction import compact_flat, compact_partitioned
 
         pos = self.meta["positions"]
@@ -656,6 +920,7 @@ class InvertedTextIndex:
             fold_postings,
             ["term", "doc_id"],
             max_files=max_files_per_bucket,
+            budget=budget,
         )
         # one row PER txn survives compaction (never a single folded
         # total): a txn replayed AFTER its stats were folded away

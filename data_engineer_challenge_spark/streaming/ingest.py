@@ -1039,6 +1039,8 @@ def vector_index_tick(
     exts: tuple[str, ...] = (".parquet",),
     state_key: str = "vectors",
     delete_dir: str | None = None,
+    compact_budget: int | None = 32,
+    recall_target: float | None = None,
 ) -> dict:
     """Continuous ANN-index maintenance over a vector drop directory —
     the fourth member of the index family joins the ingest loop
@@ -1135,8 +1137,25 @@ def vector_index_tick(
             ids = spark.read.parquet(_os.path.join(delete_dir, name))
             n_del += ids.count()
             index.delete(ids, ordinal=ordinal)
-    index.maybe_compact()
+    # budgeted: a uniform drop fattens ~every cid= list at once, so
+    # an unbounded pass is a periodic whole-store rewrite stalling
+    # the loop (~122 s bursts in the r12 21-tick table vs ~10 s
+    # steady). Fattest-first keeps per-tick maintenance ≤ budget
+    # rewrites; deferred lists rise to the top next tick (r13,
+    # VERDICT r12 #2).
+    compacted = index.maybe_compact(budget=compact_budget)
     rebucketed = index.maybe_rebucket()
+    # serving-config refresh (r13, VERDICT r12 #3): a rebucket changes
+    # list geometry, so a hint chosen for the OLD quantizer silently
+    # drifts recall (0.656 at the end of the r12 21-tick walk while
+    # n_probe stayed at its build-time value). Re-run the held-out
+    # sweep against the new quantizer and persist the measured widths
+    # as the store's serving hint — rebuckets are rare growth events,
+    # so the sweep cost amortizes; cadence callers can also invoke
+    # index.reselect_serving directly.
+    serving = None
+    if rebucketed and recall_target is not None:
+        serving = index.reselect_serving(recall_target)
     state.commit(state_key, snapshot)
     if dsnap is not None:
         state.commit(state_key + ":deletes", dsnap)
@@ -1148,4 +1167,6 @@ def vector_index_tick(
         "deleted": n_del,
         "delete_files": del_files,
         "rebucketed": rebucketed,
+        "compacted": compacted,
+        "serving": serving,
     }

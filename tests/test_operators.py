@@ -689,3 +689,110 @@ def test_positional_index_phrase_occurrences(spark, tmp_path):
         InvertedTextIndex(
             spark, str(tmp_path / "flat"), t_buckets=8, positions=True
         )
+
+
+def test_spark_hash_string_matches_f_hash(spark):
+    """The pure-Python Murmur3 replica behind text probe_local's
+    bucket computation must be BIT-IDENTICAL to Spark's F.hash on
+    strings (and its pmod to F.pmod) — ASCII, multibyte UTF-8, empty,
+    tail lengths 0-3, long strings."""
+    from data_engineer_challenge_spark.operators.text_index import (
+        _spark_hash_string,
+    )
+
+    words = [
+        "data", "the", "a", "ab", "abc", "abcd", "abcde", "abcdef",
+        "église", "naïve", "学习", "", "0", "zz9", "retrieval",
+        "x" * 37, "y" * 128, "mixed123tokens", "ünïcödë",
+    ]
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "t string")
+        .select(
+            "t",
+            F.hash("t").alias("h"),
+            F.pmod(F.hash("t"), F.lit(64)).alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert _spark_hash_string(r["t"]) == r["h"], r["t"]
+        assert _spark_hash_string(r["t"]) % 64 == r["b"], r["t"]
+
+
+def test_round6_matches_spark_round(spark):
+    """_round6 must replicate F.round(col, 6) bit-exactly: Spark
+    rounds HALF_UP over the SHORTEST decimal repr (BigDecimal.valueOf
+    semantics), so 0.1234565 → 0.123457 even though its binary
+    expansion sits below the half."""
+    import random
+
+    from data_engineer_challenge_spark.operators.text_index import (
+        _round6,
+    )
+
+    random.seed(13)
+    vals = [random.uniform(-30.0, 30.0) for _ in range(2000)] + [
+        1.0000005, 2.5e-7, -1.0000005, 0.1234565, 0.1234575,
+        3.0000004999999997, 0.0, -0.0, 1e300, -1e-300,
+    ]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select("x", F.round("x", 6).alias("r"))
+        .collect()
+    )
+    for r in rows:
+        assert _round6(r["x"]) == r["r"], r["x"]
+
+
+def test_text_probe_local_bit_identical_to_probe(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the text-side point-serving path.
+    probe_local must return EXACTLY probe()'s rows — same max folds,
+    same fixed-term-order BM25 left fold, same 6-dp rounding, same
+    (score desc, doc_id) ties — across appends (resident cache
+    invalidates via the store-state fingerprint) and compaction, and
+    for single-term / multi-term / absent-term / non-default (k1, b)
+    configs."""
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    idx = InvertedTextIndex(spark, path, t_buckets=16)
+    idx.build(docs.where("doc_id % 2 = 0").select("doc_id", "text"))
+
+    local = InvertedTextIndex.open_local(path)
+    queries = [
+        ("spark", "window", "vector"),
+        ("the",),
+        ("data", "quality"),
+        ("zzzznotaterm",),
+        ("data", "zzzznotaterm"),
+    ]
+
+    def check(q, **kw):
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in idx.probe(q, **kw)
+            .orderBy("rank")
+            .collect()
+        ]
+        got = local.probe_local(q, **kw)
+        assert got == want, (q, kw, got[:3], want[:3])
+
+    for q in queries:
+        check(q)
+    check(queries[0], k1=0.9, b=0.4, topk=7)
+
+    # mutate the store: the resident cache must drop (fingerprint)
+    idx.append(
+        docs.where("doc_id % 2 = 1").select("doc_id", "text"),
+        txn="tick-odd",
+    )
+    for q in queries[:3]:
+        check(q)
+    # compaction rewrites buckets; answers still identical
+    assert idx.maybe_compact(max_files_per_bucket=0) >= 1
+    for q in queries[:3]:
+        check(q)

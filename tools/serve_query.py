@@ -1,18 +1,25 @@
-"""Point-serving CLI — answer ONE vector query from a persisted
-IVF-PQ store with NO SparkSession and NO JVM (r12, VERDICT r11 #3):
+"""Point-serving CLI — answer ONE query from a persisted index with
+NO SparkSession and NO JVM.
+
+Vector mode (r12, VERDICT r11 #3 — IVF-PQ store):
 
     python tools/serve_query.py --store /path/to/ivfpq \\
         --vec "0.12,-0.3,..." [--k 10] [--n-probe 8] [--shortlist 60]
 
-Prints one JSON line: {"results": [[c_id, cos_sim, rank], ...],
-"wall_ms": ..., "n_probe": ..., "shortlist": ...}. Answers are
-bit-identical to the cluster's `probe_adc` for the same config
-(pinned in tests). `--n-probe` defaults to the store's persisted
-`n_probe` hint when one exists (written by maybe_rebucket /
-select_n_probe), else 2. The process imports pyspark's MODULE (a
-plain Python import) but never starts a session — serving latency is
-the pyarrow read (first touch) + resident-numpy scoring measured in
-SCALE.md's point-serving table."""
+Text mode (r13, VERDICT r12 #4 — InvertedTextIndex store):
+
+    python tools/serve_query.py --store /path/to/textidx \\
+        --terms "quick,brown,fox" [--topk 20] [--k1 1.2] [--b 0.75]
+
+Each prints one JSON line: {"results": [[id, score, rank], ...],
+"wall_ms": ..., ...config...}. Answers are bit-identical to the
+cluster's `probe_adc` / `probe` for the same config (pinned in
+tests). `--n-probe` defaults to the store's persisted `n_probe` hint
+when one exists (written by maybe_rebucket / reselect_serving), else
+2. The process imports pyspark's MODULE (a plain Python import) but
+never starts a session — serving latency is the pyarrow read (first
+touch) + resident-numpy scoring measured in SCALE.md's point-serving
+table."""
 
 from __future__ import annotations
 
@@ -29,12 +36,22 @@ if REPO_ROOT not in sys.path:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--store", required=True, help="IVFVectorIndex path")
     ap.add_argument(
-        "--vec",
+        "--store",
         required=True,
+        help="IVFVectorIndex path (--vec) or InvertedTextIndex path "
+        "(--terms)",
+    )
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument(
+        "--vec",
         help="query vector: comma-separated floats, or @file.json "
         "holding a JSON array",
+    )
+    mode.add_argument(
+        "--terms",
+        help="comma-separated normal-form query terms (lowercase "
+        "[a-z0-9]+ — what word_tokens emits)",
     )
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
@@ -45,7 +62,40 @@ def main() -> None:
         "else 2)",
     )
     ap.add_argument("--shortlist", type=int, default=60)
+    ap.add_argument("--topk", type=int, default=20)
+    ap.add_argument("--k1", type=float, default=None)
+    ap.add_argument("--b", type=float, default=None)
     args = ap.parse_args()
+
+    if args.terms is not None:
+        from data_engineer_challenge_spark.operators.text_index import (
+            B,
+            K1,
+            InvertedTextIndex,
+        )
+
+        terms = tuple(t for t in args.terms.split(",") if t)
+        if not terms:
+            ap.error("--terms needs at least one term")
+        tidx = InvertedTextIndex.open_local(args.store)
+        k1 = args.k1 if args.k1 is not None else K1
+        b = args.b if args.b is not None else B
+        t0 = time.perf_counter()
+        tres = tidx.probe_local(terms, k1=k1, b=b, topk=args.topk)
+        wall_ms = round((time.perf_counter() - t0) * 1000, 1)
+        print(
+            json.dumps(
+                {
+                    "results": [[d, s, r] for d, s, r in tres],
+                    "wall_ms": wall_ms,
+                    "terms": list(terms),
+                    "k1": k1,
+                    "b": b,
+                    "topk": args.topk,
+                }
+            )
+        )
+        return
 
     if args.vec.startswith("@"):
         with open(args.vec[1:]) as f:
