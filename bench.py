@@ -120,6 +120,13 @@ HEADLINE = [
     "docs_rm3_search",
     "docs_search_snippets",
     "docs_corpus_release",
+    # r13: the crawl tier's driver row — WARC parse + HTML extract +
+    # cross-tick MinHash probe + MERGE across two ticks (fixture
+    # build included; the action-count shape, like refresh_delta)
+    "warc_ingest_refresh",
+    # r13: the rotated-on compressed-retrieval row (PQ encode → ADC
+    # LUT → coarse-term restore → exact rescore, corpus-scan form)
+    "emb_pq_residual_adc_knn",
 ]
 
 #: Calibration anchors (the EXPLAIN.md receipt set, frozen): four
@@ -474,7 +481,14 @@ def main() -> None:
     from data_engineer_challenge_spark import plans
     from data_engineer_challenge_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # console progress bars helped head-truncate BENCH_r12.json (the
+    # driver's tail capture keeps the last ~2 KB of output; progress
+    # frames pushed the artifact's head out) — the bench session runs
+    # silent (r13, VERDICT r12 #5)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     plans.all_queries()  # load + enforce the 50-row driver cap
     # bench over the FULL registry: pytest-oracled (driver=False)
     # entries like events_heavy_hitters are headline-benchable too
@@ -576,6 +590,34 @@ def main() -> None:
                     "anchors_idle_ref_sec": CALIBRATION_ANCHORS_IDLE,
                     "anchor_load_factor": load_factor,
                 },
+            }
+        )
+    )
+    # truncation armor (r13, VERDICT r12 #5): the full artifact above
+    # is ~3 KB of per-query detail; a tail-capture window that cuts
+    # its head loses the totals (BENCH_r12's "parsed": null). This
+    # SECOND, compact line repeats the essentials and, printed LAST,
+    # always survives a tail capture whole — a consumer that parses
+    # the final JSON line still gets the headline numbers.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "r2_comparable_subtotal": round(
+                    sum(
+                        t
+                        for n, t in timings.items()
+                        if n in R2_COMPARABLE
+                    ),
+                    4,
+                ),
+                "anchor_load_factor": load_factor,
+                "compact": "per-query timings are in the preceding "
+                "full JSON line",
             }
         )
     )

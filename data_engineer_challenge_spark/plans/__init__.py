@@ -105,5 +105,6 @@ def _load() -> None:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import release  # noqa: F401
+    from . import crawl  # noqa: F401
 
     _LOADED = True

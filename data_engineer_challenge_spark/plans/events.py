@@ -193,6 +193,13 @@ def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json_props",
+    # r13: rotated OFF the driver surface (VERDICT r12 #7) — its slot
+    # went to warc_ingest_refresh (the crawl tier's first driver-hash
+    # row). Verbatim-oracle rule: the JVM-side get_json_object /
+    # codegen-filter machinery survives on the surface in
+    # events_cube_profile's oracle family; the local pytest replica
+    # still hash-checks this row every run.
+    driver=False,
     oracle="""
     SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
            CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'high' ELSE 'low' END
