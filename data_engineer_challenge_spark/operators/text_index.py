@@ -731,24 +731,18 @@ class InvertedTextIndex:
         n_docs, avgdl = self._ptl_stats
         # per-doc fold: max dl over matched rows, max tf per term
         # (replayed appends leave bit-identical duplicates; max is
-        # the probe's fold)
+        # the probe's fold). Vectorized — ufunc.at runs the max fold
+        # in C, so a common term matching 10^5 docs stays ms-scale
+        # instead of a per-posting Python loop.
         doc_ids = np.sort(posts["doc_id"].unique())
-        pos = {int(d): i for i, d in enumerate(doc_ids)}
         nd = len(doc_ids)
-        dl = np.zeros(nd, dtype=np.int64)
-        tf = np.zeros((len(terms), nd), dtype=np.int64)
-        dvals = posts["doc_id"].to_numpy()
-        tvals = posts["term"].to_numpy()
-        tfv = posts["tf"].to_numpy()
-        dlv = posts["dl"].to_numpy()
+        rd = pd.Index(doc_ids).get_indexer(posts["doc_id"].to_numpy())
         tidx = {t: i for i, t in enumerate(terms)}
-        for j in range(len(posts)):
-            i = pos[int(dvals[j])]
-            if dlv[j] > dl[i]:
-                dl[i] = dlv[j]
-            ti = tidx[tvals[j]]
-            if tfv[j] > tf[ti, i]:
-                tf[ti, i] = tfv[j]
+        rt = posts["term"].map(tidx).to_numpy(dtype=np.int64)
+        dl = np.zeros(nd, dtype=np.int64)
+        np.maximum.at(dl, rd, posts["dl"].to_numpy(dtype=np.int64))
+        tf = np.zeros((len(terms), nd), dtype=np.int64)
+        np.maximum.at(tf, (rt, rd), posts["tf"].to_numpy(dtype=np.int64))
         dfs = [int((tf[i] > 0).sum()) for i in range(len(terms))]
         # bm25_score's expression, elementwise: idf · tfn per term,
         # tf==0 ⇒ 0.0, components summed by the SAME left fold in
@@ -765,6 +759,18 @@ class InvertedTextIndex:
             )
             ts = np.where(tf[i] == 0, 0.0, idf * tfn)
             comp = ts if comp is None else comp + ts
+        # rank-safe pre-cut before the (exact, per-value Decimal)
+        # rounding: rounding moves a score by < 5e-7, so any doc more
+        # than 1e-5 below the unrounded topk-th score can neither tie
+        # nor beat a kept doc after rounding — only the surviving
+        # band pays the Decimal replay, keeping a 10^5-match query
+        # ms-scale. (NaN maps to +inf first: Spark sorts NaN
+        # GREATEST in a desc order.)
+        if nd > topk:
+            key = np.where(np.isnan(comp), np.inf, comp)
+            kth = np.partition(key, nd - topk)[nd - topk]
+            keep = key >= kth - 1e-5
+            doc_ids, comp = doc_ids[keep], comp[keep]
         scores = [_round6(float(s)) for s in comp]
         # (score desc, doc_id) with Spark's NaN-greatest desc order
         out = sorted(

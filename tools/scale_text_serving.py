@@ -1,0 +1,177 @@
+"""Text-side point serving at the 100x docs tier (r13, VERDICT r12
+#4): measure `InvertedTextIndex.probe_local` — the pure pyarrow+numpy
+single-query BM25 path — against the same store's single-query Spark
+`probe`, answers asserted bit-identical before timing. Splices one
+SCALE.md section directly after the vector point-serving section."""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from tools.scale_smoke import (  # noqa: E402
+    LOGGROWTH_HEADER,
+    OUT100,
+    _splice_section,
+    build_corpus100,
+)
+
+HEADER = (
+    "## Point serving, text side — driver-side probe_local vs Spark "
+    "probe (500k docs, VERDICT r12 #4)"
+)
+
+STORE = "/tmp/scale100_textidx"
+QUERIES = [
+    ("spark", "window", "vector"),
+    ("data", "quality", "pipeline"),
+    ("window", "functions"),
+]
+
+
+def _splice(body: str) -> None:
+    path = os.path.join(REPO_ROOT, "SCALE.md")
+    with open(path) as f:
+        whole = f.read()
+    if "\n" + HEADER in whole:
+        _splice_section(HEADER, body, [LOGGROWTH_HEADER])
+        return
+    if "\n" + LOGGROWTH_HEADER in whole:
+        head, tail = whole.split("\n" + LOGGROWTH_HEADER, 1)
+        out = (
+            head.rstrip("\n")
+            + "\n"
+            + body
+            + "\n"
+            + LOGGROWTH_HEADER
+            + tail
+        )
+    else:
+        out = whole.rstrip("\n") + "\n" + body
+    with open(path, "w") as f:
+        f.write(out)
+
+
+def main() -> None:
+    from data_engineer_challenge_spark import plans
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.session import get_spark
+
+    plans._load()
+    spark = get_spark(app_name="scale-text-serving")
+    if not os.path.isdir(f"{OUT100}/documents.parquet"):
+        print("building 100x docs corpus ...", flush=True)
+        build_corpus100(spark)
+    docs = spark.read.parquet(f"{OUT100}/documents.parquet")
+    n = docs.count()
+
+    if os.path.isdir(os.path.join(STORE, "meta")):
+        idx = InvertedTextIndex.open(spark, STORE)
+        build_s = "(reused)"
+        print("reusing existing store", flush=True)
+    else:
+        import shutil
+
+        shutil.rmtree(STORE, ignore_errors=True)
+        t0 = time.perf_counter()
+        idx = InvertedTextIndex(spark, STORE, t_buckets=256)
+        idx.build(docs.select("doc_id", "text"))
+        build_s = f"{round(time.perf_counter() - t0, 1)} s"
+        print(f"built store: {build_s}", flush=True)
+
+    # equality pin before any timing: same rows, all query sets
+    local = InvertedTextIndex.open_local(STORE)
+    for q in QUERIES:
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in idx.probe(q, topk=20).orderBy("rank").collect()
+        ]
+        got = local.probe_local(q, topk=20)
+        assert got == want, f"divergence on {q}"
+    print(f"equality pin: {len(QUERIES)}/{len(QUERIES)} bit-identical",
+          flush=True)
+
+    # Spark single-query latency (fresh probe plan per run)
+    q0 = QUERIES[0]
+    spark_walls = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        idx.probe(q0, topk=20).collect()
+        spark_walls.append(time.perf_counter() - t0)
+
+    # driver-side: cold (first touch reads the touched buckets),
+    # then warm (resident postings)
+    local._ptl_state = None  # drop the equality pin's cache
+    t0 = time.perf_counter()
+    local.probe_local(q0, topk=20)
+    cold_s = round(time.perf_counter() - t0, 2)
+    walls = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        local.probe_local(q0, topk=20)
+        walls.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    local.probe_local(QUERIES[1], topk=20)
+    other_s = round(time.perf_counter() - t0, 2)
+
+    sp = round(min(spark_walls), 3)
+    lo_min = round(min(walls) * 1000, 1)
+    lo_mean = round(statistics.mean(walls) * 1000, 1)
+    print(
+        f"spark single {sp}s; local cold {cold_s}s warm min {lo_min}ms "
+        f"mean {lo_mean}ms; other-query {other_s}s",
+        flush=True,
+    )
+
+    body = (
+        f"{HEADER}\n\n"
+        f"`InvertedTextIndex.probe_local` answers ONE BM25 query "
+        f"entirely on the driver — a pure-Python Murmur3 replica of "
+        f"Spark's `F.hash` picks the touched `t_bucket=` partitions "
+        f"(bit-equality test-pinned), pyarrow reads them once into a "
+        f"RESIDENT cache (store-state fingerprint invalidation), and "
+        f"scoring replays `bm25_score`'s exact fold order plus "
+        f"Spark's shortest-repr HALF_UP 6-dp rounding. Answers are "
+        f"**bit-identical to `probe()`**: pinned here on "
+        f"{len(QUERIES)} query sets before timing, and in tests/"
+        f"test_operators.py::test_text_probe_local_bit_identical_to_"
+        f"probe (across appends + compaction).\n\n"
+        f"Store: the 100x tier's {n:,} documents under t_buckets=256 "
+        f"(build {build_s}). Query: {'+'.join(q0)}, topk=20.\n\n"
+        f"| path | single-query latency |\n"
+        f"|---|---|\n"
+        f"| `probe` (Spark job, min of 3) | {sp} s |\n"
+        f"| `probe_local`, cold (first touch reads the touched "
+        f"buckets) | {cold_s} s |\n"
+        f"| `probe_local`, warm (resident postings, min of 10) | "
+        f"{lo_min} ms |\n"
+        f"| `probe_local`, warm (mean of 10) | {lo_mean} ms |\n"
+        f"| `probe_local`, different query (mixed residency) | "
+        f"{other_s} s |\n\n"
+        f"Warm text serving is {round(sp * 1000 / max(lo_min, 0.1))}x "
+        f"under the Spark single-query number — the same split as the "
+        f"vector tier above: job overhead plus re-reading postings a "
+        f"server keeps in RAM. Cold is the honest first-touch cost "
+        f"(∝ the touched vocabulary fraction — one `t_bucket=` "
+        f"partition per distinct query-term hash). Query FLEETS stay "
+        f"on `probe()` (one pruned scan amortized across all "
+        f"queries); `probe_local` + tools/serve_query.py `--terms` is "
+        f"the interactive tier, serving the reference's point-lookup "
+        f"class for text from the SAME store the ingest loop "
+        f"maintains.\n"
+    )
+    _splice(body)
+    print("SCALE.md section spliced", flush=True)
+
+
+if __name__ == "__main__":
+    main()
