@@ -830,7 +830,7 @@ class IVFVectorIndex:
     def maybe_compact(
         self,
         max_files_per_list: int = 8,
-        budget: int | None = None,
+        budget: int | str | None = None,
     ) -> int:
         """Streaming-loop housekeeping (the index-family discipline):
         fat ``cid=`` inverted lists rewrite as ONE file sorted by id,

@@ -189,7 +189,7 @@ def compact_partitioned(
     fold,
     order_by: list[str],
     max_files: int = 8,
-    budget: int | None = None,
+    budget: int | str | None = None,
 ) -> int:
     """Compact every ``<prefix>=<value>`` partition directory under
     ``root`` holding more than ``max_files`` data files; heal first.
@@ -211,18 +211,33 @@ def compact_partitioned(
     a deferred dir keeps accumulating files and rises to the top,
     so nothing starves). Probes stay correct throughout — a
     not-yet-compacted list is just more files to read — and
-    maintenance cost amortizes to ≤ budget rewrites per tick."""
+    maintenance cost amortizes to ≤ budget rewrites per tick.
+
+    ``budget="auto"`` self-sizes to the store's EQUILIBRIUM bound,
+    ``max(32, ceil(n_dirs / max_files))``: uniform drops push
+    ~n_dirs/max_files dirs over the threshold per tick, so any
+    smaller cap lets the backlog grow without bound while any larger
+    one only front-loads work — the ingest ticks default to this so
+    a store of any bucket count drains exactly as fast as it
+    fattens. An explicit int is taken literally (tests pin exact
+    fold counts)."""
+    import math
+
     heal(root)
     if not os.path.isdir(root):
         return 0
     eligible: list[tuple[int, str]] = []
+    n_dirs = 0
     for n in sorted(os.listdir(root)):
         if not n.startswith(prefix + "="):
             continue
+        n_dirs += 1
         k = len(_data_files(os.path.join(root, n)))
         if k <= max_files:
             continue
         eligible.append((k, n))
+    if budget == "auto":
+        budget = max(32, math.ceil(n_dirs / max(max_files, 1)))
     if budget is not None:
         eligible.sort(key=lambda t: (-t[0], t[1]))
         eligible = eligible[: max(0, budget)]

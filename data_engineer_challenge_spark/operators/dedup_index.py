@@ -401,7 +401,7 @@ class MinHashIndex:
     def maybe_compact(
         self,
         max_files_per_bucket: int = 8,
-        budget: int | None = None,
+        budget: int | str | None = None,
     ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline): every ``bh_bucket=`` /

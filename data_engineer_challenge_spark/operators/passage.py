@@ -459,7 +459,7 @@ class WindowHashIndex:
     def maybe_compact(
         self,
         max_files_per_bucket: int = 8,
-        budget: int | None = None,
+        budget: int | str | None = None,
     ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable
         ``maybe_compact`` discipline ported to the directory store):

@@ -891,7 +891,7 @@ class InvertedTextIndex:
     def maybe_compact(
         self,
         max_files_per_bucket: int = 8,
-        budget: int | None = None,
+        budget: int | str | None = None,
     ) -> int:
         """Streaming-loop housekeeping (the SnapshotTable discipline):
         fat ``t_bucket=`` partitions rewrite as ONE file sorted by

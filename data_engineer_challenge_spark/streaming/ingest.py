@@ -1039,7 +1039,7 @@ def vector_index_tick(
     exts: tuple[str, ...] = (".parquet",),
     state_key: str = "vectors",
     delete_dir: str | None = None,
-    compact_budget: int | None = 32,
+    compact_budget: int | str | None = "auto",
     recall_target: float | None = None,
 ) -> dict:
     """Continuous ANN-index maintenance over a vector drop directory —

@@ -67,7 +67,7 @@ def warc_ingest_tick(
     source_gate: bool = False,
     gate_min_docs: int = 20,
     gate_reject_ppm: int = 500_000,
-    compact_budget: int | None = 32,
+    compact_budget: int | str | None = "auto",
 ) -> WarcTickReport:
     """Process the segment files that changed since the last committed
     tick; no-op (fired=False) when nothing changed.

