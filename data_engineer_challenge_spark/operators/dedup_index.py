@@ -397,6 +397,195 @@ class MinHashIndex:
             .select("new_id", "dup_of", "jaccard")
         )
 
+    @classmethod
+    def open_local(cls, path: str) -> "MinHashIndex":
+        """Reopen for DRIVER-SIDE SERVING ONLY — no SparkSession, no
+        JVM (r13 — the ``IVFVectorIndex.open_local`` posture for the
+        dedup tier): the handle supports :meth:`probe_local` (pure
+        Python/numpy/pyarrow) and nothing that plans a Spark job.
+        ``open()``'s crash-healing and parameter fingerprint run
+        identically — they are filesystem + JSON operations."""
+        return cls.open(None, path)  # type: ignore[arg-type]
+
+    def _local_store_state(self) -> tuple:
+        """Cheap fingerprint of the store's mutable dirs (the
+        ``IVFVectorIndex._local_store_state`` discipline) — the
+        resident-postings cache key for :meth:`probe_local`."""
+
+        def _sig(d: str) -> tuple:
+            try:
+                names = sorted(os.listdir(d))
+            except FileNotFoundError:
+                return ()
+            out = [os.stat(d).st_mtime_ns, len(names)]
+            for n in names:
+                try:
+                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
+                except FileNotFoundError:
+                    pass
+            return tuple(out)
+
+        return (_sig(self._bands_dir()), _sig(self._shingles_dir()))
+
+    def probe_local(self, text: str) -> list[tuple[int, float]]:
+        """Single-document dedup point serving OUTSIDE Spark (r13 —
+        the dedup-tier member of the ``probe_local`` family): answer
+        "is this ONE document a near-duplicate of anything already
+        indexed?" entirely on the driver. The ingest loop's question,
+        asked interactively — a submission endpoint or a moderation
+        tool checks one document in milliseconds instead of paying a
+        Spark job (the reference's point-lookup class, exo_2.py:
+        204-217, for the dedup store).
+
+        Decision-identical to :meth:`probe` on a one-row batch —
+        pinned in tests — because every stage replays the batch
+        path's exact math: tokens hash through the pure-Python
+        ``spark_xxhash64_string`` replica (bit-equality with
+        ``F.xxhash64`` test-pinned), shingles combine via the same
+        left-chained ``xxhash64(a, b)`` fold ``hashed_shingles``
+        compiles, the signature/banding is LITERALLY
+        ``minhash_bands_vectorized``'s numpy (same affine LCG
+        family, same FNV band fold, same dtypes), bucket pruning
+        replays ``pmod(hash(bh), N)`` via ``spark_murmur3_long``, and
+        the verify is the same exact-Jaccard-over-distinct-hashes
+        with the max-per-candidate replay fold and the ``>=
+        threshold`` gate. Returns ``[(dup_of, jaccard)]`` sorted
+        (jaccard desc, dup_of asc).
+
+        Cost model: first touch of a band/shingle bucket pays its
+        pyarrow read (resident thereafter; any store mutation drops
+        the cache via the directory-state fingerprint); a warm probe
+        is numpy over the touched buckets' postings only."""
+        import re
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        from ..functions.tokenize import TOKEN_RE
+        from .compaction import _data_files
+        from .localhash import (
+            spark_murmur3_long,
+            spark_xxhash64_longs,
+            spark_xxhash64_string,
+        )
+        from .text_dedup import _MH_A, _MH_C, _MH_M
+
+        n = self.meta["shingle_n"]
+        toks = re.findall(TOKEN_RE, text.lower())
+        if len(toks) < n:
+            return []
+        th = [spark_xxhash64_string(t) for t in toks]
+        # hashed_shingles' left-chained combine, replayed exactly
+        length = len(th) - (n - 1)
+        build = th[:length]
+        for j in range(1, n):
+            build = [
+                spark_xxhash64_longs((a, b))
+                for a, b in zip(build, th[j : j + length])
+            ]
+        # array_distinct keeps first occurrence; set math below is
+        # order-insensitive anyway
+        hs = list(dict.fromkeys(build))
+        if not hs:
+            return []
+        # minhash_bands_vectorized's math on ONE document, same
+        # dtypes: int64 affine slots over the 31-bit masked hashes,
+        # uint64 FNV band fold viewed back as int64
+        num_hashes, bands = self.meta["num_hashes"], self.meta["bands"]
+        rows_per_band = num_hashes // bands
+        seeds = np.arange(num_hashes, dtype=np.int64)
+        a = (_MH_A * ((_MH_A * seeds + _MH_C) % _MH_M) + _MH_C) % _MH_M
+        a = (a | 1).astype(np.int64)
+        b = (_MH_A * (seeds + num_hashes) + _MH_C) % _MH_M
+        fnv = np.uint64(1099511628211)
+        hm = np.asarray(hs, dtype=np.int64) & 0x7FFFFFFF
+        sig = np.empty(num_hashes, dtype=np.int64)
+        for j in range(num_hashes):
+            sig[j] = ((a[j] * hm + b[j]) % _MH_M).min()
+        bh = np.empty(bands, dtype=np.uint64)
+        # the FNV fold RELIES on uint64 wraparound (the vectorized
+        # kernel's exact math); numpy warns on scalar overflow only
+        with np.errstate(over="ignore"):
+            for bd in range(bands):
+                h = np.uint64(bd + 0xCBF29CE4)
+                for r in range(rows_per_band):
+                    h = (h * fnv) ^ sig[
+                        bd * rows_per_band + r
+                    ].astype(np.uint64)
+                bh[bd] = h
+        band_hashes = bh.view(np.int64)
+
+        state = self._local_store_state()
+        if getattr(self, "_mhl_state", None) != state:
+            self._mhl_state = state
+            self._mhl_bands: dict[int, pd.DataFrame] = {}
+            self._mhl_shingles: dict[int, pd.DataFrame] = {}
+        nb = self.meta["bh_buckets"]
+
+        def _bucket_frames(root: str, bucket: int, prefix: str, cache):
+            cached = cache.get(bucket)
+            if cached is None:
+                d = os.path.join(root, f"{prefix}={bucket}")
+                parts = []
+                if os.path.isdir(d):
+                    for fn in _data_files(d):
+                        parts.append(
+                            papq.read_table(
+                                os.path.join(d, fn)
+                            ).to_pandas()
+                        )
+                cached = (
+                    pd.concat(parts, ignore_index=True)
+                    if parts
+                    else None
+                )
+                cache[bucket] = cached if cached is not None else "empty"
+            return None if isinstance(cached, str) else cached
+
+        if not os.path.isdir(self._bands_dir()):
+            return []  # fresh index: nothing to match (probe parity)
+        # candidate ids: any stored posting matching a (band, bh) pair
+        cands: set[int] = set()
+        for bd in range(bands):
+            bucket = spark_murmur3_long(int(band_hashes[bd])) % nb
+            pdf = _bucket_frames(
+                self._bands_dir(), bucket, "bh_bucket", self._mhl_bands
+            )
+            if pdf is None:
+                continue
+            m = (pdf["band"].to_numpy() == bd) & (
+                pdf["bh"].to_numpy() == int(band_hashes[bd])
+            )
+            if m.any():
+                cands.update(int(i) for i in pdf["id"].to_numpy()[m])
+        if not cands:
+            return []
+        # verify: exact Jaccard vs each candidate's stored shingle
+        # set(s) — max per id folds divergent replay copies, the
+        # probe's deterministic rule
+        mine = set(hs)
+        best: dict[int, float] = {}
+        for cid in cands:
+            bucket = spark_murmur3_long(cid) % nb
+            pdf = _bucket_frames(
+                self._shingles_dir(), bucket, "id_bucket",
+                self._mhl_shingles,
+            )
+            if pdf is None:
+                continue
+            for row in pdf[pdf["id"] == cid]["hs"]:
+                theirs = set(int(x) for x in row)
+                if not theirs and not mine:
+                    continue
+                j = len(mine & theirs) / len(mine | theirs)
+                if j > best.get(cid, -1.0):
+                    best[cid] = j
+        thr = self.meta["threshold"]
+        out = [(cid, j) for cid, j in best.items() if j >= thr]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
+
     @locked_writer
     def maybe_compact(
         self,

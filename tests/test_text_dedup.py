@@ -3814,3 +3814,149 @@ def test_compaction_budget_auto_equilibrium(spark, tmp_path):
     assert max(32, math.ceil(400 / max(8, 1))) == 50
     # and explicit ints stay literal (the fattest-first test's pin)
     del compaction
+
+
+def test_localhash_replicas_match_spark(spark):
+    """operators/localhash: the pure-Python Murmur3/xxHash64 replicas
+    behind the sparkless probe_local family must be BIT-IDENTICAL to
+    Spark's F.hash / F.xxhash64 — strings (ASCII/multibyte/empty/
+    32-byte-stripe lengths), longs (full signed range), and the
+    multi-argument left-chained xxhash64 fold."""
+    from data_engineer_challenge_spark.operators.localhash import (
+        spark_murmur3_long,
+        spark_murmur3_string,
+        spark_xxhash64_longs,
+        spark_xxhash64_string,
+    )
+
+    words = ["data", "", "ab", "abc", "abcd", "église", "学习",
+             "x" * 31, "y" * 32, "z" * 100, "mixed tokens 123"]
+    for r in (
+        spark.createDataFrame([(w,) for w in words], "t string")
+        .select("t", F.hash("t").alias("m"), F.xxhash64("t").alias("x"))
+        .collect()
+    ):
+        assert spark_murmur3_string(r["t"]) == r["m"], r["t"]
+        assert spark_xxhash64_string(r["t"]) == r["x"], r["t"]
+    longs = [0, 1, -1, 2**62, -(2**62), 1234567890123456789,
+             -987654321987654321]
+    for r in (
+        spark.createDataFrame([(v,) for v in longs], "l long")
+        .select("l", F.hash("l").alias("m"), F.xxhash64("l").alias("x"))
+        .collect()
+    ):
+        assert spark_murmur3_long(r["l"]) == r["m"], r["l"]
+        assert spark_xxhash64_longs((r["l"],)) == r["x"], r["l"]
+    pairs = [(1, 2), (-5, 7), (2**60, -(2**61)), (0, 0)]
+    for r in (
+        spark.createDataFrame(pairs, "a long, b long")
+        .select("a", "b", F.xxhash64("a", "b").alias("x"))
+        .collect()
+    ):
+        assert spark_xxhash64_longs((r["a"], r["b"])) == r["x"]
+
+
+def test_minhash_probe_local_matches_probe(spark, tmp_path):
+    """MinHashIndex.probe_local (r13 — the dedup tier's sparkless
+    point serving) must return EXACTLY probe()'s (dup_of, jaccard)
+    set for a one-document batch: same token/shingle xxhash64 chain,
+    same affine banding + FNV fold, same bucket pruning, same
+    exact-Jaccard max-fold verify and threshold. Pinned on near-dup
+    hits, a clean miss, a too-short text, and across an append
+    (resident cache invalidates via the store fingerprint)."""
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, path, threshold=0.5)
+    idx.build(docs.filter(F.col("doc_id") % 5 != 0))
+
+    local = MinHashIndex.open_local(path)
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    rows = probe_batch.orderBy("doc_id").collect()
+
+    def spark_answer(doc_id):
+        one = probe_batch.where(F.col("doc_id") == doc_id)
+        got = idx.probe(one).collect()
+        idx.release()
+        return {(r["dup_of"], r["jaccard"]) for r in got}
+
+    # every probe-side doc: local == spark, hits and misses alike
+    n_hits = 0
+    for r in rows[:25]:
+        want = spark_answer(r["doc_id"])
+        got = set(local.probe_local(r["text"]))
+        assert got == want, r["doc_id"]
+        n_hits += bool(want)
+    assert n_hits >= 1  # the corpus plants near-dups; prove a hit path
+
+    assert local.probe_local("one") == []  # < shingle_n tokens
+    assert local.probe_local("") == []
+
+    # mutate the store: cache must drop, answers must track
+    idx.append(probe_batch.where(F.col("doc_id") % 10 == 0))
+    sample = rows[5]["text"]
+    got2 = set(local.probe_local(sample))
+    one = probe_batch.where(F.col("doc_id") == rows[5]["doc_id"])
+    want2 = {(r["dup_of"], r["jaccard"]) for r in idx.probe(one).collect()}
+    idx.release()
+    assert got2 == want2
+
+
+def test_serve_query_cli_dedup_mode_sparkless(spark, tmp_path):
+    """The CLI's --text mode (r13) near-dup-checks one raw document
+    against a persisted MinHashIndex in a subprocess that never
+    starts a SparkSession or JVM, decision-identical to probe() in
+    this session."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store, threshold=0.5)
+    idx.build(docs.filter(F.col("doc_id") % 5 != 0))
+    # pick a probe-side doc that HAS an indexed near-dup
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    hits = idx.probe(probe_batch).collect()
+    idx.release()
+    assert hits, "fixture corpus should plant at least one near-dup"
+    hit_id = hits[0]["new_id"]
+    want = sorted(
+        ((r["dup_of"], r["jaccard"]) for r in hits if r["new_id"] == hit_id),
+        key=lambda t: (-t[1], t[0]),
+    )
+    text = probe_batch.where(F.col("doc_id") == hit_id).first()["text"]
+    tf = tmp_path / "doc.txt"
+    tf.write_text(text)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/serve_query.py",
+            "--store",
+            store,
+            "--text",
+            f"@{tf}",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_LOCAL_IP": "127.0.0.1"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["is_duplicate"] is True
+    assert [tuple(x) for x in out["results"]] == want
+    assert "SparkContext" not in r.stderr

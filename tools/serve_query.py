@@ -11,6 +11,12 @@ Text mode (r13, VERDICT r12 #4 — InvertedTextIndex store):
     python tools/serve_query.py --store /path/to/textidx \\
         --terms "quick,brown,fox" [--topk 20] [--k1 1.2] [--b 0.75]
 
+Dedup mode (r13 — MinHashIndex store; "is this one document a
+near-dup of anything indexed?"):
+
+    python tools/serve_query.py --store /path/to/mhidx \\
+        --text "raw document text ..."      (or @file.txt)
+
 Each prints one JSON line: {"results": [[id, score, rank], ...],
 "wall_ms": ..., ...config...}. Answers are bit-identical to the
 cluster's `probe_adc` / `probe` for the same config (pinned in
@@ -53,6 +59,11 @@ def main() -> None:
         help="comma-separated normal-form query terms (lowercase "
         "[a-z0-9]+ — what word_tokens emits)",
     )
+    mode.add_argument(
+        "--text",
+        help="raw document text (or @file.txt) to near-dup-check "
+        "against a MinHashIndex store",
+    )
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--n-probe",
@@ -66,6 +77,31 @@ def main() -> None:
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     args = ap.parse_args()
+
+    if args.text is not None:
+        from data_engineer_challenge_spark.operators.dedup_index import (
+            MinHashIndex,
+        )
+
+        text = args.text
+        if text.startswith("@"):
+            with open(text[1:]) as f:
+                text = f.read()
+        midx = MinHashIndex.open_local(args.store)
+        t0 = time.perf_counter()
+        dres = midx.probe_local(text)
+        wall_ms = round((time.perf_counter() - t0) * 1000, 1)
+        print(
+            json.dumps(
+                {
+                    "results": [[d, j] for d, j in dres],
+                    "wall_ms": wall_ms,
+                    "threshold": midx.meta["threshold"],
+                    "is_duplicate": bool(dres),
+                }
+            )
+        )
+        return
 
     if args.terms is not None:
         from data_engineer_challenge_spark.operators.text_index import (
