@@ -272,6 +272,127 @@ class WindowHashIndex:
             h_buckets=meta["h_buckets"],
         )
 
+    @classmethod
+    def open_local(cls, path: str) -> "WindowHashIndex":
+        """Reopen for DRIVER-SIDE SERVING ONLY — no SparkSession, no
+        JVM (r13 — the fourth and last member of the ``probe_local``
+        family): the handle supports :meth:`probe_local` and nothing
+        that plans a Spark job. ``open()``'s crash-healing and meta
+        fingerprint run identically (filesystem + JSON only)."""
+        return cls.open(None, path)  # type: ignore[arg-type]
+
+    def _local_store_state(self) -> tuple:
+        """Store fingerprint — the resident-bucket cache key (the
+        ``probe_local`` family's invalidation discipline)."""
+
+        def _sig(d: str) -> tuple:
+            try:
+                names = sorted(os.listdir(d))
+            except FileNotFoundError:
+                return ()
+            out = [os.stat(d).st_mtime_ns, len(names)]
+            for n in names:
+                try:
+                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
+                except FileNotFoundError:
+                    pass
+            return tuple(out)
+
+        return _sig(self._windows_dir())
+
+    def probe_local(
+        self, text: str
+    ) -> tuple[int, int, str] | None:
+        """Single-document passage dedup OUTSIDE Spark (r13): cut the
+        spans of ONE document that the INDEX already holds, entirely
+        on the driver — the RefinedWeb boilerplate cut, served
+        interactively (a submission endpoint trims a document against
+        the corpus in milliseconds instead of paying a Spark job).
+
+        Decision-identical to :meth:`probe` on a one-row batch —
+        pinned in tests — because every step replays the batch
+        kernel's math: the same ``[a-z0-9]+`` tokens, the same
+        stride-1 ``W``-token window md5 (``hashlib.md5`` of the
+        joined window string IS ``F.md5(array_join(...).cast
+        ("binary"))``), bucket pruning replays ``pmod(hash(h), N)``
+        via the Murmur3-string replica, hit spans union with the
+        same adjacent-merging running-max rule
+        (``spans_to_islands``), and covered tokens cut by the same
+        half-open ``[s, e)`` test. Returns ``(n_tokens,
+        n_tokens_cut, dedup_text)`` — or ``None`` for an empty
+        document (the batch probe emits no row; the P10 contract).
+
+        Cost model: first touch of an ``h_bucket=`` partition pays
+        its pyarrow read into a resident membership set (dropped on
+        any store mutation via the directory fingerprint); a warm
+        probe is O(windows of THIS document) set lookups."""
+        import re
+
+        import pyarrow.parquet as papq
+
+        from ..functions.tokenize import TOKEN_RE
+        from .compaction import _data_files
+        from .localhash import spark_murmur3_string
+
+        toks = re.findall(TOKEN_RE, text.lower())
+        if not toks:
+            return None
+        n = len(toks)
+        w = self.meta["window"]
+        if not os.path.isdir(self._windows_dir()):
+            return (n, 0, " ".join(toks))  # fresh index cuts nothing
+        import hashlib as _hashlib
+
+        wins = []
+        if n >= w:
+            for i in range(n - w + 1):
+                h = _hashlib.md5(
+                    " ".join(toks[i : i + w]).encode()
+                ).hexdigest()
+                wins.append((i, h))
+        state = self._local_store_state()
+        if getattr(self, "_whl_state", None) != state:
+            self._whl_state = state
+            self._whl_buckets: dict[int, set] = {}
+        nb = self.meta["h_buckets"]
+        spans = []
+        for i, h in wins:
+            bucket = spark_murmur3_string(h) % nb
+            members = self._whl_buckets.get(bucket)
+            if members is None:
+                d = os.path.join(self._windows_dir(), f"h_bucket={bucket}")
+                members = set()
+                if os.path.isdir(d):
+                    for fn in _data_files(d):
+                        tab = papq.read_table(
+                            os.path.join(d, fn), columns=["h"]
+                        )
+                        members.update(tab.column("h").to_pylist())
+                self._whl_buckets[bucket] = members
+            if h in members:
+                spans.append((i, i + w))
+        if not spans:
+            return (n, 0, " ".join(toks))
+        # spans_to_islands' adjacent-merging running-max union
+        spans.sort()
+        islands = [list(spans[0])]
+        for s, e in spans[1:]:
+            if s > islands[-1][1]:
+                islands.append([s, e])
+            elif e > islands[-1][1]:
+                islands[-1][1] = e
+        cut = sum(e - s for s, e in islands)
+        kept = []
+        it = iter(islands)
+        cur = next(it, None)
+        for i, t in enumerate(toks):
+            while cur is not None and i >= cur[1]:
+                cur = next(it, None)
+            if cur is not None and cur[0] <= i < cur[1]:
+                continue
+            kept.append(t)
+        return (n, cut, " ".join(kept))
+
     @locked_writer
     def maybe_rebucket(
         self,

@@ -3960,3 +3960,101 @@ def test_serve_query_cli_dedup_mode_sparkless(spark, tmp_path):
     assert out["is_duplicate"] is True
     assert [tuple(x) for x in out["results"]] == want
     assert "SparkContext" not in r.stderr
+
+
+def test_window_hash_probe_local_matches_probe(spark, tmp_path):
+    """WindowHashIndex.probe_local (r13 — the passage tier's
+    sparkless point serving, the probe_local family's fourth and
+    last member) must return EXACTLY probe()'s (n_tokens,
+    n_tokens_cut, dedup_text) for a one-document batch: same window
+    md5s, same pmod(hash(h), N) bucket pruning, same adjacent-merging
+    island union and half-open cut. Pinned on an indexed-passage hit
+    at an odd alignment, a fresh-text miss, a multi-span doc, an
+    empty doc, and across an append."""
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    path = str(tmp_path / "wh")
+    idx = WindowHashIndex(spark, path, window=8)
+    passage_a = " ".join(f"alpha{i}" for i in range(20))
+    passage_b = " ".join(f"beta{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(0, f"intro words {passage_a} outro"),
+         (1, f"other doc holding {passage_b} tail words here")],
+        "doc_id long, text string",
+    )
+    idx.append(corpus)
+
+    local = WindowHashIndex.open_local(path)
+    probes = [
+        f"lead tokens then {passage_a} and fresh tail",        # hit
+        " ".join(f"fresh{i}" for i in range(30)),              # miss
+        f"x {passage_a} y {passage_b} z",                      # two spans
+        "short text",                                          # < window
+    ]
+    for i, text in enumerate(probes):
+        one = spark.createDataFrame(
+            [(100 + i, text)], "doc_id long, text string"
+        )
+        want = idx.probe(one).collect()
+        assert len(want) == 1
+        wr = want[0]
+        got = local.probe_local(text)
+        assert got == (
+            wr["n_tokens"], wr["n_tokens_cut"], wr["dedup_text"]
+        ), text[:40]
+    assert local.probe_local("") is None  # empty doc: probe emits no row
+    # the hit actually cut something (guard against a vacuous pin)
+    assert local.probe_local(probes[0])[1] > 0
+
+    # append new text; the resident membership cache must drop
+    extra = " ".join(f"gamma{i}" for i in range(12))
+    idx.append(spark.createDataFrame(
+        [(2, f"padding {extra} padding2")], "doc_id long, text string"
+    ))
+    text = f"now containing {extra} too plus filler words"
+    one = spark.createDataFrame([(200, text)], "doc_id long, text string")
+    wr = idx.probe(one).collect()[0]
+    assert local.probe_local(text) == (
+        wr["n_tokens"], wr["n_tokens_cut"], wr["dedup_text"]
+    )
+
+
+def test_serve_query_cli_passage_mode_sparkless(spark, tmp_path):
+    """The CLI's --cut-text mode (r13) passage-trims one raw document
+    against a persisted WindowHashIndex in a subprocess with no JVM,
+    identical to probe() in this session."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+
+    store = str(tmp_path / "wh")
+    idx = WindowHashIndex(spark, store, window=8)
+    passage = " ".join(f"alpha{i}" for i in range(20))
+    idx.append(spark.createDataFrame(
+        [(0, f"intro {passage} outro")], "doc_id long, text string"
+    ))
+    text = f"lead tokens then {passage} and fresh tail"
+    one = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    wr = idx.probe(one).collect()[0]
+    tf = tmp_path / "doc.txt"
+    tf.write_text(text)
+    r = subprocess.run(
+        [
+            sys.executable, "tools/serve_query.py",
+            "--store", store, "--cut-text", f"@{tf}",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_LOCAL_IP": "127.0.0.1"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_tokens"] == wr["n_tokens"]
+    assert out["n_tokens_cut"] == wr["n_tokens_cut"] > 0
+    assert out["dedup_text"] == wr["dedup_text"]
+    assert "SparkContext" not in r.stderr

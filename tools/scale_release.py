@@ -22,11 +22,12 @@ from tools.scale_smoke import (  # noqa: E402
     build_corpus30,
 )
 
-HEADER = "## 30x tier — the corpus-release capstone (VERDICT r12 #5)"
-LATER = [
-    "## Continuous ingestion at the 100x vector tier — 20 ticks "
-    "(VERDICT r11 #5)",
-]
+HEADER = "## 30x/100x tiers — the corpus-release capstone (VERDICT r12 #5)"
+# the capstone is the LAST SCALE.md section — listing the (earlier)
+# continuous-ingestion header here made every run append a duplicate
+# (capstone, continuous) pair instead of replacing in place (r13
+# incident: the file tripled before the dedup repair)
+LATER: list = []
 
 
 def main() -> None:
@@ -54,8 +55,17 @@ def main() -> None:
         print("building 30x corpus ...", flush=True)
         build_corpus30(spark)
 
+    tier_list = [("1x", "/root/testdata/sf0.1"), ("30x", OUT30)]
+    if "--tier100" in sys.argv:
+        from tools.scale_smoke import OUT100, build_corpus100
+
+        if not os.path.isdir(f"{OUT100}/documents.parquet"):
+            print("building 100x corpus ...", flush=True)
+            build_corpus100(spark)
+        tier_list.append(("100x", OUT100))
+
     tiers = []
-    for tier, sf_dir in (("1x", "/root/testdata/sf0.1"), ("30x", OUT30)):
+    for tier, sf_dir in tier_list:
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
 
@@ -146,8 +156,11 @@ def main() -> None:
         f"| {w} |"
         for t, d, f, m, tr, c, rel, sq, w in tiers
     )
-    (t1, *_r1, w1), (t30, *_r30, w30) = tiers
-    ratio = round(w30 / w1, 1)
+    w1 = tiers[0][-1]
+    ratios = ", ".join(
+        f"{t} data costs {round(w / w1, 1)}x wall"
+        for t, *_r, w in tiers[1:]
+    )
     body = (
         f"{HEADER}\n\n"
         f"`docs_corpus_release` — the five-stage composed release "
@@ -160,7 +173,7 @@ def main() -> None:
         f"contaminated | released | packed seqs | wall s |\n"
         f"|---|---|---|---|---|---|---|---|---|\n"
         f"{rows}\n\n"
-        f"30x data costs {ratio}x wall — the composition inherits its "
+        f"{ratios} — the composition inherits its "
         f"stages' sublinearity. Why: the funnel's DSIR top-k pins the "
         f"mix at ≤ 100 docs regardless of corpus size, so stages 4-5 "
         f"(the ids-only contamination join over rare fingerprints and "

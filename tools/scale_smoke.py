@@ -1625,10 +1625,30 @@ def _splice_section(header: str, body: str, later_headers: list[str]) -> None:
     """Replace ONE SCALE.md section in place: everything before
     ``header`` is kept verbatim, ``body`` (which must start with the
     header) replaces the old section, and the FIRST of
-    ``later_headers`` still present is preserved from there down."""
+    ``later_headers`` still present is preserved from there down.
+
+    When ``header`` is ABSENT, the section INSERTS (before the first
+    later header present, else at the end) — without this guard the
+    old code treated the whole file as "head" and re-appended the
+    later sections, duplicating them on every run (the r13 capstone
+    incident tripled the file). ``later_headers`` must only name
+    sections that genuinely come AFTER this one."""
     path = os.path.join(REPO_ROOT, "SCALE.md")
     with open(path) as f:
         whole = f.read()
+    if "\n" + header not in whole:
+        for h in later_headers:
+            if "\n" + h in whole:
+                head2, tail2 = whole.split("\n" + h, 1)
+                out = (
+                    head2.rstrip("\n") + "\n" + body + "\n" + h + tail2
+                )
+                break
+        else:
+            out = whole.rstrip("\n") + "\n" + body
+        with open(path, "w") as f:
+            f.write(out)
+        return
     head = whole.split("\n" + header)[0]
     tail = ""
     for h in later_headers:

@@ -17,6 +17,12 @@ near-dup of anything indexed?"):
     python tools/serve_query.py --store /path/to/mhidx \\
         --text "raw document text ..."      (or @file.txt)
 
+Passage-cut mode (r13 — WindowHashIndex store; trim the spans the
+corpus already holds out of one document):
+
+    python tools/serve_query.py --store /path/to/whidx \\
+        --cut-text "raw document text ..."  (or @file.txt)
+
 Each prints one JSON line: {"results": [[id, score, rank], ...],
 "wall_ms": ..., ...config...}. Answers are bit-identical to the
 cluster's `probe_adc` / `probe` for the same config (pinned in
@@ -64,6 +70,11 @@ def main() -> None:
         help="raw document text (or @file.txt) to near-dup-check "
         "against a MinHashIndex store",
     )
+    mode.add_argument(
+        "--cut-text",
+        help="raw document text (or @file.txt) to passage-trim "
+        "against a WindowHashIndex store",
+    )
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--n-probe",
@@ -77,6 +88,36 @@ def main() -> None:
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
     args = ap.parse_args()
+
+    if args.cut_text is not None:
+        from data_engineer_challenge_spark.operators.passage import (
+            WindowHashIndex,
+        )
+
+        text = args.cut_text
+        if text.startswith("@"):
+            with open(text[1:]) as f:
+                text = f.read()
+        widx = WindowHashIndex.open_local(args.store)
+        t0 = time.perf_counter()
+        pres = widx.probe_local(text)
+        wall_ms = round((time.perf_counter() - t0) * 1000, 1)
+        if pres is None:
+            print(json.dumps({"empty_document": True, "wall_ms": wall_ms}))
+            return
+        n_tokens, n_cut, dedup_text = pres
+        print(
+            json.dumps(
+                {
+                    "n_tokens": n_tokens,
+                    "n_tokens_cut": n_cut,
+                    "dedup_text": dedup_text,
+                    "wall_ms": wall_ms,
+                    "window": widx.meta["window"],
+                }
+            )
+        )
+        return
 
     if args.text is not None:
         from data_engineer_challenge_spark.operators.dedup_index import (
