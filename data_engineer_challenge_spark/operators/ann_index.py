@@ -1767,26 +1767,14 @@ class IVFVectorIndex:
 
     def _local_store_state(self) -> tuple:
         """Cheap fingerprint of the persisted store's mutable parts
-        (postings + roster dirs: per-dir mtime_ns and entry count) —
-        the resident-cell cache key. Any append/delete/compaction
-        touches one of these directories, so a changed state drops
-        the cache; an unchanged state serves from RAM."""
-        import os
+        (postings + roster dirs) — the resident-cell cache key; ONE
+        shared implementation (compaction.dir_fingerprint). Any
+        append/delete/compaction/rebucket touches one of these, so a
+        changed state drops the cache (and triggers the cross-process
+        quantizer reload in probe_local)."""
+        from .compaction import dir_fingerprint
 
-        def _sig(d):
-            try:
-                names = sorted(os.listdir(d))
-            except FileNotFoundError:
-                return ()
-            out = [os.stat(d).st_mtime_ns, len(names)]
-            for n in names:
-                try:
-                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
-                except FileNotFoundError:
-                    pass
-            return tuple(out)
-
-        return (_sig(self._postings_dir()), _sig(self._latest_dir()))
+        return dir_fingerprint(self._postings_dir(), self._latest_dir())
 
     def _local_roster(self):
         """The _roster fold in pandas: per updated/deleted id, the
@@ -1967,6 +1955,33 @@ class IVFVectorIndex:
 
         qn = _sdot(q, q)
         state = self._local_store_state()
+        if getattr(self, "_plc_state", None) != state:
+            # CROSS-PROCESS rebucket check (r13 review): the store
+            # mutated under this handle, and if the mutation was a
+            # rebucket, the resident centroids/quantizer no longer
+            # describe the cid= layout — reload meta + quantizer +
+            # serving hints from their persisted files before any
+            # cell arithmetic (the in-process case is caught by the
+            # identity check below).
+            meta_path = os.path.join(self.path, "meta", "meta.json")
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored.get("centroids_md5") != self.meta.get(
+                "centroids_md5"
+            ):
+                with open(
+                    self._quantizer_file(stored["centroids_md5"])
+                ) as f:
+                    quant = json.load(f)
+                self.meta = stored
+                self.centroids = quant["centroids"]
+                self.n_probe_hint = (
+                    quant.get("n_probe") or self.n_probe_hint
+                )
+                self.adc_shortlist_hint = (
+                    quant.get("adc_shortlist")
+                    or self.adc_shortlist_hint
+                )
         if (
             getattr(self, "_plc_state", None) != state
             or getattr(self, "_plc_cent_src", None) is not self.centroids

@@ -130,6 +130,31 @@ def _data_files(d: str) -> list[str]:
     ]
 
 
+def dir_fingerprint(*dirs: str) -> tuple:
+    """Cheap state fingerprint of one or more directories (per-dir
+    mtime_ns + entry count + per-entry mtime_ns) — the probe_local
+    family's resident-cache invalidation key, ONE implementation for
+    all four index stores (r13 review: four copy-pasted _sig helpers
+    were a divergence hazard). Any append/delete/compaction/rebucket
+    touches one of the fingerprinted dirs, so a changed tuple means
+    "drop the cache and reload persisted meta"."""
+
+    def _sig(d: str) -> tuple:
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return ()
+        out = [os.stat(d).st_mtime_ns, len(names)]
+        for n in names:
+            try:
+                out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
+            except FileNotFoundError:
+                pass
+        return tuple(out)
+
+    return tuple(_sig(d) for d in dirs)
+
+
 def heal(root: str) -> None:
     """Repair a crashed compaction under ``root`` (module docstring).
     Parked dirs restore when their live twin is missing (crash between

@@ -408,24 +408,11 @@ class MinHashIndex:
         return cls.open(None, path)  # type: ignore[arg-type]
 
     def _local_store_state(self) -> tuple:
-        """Cheap fingerprint of the store's mutable dirs (the
-        ``IVFVectorIndex._local_store_state`` discipline) — the
-        resident-postings cache key for :meth:`probe_local`."""
+        """Store fingerprint (bands + shingles dirs) — the resident
+        cache key, via the shared ``compaction.dir_fingerprint``."""
+        from .compaction import dir_fingerprint
 
-        def _sig(d: str) -> tuple:
-            try:
-                names = sorted(os.listdir(d))
-            except FileNotFoundError:
-                return ()
-            out = [os.stat(d).st_mtime_ns, len(names)]
-            for n in names:
-                try:
-                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
-                except FileNotFoundError:
-                    pass
-            return tuple(out)
-
-        return (_sig(self._bands_dir()), _sig(self._shingles_dir()))
+        return dir_fingerprint(self._bands_dir(), self._shingles_dir())
 
     def probe_local(self, text: str) -> list[tuple[int, float]]:
         """Single-document dedup point serving OUTSIDE Spark (r13 —
@@ -518,6 +505,19 @@ class MinHashIndex:
 
         state = self._local_store_state()
         if getattr(self, "_mhl_state", None) != state:
+            # reload PERSISTED meta before trusting bucket arithmetic
+            # (r13 review): a cross-process rebucket changes
+            # bh_buckets, and a handle that only dropped its cache
+            # would probe bucket dirs at the old modulus and silently
+            # miss every stored match. (Only the bucket count can
+            # change: the hash-family parameters used by the
+            # signature above are frozen in the meta fingerprint for
+            # the store's lifetime — maybe_rebucket never alters
+            # them.)
+            with open(
+                os.path.join(self.path, "meta", "meta.json")
+            ) as f:
+                self.meta = json.load(f)
             self._mhl_state = state
             self._mhl_bands: dict[int, pd.DataFrame] = {}
             self._mhl_shingles: dict[int, pd.DataFrame] = {}

@@ -282,23 +282,11 @@ class WindowHashIndex:
         return cls.open(None, path)  # type: ignore[arg-type]
 
     def _local_store_state(self) -> tuple:
-        """Store fingerprint — the resident-bucket cache key (the
-        ``probe_local`` family's invalidation discipline)."""
+        """Store fingerprint (windows dir) — the resident cache key,
+        via the shared ``compaction.dir_fingerprint``."""
+        from .compaction import dir_fingerprint
 
-        def _sig(d: str) -> tuple:
-            try:
-                names = sorted(os.listdir(d))
-            except FileNotFoundError:
-                return ()
-            out = [os.stat(d).st_mtime_ns, len(names)]
-            for n in names:
-                try:
-                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
-                except FileNotFoundError:
-                    pass
-            return tuple(out)
-
-        return _sig(self._windows_dir())
+        return dir_fingerprint(self._windows_dir())
 
     def probe_local(
         self, text: str
@@ -338,6 +326,18 @@ class WindowHashIndex:
         if not toks:
             return None
         n = len(toks)
+        # reload PERSISTED meta before any window/bucket arithmetic
+        # (r13 review): a cross-process rebucket changes h_buckets,
+        # and a handle that only dropped its cache would read bucket
+        # dirs at the old modulus and silently miss indexed spans
+        state = self._local_store_state()
+        if getattr(self, "_whl_state", None) != state:
+            with open(
+                os.path.join(self.path, "meta", "meta.json")
+            ) as f:
+                self.meta = json.load(f)
+            self._whl_state = state
+            self._whl_buckets: dict[int, set] = {}
         w = self.meta["window"]
         if not os.path.isdir(self._windows_dir()):
             return (n, 0, " ".join(toks))  # fresh index cuts nothing
@@ -350,10 +350,6 @@ class WindowHashIndex:
                     " ".join(toks[i : i + w]).encode()
                 ).hexdigest()
                 wins.append((i, h))
-        state = self._local_store_state()
-        if getattr(self, "_whl_state", None) != state:
-            self._whl_state = state
-            self._whl_buckets: dict[int, set] = {}
         nb = self.meta["h_buckets"]
         spans = []
         for i, h in wins:

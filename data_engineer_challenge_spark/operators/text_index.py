@@ -91,46 +91,13 @@ TEXT_TARGET_BUCKET_ROWS = 1_000_000
 TEXT_REBUCKET_GROWTH = 2.0
 
 
-def _spark_hash_string(s: str, seed: int = 42) -> int:
-    """Pure-Python replica of Spark's ``F.hash()`` on a string —
-    Murmur3 x86_32 (Appleby's public algorithm, the variant Spark's
-    ``Murmur3_x86_32.hashUnsafeBytes`` implements: 4-byte
-    little-endian lanes, then each TAIL byte mixed individually as a
-    SIGNED Java byte, fmix over the byte length) with Spark's seed
-    42, returned as a signed int32. This is what lets
-    :meth:`InvertedTextIndex.probe_local` compute ``t_bucket``
-    membership without a JVM: ``pmod(hash(term), N)`` becomes
-    ``_spark_hash_string(term) % N`` (Python ``%`` on a positive
-    modulus IS pmod). Bit-equality with ``F.hash`` is test-pinned
-    over ASCII/multibyte/empty strings (r13, VERDICT r12 #4)."""
-    data = s.encode("utf-8")
-    c1, c2 = 0xCC9E2D51, 0x1B873593
-    h1 = seed & 0xFFFFFFFF
-    n = len(data)
-    lanes = n - n % 4
-
-    def _mix(h1: int, k1: int) -> int:
-        k1 = (k1 * c1) & 0xFFFFFFFF
-        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-        k1 = (k1 * c2) & 0xFFFFFFFF
-        h1 ^= k1
-        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
-        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
-
-    for i in range(0, lanes, 4):
-        h1 = _mix(h1, int.from_bytes(data[i : i + 4], "little"))
-    for i in range(lanes, n):
-        b = data[i]
-        if b >= 0x80:
-            b -= 0x100  # Java bytes are signed
-        h1 = _mix(h1, b % (1 << 32))
-    h1 ^= n
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-    h1 ^= h1 >> 16
-    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+# _spark_hash_string: the pure-Python Murmur3 replica behind the
+# t_bucket computation — ONE canonical implementation lives in
+# operators/localhash.py (r13 review: this module briefly carried its
+# own byte-identical copy; a fix applied to one copy would silently
+# leave the other wrong). Re-exported under the original name so
+# probe_local and the bit-equality pin test keep their import path.
+from .localhash import spark_murmur3_string as _spark_hash_string  # noqa: E402
 
 
 def _round6(x: float) -> float:
@@ -597,27 +564,13 @@ class InvertedTextIndex:
         return ranked.where(F.col("rank") <= topk)
 
     def _local_store_state(self) -> tuple:
-        """Cheap fingerprint of the store's mutable parts (postings +
-        stats dirs: per-entry mtime_ns and counts) — the resident-
-        postings cache key, the ``IVFVectorIndex._local_store_state``
-        discipline: any append/compaction/rebucket touches one of
-        these, so a changed state drops the cache."""
-        def _sig(d: str) -> tuple:
-            try:
-                names = sorted(os.listdir(d))
-            except FileNotFoundError:
-                return ()
-            out = [os.stat(d).st_mtime_ns, len(names)]
-            for n in names:
-                try:
-                    out.append(os.stat(os.path.join(d, n)).st_mtime_ns)
-                except FileNotFoundError:
-                    pass
-            return tuple(out)
+        """Store fingerprint (postings + stats dirs + the layout's
+        bucket count) — the resident-postings cache key, via the
+        shared ``compaction.dir_fingerprint``."""
+        from .compaction import dir_fingerprint
 
         return (
-            _sig(self._postings_dir()),
-            _sig(self._stats_dir()),
+            *dir_fingerprint(self._postings_dir(), self._stats_dir()),
             self.meta["t_buckets"],
         )
 
@@ -672,6 +625,17 @@ class InvertedTextIndex:
             raise ValueError("probe_local needs at least one term")
         state = self._local_store_state()
         if getattr(self, "_ptl_state", None) != state:
+            # reload the PERSISTED layout meta before trusting any
+            # bucket arithmetic (r13 review): a rebucket in another
+            # process changes t_buckets, and a serving handle that
+            # only dropped its cache would hash terms at the OLD
+            # modulus and silently miss every stored posting
+            meta_path = os.path.join(self.path, "meta", "meta.json")
+            with open(meta_path) as f:
+                stored = json.load(f)
+            stored.setdefault("positions", False)
+            self.meta = stored
+            state = self._local_store_state()  # tuple embeds t_buckets
             self._ptl_state = state
             self._ptl_buckets: dict[int, pd.DataFrame] = {}
             self._ptl_stats: tuple[int, float] | None = None
@@ -737,12 +701,21 @@ class InvertedTextIndex:
         doc_ids = np.sort(posts["doc_id"].unique())
         nd = len(doc_ids)
         rd = pd.Index(doc_ids).get_indexer(posts["doc_id"].to_numpy())
-        tidx = {t: i for i, t in enumerate(terms)}
-        rt = posts["term"].map(tidx).to_numpy(dtype=np.int64)
+        # fold ONCE per DISTINCT term, then map slots: probe()'s
+        # pivot populates tf{i} for EVERY slot whose term matches —
+        # a duplicated query term contributes its component once per
+        # occurrence in the fixed-order sum — so slots sharing a term
+        # must share the folded row (r13 review: a last-index tidx
+        # dropped all but one slot of a duplicated term, breaking the
+        # bit-identical contract for queries like 'data,rare,data')
+        distinct = list(dict.fromkeys(terms))
+        didx = {t: i for i, t in enumerate(distinct)}
+        rt = posts["term"].map(didx).to_numpy(dtype=np.int64)
         dl = np.zeros(nd, dtype=np.int64)
         np.maximum.at(dl, rd, posts["dl"].to_numpy(dtype=np.int64))
-        tf = np.zeros((len(terms), nd), dtype=np.int64)
-        np.maximum.at(tf, (rt, rd), posts["tf"].to_numpy(dtype=np.int64))
+        tf_d = np.zeros((len(distinct), nd), dtype=np.int64)
+        np.maximum.at(tf_d, (rt, rd), posts["tf"].to_numpy(dtype=np.int64))
+        tf = np.stack([tf_d[didx[t]] for t in terms])
         dfs = [int((tf[i] > 0).sum()) for i in range(len(terms))]
         # bm25_score's expression, elementwise: idf · tfn per term,
         # tf==0 ⇒ 0.0, components summed by the SAME left fold in

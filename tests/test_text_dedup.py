@@ -4058,3 +4058,178 @@ def test_serve_query_cli_passage_mode_sparkless(spark, tmp_path):
     assert out["n_tokens_cut"] == wr["n_tokens_cut"] > 0
     assert out["dedup_text"] == wr["dedup_text"]
     assert "SparkContext" not in r.stderr
+
+
+def test_text_probe_local_duplicated_query_term(spark, tmp_path):
+    """r13 review: probe() populates EVERY tf{i} slot whose term
+    matches, so a duplicated query term contributes its BM25
+    component once per occurrence in the fixed-order sum —
+    probe_local must replicate that (the first cut mapped postings
+    only to the term's last slot, halving the duplicate's weight and
+    re-ranking mixed queries)."""
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    idx = InvertedTextIndex(spark, path, t_buckets=8)
+    idx.build(docs.select("doc_id", "text"))
+    local = InvertedTextIndex.open_local(path)
+    for q in [("data", "data"), ("data", "quality", "data"),
+              ("the", "data", "the", "the")]:
+        want = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in idx.probe(q, topk=15).orderBy("rank").collect()
+        ]
+        assert local.probe_local(q, topk=15) == want, q
+
+
+def test_probe_local_survives_cross_process_rebucket(spark, tmp_path):
+    """r13 review: a serving handle must RELOAD persisted meta when
+    the store fingerprint changes — a rebucket in another process
+    changes the bucket modulus, and a handle that only dropped its
+    cache would read bucket dirs at the old modulus and silently
+    miss everything. Simulated with a second (mutator) handle per
+    store family: text, minhash, passage."""
+    from data_engineer_challenge_spark.operators.dedup_index import (
+        MinHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.passage import (
+        WindowHashIndex,
+    )
+    from data_engineer_challenge_spark.operators.text_index import (
+        InvertedTextIndex,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    # ---- text ----
+    tpath = str(tmp_path / "tix")
+    t_mut = InvertedTextIndex(spark, tpath, t_buckets=2)
+    t_mut.build(docs.where("doc_id % 2 = 0").select("doc_id", "text"))
+    serving = InvertedTextIndex.open_local(tpath)
+    q = ("data", "quality")
+    assert serving.probe_local(q, topk=10) == [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in t_mut.probe(q, topk=10).orderBy("rank").collect()
+    ]  # warm the stale handle
+    t_mut.append(docs.where("doc_id % 2 = 1").select("doc_id", "text"))
+    assert t_mut.maybe_rebucket(target_bucket_rows=10) is True
+    assert serving.meta["t_buckets"] == 2  # stale until next probe
+    want = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in t_mut.probe(q, topk=10).orderBy("rank").collect()
+    ]
+    assert serving.probe_local(q, topk=10) == want
+    assert serving.meta["t_buckets"] == t_mut.meta["t_buckets"] > 2
+
+    # ---- minhash ----
+    mpath = str(tmp_path / "mh")
+    m_mut = MinHashIndex(spark, mpath, threshold=0.5, bh_buckets=2)
+    m_mut.build(docs.filter(F.col("doc_id") % 5 != 0))
+    m_serving = MinHashIndex.open_local(mpath)
+    probe_rows = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    )
+    m_serving.probe_local(probe_rows[0]["text"])  # warm
+    assert m_mut.maybe_rebucket(target_bucket_rows=10) is True
+    for r in probe_rows:
+        one = docs.where(F.col("doc_id") == r["doc_id"]).select(
+            "doc_id", "text"
+        )
+        want = {
+            (x["dup_of"], x["jaccard"])
+            for x in m_mut.probe(one).collect()
+        }
+        m_mut.release()
+        assert set(m_serving.probe_local(r["text"])) == want, r["doc_id"]
+    assert m_serving.meta["bh_buckets"] == m_mut.meta["bh_buckets"] > 2
+
+    # ---- passage ----
+    wpath = str(tmp_path / "wh")
+    w_mut = WindowHashIndex(spark, wpath, window=8, h_buckets=2)
+    passage = " ".join(f"alpha{i}" for i in range(20))
+    # enough distinct window rows that mean bucket rows exceed the
+    # rebucket trigger below
+    filler = [
+        (10 + k, " ".join(f"fill{k}w{i}" for i in range(40)))
+        for k in range(5)
+    ]
+    w_mut.append(spark.createDataFrame(
+        [(0, f"intro {passage} outro"), *filler],
+        "doc_id long, text string",
+    ))
+    w_serving = WindowHashIndex.open_local(wpath)
+    text = f"lead tokens then {passage} tail"
+    w_serving.probe_local(text)  # warm
+    assert w_mut.maybe_rebucket(
+        target_bucket_rows=10, growth_factor=1.0
+    ) is True
+    one = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    wr = w_mut.probe(one).collect()[0]
+    assert w_serving.probe_local(text) == (
+        wr["n_tokens"], wr["n_tokens_cut"], wr["dedup_text"]
+    )
+    assert wr["n_tokens_cut"] > 0
+    assert w_serving.meta["h_buckets"] == w_mut.meta["h_buckets"] > 2
+
+
+def test_ivf_probe_local_survives_cross_process_rebucket(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review (the IVF member of the stale-meta fix): a serving
+    handle holding build-time centroids must detect a rebucket done
+    through ANOTHER handle via the store fingerprint and reload
+    meta + quantizer + hints from their persisted files — otherwise
+    it would assign the query to cells of a layout that no longer
+    exists."""
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    mut = IVFVectorIndex(
+        spark, path, [list(c) for c in CENTROIDS[:2]],
+        pq_codebooks=CODEBOOKS,
+    )
+    mut.build(emb.where("vec_id < 80"))
+
+    serving = IVFVectorIndex.open_local(path)
+    q = emb.orderBy("vec_id").first()
+    qv = list(q["embedding"])
+    serving.probe_local(qv, k=5, n_probe=2, shortlist=60)  # warm
+
+    mut.append(emb.where("vec_id >= 80"))
+    assert mut.maybe_rebucket() is True
+    k_new = mut.meta["k"]
+    assert k_new > 2
+
+    # full-width probe on the NEW layout, both paths
+    one = emb.where(F.col("vec_id") == q["vec_id"]).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = [
+        (r["c_id"], r["cos_sim"], r["rank"])
+        for r in mut.probe_adc(one, k=5, n_probe=k_new, shortlist=60)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = serving.probe_local(qv, k=5, n_probe=k_new, shortlist=60)
+    assert got == want
+    assert serving.meta["centroids_md5"] == mut.meta["centroids_md5"]
+    assert len(serving.centroids) == k_new

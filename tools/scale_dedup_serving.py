@@ -30,29 +30,6 @@ HEADER = (
 STORE = "/tmp/scale100_mhidx"
 
 
-def _splice(body: str) -> None:
-    path = os.path.join(REPO_ROOT, "SCALE.md")
-    with open(path) as f:
-        whole = f.read()
-    if "\n" + HEADER in whole:
-        _splice_section(HEADER, body, [LOGGROWTH_HEADER])
-        return
-    if "\n" + LOGGROWTH_HEADER in whole:
-        head, tail = whole.split("\n" + LOGGROWTH_HEADER, 1)
-        out = (
-            head.rstrip("\n")
-            + "\n"
-            + body
-            + "\n"
-            + LOGGROWTH_HEADER
-            + tail
-        )
-    else:
-        out = whole.rstrip("\n") + "\n" + body
-    with open(path, "w") as f:
-        f.write(out)
-
-
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -94,22 +71,30 @@ def main() -> None:
     sample = probe_side.limit(400).localCheckpoint()
     hits = idx.probe(sample).collect()
     idx.release()
-    hit_id = hits[0]["new_id"] if hits else None
-    hit_row = (
-        sample.where(F.col("doc_id") == hit_id).first() if hits else None
-    )
+    # fail LOUD before the timing section (r13 review: an unguarded
+    # None deref after the multi-minute build lost the run)
+    if not hits:
+        raise SystemExit(
+            "scale_dedup_serving: the 400-doc sample yielded no "
+            "near-dup hits — widen the sample or lower the threshold"
+        )
+    hit_id = hits[0]["new_id"]
+    hit_row = sample.where(F.col("doc_id") == hit_id).first()
     miss_row = None
     hit_ids = {h["new_id"] for h in hits}
-    for r in sample.limit(50).collect():
+    for r in sample.collect():
         if r["doc_id"] not in hit_ids:
             miss_row = r
             break
+    if miss_row is None:
+        raise SystemExit(
+            "scale_dedup_serving: every sampled doc is a hit — no "
+            "miss document to time; widen the sample"
+        )
 
     local = MinHashIndex.open_local(STORE)
     # decision pin before timing: local == spark on both documents
     for r in (hit_row, miss_row):
-        if r is None:
-            continue
         one = sample.where(F.col("doc_id") == r["doc_id"])
         want = {
             (x["dup_of"], x["jaccard"]) for x in idx.probe(one).collect()
@@ -186,7 +171,7 @@ def main() -> None:
         f"completing the probe_local family across all three "
         f"persisted retrieval/dedup stores.\n"
     )
-    _splice(body)
+    _splice_section(HEADER, body, [LOGGROWTH_HEADER])
     print("SCALE.md section spliced", flush=True)
 
 

@@ -35,29 +35,6 @@ QUERIES = [
 ]
 
 
-def _splice(body: str) -> None:
-    path = os.path.join(REPO_ROOT, "SCALE.md")
-    with open(path) as f:
-        whole = f.read()
-    if "\n" + HEADER in whole:
-        _splice_section(HEADER, body, [LOGGROWTH_HEADER])
-        return
-    if "\n" + LOGGROWTH_HEADER in whole:
-        head, tail = whole.split("\n" + LOGGROWTH_HEADER, 1)
-        out = (
-            head.rstrip("\n")
-            + "\n"
-            + body
-            + "\n"
-            + LOGGROWTH_HEADER
-            + tail
-        )
-    else:
-        out = whole.rstrip("\n") + "\n" + body
-    with open(path, "w") as f:
-        f.write(out)
-
-
 def main() -> None:
     from data_engineer_challenge_spark import plans
     from data_engineer_challenge_spark.operators.text_index import (
@@ -169,7 +146,7 @@ def main() -> None:
         f"class for text from the SAME store the ingest loop "
         f"maintains.\n"
     )
-    _splice(body)
+    _splice_section(HEADER, body, [LOGGROWTH_HEADER])
     print("SCALE.md section spliced", flush=True)
 
 

@@ -46,6 +46,18 @@ COMPACT_BUDGET = 64
 RECALL_TARGET = 0.9  # reselect_serving's held-out target (r12 #3)
 
 
+def _quiet_phrase(rows) -> str:
+    """Median no-fold tick wall, or an honest fallback when EVERY
+    non-rebucket tick folded something (r13 review: indexing the
+    empty list crashed the report after the full walk)."""
+    quiet = sorted(
+        w for t, a, d, rb, fd, w, nf in rows if not rb and not fd
+    )
+    if quiet:
+        return f"median no-fold tick {quiet[len(quiet) // 2]} s"
+    return "every non-rebucket tick folded (no quiet baseline)"
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -95,6 +107,7 @@ def main() -> None:
         flush=True,
     )
 
+    serving = None  # the last reselect_serving receipt, any tick
     drops = f"{ROOT}/drops"
     dels = f"{ROOT}/dels"
     os.makedirs(drops)
@@ -166,6 +179,8 @@ def main() -> None:
         wall = round(time.perf_counter() - t0, 2)
         assert r["fired"], t
         nf = _n_files()
+        if r["serving"] is not None:
+            serving = r["serving"]  # a mid-walk rebucket's receipt
         rows.append(
             (t, r["vectors"], n_del, r["rebucketed"],
              r["compacted"], wall, nf)
@@ -199,7 +214,8 @@ def main() -> None:
     )
     wall = round(time.perf_counter() - t0, 2)
     assert r["fired"]
-    serving = r["serving"]  # the r13 receipt: set iff rebucketed
+    if r["serving"] is not None:
+        serving = r["serving"]  # the r13 receipt: set iff rebucketed
     rows.append(
         (21, r["vectors"], 0, r["rebucketed"], r["compacted"], wall,
          _n_files())
@@ -302,8 +318,7 @@ def main() -> None:
         f"the same tick and maybe_compact folded the WHOLE store — "
         f"the unstaggered-LSM failure); with the budget the fold "
         f"column shows ≤ {COMPACT_BUDGET} list rewrites per tick "
-        f"(median no-fold tick "
-        f"{sorted(w for t, a, d, rb, fd, w, nf in rows if not rb and not fd)[len([1 for t, a, d, rb, fd, w, nf in rows if not rb and not fd]) // 2]} s, "
+        f"({_quiet_phrase(rows)}, "
         f"max non-rebucket tick "
         f"{max(w for t, a, d, rb, fd, w, nf in rows if not rb)} s — "
         f"the fold ticks amortize what was one store-wide collapse; "
@@ -314,8 +329,8 @@ def main() -> None:
         f"Serving-config drift is closed (VERDICT r12 #3): "
         f"{serving_line}. After 21 ticks of mutation the store "
         f"serves {n_final:,} live vectors under k={k_now}; probing "
-        f"at the store's own persisted hint (n_probe={n_probe}, "
-        f"shortlist=2048) costs {probe_s} s over {nq} queries and "
+        f"at the store's own persisted hints (n_probe={n_probe}, "
+        f"shortlist={shortlist}) costs {probe_s} s over {nq} queries and "
         f"measures recall@10 {recall} vs exact brute force on the "
         f"live corpus — at/above the {RECALL_TARGET} target the "
         f"re-selection was asked for, vs the r12 run's silent 0.656 "

@@ -83,7 +83,13 @@ def main() -> None:
         help="lists to probe (default: the store's persisted hint, "
         "else 2)",
     )
-    ap.add_argument("--shortlist", type=int, default=60)
+    ap.add_argument(
+        "--shortlist",
+        type=int,
+        default=None,
+        help="ADC shortlist width (default: the store's persisted "
+        "adc_shortlist hint, else 60)",
+    )
     ap.add_argument("--topk", type=int, default=20)
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
@@ -194,9 +200,20 @@ def main() -> None:
         if args.n_probe is not None
         else (idx.n_probe_hint or 2)
     )
+    # BOTH serving levers default to the store's persisted hints
+    # (r13 review): reselect_serving persists adc_shortlist precisely
+    # because a hand-picked width silently under-recalls a rebucketed
+    # coded store (SCALE.md: hints 0.914 vs shortlist=2048's 0.657)
+    if args.shortlist is not None and args.shortlist <= 0:
+        ap.error("--shortlist must be positive")
+    shortlist = (
+        args.shortlist
+        if args.shortlist is not None
+        else (idx.adc_shortlist_hint or 60)
+    )
     t0 = time.perf_counter()
     res = idx.probe_local(
-        vec, k=args.k, n_probe=n_probe, shortlist=args.shortlist
+        vec, k=args.k, n_probe=n_probe, shortlist=shortlist
     )
     wall_ms = round((time.perf_counter() - t0) * 1000, 1)
     print(
@@ -205,7 +222,7 @@ def main() -> None:
                 "results": [[c, s, r] for c, s, r in res],
                 "wall_ms": wall_ms,
                 "n_probe": n_probe,
-                "shortlist": args.shortlist,
+                "shortlist": shortlist,
             }
         )
     )
