@@ -106,5 +106,6 @@ def _load() -> None:
     from . import similarity  # noqa: F401
     from . import release  # noqa: F401
     from . import crawl  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     _LOADED = True

@@ -176,6 +176,13 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_simhash_neardup",
+    # r14: rotated OFF the driver surface (VERDICT r13 #1) — its slot
+    # went to image_dhash_neardup, which hash-checks the SAME
+    # banded-hamming near-dup shape (band equi-join + bit_count-XOR
+    # verify, shared banding idiom) on the multimodal tier; the
+    # md5-simhash fingerprint math stays exactly oracle-checked here
+    # by the pytest harness.
+    driver=False,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id,

@@ -134,6 +134,7 @@ def ingest_stream_snapshot_merge(
     keys: list[str],
     checkpoint_dir: str,
     txn_prefix: str = "merge",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Exactly-once KEYED upsert ingest into a SnapshotTable — the
     transactional counterpart of :func:`ingest_stream` (which merges
@@ -147,7 +148,14 @@ def ingest_stream_snapshot_merge(
       half-merged table) and can time-travel to any pre-batch state;
     - the stats-pruned copy-on-write keeps per-batch cost ∝ the key
       range the batch touches, the steady-state streaming shape."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files — availableNow then
+        # drains the backlog as SEVERAL batches (each its own txn +
+        # table version) instead of one catch-all batch, the knob that
+        # keeps per-commit memory ∝ batch, not backlog
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.merge(

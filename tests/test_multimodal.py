@@ -942,3 +942,32 @@ def test_jpeg_truncation_sweep_raises_only_valueerror():
         decode_jpeg(data[:-2] + b"\xff")
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_image_dhash_neardup_plan_reports_every_planted_twin(spark):
+    """The registered driver row (plans/multimodal.py): every planted
+    one-pixel twin MUST be in the output — ≤ 2 flipped bits means the
+    4×16-bit pigeonhole guarantees a band match, so recall on the
+    planted class is exactly 1.0, not probabilistic. The oracle-hash
+    exactness is covered by the registry harness; this pins the
+    semantic guarantee the fixture was designed around."""
+    from data_engineer_challenge_spark.plans import multimodal as mm
+
+    from data_engineer_challenge_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = mm.image_dhash_neardup(spark, sf).toPandas()
+    docs = load_table(spark, sf, "documents")
+    planted = {
+        (int(r["doc_id"]), int(r["doc_id"]) + mm._TWIN_OFFSET)
+        for r in docs.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < mm._CAP)
+        ).collect()
+    }
+    assert planted
+    by_pair = {
+        (a, b): h for a, b, h in zip(pdf["id_a"], pdf["id_b"], pdf["hamming"])
+    }
+    missing = planted - set(by_pair)
+    assert not missing, f"planted twins absent: {sorted(missing)[:5]}"
+    assert all(by_pair[p] <= 2 for p in planted)
