@@ -565,8 +565,7 @@ def main() -> None:
         if ratios
         else None
     )
-    print(
-        json.dumps(
+    full_payload = (
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 4),
@@ -591,8 +590,20 @@ def main() -> None:
                     "anchor_load_factor": load_factor,
                 },
             }
-        )
     )
+    print(json.dumps(full_payload))
+    # local full artifact (r14, VERDICT r13 #8): the driver's tail
+    # capture head-cuts the full per-query line, so round-over-round
+    # diffs depended on regex recovery. Persist the complete payload
+    # in-repo; commit it alongside the round's bench run.
+    try:
+        with open(
+            os.path.join(REPO_ROOT, "tools", "bench_last.json"), "w"
+        ) as fh:
+            json.dump(full_payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"bench_last.json not written: {exc}", file=sys.stderr)
     # truncation armor (r13, VERDICT r12 #5): the full artifact above
     # is ~3 KB of per-query detail; a tail-capture window that cuts
     # its head loses the totals (BENCH_r12's "parsed": null). This

@@ -155,6 +155,48 @@ def dir_fingerprint(*dirs: str) -> tuple:
     return tuple(_sig(d) for d in dirs)
 
 
+def probe_local_retry(state_attr: str):
+    """Decorator closing the probe_local TOCTOU window (r13 advice),
+    ONE implementation for all four index stores: the fingerprint and
+    meta reload happen at call start, but the bucket parquet reads
+    happen later — a compaction or rebucket COMPLETING in another
+    process mid-call can raise FileNotFoundError (the park-and-swap
+    deletes the listed files) or, for a rebucket, silently serve one
+    answer computed at the old bucket modulus. The wrapper re-checks
+    ``_local_store_state()`` AFTER the probe body ran; on a mid-call
+    mutation (or a FileNotFoundError from a vanished part-file) it
+    drops the resident cache via ``state_attr`` and replays the probe
+    once from a fresh fingerprint + persisted-meta reload. A store
+    that mutates again during the replay propagates normally — one
+    retry bounds the cost; an endlessly-churning store is an
+    operational problem, not a serving race.
+
+    Note the post-check compares against the PRE-call fingerprint, so
+    the first probe after a cross-process rebucket replays once even
+    though its answer was already computed on consistent state (the
+    body's own reload moved ``t_buckets``-style meta components
+    between the two reads). Rare and harmless — correctness needs the
+    conservative compare."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            before = self._local_store_state()
+            try:
+                out = fn(self, *args, **kwargs)
+                if self._local_store_state() == before:
+                    return out
+            except FileNotFoundError:
+                pass
+            setattr(self, state_attr, None)
+            return fn(self, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def heal(root: str) -> None:
     """Repair a crashed compaction under ``root`` (module docstring).
     Parked dirs restore when their live twin is missing (crash between

@@ -65,7 +65,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .compaction import locked_writer, writer_lock
+from .compaction import locked_writer, probe_local_retry, writer_lock
 from .similarity import _require_long_ids
 from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
 
@@ -414,6 +414,7 @@ class MinHashIndex:
 
         return dir_fingerprint(self._bands_dir(), self._shingles_dir())
 
+    @probe_local_retry("_mhl_state")
     def probe_local(self, text: str) -> list[tuple[int, float]]:
         """Single-document dedup point serving OUTSIDE Spark (r13 —
         the dedup-tier member of the ``probe_local`` family): answer

@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .compaction import locked_writer, writer_lock
+from .compaction import locked_writer, probe_local_retry, writer_lock
 
 from ..functions.tokenize import word_tokens
 
@@ -288,6 +288,7 @@ class WindowHashIndex:
 
         return dir_fingerprint(self._windows_dir())
 
+    @probe_local_retry("_whl_state")
     def probe_local(
         self, text: str
     ) -> tuple[int, int, str] | None:

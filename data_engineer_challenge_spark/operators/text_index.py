@@ -75,7 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.tokenize import word_tokens
-from .compaction import locked_writer, writer_lock
+from .compaction import locked_writer, probe_local_retry, writer_lock
 from .similarity import _require_long_ids
 
 #: Okapi defaults, shared with plans/text.docs_bm25_search
@@ -106,7 +106,16 @@ def _round6(x: float) -> float:
     goes through ``Double.toString``; Python ``repr`` emits the same
     shortest round-trip string) — NOT over the exact binary
     expansion, which rounds 0.1234565 the other way. Bit-equality
-    with ``F.round`` is test-pinned on randomized doubles."""
+    with ``F.round`` is test-pinned on randomized doubles.
+
+    JDK caveat (r13 advice): ``Double.toString`` is guaranteed
+    shortest-round-trip only on JDK 19+ (JDK-4511638 / Ryu); older
+    JVMs have documented non-shortest outputs for RARE values, where
+    ``F.round`` would quantize a different decimal than ``repr`` and
+    this parity breaks. The pin test (randomized doubles) covers
+    only the JVM it runs on — it is green on this repo's JDK 17, but
+    a pre-19 deployment should treat the bit-equality contract as
+    environment-dependent and re-run the pin there."""
     import math
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
@@ -574,6 +583,7 @@ class InvertedTextIndex:
             self.meta["t_buckets"],
         )
 
+    @probe_local_retry("_ptl_state")
     def probe_local(
         self,
         terms: tuple[str, ...] | list[str],
@@ -683,6 +693,19 @@ class InvertedTextIndex:
                             os.path.join(sdir, fn)
                         ).to_pandas()
                     )
+            if not sparts:
+                # postings matched but no stats committed: a
+                # first-build crash landed between the postings and
+                # stats writes (r13 advice — pd.concat([]) raised an
+                # opaque "No objects to concatenate" here). Name the
+                # store state; the batch probe fails on the same
+                # missing-stats read.
+                raise RuntimeError(
+                    f"inverted index at {self.path!r} has postings "
+                    "but no corpus stats — interrupted build; re-run "
+                    "the indexing batch (or restore the stats dir) "
+                    "before serving"
+                )
             st = pd.concat(sparts, ignore_index=True)
             st = st.groupby("txn", as_index=False).agg(
                 n_docs=("n_docs", "max"), sum_dl=("sum_dl", "max")

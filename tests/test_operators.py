@@ -796,3 +796,55 @@ def test_text_probe_local_bit_identical_to_probe(spark, tmp_path):
     assert idx.maybe_compact(max_files_per_bucket=0) >= 1
     for q in queries[:3]:
         check(q)
+
+
+def test_probe_local_retry_on_mid_call_mutation():
+    """r14 (ADVICE r13): the probe_local TOCTOU guard. A store whose
+    fingerprint moves mid-call (cross-process compaction/rebucket
+    commit), or whose part-files vanish under the reader
+    (FileNotFoundError from the park-and-swap), must drop the
+    resident cache and replay the probe exactly once from fresh
+    state — and propagate a second consecutive failure."""
+    import pytest
+
+    from data_engineer_challenge_spark.operators.compaction import (
+        probe_local_retry,
+    )
+
+    class Store:
+        def __init__(self):
+            self.fp = 0
+            self.calls = 0
+            self._cache_state = "warm"
+
+        def _local_store_state(self):
+            return self.fp
+
+        @probe_local_retry("_cache_state")
+        def probe(self, mutate_after=0, raise_first=0):
+            self.calls += 1
+            if self.calls <= raise_first:
+                raise FileNotFoundError("part-file swapped away")
+            if self.calls <= mutate_after:
+                self.fp += 1  # store mutated while we were reading
+            return ("answer", self.calls, self._cache_state)
+
+    # quiet store: one call, cache untouched
+    s = Store()
+    assert s.probe() == ("answer", 1, "warm")
+
+    # fingerprint moves during the first read: replay once with the
+    # resident cache dropped (state_attr reset to None pre-replay)
+    s = Store()
+    out = s.probe(mutate_after=1)
+    assert out == ("answer", 2, None)
+    assert s.calls == 2
+
+    # vanished file on the first read: same single replay
+    s = Store()
+    assert s.probe(raise_first=1) == ("answer", 2, None)
+
+    # a store that churns through BOTH attempts propagates the error
+    s = Store()
+    with pytest.raises(FileNotFoundError):
+        s.probe(raise_first=2)

@@ -157,9 +157,27 @@ def main() -> None:
             InvertedTextIndex,
         )
 
-        terms = tuple(t for t in args.terms.split(",") if t)
+        # normalize exactly like the indexer's word_tokens (r13
+        # advice): an uppercase or punctuated term would hash to an
+        # arbitrary bucket and silently score zero — "no results" —
+        # instead of matching what indexing stored for the same word.
+        # One input term can normalize to several tokens ("data-set"
+        # → data, set); order is preserved (BM25's fixed-order sum).
+        import re as _re
+
+        from data_engineer_challenge_spark.functions.tokenize import (
+            TOKEN_RE,
+        )
+
+        terms = tuple(
+            tok
+            for t in args.terms.split(",")
+            for tok in _re.findall(TOKEN_RE, t.lower())
+        )
         if not terms:
-            ap.error("--terms needs at least one term")
+            ap.error(
+                "--terms needs at least one term containing [a-z0-9]"
+            )
         tidx = InvertedTextIndex.open_local(args.store)
         k1 = args.k1 if args.k1 is not None else K1
         b = args.b if args.b is not None else B
