@@ -44,13 +44,14 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import similarity as _sim
-from .compaction import locked_writer, writer_lock
+from .compaction import locked_writer, probe_local_retry, writer_lock
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
 
@@ -80,6 +81,58 @@ IVF_PROBE_LIST_FRACTION = 0.1
 #: this multiple of the target size (the store was built/last-bucketed
 #: for a smaller corpus and has since grown via append)
 IVF_REBUCKET_GROWTH = 2.0
+
+
+#: staged-rebucket layout (r14, VERDICT r13 #3): the growth event's
+#: whole-store rewrite spreads across budgeted ticks instead of one
+#: ~130 s stall. `.rebucket/manifest.json` carries the protocol
+#: state; `.rebucket-postings/` accumulates the new layout. Both are
+#: deliberately OUTSIDE the compaction family's `.compact-*` /
+#: `.old-*` namespaces so generic `heal` never sweeps an in-flight
+#: staging between ticks (heal drops stray `.compact-*` on every
+#: open; the staging dir must survive arbitrarily many opens).
+_STAGE_DIR = ".rebucket-postings"
+_STAGE_MANIFEST = os.path.join(".rebucket", "manifest.json")
+#: slice selector seed — pmod(xxhash64(seed, id), n_stages) picks
+#: each staging tick's rows; any fixed value works (slices only need
+#: to be deterministic and exhaustive)
+_STAGE_SLICE_SEED = 1413
+
+
+def _resolve_staged_rebucket(path: str) -> None:
+    """Reconcile a STAGED rebucket's cross-tick state at open (r14).
+    The staged protocol (:meth:`IVFVectorIndex.maybe_rebucket` with
+    ``stage_rows``) is resumable by design — an in-flight manifest +
+    staging dir must SURVIVE opens so later ticks continue the
+    rewrite. Only two terminal states need repair here:
+
+    - manifest present and the committed meta already carries the
+      manifest's quantizer md5: the swap committed and only the
+      cleanup crashed — drop manifest + any staging leftover;
+    - staging dir present with NO manifest: unreferenced debris from
+      a crashed cleanup — drop it.
+
+    Every mid-protocol crash (half-written stage slice, swap windows)
+    is covered without action: an unadvanced manifest replays its
+    stage — duplicate rows are bit-identical and fold away exactly
+    like replayed appends — and the swap itself reuses the one-shot
+    park-and-swap whose windows :func:`_resolve_rebucket` + generic
+    heal already roll forward or back."""
+    man = os.path.join(path, _STAGE_MANIFEST)
+    staging = os.path.join(path, _STAGE_DIR)
+    if os.path.exists(man):
+        with open(man) as f:
+            want = json.load(f)["new_md5"]
+        meta_path = os.path.join(path, "meta", "meta.json")
+        got = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                got = json.load(f).get("centroids_md5")
+        if got == want:
+            shutil.rmtree(os.path.dirname(man), ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
+    elif os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _resolve_rebucket(path: str) -> None:
@@ -180,6 +233,7 @@ class IVFVectorIndex:
             # blocking: never unpark another process's in-flight
             # compaction swap (writer_lock docstring)
             _resolve_rebucket(path)
+            _resolve_staged_rebucket(path)
             heal(path)
             heal(self._postings_dir())
             meta_path = os.path.join(path, "meta", "meta.json")
@@ -243,6 +297,7 @@ class IVFVectorIndex:
         always consistent with the live postings layout."""
         with writer_lock(path, blocking=True):
             _resolve_rebucket(path)
+            _resolve_staged_rebucket(path)
         meta_path = os.path.join(path, "meta", "meta.json")
         if not os.path.exists(meta_path):
             raise ValueError(f"no IVFVectorIndex at {path!r}")
@@ -946,6 +1001,7 @@ class IVFVectorIndex:
         sample_mod: int | None = 8,
         seed: int = 42,
         recall_target: float | None = None,
+        stage_rows: int | None = None,
     ) -> bool:
         """Growth-triggered quantizer retrain + full re-bucket — the
         maintenance operation ``build_scaled`` decides only ONCE
@@ -976,7 +1032,36 @@ class IVFVectorIndex:
         compaction. ``recall_target`` forwards to
         :meth:`select_n_probe` for the stored probe-width hint;
         without it the probed-fraction rule applies. Returns True iff
-        a rebucket happened; ``self`` then serves the NEW quantizer."""
+        a rebucket happened; ``self`` then serves the NEW quantizer.
+
+        ``stage_rows`` (r14, VERDICT r13 #3) turns the growth event
+        into a BUDGETED multi-tick protocol instead of one
+        whole-store stall — the compaction budget's own discipline
+        applied to the rebucket. With it set, each call advances ONE
+        phase and probes keep serving the OLD layout until the final
+        atomic swap:
+
+        - **plan** (trigger tick): retrain the quantizer + persist
+          it, write `.rebucket/manifest.json` sizing
+          ``n_stages = ⌈n_live / stage_rows⌉``; no data rewritten.
+        - **stage i** (next ``n_stages`` calls): re-assign + write
+          only the live rows with ``pmod(xxhash64(seed, id),
+          n_stages) == i`` — ≈``stage_rows`` rows of assign + IO per
+          tick — appended into `.rebucket-postings/cid=`.
+        - **swap** (final call): catch-up delta (live rows appended
+          since their slice's tick, found by an ids-only
+          ``(id, __ord)`` anti-join against the staging), then the
+          SAME park-and-swap + atomic meta commit as the one-shot
+          path. Returns True; ``self`` serves the new quantizer.
+
+        Rows superseded/deleted AFTER their slice staged leave stale
+        copies in the new layout exactly like ordinary appends do —
+        the surviving roster masks them and the next compaction
+        reclaims them — so probe answers after the swap match the
+        one-shot rebucket's. A crashed stage tick replays its slice
+        (bit-identical duplicate rows, folded away); the manifest
+        advances only after the slice lands. Phase taken this call is
+        recorded on ``self.rebucket_phase``."""
         import math
         import shutil
 
@@ -989,6 +1074,13 @@ class IVFVectorIndex:
         growth = (
             IVF_REBUCKET_GROWTH if growth_factor is None else growth_factor
         )
+        self.rebucket_phase: str | None = None
+        # an in-flight staged manifest continues REGARDLESS of mode or
+        # trigger state: the plan tick already decided; later calls
+        # finish what it started (a one-shot caller joining mid-flight
+        # would otherwise race the staging's park-and-swap)
+        if os.path.exists(os.path.join(self.path, _STAGE_MANIFEST)):
+            return self._staged_rebucket_continue()
         pdir = self._postings_dir()
         if not os.path.isdir(pdir):
             return False
@@ -998,6 +1090,15 @@ class IVFVectorIndex:
         n_raw = self._read_postings().count()
         if n_raw < min_n or n_raw <= growth * tls * self.meta["k"]:
             return False
+        if stage_rows is not None:
+            return self._staged_rebucket_plan(
+                tls=tls,
+                iters=iters,
+                sample_mod=sample_mod,
+                seed=seed,
+                recall_target=recall_target,
+                stage_rows=stage_rows,
+            )
         # localCheckpoint, not persist: the swap below RENAMES the
         # postings paths this frame's lineage reads — an evicted
         # persisted partition recomputed post-swap would hit missing
@@ -1098,6 +1199,214 @@ class IVFVectorIndex:
             # (unpersist() would be a no-op — the logreg r8 ADVICE
             # lesson); dropping the reference lets the ContextCleaner
             # free the blocks on GC
+            del live
+
+    # ---- staged rebucket (r14, VERDICT r13 #3) --------------------
+    # Private helpers behind maybe_rebucket(stage_rows=...); callers
+    # never invoke these directly (the @locked_writer wrapper on
+    # maybe_rebucket holds the store lock for whichever phase runs).
+
+    def _stage_manifest_path(self) -> str:
+        return os.path.join(self.path, _STAGE_MANIFEST)
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, _STAGE_DIR)
+
+    def _write_stage_slice(self, frame: DataFrame, new_cents) -> None:
+        """Assign ``frame``'s rows under the NEW quantizer (same
+        ``_assigned`` projection as every other write path — PQ codes
+        included, residual-coded against the new centroid when the
+        store is residual) and APPEND them into the staging layout.
+        Append, not overwrite: successive stage ticks share the same
+        ``cid=`` partition dirs, and a crashed tick's replay lands
+        bit-identical duplicates the probe fold tolerates (the
+        store-wide replay discipline)."""
+        if "__ord" not in frame.columns:
+            frame = frame.withColumn("__ord", F.lit(0).cast("long"))
+        old_cents = self.centroids
+        self.centroids = new_cents  # _assigned reads self.centroids
+        try:
+            out = self._assigned(frame).join(
+                frame.select(self.id_col, "__ord"), self.id_col
+            )
+        finally:
+            self.centroids = old_cents
+        out.repartition(F.col("cid")).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(self._staging_dir())
+
+    def _staged_rebucket_plan(
+        self,
+        tls: int,
+        iters: int,
+        sample_mod: int | None,
+        seed: int,
+        recall_target: float | None,
+        stage_rows: int,
+    ) -> bool:
+        """Phase 1: retrain + persist the new quantizer and open the
+        manifest. No store data is touched — a crash before the
+        manifest lands leaves only an orphan (md5-keyed, immutable)
+        quantizer file."""
+        import math
+
+        from .similarity import kmeans_centroids
+
+        live = self._live_folded().persist()
+        try:
+            n_live = live.count()
+            k_new = max(self.meta["k"], math.ceil(n_live / tls))
+            cents = kmeans_centroids(
+                live,
+                vec=self.vec_col,
+                id_col=self.id_col,
+                k=k_new,
+                iters=iters,
+                seed=seed,
+                sample_mod=sample_mod,
+            )
+            if recall_target is not None:
+                n_probe = self.select_n_probe(
+                    live.select(F.col(self.id_col), F.col(self.vec_col)),
+                    cents,
+                    recall_target,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                )
+            else:
+                n_probe = max(
+                    1, math.ceil(IVF_PROBE_LIST_FRACTION * k_new)
+                )
+        finally:
+            live.unpersist()
+        new_md5 = hashlib.md5(json.dumps(cents).encode()).hexdigest()
+        qf = self._quantizer_file(new_md5)
+        with open(qf + ".tmp", "w") as f:
+            json.dump({"centroids": cents, "n_probe": n_probe}, f)
+        os.replace(qf + ".tmp", qf)
+        man = {
+            "new_md5": new_md5,
+            "k": k_new,
+            "dim": len(cents[0]),
+            "n_probe": n_probe,
+            "n_stages": max(1, math.ceil(n_live / stage_rows)),
+            "next_stage": 0,
+            "n_live_plan": n_live,
+        }
+        mp = self._stage_manifest_path()
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(man, f)
+        os.replace(mp + ".tmp", mp)
+        self.rebucket_phase = f"plan k={k_new} stages={man['n_stages']}"
+        return False
+
+    def _staged_rebucket_continue(self) -> bool:
+        """Phase 2/3: advance one stage slice, or — all slices landed
+        — catch up the delta and run the one-shot path's
+        park-and-swap. Slices read the CURRENT live fold, so a row
+        appended after the plan tick stages with its newest version
+        if its slice hasn't run yet; everything else is caught by the
+        swap's ``(id, __ord)`` anti-join delta."""
+        mp = self._stage_manifest_path()
+        with open(mp) as f:
+            man = json.load(f)
+        with open(self._quantizer_file(man["new_md5"])) as f:
+            new_cents = json.load(f)["centroids"]
+        n_stages, i = man["n_stages"], man["next_stage"]
+        if i < n_stages:
+            live = self._live_folded()
+            sl = live.where(
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(_STAGE_SLICE_SEED), F.col(self.id_col)
+                    ),
+                    F.lit(n_stages),
+                )
+                == F.lit(i)
+            )
+            self._write_stage_slice(sl, new_cents)
+            man["next_stage"] = i + 1
+            with open(mp + ".tmp", "w") as f:
+                json.dump(man, f)
+            os.replace(mp + ".tmp", mp)
+            self.rebucket_phase = f"stage {i + 1}/{n_stages}"
+            return False
+        # ---- swap tick ----
+        staging = self._staging_dir()
+        live = self._live_folded()
+        if "__ord" not in live.columns:
+            live = live.withColumn("__ord", F.lit(0).cast("long"))
+        # the delta must not recompute live's lineage twice AND must
+        # not hold lineage over paths the swap renames — checkpoint,
+        # exactly like the one-shot path
+        live = live.localCheckpoint()
+        try:
+            from .compaction import _data_files
+
+            has_staged = os.path.isdir(staging) and any(
+                _data_files(os.path.join(staging, d))
+                for d in os.listdir(staging)
+                if os.path.isdir(os.path.join(staging, d))
+            )
+            if has_staged:
+                # mergeSchema: a mid-staging append can change the
+                # vector dtype (float↔double — the mixed-marker case),
+                # leaving slices staged before and after it with
+                # different schemas; the delta only needs (id, __ord),
+                # which are stable, but the read itself must merge
+                staged_keys = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(staging)
+                    .select(self.id_col, "__ord")
+                    .distinct()
+                )
+                delta = live.join(
+                    staged_keys, [self.id_col, "__ord"], "left_anti"
+                )
+            else:
+                delta = live  # every slice was empty (shrunk store)
+            self._write_stage_slice(delta, new_cents)
+            with open(os.path.join(staging, ".quantizer_md5"), "w") as f:
+                f.write(man["new_md5"])
+            new_meta = dict(
+                self.meta,
+                k=man["k"],
+                dim=man["dim"],
+                centroids_md5=man["new_md5"],
+            )
+            staged_meta = os.path.join(
+                self.path, "meta", "meta.json.new"
+            )
+            with open(staged_meta + ".tmp", "w") as f:
+                json.dump(new_meta, f)
+            os.replace(staged_meta + ".tmp", staged_meta)
+            # the one-shot path's park-and-swap, verbatim
+            pdir = self._postings_dir()
+            parked = os.path.join(self.path, ".old-postings")
+            os.rename(pdir, parked)
+            os.rename(staging, pdir)
+            os.replace(
+                staged_meta, os.path.join(self.path, "meta", "meta.json")
+            )
+            shutil.rmtree(parked)
+            old_qf = self._quantizer_file(self.meta["centroids_md5"])
+            if old_qf != self._quantizer_file(man["new_md5"]) and (
+                os.path.exists(old_qf)
+            ):
+                os.remove(old_qf)
+            # UNLIKE the one-shot rewrite (single job → uniform
+            # schemas → marker cleared), staged slices written before
+            # and after a dtype-changing append leave a genuinely
+            # mixed new layout — keep the marker as-is; the next
+            # whole-store rewrite clears it when it unifies
+            shutil.rmtree(os.path.dirname(mp), ignore_errors=True)
+            self.meta = new_meta
+            self.centroids = new_cents
+            self.n_probe_hint = man["n_probe"]
+            self.rebucket_phase = "swap"
+            return True
+        finally:
             del live
 
     @staticmethod
@@ -1893,6 +2202,7 @@ class IVFVectorIndex:
             vec_a = vec_a[keep]
         return (id_a, code_a, vec_a)
 
+    @probe_local_retry("_plc_state")
     def probe_local(
         self,
         qvec,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
 from ..tables import load_table
@@ -200,6 +201,17 @@ def docs_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. decontaminate train-side mix against the held-out pool
     # both sides of the contamination join read this frame — the
     # lazy checkpoint keeps the winnowing scan to one execution
+    # DISK_ONLY (r14, VERDICT r13 #2): the fingerprint pool is the one
+    # frame here that grows with the CORPUS (every other checkpoint is
+    # mix-capped). The default MEMORY_AND_DESER checkpoint pinned it
+    # on-heap — at 30x that is most of an 8 GB driver-side heap and
+    # the measured source of the "needs a 24 GB driver" wall; spilled
+    # to disk the capstone runs at default heap (SCALE.md receipts).
+    # The contamination join itself never broadcasts a corpus-growing
+    # side: both fp-join inputs shuffle (SortMergeJoin, plan-pinned in
+    # EXPLAIN.md) and AQE's broadcast conversions gate on ACTUAL
+    # runtime sizes, so only the mix-capped ids side ever builds a
+    # hash relation.
     rare = (
         _winnow_fingerprints(docs)
         .withColumn(
@@ -207,7 +219,7 @@ def docs_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__n") <= _FP_CAP)
         .select("doc_id", "fp")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     left = rare.join(tmix.select("doc_id"), "doc_id")
     right = rare.join(

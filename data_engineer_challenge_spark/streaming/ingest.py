@@ -1049,6 +1049,7 @@ def vector_index_tick(
     delete_dir: str | None = None,
     compact_budget: int | str | None = "auto",
     recall_target: float | None = None,
+    rebucket_stage_rows: int | None = None,
 ) -> dict:
     """Continuous ANN-index maintenance over a vector drop directory —
     the fourth member of the index family joins the ingest loop
@@ -1152,7 +1153,14 @@ def vector_index_tick(
     # rewrites; deferred lists rise to the top next tick (r13,
     # VERDICT r12 #2).
     compacted = index.maybe_compact(budget=compact_budget)
-    rebucketed = index.maybe_rebucket()
+    # rebucket_stage_rows bounds the GROWTH event the same way
+    # compact_budget bounds folds (r14, VERDICT r13 #3): instead of
+    # one whole-store retrain+rewrite tick, the rebucket advances one
+    # budgeted phase per tick (plan → n stages → swap) and probes
+    # serve the old layout until the final atomic swap — rebucketed
+    # goes True only on the swap tick, so the reselect_serving hook
+    # below still fires exactly once per completed rebucket.
+    rebucketed = index.maybe_rebucket(stage_rows=rebucket_stage_rows)
     # serving-config refresh (r13, VERDICT r12 #3): a rebucket changes
     # list geometry, so a hint chosen for the OLD quantizer silently
     # drifts recall (0.656 at the end of the r12 21-tick walk while
@@ -1175,6 +1183,7 @@ def vector_index_tick(
         "deleted": n_del,
         "delete_files": del_files,
         "rebucketed": rebucketed,
+        "rebucket_phase": getattr(index, "rebucket_phase", None),
         "compacted": compacted,
         "serving": serving,
     }

@@ -4233,3 +4233,200 @@ def test_ivf_probe_local_survives_cross_process_rebucket(
     assert got == want
     assert serving.meta["centroids_md5"] == mut.meta["centroids_md5"]
     assert len(serving.centroids) == k_new
+
+
+def test_ivf_staged_rebucket_matches_oneshot(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #3): maybe_rebucket(stage_rows=) spreads the
+    growth event across budgeted ticks. Pins: (a) phase sequence
+    plan → stages → swap, with False returned until the swap; (b) the
+    staged store lands the SAME quantizer (same md5 — deterministic
+    retrain over the same live set) and probes IDENTICALLY to the
+    one-shot rebucket at every width; (c) probes BETWEEN phases keep
+    serving the old layout unchanged; (d) protocol state survives a
+    process hand-off (reopen via open() mid-flight and finish there);
+    (e) cleanup: no manifest/staging left after the swap."""
+    import json as _json
+    import os as _os
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [list(c) for c in CENTROIDS[:2]]
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    def mk(name):
+        idx = IVFVectorIndex(spark, str(tmp_path / name), small)
+        idx.build(emb.where("vec_id < 80"))
+        idx.append(emb.where("vec_id >= 80"))
+        return idx
+
+    A, B = mk("oneshot"), mk("staged")
+    before = [
+        tuple(r)
+        for r in B.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    assert A.maybe_rebucket() is True
+
+    # (a) plan tick
+    assert B.maybe_rebucket(stage_rows=150) is False
+    assert B.rebucket_phase.startswith("plan")
+    man_path = _os.path.join(str(tmp_path / "staged"), ".rebucket", "manifest.json")
+    man = _json.load(open(man_path))
+    assert man["n_stages"] == 4  # ceil(500 / 150)
+    # (c) old layout still serves, untouched
+    assert B.meta["k"] == 2
+    assert [
+        tuple(r)
+        for r in B.probe(queries, k=5, n_probe=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ] == before
+
+    # two stage ticks on this handle...
+    assert B.maybe_rebucket(stage_rows=150) is False
+    assert B.rebucket_phase == "stage 1/4"
+    assert B.maybe_rebucket(stage_rows=150) is False
+    # (d) ...then hand the store to a FRESH handle mid-flight (open()
+    # must preserve the in-flight manifest + staging)
+    B2 = IVFVectorIndex.open(spark, str(tmp_path / "staged"))
+    assert _os.path.exists(man_path)
+    assert B2.maybe_rebucket(stage_rows=150) is False
+    assert B2.rebucket_phase == "stage 3/4"
+    assert B2.maybe_rebucket(stage_rows=150) is False
+    assert B2.maybe_rebucket(stage_rows=150) is True  # swap
+    assert B2.rebucket_phase == "swap"
+
+    # (b) same quantizer, identical probes vs the one-shot store
+    assert B2.meta["centroids_md5"] == A.meta["centroids_md5"]
+    assert B2.meta["k"] == A.meta["k"] == 20
+    for np_ in (2, 4, 20):
+        assert [
+            tuple(r)
+            for r in B2.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ] == [
+            tuple(r)
+            for r in A.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ], np_
+    posts = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(str(tmp_path / "staged"), "postings")
+    )
+    assert posts.count() == 500  # no row lost or duplicated
+    # (e) protocol state cleaned up
+    assert not _os.path.exists(man_path)
+    assert not _os.path.isdir(
+        _os.path.join(str(tmp_path / "staged"), ".rebucket-postings")
+    )
+    # no re-trigger: lists are back at target size
+    assert B2.maybe_rebucket(stage_rows=150) is False
+
+
+def test_ivf_staged_rebucket_delta_and_crash_windows(
+    spark, tmp_path, monkeypatch
+):
+    """The staged protocol under churn and crashes: (A) rows appended
+    and superseded MID-STAGING are served correctly after the swap
+    (the swap's (id, __ord) anti-join delta catches post-plan rows;
+    the roster masks staged-then-superseded copies); (B) a stage tick
+    whose manifest advance crashed replays its slice — duplicate
+    staged rows fold away in probes; (C) a swap that committed but
+    crashed before cleanup resolves at open (manifest dropped); an
+    orphan staging dir with no manifest is swept."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [list(c) for c in CENTROIDS[:2]]
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, small)
+    idx.build(emb.where("vec_id < 80"))
+    idx.append(emb.where("vec_id >= 80 and vec_id < 450"), ordinal=1)
+
+    man_path = _os.path.join(path, ".rebucket", "manifest.json")
+    assert idx.maybe_rebucket(stage_rows=120) is False  # plan (450 rows)
+    n_stages = _json.load(open(man_path))["n_stages"]
+    assert idx.maybe_rebucket(stage_rows=120) is False  # stage 1
+
+    # (B) crash-replay: rewind the manifest as if the advance was lost
+    man = _json.load(open(man_path))
+    man["next_stage"] -= 1
+    _json.dump(man, open(man_path, "w"))
+    assert idx.maybe_rebucket(stage_rows=120) is False  # slice replayed
+
+    # (A) mid-staging churn: new rows + a superseding update of an id
+    # whose slice may already have staged
+    idx.append(emb.where("vec_id >= 450"), ordinal=2)
+    upd = emb.where("vec_id = 10").withColumn(
+        "embedding",
+        F.transform("embedding", lambda v: v * F.lit(2.0)).cast(
+            "array<float>"
+        ),
+    )
+    idx.append(upd, ordinal=3, supersede=True)
+
+    while not idx.maybe_rebucket(stage_rows=120):
+        pass  # drain remaining stages + swap
+    assert idx.rebucket_phase == "swap"
+
+    # post-swap serving must equal a FRESH index built with the same
+    # final quantizer over the CURRENT live set (delta + roster mask)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    live = emb.where("vec_id != 10").unionByName(upd)
+    fresh = IVFVectorIndex(spark, str(tmp_path / "fresh"), idx.centroids)
+    fresh.build(live)
+    for np_ in (2, idx.meta["k"]):
+        assert [
+            tuple(r)
+            for r in idx.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ] == [
+            tuple(r)
+            for r in fresh.probe(queries, k=5, n_probe=np_)
+            .orderBy("q_id", "rank")
+            .collect()
+        ], np_
+
+    # (C) committed-swap-crash-before-cleanup: recreate the manifest
+    # with the NOW-LIVE md5; open() must sweep it
+    _os.makedirs(_os.path.dirname(man_path), exist_ok=True)
+    _json.dump(
+        {"new_md5": idx.meta["centroids_md5"]}, open(man_path, "w")
+    )
+    _os.makedirs(_os.path.join(path, ".rebucket-postings"), exist_ok=True)
+    re = IVFVectorIndex.open(spark, path)
+    assert not _os.path.exists(man_path)
+    assert not _os.path.isdir(_os.path.join(path, ".rebucket-postings"))
+    # orphan staging dir with no manifest is swept too
+    _os.makedirs(_os.path.join(path, ".rebucket-postings"), exist_ok=True)
+    IVFVectorIndex.open(spark, path)
+    assert not _os.path.isdir(_os.path.join(path, ".rebucket-postings"))
+    del re, _shutil

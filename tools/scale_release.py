@@ -23,11 +23,13 @@ from tools.scale_smoke import (  # noqa: E402
 )
 
 HEADER = "## 30x/100x tiers — the corpus-release capstone (VERDICT r12 #5)"
-# the capstone is the LAST SCALE.md section — listing the (earlier)
-# continuous-ingestion header here made every run append a duplicate
-# (capstone, continuous) pair instead of replacing in place (r13
-# incident: the file tripled before the dedup repair)
-LATER: list = []
+# later_headers must name every section genuinely BELOW this one (the
+# _splice_section contract). r13 late added the crawl-tier walk AFTER
+# the capstone; an empty list here made the r14 re-run swallow it
+# (splice-to-EOF) — caught in review, section restored from git.
+LATER: list = [
+    "## Crawl-tier continuous ingestion — WARC ticks at the 30x corpus (r13)"
+]
 
 
 def main() -> None:
@@ -89,6 +91,11 @@ def main() -> None:
             "doc_id",
         ).localCheckpoint()
         n_train = tmix.count()
+        # DISK_ONLY, like the registered builder (r14): the pool is
+        # corpus-sized; an on-heap eager checkpoint of it is what
+        # needed the 24 GB driver at 30x+ — spilled, default heap works
+        from pyspark.storagelevel import StorageLevel
+
         rare = (
             _winnow_fingerprints(docs)
             .withColumn(
@@ -96,7 +103,7 @@ def main() -> None:
             )
             .filter(F.col("__n") <= _FP_CAP)
             .select("doc_id", "fp")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         left = rare.join(tmix.select("doc_id"), "doc_id")
         right = rare.join(
