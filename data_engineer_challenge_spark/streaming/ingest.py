@@ -1113,6 +1113,34 @@ def vector_index_tick(
         )
         del_files = tuple(sorted((*ddiff.new, *ddiff.modified)))
     if not changed and not del_files:
+        # an IN-FLIGHT staged rebucket still advances on a no-op tick
+        # (r14): the multi-tick protocol must not stall when the drop
+        # stream drains — otherwise probes would serve the pre-growth
+        # layout indefinitely on a quiet store. Ordinary maintenance
+        # keeps the historical no-op contract (do nothing).
+        from ..operators.ann_index import _STAGE_MANIFEST
+
+        if rebucket_stage_rows is not None and _os.path.exists(
+            _os.path.join(index.path, _STAGE_MANIFEST)
+        ):
+            rebucketed = index.maybe_rebucket(
+                stage_rows=rebucket_stage_rows
+            )
+            serving = None
+            if rebucketed and recall_target is not None:
+                serving = index.reselect_serving(recall_target)
+            return {
+                "fired": False,
+                "files": (),
+                "vectors": 0,
+                "deleted": 0,
+                "rebucketed": rebucketed,
+                "rebucket_phase": getattr(
+                    index, "rebucket_phase", None
+                ),
+                "compacted": 0,
+                "serving": serving,
+            }
         return {"fired": False, "files": (), "vectors": 0, "deleted": 0}
     modified = set(diff.modified)
     # Adds and deletes APPLY in ascending ordinal (mtime_ns) order

@@ -1649,14 +1649,26 @@ def _splice_section(header: str, body: str, later_headers: list[str]) -> None:
         with open(path, "w") as f:
             f.write(out)
         return
-    head = whole.split("\n" + header)[0]
-    tail = ""
+    head, rest = whole.split("\n" + header, 1)
+    # r14: bound the replacement at the NEXT "## " header present in
+    # the file, NOT at a hand-maintained later_headers list — every
+    # SCALE.md section starts with "## ", so the structural bound is
+    # always right, while stale lists silently swallowed every
+    # section below (r13: the capstone run ate the crawl walk; the
+    # vector-ticks run would have eaten capstone+crawl). The
+    # later_headers parameter still drives the insert-position branch
+    # above; here it is only a sanity floor: if it names a section
+    # that the structural bound would drop, fail loudly.
+    nxt = rest.find("\n## ")
+    tail = rest[nxt:] if nxt != -1 else ""
     for h in later_headers:
-        if "\n" + h in whole:
-            tail = "\n" + h + whole.split("\n" + h, 1)[1]
-            break
+        if "\n" + h in whole and "\n" + h not in tail:
+            raise RuntimeError(
+                f"_splice_section: later header {h!r} exists but "
+                "would be dropped — section order changed?"
+            )
     with open(path, "w") as f:
-        f.write(head.rstrip("\n") + "\n" + body + tail)
+        f.write(head.rstrip("\n") + "\n" + body.rstrip("\n") + "\n" + tail.lstrip("\n"))
 
 
 def main_tier100_only() -> None:
