@@ -1044,6 +1044,13 @@ class IVFVectorIndex:
         - **plan** (trigger tick): retrain the quantizer + persist
           it, write `.rebucket/manifest.json` sizing
           ``n_stages = ⌈n_live / stage_rows⌉``; no data rewritten.
+          With ``recall_target`` set, the FULL serving sweep
+          (n_probe ladder + ADC width for coded stores) also runs
+          here — both sweeps depend only on (quantizer, live rows),
+          never the file layout, so the expensive read-only ladders
+          ride the plan tick while probes keep serving the committed
+          store; the measured receipt travels in the manifest and
+          installs at the swap (``self.staged_serving``).
         - **stage i** (next ``n_stages`` calls): re-assign + write
           only the live rows with ``pmod(xxhash64(seed, id),
           n_stages) == i`` — ≈``stage_rows`` rows of assign + IO per
@@ -1253,6 +1260,8 @@ class IVFVectorIndex:
         from .similarity import kmeans_centroids
 
         live = self._live_folded().persist()
+        serving = None
+        adc = None
         try:
             n_live = live.count()
             k_new = max(self.meta["k"], math.ceil(n_live / tls))
@@ -1266,13 +1275,39 @@ class IVFVectorIndex:
                 sample_mod=sample_mod,
             )
             if recall_target is not None:
-                n_probe = self.select_n_probe(
-                    live.select(F.col(self.id_col), F.col(self.vec_col)),
+                # the FULL serving sweep runs HERE, not at the swap
+                # (r14): both sweeps depend only on (quantizer, live
+                # rows) — never the file layout — so the expensive
+                # read-only ladders ride the plan tick while probes
+                # keep serving the committed store, and the swap tick
+                # stays a bounded install. The measured receipt
+                # travels in the manifest.
+                lv = live.select(
+                    F.col(self.id_col), F.col(self.vec_col)
+                )
+                n_probe, recall = self._sweep_n_probe(
+                    lv,
                     cents,
                     recall_target,
                     id_col=self.id_col,
                     vec_col=self.vec_col,
                 )
+                if self.pq_codebooks is not None:
+                    adc = self.select_adc_width(
+                        lv,
+                        self.pq_codebooks,
+                        recall_target,
+                        id_col=self.id_col,
+                        vec_col=self.vec_col,
+                        residual_centroids=(
+                            cents if self.pq_residual else None
+                        ),
+                    )
+                serving = {
+                    "n_probe": n_probe,
+                    "recall": recall,
+                    "adc_shortlist": adc,
+                }
             else:
                 n_probe = max(
                     1, math.ceil(IVF_PROBE_LIST_FRACTION * k_new)
@@ -1281,14 +1316,18 @@ class IVFVectorIndex:
             live.unpersist()
         new_md5 = hashlib.md5(json.dumps(cents).encode()).hexdigest()
         qf = self._quantizer_file(new_md5)
+        quant = {"centroids": cents, "n_probe": n_probe}
+        if adc is not None:
+            quant["adc_shortlist"] = adc
         with open(qf + ".tmp", "w") as f:
-            json.dump({"centroids": cents, "n_probe": n_probe}, f)
+            json.dump(quant, f)
         os.replace(qf + ".tmp", qf)
         man = {
             "new_md5": new_md5,
             "k": k_new,
             "dim": len(cents[0]),
             "n_probe": n_probe,
+            "serving": serving,
             "n_stages": max(1, math.ceil(n_live / stage_rows)),
             "next_stage": 0,
             "n_live_plan": n_live,
@@ -1404,6 +1443,13 @@ class IVFVectorIndex:
             self.meta = new_meta
             self.centroids = new_cents
             self.n_probe_hint = man["n_probe"]
+            serving = man.get("serving")
+            if serving and serving.get("adc_shortlist") is not None:
+                self.adc_shortlist_hint = serving["adc_shortlist"]
+            #: the plan tick's measured sweep receipt (None when the
+            #: plan ran without a recall_target) — vector_index_tick
+            #: surfaces it instead of re-running reselect_serving
+            self.staged_serving = serving
             self.rebucket_phase = "swap"
             return True
         finally:

@@ -1124,11 +1124,14 @@ def vector_index_tick(
             _os.path.join(index.path, _STAGE_MANIFEST)
         ):
             rebucketed = index.maybe_rebucket(
-                stage_rows=rebucket_stage_rows
+                stage_rows=rebucket_stage_rows,
+                recall_target=recall_target,
             )
-            serving = None
-            if rebucketed and recall_target is not None:
-                serving = index.reselect_serving(recall_target)
+            serving = (
+                getattr(index, "staged_serving", None)
+                if rebucketed
+                else None
+            )
             return {
                 "fired": False,
                 "files": (),
@@ -1188,7 +1191,9 @@ def vector_index_tick(
     # serve the old layout until the final atomic swap — rebucketed
     # goes True only on the swap tick, so the reselect_serving hook
     # below still fires exactly once per completed rebucket.
-    rebucketed = index.maybe_rebucket(stage_rows=rebucket_stage_rows)
+    rebucketed = index.maybe_rebucket(
+        stage_rows=rebucket_stage_rows, recall_target=recall_target
+    )
     # serving-config refresh (r13, VERDICT r12 #3): a rebucket changes
     # list geometry, so a hint chosen for the OLD quantizer silently
     # drifts recall (0.656 at the end of the r12 21-tick walk while
@@ -1199,7 +1204,16 @@ def vector_index_tick(
     # index.reselect_serving directly.
     serving = None
     if rebucketed and recall_target is not None:
-        serving = index.reselect_serving(recall_target)
+        # staged protocol (r14): the sweep already ran at PLAN time
+        # (it depends only on quantizer + live rows, never the file
+        # layout) and its measured receipt traveled in the manifest —
+        # installing the hints at the swap costs nothing. One-shot
+        # rebuckets keep the post-hoc reselect.
+        staged = getattr(index, "staged_serving", None)
+        if rebucket_stage_rows is not None and staged is not None:
+            serving = staged
+        else:
+            serving = index.reselect_serving(recall_target)
     state.commit(state_key, snapshot)
     if dsnap is not None:
         state.commit(state_key + ":deletes", dsnap)

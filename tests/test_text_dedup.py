@@ -4430,3 +4430,61 @@ def test_ivf_staged_rebucket_delta_and_crash_windows(
     IVFVectorIndex.open(spark, path)
     assert not _os.path.isdir(_os.path.join(path, ".rebucket-postings"))
     del re, _shutil
+
+
+def test_ivf_staged_rebucket_plan_time_serving_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """r14: with recall_target set, the staged protocol runs BOTH
+    serving sweeps at PLAN time (they depend on quantizer + live
+    rows, not file layout), persists the hints with the new
+    quantizer, and installs the measured receipt at the swap — no
+    post-swap reselect needed."""
+    import json as _json
+    import os as _os
+
+    from data_engineer_challenge_spark.operators import ann_index
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.plans.ivf_centroids import CENTROIDS
+    from data_engineer_challenge_spark.plans.pq_codebooks import CODEBOOKS
+    from data_engineer_challenge_spark.tables import load_table
+
+    monkeypatch.setattr(ann_index, "IVF_AUTO_MIN_N", 200)
+    monkeypatch.setattr(ann_index, "IVF_TARGET_LIST_SIZE", 25)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [list(c) for c in CENTROIDS[:2]]
+    path = str(tmp_path / "ivf")
+    idx = IVFVectorIndex(spark, path, small, pq_codebooks=CODEBOOKS)
+    idx.build(emb.where("vec_id < 80"))
+    idx.append(emb.where("vec_id >= 80"))
+
+    assert (
+        idx.maybe_rebucket(stage_rows=200, recall_target=0.9) is False
+    )  # plan
+    man = _json.load(
+        open(_os.path.join(path, ".rebucket", "manifest.json"))
+    )
+    serving = man["serving"]
+    assert serving is not None and serving["n_probe"] >= 1
+    assert serving["adc_shortlist"] is not None  # coded store
+    assert 0.9 <= serving["recall"] <= 1.0
+    # hints already persisted beside the NEW quantizer
+    quant = _json.load(
+        open(_os.path.join(path, "meta", f"quantizer-{man['new_md5']}.json"))
+    )
+    assert quant["n_probe"] == serving["n_probe"]
+    assert quant["adc_shortlist"] == serving["adc_shortlist"]
+
+    while not idx.maybe_rebucket(stage_rows=200, recall_target=0.9):
+        pass  # stages + swap
+    assert idx.rebucket_phase == "swap"
+    assert idx.staged_serving == serving
+    assert idx.n_probe_hint == serving["n_probe"]
+    assert idx.adc_shortlist_hint == serving["adc_shortlist"]
+    # open() serves the persisted hints
+    re = IVFVectorIndex.open(spark, path)
+    assert re.n_probe_hint == serving["n_probe"]
+    assert re.adc_shortlist_hint == serving["adc_shortlist"]
