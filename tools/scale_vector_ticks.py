@@ -301,8 +301,8 @@ def main() -> None:
         for t, a, d, rb, fd, w, nf, ph in rows
     )
     serving_line = (
-        f"reselect_serving re-ran the held-out sweep against the new "
-        f"quantizer and PERSISTED n_probe={serving['n_probe']} with "
+        f"the plan tick's held-out sweep against the new "
+        f"quantizer PERSISTED n_probe={serving['n_probe']} with "
         f"measured recall@10 {round(serving['recall'], 3)}"
         + (
             f", adc_shortlist={serving['adc_shortlist']}"
@@ -331,11 +331,14 @@ def main() -> None:
         f"{' (tick ' + ', '.join(map(str, reb_ticks)) + ')' if reb_ticks else ' (not reached this run)'}"
         f". New in r14 (VERDICT r13 #3): the growth event is "
         f"STAGED — the trigger tick only retrains and persists a "
-        f"manifest (plan), each following tick re-assigns + writes "
+        f"manifest (plan — the serving-width sweeps also run here: "
+        f"they depend on quantizer + live rows, not file layout, so "
+        f"the read-only ladders ride the plan tick while the store "
+        f"keeps serving), each following tick re-assigns + writes "
         f"≤ {STAGE_ROWS:,} rows into the parked new layout, and the "
-        f"final tick catches the post-plan delta, swaps atomically "
-        f"and re-selects the serving widths; probes serve the OLD "
-        f"layout until the swap.\n\n"
+        f"final tick catches the post-plan delta and swaps "
+        f"atomically, installing the plan-time hints; probes serve "
+        f"the OLD layout until the swap.\n\n"
         f"| tick | appended | deleted | rebucket phase | lists "
         f"folded | wall s | store files after |\n"
         f"|---|---|---|---|---|---|---|\n"
