@@ -173,6 +173,7 @@ class IVFVectorIndex:
         vec_col: str = "embedding",
         pq_codebooks: list[list[list[float]]] | None = None,
         pq_residual: bool = False,
+        opq_rotation: list[list[float]] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -217,6 +218,33 @@ class IVFVectorIndex:
             ).hexdigest()
             if self.pq_residual:
                 self.meta["pq_residual"] = True
+        #: optional OPQ pre-rotation (operators/opq.py, r14): the
+        #: store holds ROTATED vectors — build/append rotate incoming
+        #: rows once (Arrow map pass) and every probe rotates its
+        #: queries identically, so all serving math happens in the
+        #: rotated space where the PQ codebooks were trained;
+        #: orthogonality preserves cosine, so answers are comparable
+        #: with an unrotated store over the same data. Part of the
+        #: meta fingerprint — probing a rotated store with unrotated
+        #: queries (or vice versa) would score garbage. Centroids and
+        #: codebooks passed alongside MUST be trained in the rotated
+        #: space (maybe_rebucket retrains on stored — already rotated
+        #: — rows, so maintenance stays consistent automatically).
+        self.opq_rotation = (
+            None
+            if opq_rotation is None
+            else [[float(v) for v in row] for row in opq_rotation]
+        )
+        if self.opq_rotation is not None:
+            if len(self.opq_rotation) != self.meta["dim"]:
+                raise ValueError(
+                    f"opq_rotation is {len(self.opq_rotation)}x"
+                    f"{len(self.opq_rotation[0])} but the quantizer "
+                    f"dim is {self.meta['dim']}"
+                )
+            self.meta["opq_md5"] = hashlib.md5(
+                json.dumps(self.opq_rotation).encode()
+            ).hexdigest()
         #: suggested probe width for this quantizer (populated by
         #: maybe_rebucket / reselect_serving / the persisted
         #: quantizer file; None for stores whose caller decides
@@ -284,6 +312,19 @@ class IVFVectorIndex:
                     with open(tmp, "w") as f:
                         json.dump(self.pq_codebooks, f)
                     os.replace(tmp, pf)
+            # persist the OPQ rotation the same way (md5-keyed,
+            # immutable) so open()/open_local restore rotated serving
+            if self.opq_rotation is not None:
+                rf = os.path.join(
+                    self.path,
+                    "meta",
+                    f"opq-{self.meta['opq_md5']}.json",
+                )
+                if not os.path.exists(rf):
+                    tmp = rf + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(self.opq_rotation, f)
+                    os.replace(tmp, rf)
 
     def _quantizer_file(self, md5: str) -> str:
         return os.path.join(self.path, "meta", f"quantizer-{md5}.json")
@@ -320,6 +361,14 @@ class IVFVectorIndex:
                 os.path.join(path, "meta", f"pq-{meta['pq_md5']}.json")
             ) as f:
                 pq = json.load(f)
+        opq = None
+        if "opq_md5" in meta:
+            with open(
+                os.path.join(
+                    path, "meta", f"opq-{meta['opq_md5']}.json"
+                )
+            ) as f:
+                opq = json.load(f)
         idx = cls(
             spark,
             path,
@@ -328,6 +377,7 @@ class IVFVectorIndex:
             vec_col=meta["vec_col"],
             pq_codebooks=pq,
             pq_residual=meta.get("pq_residual", False),
+            opq_rotation=opq,
         )
         idx.n_probe_hint = quant.get("n_probe") or idx.n_probe_hint
         idx.adc_shortlist_hint = (
@@ -356,6 +406,20 @@ class IVFVectorIndex:
         return self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(self.centroids)],
             "cid int, centroid array<double>",
+        )
+
+    def _rotated(self, df: DataFrame) -> DataFrame:
+        """Apply the store's OPQ rotation to an INCOMING frame (new
+        rows at build/append, queries at probe) — one Arrow map pass,
+        no-op for unrotated stores. Never applied to frames derived
+        from the store itself (_live_folded and friends are already
+        in the rotated space)."""
+        if self.opq_rotation is None:
+            return df
+        from .opq import rotate_vectorized
+
+        return rotate_vectorized(
+            df, self.opq_rotation, vec_col=self.vec_col
         )
 
     def _assigned(self, corpus: DataFrame) -> DataFrame:
@@ -558,7 +622,7 @@ class IVFVectorIndex:
         every list it touches (k × tasks small files: 7,500 at k=235
         on 32 tasks, which the first scaled 30x build measured as the
         dominant cost), and probe listing pays for it forever."""
-        self._assigned(corpus).withColumn(
+        self._assigned(self._rotated(corpus)).withColumn(
             "__ord", F.lit(0).cast("long")
         ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
             "cid"
@@ -692,7 +756,7 @@ class IVFVectorIndex:
                 "the update against the rows it replaces"
             )
         self._mark_mixed_if_needed()
-        assigned = self._assigned(new).withColumn(
+        assigned = self._assigned(self._rotated(new)).withColumn(
             "__ord", F.lit(int(ordinal)).cast("long")
         )
         pinned = False
@@ -1857,7 +1921,7 @@ class IVFVectorIndex:
         the same ordering semantics as ``similarity.ivf_topk`` (ties
         break on corpus id), so the two share an oracle for identical
         parameters. The scan reads only touched ``cid=`` partitions."""
-        q = queries.select(
+        q = self._rotated(queries).select(
             F.col(query_id), F.col(self.vec_col).alias("__qv")
         )
         qc = q.crossJoin(F.broadcast(self._centroid_df())).select(
@@ -1952,7 +2016,7 @@ class IVFVectorIndex:
 
         m = len(self.pq_codebooks)
         residual = self.pq_residual
-        q = queries.select(
+        q = self._rotated(queries).select(
             F.col(query_id), F.col(self.vec_col).alias("__qv")
         )
         # residual stores restore the coarse term of the ADC proxy as
@@ -2300,6 +2364,17 @@ class IVFVectorIndex:
         from .pq import np_adc_luts
 
         q = [float(x) for x in qvec]
+        if self.opq_rotation is not None:
+            # same op sequence as the batch path's rotate kernel:
+            # float64 matmul then a float32 round-trip, so the local
+            # probe scores the bit-identical rotated query
+            q = [
+                float(v)
+                for v in (
+                    np.asarray(q, dtype=np.float64)
+                    @ np.asarray(self.opq_rotation, dtype=np.float64)
+                ).astype(np.float32)
+            ]
 
         def _sdot(a, b):
             # the dot() expression's exact op order: 0.0-seeded

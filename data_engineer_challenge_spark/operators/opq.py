@@ -197,10 +197,12 @@ def rotate_vectorized(
     import numpy as np
 
     R = np.asarray(rotation, dtype=np.float64)
-    others = [c for c in df.columns if c != vec_col]
     schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in others]
-        + [f"`{vec_col}` array<float>"]
+        f"`{c}` array<float>"
+        if c == vec_col
+        else f"`{c}` {df.schema[c].dataType.simpleString()}"
+        for c in df.columns  # column order preserved: downstream
+        # writers (partitioned stores) see the caller's schema shape
     )
 
     def rot(batches):
@@ -215,8 +217,10 @@ def rotate_vectorized(
                 )
             )
             out = (Xb @ R).astype(np.float32)
-            data = {c: pdf[c] for c in others}
-            data[vec_col] = list(out)
+            data = {
+                c: (list(out) if c == vec_col else pdf[c])
+                for c in pdf.columns
+            }
             yield pd.DataFrame(data)
 
     return df.mapInPandas(rot, schema=schema)

@@ -4488,3 +4488,120 @@ def test_ivf_staged_rebucket_plan_time_serving_sweep(
     re = IVFVectorIndex.open(spark, path)
     assert re.n_probe_hint == serving["n_probe"]
     assert re.adc_shortlist_hint == serving["adc_shortlist"]
+
+
+def test_ivf_opq_rotated_store(spark, tmp_path):
+    """r14: OPQ rotation as a first-class IVFVectorIndex capability.
+    A store built with ``opq_rotation=R`` holds rotated vectors and
+    rotates queries itself; it must be BIT-IDENTICAL to a plain
+    store built over a pre-rotated corpus and probed with
+    pre-rotated queries — for probe, probe_adc, across append, and
+    through the open() round-trip (plain reopen refuses via the meta
+    fingerprint); probe_local rotates the single query through the
+    same float32 round-trip as the batch kernel."""
+    import numpy as np
+    import pytest
+
+    from data_engineer_challenge_spark.operators.ann_index import (
+        IVFVectorIndex,
+    )
+    from data_engineer_challenge_spark.operators.opq import (
+        rotate_vectorized,
+        sample_vectors,
+        train_opq,
+    )
+    from data_engineer_challenge_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from data_engineer_challenge_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    scale = [float((i + 1) ** -0.7 * 4) for i in range(64)]
+    corpus = emb.select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            F.lit(scale).cast("array<float>"),
+            lambda v, s: v * s,
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    R, cbs = train_opq(
+        sample_vectors(corpus, n=500), iters=3, inner_iters=3
+    )
+    rotated = rotate_vectorized(corpus, R).localCheckpoint()
+    cents = kmeans_centroids(
+        rotated.where("vec_id < 400"), k=8, iters=3, seed=42
+    )
+
+    a = IVFVectorIndex(
+        spark,
+        str(tmp_path / "rot"),
+        cents,
+        pq_codebooks=cbs,
+        opq_rotation=R,
+    )
+    a.build(corpus.where("vec_id < 400"))
+    b = IVFVectorIndex(
+        spark, str(tmp_path / "plain"), cents, pq_codebooks=cbs
+    )
+    b.build(rotated.where("vec_id < 400"))
+
+    qs_raw = corpus.where("vec_id % 100 = 3").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    qs_rot = rotated.where("vec_id % 100 = 3").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    def rows(idx, qs, method, **kw):
+        return [
+            tuple(r)
+            for r in getattr(idx, method)(qs, k=5, **kw)
+            .orderBy("q_id", "rank")
+            .collect()
+        ]
+
+    # identity: rotated store + raw queries == plain store + rotated
+    # queries, bit for bit, exact and coded paths
+    assert rows(a, qs_raw, "probe", n_probe=8) == rows(
+        b, qs_rot, "probe", n_probe=8
+    )
+    assert rows(a, qs_raw, "probe_adc", n_probe=8, shortlist=40) == rows(
+        b, qs_rot, "probe_adc", n_probe=8, shortlist=40
+    )
+
+    # append keeps the identity
+    a.append(corpus.where("vec_id >= 400"))
+    b.append(rotated.where("vec_id >= 400"))
+    assert rows(a, qs_raw, "probe_adc", n_probe=8, shortlist=40) == rows(
+        b, qs_rot, "probe_adc", n_probe=8, shortlist=40
+    )
+
+    # open() restores the rotation; plain reopen refuses
+    re = IVFVectorIndex.open(spark, str(tmp_path / "rot"))
+    assert re.opq_rotation == a.opq_rotation
+    assert rows(re, qs_raw, "probe", n_probe=8) == rows(
+        a, qs_raw, "probe", n_probe=8
+    )
+    with pytest.raises(ValueError, match="was built with"):
+        IVFVectorIndex(
+            spark, str(tmp_path / "rot"), cents, pq_codebooks=cbs
+        )
+
+    # probe_local rotates the single query identically (decision
+    # parity with probe_adc on one query)
+    qrow = qs_raw.where("q_id = 3").first()
+    want = [
+        (r["c_id"], r["rank"])
+        for r in a.probe_adc(
+            qs_raw.where("q_id = 3"), k=5, n_probe=8, shortlist=40
+        ).collect()
+    ]
+    got = [
+        (cid, rank)
+        for cid, _score, rank in a.probe_local(
+            qrow["embedding"], k=5, n_probe=8, shortlist=40
+        )
+    ]
+    assert got == sorted(want, key=lambda t: t[1])
