@@ -1440,10 +1440,6 @@ class IVFVectorIndex:
         live = self._live_folded()
         if "__ord" not in live.columns:
             live = live.withColumn("__ord", F.lit(0).cast("long"))
-        # the delta must not recompute live's lineage twice AND must
-        # not hold lineage over paths the swap renames — checkpoint,
-        # exactly like the one-shot path
-        live = live.localCheckpoint()
         try:
             from .compaction import _data_files
 
@@ -1469,6 +1465,14 @@ class IVFVectorIndex:
                 )
             else:
                 delta = live  # every slice was empty (shrunk store)
+            # checkpoint the DELTA, not live (r14 review): the write
+            # path consumes its frame twice (_assigned + the __ord
+            # join), so pinning is needed — but pinning the whole
+            # live fold made the swap tick O(store) in storage; the
+            # delta is typically tiny (rows appended since their
+            # slice's tick). Eager: it must materialize BEFORE the
+            # renames below invalidate the lineage's source paths.
+            delta = delta.localCheckpoint()
             self._write_stage_slice(delta, new_cents)
             with open(os.path.join(staging, ".quantizer_md5"), "w") as f:
                 f.write(man["new_md5"])

@@ -171,21 +171,28 @@ def probe_local_retry(state_attr: str):
     retry bounds the cost; an endlessly-churning store is an
     operational problem, not a serving race.
 
-    Note the post-check compares against the PRE-call fingerprint, so
-    the first probe after a cross-process rebucket replays once even
-    though its answer was already computed on consistent state (the
-    body's own reload moved ``t_buckets``-style meta components
-    between the two reads). Rare and harmless — correctness needs the
-    conservative compare."""
+    The post-check compares against the fingerprint the BODY cached
+    in ``state_attr`` (every probe_local stores the state it served
+    from there), so the wrapper adds exactly one directory-stat walk
+    per call — and a probe that reloaded mid-call compares against
+    its own fresh state, never replaying spuriously."""
     import functools
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(self, *args, **kwargs):
-            before = self._local_store_state()
             try:
                 out = fn(self, *args, **kwargs)
-                if self._local_store_state() == before:
+                # ONE post-read fingerprint walk (r14 review: a
+                # pre-walk here tripled the directory stats on the
+                # ms-class serving path): the body cached the
+                # fingerprint it served from in ``state_attr``, so
+                # comparing the CURRENT state against that detects
+                # any mutation between the body's state read and the
+                # end of its bucket reads.
+                if self._local_store_state() == getattr(
+                    self, state_attr, None
+                ):
                     return out
             except FileNotFoundError:
                 pass

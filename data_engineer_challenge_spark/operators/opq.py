@@ -190,15 +190,24 @@ def rotate_vectorized(
 ) -> DataFrame:
     """Apply the frozen rotation as ONE Arrow map pass — each batch
     is a ``(rows × dim) @ (dim × dim)`` float64 matmul, cast back to
-    float32 (the corpus vector dtype), all other columns passed
+    the INPUT element type (float32 in, float32 out — the corpus
+    convention; float64 stays float64), all other columns passed
     through untouched. No shuffle, no join: the rotation rides
     whatever scan feeds it, exactly like the encode kernel it
     precedes."""
     import numpy as np
 
     R = np.asarray(rotation, dtype=np.float64)
+    # dtype-preserving (r14 review): the rotated column keeps the
+    # input element type — float32 input takes a float32 round-trip
+    # (the probe_local single-query path mirrors exactly this),
+    # float64 stays float64. Forcing float32 silently narrowed
+    # double-vector appends to a rotated store, breaking the
+    # "comparable with an unrotated store over the same data" claim.
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    out_np = np.float32 if elem == "float" else np.float64
     schema = ", ".join(
-        f"`{c}` array<float>"
+        f"`{c}` array<{elem}>"
         if c == vec_col
         else f"`{c}` {df.schema[c].dataType.simpleString()}"
         for c in df.columns  # column order preserved: downstream
@@ -216,7 +225,7 @@ def rotate_vectorized(
                     lambda a: np.asarray(a, dtype=np.float64)
                 )
             )
-            out = (Xb @ R).astype(np.float32)
+            out = (Xb @ R).astype(out_np)
             data = {
                 c: (list(out) if c == vec_col else pdf[c])
                 for c in pdf.columns

@@ -55,12 +55,12 @@ _PERT_DELTA = 96
 _PIX_MOD = 251
 
 
-def _pix(src: int, k: int) -> int:
-    """Pixel value at raveled position ``k`` (= r*9 + c) of source
-    image ``src`` — quadratic integer mix, replayed verbatim by the
-    oracle's BIGINT arithmetic (max term 13·5999² ≈ 4.7e8, no
-    overflow on either engine)."""
-    return (13 * src * src + 7 * src * (k + 1) + 5 * k * k + 3 * k + 1) % _PIX_MOD
+#: pixel value at raveled position k (= r*9 + c) of source image
+#: src: the quadratic integer mix (13·src² + 7·src·(k+1) + 5k² + 3k
+#: + 1) mod _PIX_MOD — max term 13·5999² ≈ 4.7e8, no overflow on
+#: either engine. The formula is inlined at BOTH of its two
+#: consumers (the synth kernel's numpy and the oracle's BIGINT SQL);
+#: keep them in sync when touching either.
 
 
 @register(

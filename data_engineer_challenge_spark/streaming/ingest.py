@@ -1191,8 +1191,16 @@ def vector_index_tick(
     # serve the old layout until the final atomic swap — rebucketed
     # goes True only on the swap tick, so the reselect_serving hook
     # below still fires exactly once per completed rebucket.
+    # recall_target only forwards in STAGED mode (the plan tick runs
+    # the sweep once and the receipt installs at the swap); in
+    # one-shot mode the post-hoc reselect_serving below is the single
+    # sweep — forwarding would run the identical ladder twice per
+    # growth tick (r14 review finding)
     rebucketed = index.maybe_rebucket(
-        stage_rows=rebucket_stage_rows, recall_target=recall_target
+        stage_rows=rebucket_stage_rows,
+        recall_target=(
+            recall_target if rebucket_stage_rows is not None else None
+        ),
     )
     # serving-config refresh (r13, VERDICT r12 #3): a rebucket changes
     # list geometry, so a hint chosen for the OLD quantizer silently

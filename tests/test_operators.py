@@ -815,7 +815,7 @@ def test_probe_local_retry_on_mid_call_mutation():
         def __init__(self):
             self.fp = 0
             self.calls = 0
-            self._cache_state = "warm"
+            self._cache_state = None
 
         def _local_store_state(self):
             return self.fp
@@ -823,26 +823,32 @@ def test_probe_local_retry_on_mid_call_mutation():
         @probe_local_retry("_cache_state")
         def probe(self, mutate_after=0, raise_first=0):
             self.calls += 1
+            entered_cold = self._cache_state is None
+            # the real probe_local contract: the body caches the
+            # fingerprint it serves from in state_attr — the
+            # wrapper's single post-walk compares against it
+            self._cache_state = self._local_store_state()
             if self.calls <= raise_first:
                 raise FileNotFoundError("part-file swapped away")
             if self.calls <= mutate_after:
                 self.fp += 1  # store mutated while we were reading
-            return ("answer", self.calls, self._cache_state)
+            return ("answer", self.calls, entered_cold)
 
-    # quiet store: one call, cache untouched
+    # quiet store: one call, no replay
     s = Store()
-    assert s.probe() == ("answer", 1, "warm")
+    assert s.probe() == ("answer", 1, True)
+    assert s.probe() == ("answer", 2, False)  # warm, still no replay
 
     # fingerprint moves during the first read: replay once with the
     # resident cache dropped (state_attr reset to None pre-replay)
     s = Store()
     out = s.probe(mutate_after=1)
-    assert out == ("answer", 2, None)
+    assert out == ("answer", 2, True)
     assert s.calls == 2
 
     # vanished file on the first read: same single replay
     s = Store()
-    assert s.probe(raise_first=1) == ("answer", 2, None)
+    assert s.probe(raise_first=1) == ("answer", 2, True)
 
     # a store that churns through BOTH attempts propagates the error
     s = Store()
