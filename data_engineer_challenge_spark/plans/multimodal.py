@@ -65,12 +65,13 @@ _PIX_MOD = 251
 
 @register(
     "image_dhash_neardup",
-    # r14: ON the driver surface (VERDICT r13 #1) — the multimodal
-    # tier's first registry row; took docs_simhash_neardup's slot
-    # (verbatim-oracle rule: its 4×15-bit band/verify machinery is the
-    # same banded-hamming shape this row now hash-checks, and its
-    # md5-simhash fingerprint math stays pytest-oracled in
-    # plans/dedup.py).
+    # r14: the multimodal tier's first registry row (VERDICT r13 #1).
+    # The build session put it on the driver surface in
+    # docs_simhash_neardup's slot; the optimization round froze the
+    # declared surface at CORRECTNESS_r13's set, so it ships
+    # driver=False — still exactly oracle-checked by the pytest
+    # harness (tests/test_queries_vs_oracle.py over the full registry).
+    driver=False,
     oracle=f"""
     WITH ids AS (
         SELECT doc_id AS src FROM documents

