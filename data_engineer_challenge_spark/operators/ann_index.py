@@ -1155,10 +1155,13 @@ class IVFVectorIndex:
         pdir = self._postings_dir()
         if not os.path.isdir(pdir):
             return False
-        # trigger check on the raw row count (parquet-metadata-only
-        # job): replay dupes inflate it slightly, never enough to
-        # matter against a 2x growth threshold
-        n_raw = self._read_postings().count()
+        # trigger check on the raw row count — driver-side parquet
+        # footer sum, no Spark job (r14); replay dupes inflate it
+        # slightly, never enough to matter against a 2x growth
+        # threshold
+        from .compaction import dir_row_count
+
+        n_raw = dir_row_count(pdir)
         if n_raw < min_n or n_raw <= growth * tls * self.meta["k"]:
             return False
         if stage_rows is not None:

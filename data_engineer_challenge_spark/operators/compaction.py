@@ -130,6 +130,31 @@ def _data_files(d: str) -> list[str]:
     ]
 
 
+def dir_row_count(root: str) -> int:
+    """Exact row count of a parquet directory tree from file footers —
+    driver-side metadata reads, no Spark job (r14, guide §1.2/§5: the
+    rebucket growth triggers ran a full count() job per tick just to
+    compare against a threshold; parquet footers carry the identical
+    number). Dot-dirs (parked/staged siblings) are skipped exactly as
+    Spark's partition discovery skips them, so the count matches what
+    a reader sees. Cost is O(data files) footer reads — the same
+    listing the compaction trigger already pays every tick."""
+    import pyarrow.parquet as papq
+
+    total = 0
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith((".", "_"))
+        ]
+        for n in filenames:
+            if n.startswith((".", "_")) or n.endswith(".crc"):
+                continue
+            total += papq.ParquetFile(
+                os.path.join(dirpath, n)
+            ).metadata.num_rows
+    return total
+
+
 def dir_fingerprint(*dirs: str) -> tuple:
     """Cheap state fingerprint of one or more directories (per-dir
     mtime_ns + entry count + per-entry mtime_ns) — the probe_local

@@ -188,7 +188,10 @@ class MinHashIndex:
         )
         if not os.path.isdir(self._bands_dir()):
             return False
-        n = self.spark.read.parquet(self._bands_dir()).count()
+        # trigger check from parquet footers — no Spark job (r14)
+        from .compaction import dir_row_count
+
+        n = dir_row_count(self._bands_dir())
         k = self.meta["bh_buckets"]
         if n <= growth * tgt * k:
             return False
@@ -269,13 +272,29 @@ class MinHashIndex:
         base = base.cache()
         try:
             # hash-partitioned layouts: probes prune both stored
-            # tables to the buckets they can match (module docstring)
-            base.withColumn("id_bucket", self._bucket_expr("id")).write.partitionBy(
-                "id_bucket"
-            ).mode(mode).parquet(self._shingles_dir())
-            banded.write.partitionBy("bh_bucket").mode(mode).parquet(
-                self._bands_dir()
+            # tables to the buckets they can match (module docstring).
+            # Both writes rebalance on their partition column first
+            # (r14, guide §6): without it every upstream task lands a
+            # part-file in every bucket dir it touches — tasks ×
+            # buckets files per append (measured: one sf0.1 build wrote
+            # 1024 band files, 32 per dir, pushing EVERY bucket past
+            # maybe_compact's max_files on the very first tick, so the
+            # ingest loop re-folded the whole store every tick). With
+            # the rebalance an append lands ~one file per touched
+            # bucket, compaction fires once per ~max_files appends as
+            # designed, and at 100 TB AQE splits fat buckets into
+            # advisory-sized files instead of pinning a task per
+            # bucket. (The shingles side previously got 1 file/dir only
+            # by the accident that repartition(par, "id") and
+            # pmod(hash(id), bh_buckets) agree when par == bh_buckets.)
+            base.withColumn("id_bucket", self._bucket_expr("id")).hint(
+                "rebalance", "id_bucket"
+            ).write.partitionBy("id_bucket").mode(mode).parquet(
+                self._shingles_dir()
             )
+            banded.hint("rebalance", "bh_bucket").write.partitionBy(
+                "bh_bucket"
+            ).mode(mode).parquet(self._bands_dir())
         finally:
             base.unpersist()
 

@@ -86,7 +86,18 @@ class ParquetWarehouse:
         self._stage_and_swap(
             table,
             out,
-            writer=lambda d, p: d.write.partitionBy(PKEY).mode("overwrite").parquet(p),
+            # rebalance on the partition key before the partitioned
+            # write (r14, guide §6): without it every upstream task
+            # writes a part-file into every __pkey dir it touches —
+            # tasks × buckets files per write (measured 512 files /
+            # 1.97 s vs 16 files / 0.69 s at sf0.1). AQE sizes the
+            # post-shuffle partitions, so at 100 TB a fat bucket
+            # splits into several advisory-sized files instead of
+            # pinning one task per bucket.
+            writer=lambda d, p: d.hint("rebalance", PKEY)
+            .write.partitionBy(PKEY)
+            .mode("overwrite")
+            .parquet(p),
             meta={"partition_keys": list(keys), "n_buckets": n_buckets},
         )
 
@@ -260,7 +271,9 @@ class ParquetWarehouse:
                 # anti-join against, and parquet schema inference
                 # would fail on the part-file-less directory. Append
                 # the whole batch as the first partitions.
-                src.write.mode("append").partitionBy(PKEY).parquet(final)
+                src.hint("rebalance", PKEY).write.mode("append").partitionBy(
+                    PKEY
+                ).parquet(final)
                 return
             # partition pruning: only touched __pkey dirs are scanned
             tgt = self.spark.read.parquet(final).filter(F.col(PKEY).isin(touched))
@@ -273,7 +286,11 @@ class ParquetWarehouse:
             # pkeys from `touched`, so staging holds exactly the
             # touched partition dirs.
             staging = f"{final}.staging-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").partitionBy(PKEY).parquet(staging)
+            # one ~file per touched bucket instead of tasks × buckets
+            # (the overwrite_partitioned writer's rationale)
+            merged.hint("rebalance", PKEY).write.mode("overwrite").partitionBy(
+                PKEY
+            ).parquet(staging)
             try:
                 for entry in os.listdir(staging):
                     if not entry.startswith(PKEY + "="):

@@ -425,7 +425,10 @@ class WindowHashIndex:
         wdir = self._windows_dir()
         if not os.path.isdir(wdir):
             return False
-        n = self.spark.read.parquet(wdir).count()
+        # trigger check from parquet footers — no Spark job (r14)
+        from .compaction import dir_row_count
+
+        n = dir_row_count(wdir)
         k = self.meta["h_buckets"]
         if n <= growth * tgt * k:
             return False
@@ -504,9 +507,13 @@ class WindowHashIndex:
                 self._bucket_expr().alias("h_bucket"),
             )
         )
-        wins.write.partitionBy("h_bucket").mode("append").parquet(
-            self._windows_dir()
-        )
+        # rebalance on the partition column before the partitioned
+        # write (r14, guide §6): one ~file per touched bucket per
+        # append instead of tasks × buckets fragments for compaction
+        # to mop up; AQE splits fat buckets at scale.
+        wins.hint("rebalance", "h_bucket").write.partitionBy(
+            "h_bucket"
+        ).mode("append").parquet(self._windows_dir())
         docs.select(
             F.col(id_col).cast("string").alias("doc_id")
         ).distinct().write.mode("append").parquet(self._docs_dir())

@@ -546,6 +546,16 @@ class SnapshotTable:
         )
 
     def _write_commit_dir(self, df: DataFrame) -> tuple[str, dict]:
+        # NOT rebalanced before the write (r14, measured): most commit
+        # frames end in a shuffle that AQE already coalesces to
+        # advisory-sized partitions, so a blanket rebalance here only
+        # added a shuffle round-trip per commit (docs_curation_refresh_
+        # delta regressed 11.4 → 15.1 s when it was tried); no-shuffle
+        # appends land one file per input split, which maybe_compact's
+        # amortized fold already bounds. The partitioned index/warehouse
+        # writes are different — there the fan-out is tasks × buckets
+        # and a rebalance on the partition column is a measured win
+        # (operators/merge.py, dedup_index.py, text_index.py).
         cdir = f"c-{uuid.uuid4().hex}"
         full = os.path.join(self._data_dir(), cdir)
         # stats-bearing timestamp encoding, scoped to THIS write: INT96

@@ -285,7 +285,10 @@ class InvertedTextIndex:
         pdir = self._postings_dir()
         if not os.path.isdir(pdir):
             return False
-        n = self.spark.read.parquet(pdir).count()
+        # trigger check from parquet footers — no Spark job (r14)
+        from .compaction import dir_row_count
+
+        n = dir_row_count(pdir)
         k = self.meta["t_buckets"]
         if n <= growth * tgt * k:
             return False
@@ -333,9 +336,11 @@ class InvertedTextIndex:
         )
 
     def _write_roster(self, docs: DataFrame, id_col: str, mode: str) -> None:
-        docs.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
-            mode
-        ).parquet(self._docs_dir())
+        # ids-only rows: size the output files via AQE instead of
+        # landing one tiny part-file per upstream task per tick (r14)
+        docs.select(F.col(id_col).cast("long").alias("doc_id")).hint(
+            "rebalance"
+        ).write.mode(mode).parquet(self._docs_dir())
 
     def _bucket_expr(self, col: str = "term") -> Column:
         """Partition key: ``pmod(hash(term), N)`` — Spark's Murmur3 of
@@ -396,9 +401,16 @@ class InvertedTextIndex:
                     .agg(F.count(F.lit(1)).cast("long").alias("tf"))
                     .withColumn("t_bucket", self._bucket_expr())
                 )
-            postings.write.partitionBy("t_bucket").mode(mode).parquet(
-                self._postings_dir()
-            )
+            # rebalance on the partition column before the partitioned
+            # write (r14, guide §6): without it every aggregation task
+            # writes a part-file into every t_bucket dir it touches —
+            # tasks × buckets files per append, which both explodes
+            # probe listing cost and trips maybe_compact's max_files on
+            # the first tick. One ~file per bucket per append instead;
+            # AQE splits fat buckets into advisory-sized files at scale.
+            postings.hint("rebalance", "t_bucket").write.partitionBy(
+                "t_bucket"
+            ).mode(mode).parquet(self._postings_dir())
             # corpus stats LAST, keyed by txn: a crash between the two
             # writes replays as duplicate postings (folded by the
             # probe's max) + one stats row; a crash AFTER the stats
