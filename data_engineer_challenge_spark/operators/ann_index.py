@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import similarity as _sim
+from ..localrel import local_rows_df
 from .compaction import locked_writer, probe_local_retry, writer_lock
 from .similarity import _require_long_ids, cosine, nearest_centroid
 
@@ -403,7 +404,8 @@ class IVFVectorIndex:
         return os.path.join(self.path, "postings")
 
     def _centroid_df(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [(i, c) for i, c in enumerate(self.centroids)],
             "cid int, centroid array<double>",
         )
@@ -1837,8 +1839,10 @@ class IVFVectorIndex:
                     for a, r in enumerate(qrows)
                     for i in range(len(cents))
                 ]
-                qcf = corpus.sparkSession.createDataFrame(
-                    qc_rows, "q_id long, cell int, __qc double"
+                qcf = local_rows_df(
+                    corpus.sparkSession,
+                    qc_rows,
+                    "q_id long, cell int, __qc double",
                 )
                 scored = (
                     adc_score_cross_vectorized(
@@ -2077,7 +2081,8 @@ class IVFVectorIndex:
             # string-keyed query frames that the expression path
             # accepts); the ADC kernel passes ids through untouched
             q_type = queries.schema[query_id].dataType.simpleString()
-            probes = self.spark.createDataFrame(
+            probes = local_rows_df(
+                self.spark,
                 qcids,
                 f"{query_id} {q_type}, cid int"
                 + (", __qc double" if residual else ""),

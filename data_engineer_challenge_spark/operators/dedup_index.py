@@ -66,6 +66,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .compaction import locked_writer, probe_local_retry, writer_lock
+from ..localrel import local_rows_df
+from ..parallelism import spread
 from .similarity import _require_long_ids
 from .text_dedup import hashed_shingles, jaccard, minhash_bands_vectorized
 
@@ -231,12 +233,14 @@ class MinHashIndex:
     def _prepare(self, docs: DataFrame, id_col: str, text_col: str):
         """(id, hs) + (band, bh, id, bh_bucket) frames for a batch."""
         _require_long_ids(docs, id_col, "MinHashIndex")
-        par = self.spark.sparkContext.defaultParallelism
         base = (
-            docs.select(
-                F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+            spread(
+                docs.select(
+                    F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__text"),
+                ),
+                "id",
             )
-            .repartition(par, "id")
             .withColumn(
                 "hs", hashed_shingles(F.col("__text"), self.meta["shingle_n"])
             )
@@ -329,8 +333,8 @@ class MinHashIndex:
             # probe-first ingest loop must work from the empty state,
             # not crash on the missing postings directory
             _require_long_ids(docs, id_col, "MinHashIndex")
-            return self.spark.createDataFrame(
-                [], "new_id long, dup_of long, jaccard double"
+            return local_rows_df(
+                self.spark, [], "new_id long, dup_of long, jaccard double"
             )
         new_base, new_banded = self._prepare(docs, id_col, text_col)
         # cache: the candidate join consumes new_banded and the verify

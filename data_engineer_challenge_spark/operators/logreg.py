@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localrel import local_rows_df
 
 #: exact cross-row accumulator for gradient/logit sums — wider scale
 #: than plans/helpers.DEC because training compounds rounding across
@@ -107,8 +108,10 @@ def train_logreg_hashed(
     prev_err = None  # last iteration's pinned frame, freed each loop
     for _ in range(iters):
         wdf = F.broadcast(
-            x.sparkSession.createDataFrame(
-                [(b, w[b]) for b in range(buckets)], "b long, w double"
+            local_rows_df(
+                x.sparkSession,
+                [(b, w[b]) for b in range(buckets)],
+                "b long, w double",
             )
         )
         # per-doc error: exact decimal dot product -> double sigmoid.

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .compaction import locked_writer, probe_local_retry, writer_lock
+from ..localrel import local_rows_df
 
 from ..functions.tokenize import word_tokens
 
@@ -471,7 +472,7 @@ class WindowHashIndex:
         join coercion (long==string coerces both sides to double and
         corrupts ids past 2^53)."""
         if not os.path.isdir(self._docs_dir()):
-            return self.spark.createDataFrame([], "doc_id string")
+            return local_rows_df(self.spark, [], "doc_id string")
         return (
             self.spark.read.schema("doc_id string")
             .parquet(self._docs_dir())

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localrel import local_rows_df
+from ..parallelism import spread
 from pyspark.sql.window import Window
 
 
@@ -69,8 +71,10 @@ def neardup_pairs_blocked(
     coarse structure exists — a cluster id, an LSH bucket, a shard."""
     # parallelism of the broadcast block-join equals the probe side's
     # partition count — spread it (a single-file scan is one task)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.repartition(par, id_col).select(
+    # conditional (r14): the spread is a local/small-input fix — at
+    # scale the scan is already parallel and this shuffle of vector
+    # payloads would be pure waste (parallelism.spread rationale)
+    a = spread(df, id_col).select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec).alias("__va"),
@@ -293,7 +297,8 @@ def ivf_topk(
         # cosines for any externally-trained (non-f32-representable)
         # quantizer and diverge from both the assignment argmax and
         # ivf_topk_vectorized's bit-identity claim
-        cent_df = corpus.sparkSession.createDataFrame(
+        cent_df = local_rows_df(
+            corpus.sparkSession,
             [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
             "label int, centroid array<double>",
         )
@@ -375,8 +380,10 @@ def ivf_topk_vectorized(
     q_rows = queries.select(query_id, vec).collect()
     if not q_rows:  # empty query set: empty result, same schema as
         # the non-empty path (ivf_topk degrades the same way)
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, cos_sim double, rank int"
+        return local_rows_df(
+            corpus.sparkSession,
+            [],
+            f"{query_id} long, {corpus_id} long, cos_sim double, rank int",
         )
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
@@ -744,8 +751,10 @@ def brute_force_topk_vectorized(
     q_rows = queries.select(query_id, vec).collect()
     if not q_rows:  # empty query set: empty result, same schema as
         # the non-empty path (brute_force_topk degrades the same way)
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, cos_sim double, rank int"
+        return local_rows_df(
+            corpus.sparkSession,
+            [],
+            f"{query_id} long, {corpus_id} long, cos_sim double, rank int",
         )
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
@@ -812,8 +821,8 @@ def quantized_shortlist_vectorized(
     _require_long_ids(corpus, corpus_id, "quantized_shortlist_vectorized")
     q_rows = queries.select(query_id, qvec, qnorm).collect()
     if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long"
+        return local_rows_df(
+            corpus.sparkSession, [], f"{query_id} long, {corpus_id} long"
         )
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[qvec] for r in q_rows], dtype=np.int64)
@@ -977,8 +986,7 @@ def _dominance_audit(
     back to the id tie-break. Without an explicit rule the raw
     comparisons evaluate to SQL NULL in both orientations and a
     NULL-quality duplicate silently survives."""
-    par = assigned.sparkSession.sparkContext.defaultParallelism
-    a = assigned.repartition(par, id_col).select(
+    a = spread(assigned, id_col).select(
         F.col("cell").alias("__cell"),
         F.col(id_col).alias("__id_a"),
         F.col("__v").alias("__va"),

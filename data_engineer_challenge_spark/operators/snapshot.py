@@ -1225,8 +1225,10 @@ class SnapshotTable:
             if sj is not None:
                 from pyspark.sql import types as T
 
-                empty = self.spark.createDataFrame(
-                    [], T.StructType.fromJson(json.loads(sj))
+                from ..localrel import local_rows_df
+
+                empty = local_rows_df(
+                    self.spark, [], T.StructType.fromJson(json.loads(sj))
                 )
             else:
                 empty = self.read(to_version).limit(0)

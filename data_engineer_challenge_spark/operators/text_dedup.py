@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..parallelism import spread
 from ..functions.tokenize import word_tokens
 
 
@@ -242,13 +243,32 @@ def minhash_candidate_pairs(
     targeted equivalent of ``MinHashIndex.release()`` — or a blanket
     ``spark.catalog.clearCache()`` between rounds, as bench.py does.
     """
-    par = partitions or df.sparkSession.sparkContext.defaultParallelism
     blocks = [F.col(c) for c in block_cols]
     # materialize hashed shingles once (cached): the self-join and the
-    # verification stage would otherwise re-tokenize per use
+    # verification stage would otherwise re-tokenize per use.
+    # Conditional spread (r14): the repartition is a local/small-input
+    # parallelism fix — an input already scanned in >= that many
+    # partitions skips the text shuffle (parallelism.spread rationale);
+    # an EXPLICIT ``partitions`` is honored unconditionally.
     base = (
-        df.select(F.col(id_col).alias("__id"), *blocks, F.col(text_col).alias("__text"))
-        .repartition(par, "__id")
+        spread(
+            df.select(
+                F.col(id_col).alias("__id"),
+                *blocks,
+                F.col(text_col).alias("__text"),
+            ),
+            "__id",
+            min_partitions=partitions,
+        )
+        if partitions is None
+        else df.select(
+            F.col(id_col).alias("__id"),
+            *blocks,
+            F.col(text_col).alias("__text"),
+        ).repartition(partitions, "__id")
+    )
+    base = (
+        base
         .withColumn(
             "__hs", hashed_shingles(F.col("__text"), shingle_n, pre_tokenized)
         )
@@ -390,16 +410,20 @@ def simhash_candidate_pairs(
     standard 4-band scheme and most ≤ 6 cases) — recall/cost knob, with
     exact hamming verification after the join. Token-less documents
     carry no signal and are excluded (both engines)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     # cache: the simhash fold must not be recomputed per join side;
-    # repartition first (a single-file input would fold on one task).
+    # conditional spread first (r14 — a single-file input would fold
+    # on one task; an already-parallel scan skips the text shuffle).
     # The fold stays the JVM expression form deliberately: an
     # Arrow-vectorized twin (memoized md5 + numpy votes) was built,
     # measured no better in steady state, and showed bimodal 2-4x
     # slow runs from the Python worker boundary — reverted.
     sh = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .repartition(par, "__id")
+        spread(
+            df.select(
+                F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+            ),
+            "__id",
+        )
         .select("__id", word_tokens(F.col("__t")).alias("__toks"))
         .filter(F.size("__toks") > 0)
         .select("__id", simhash60(F.col("__toks")).alias("__sh"))

@@ -75,6 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.tokenize import word_tokens
+from ..localrel import local_rows_df
 from .compaction import locked_writer, probe_local_retry, writer_lock
 from .similarity import _require_long_ids
 
@@ -328,7 +329,7 @@ class InvertedTextIndex:
         Duplicate roster rows across appends/replays are harmless
         (membership semantics)."""
         if not os.path.isdir(self._docs_dir()):
-            return self.spark.createDataFrame([], "doc_id long")
+            return local_rows_df(self.spark, [], "doc_id long")
         return (
             self.spark.read.schema("doc_id long")
             .parquet(self._docs_dir())
@@ -425,7 +426,11 @@ class InvertedTextIndex:
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum(F.size("ts").cast("long")).alias("sum_dl"),
             ).collect()[0]
-            self.spark.createDataFrame(
+            # local_rows_df: a pickled-RDD local relation cost ~5 s
+            # per stats write (r14 — see localrel.py); the Arrow-
+            # backed LocalRelation writes in ~0.2 s
+            local_rows_df(
+                self.spark,
                 [(txn, row["n_docs"], row["sum_dl"] or 0)],
                 "txn string, n_docs long, sum_dl long",
             ).coalesce(1).write.mode(
@@ -517,8 +522,8 @@ class InvertedTextIndex:
         # touched-bucket collect every pruned probe in this repo does
         touched = sorted(
             r[0]
-            for r in self.spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+            for r in local_rows_df(
+                self.spark, [(t,) for t in terms], "term string"
             )
             .select(self._bucket_expr().alias("b"))
             .distinct()
@@ -806,8 +811,8 @@ class InvertedTextIndex:
         terms = tuple(terms)
         touched = sorted(
             r[0]
-            for r in self.spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+            for r in local_rows_df(
+                self.spark, [(t,) for t in terms], "term string"
             )
             .select(self._bucket_expr().alias("b"))
             .distinct()
@@ -859,8 +864,8 @@ class InvertedTextIndex:
             raise ValueError("phrase_occurrences needs at least one term")
         touched = sorted(
             r[0]
-            for r in self.spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+            for r in local_rows_df(
+                self.spark, [(t,) for t in terms], "term string"
             )
             .select(self._bucket_expr().alias("b"))
             .distinct()

@@ -22,6 +22,7 @@ from ..operators.text_dedup import (
     word_shingles,
 )
 from ..tables import load_table
+from ..parallelism import spread
 from . import register
 from .helpers import MD5_LONG_SQL, scratch_dir
 
@@ -98,8 +99,7 @@ def baseline_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side's partitioning — a single-file parquet scan would run
     # the whole O(n^2/blocks) comparison on ONE task (measured 70 s at
     # sf0.1); spread the probe side across the cluster first
-    par = spark.sparkContext.defaultParallelism
-    a = sh.repartition(par, "doc_id").select(
+    a = spread(sh, "doc_id").select(
         F.col("lang"), F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
     )
     b = sh.select(

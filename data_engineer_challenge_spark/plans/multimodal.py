@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..parallelism import spread
 from . import register
 
 #: fixture classes — doc_id % 2 == 0 → base image (media_id =
@@ -192,7 +193,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = (
-        spec.repartition(spark.sparkContext.defaultParallelism, "media_id")
+        spread(spec, "media_id")
         .mapInPandas(synth, schema="media_id long, payload binary")
         .withColumn("kind", F.lit("image"))
         .withColumn("meta", F.struct(F.lit("image/bmp").alias("mime")))

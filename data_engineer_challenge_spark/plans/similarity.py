@@ -22,6 +22,7 @@ from ..operators.similarity import (
     norm_sq,
 )
 from ..tables import load_table
+from ..localrel import local_rows_df
 from . import register
 from .helpers import dec_avg_sql, scratch_dir
 from .ivf_centroids import CENTROIDS as _IVF_CENTROIDS
@@ -1368,8 +1369,8 @@ def emb_pq_residual_adc_knn(
             for r in qrows
             for i, c in cent_rows
         ]
-        qcf = spark.createDataFrame(
-            qc_rows, "q_id long, cid int, __qc double"
+        qcf = local_rows_df(
+            spark, qc_rows, "q_id long, cid int, __qc double"
         )
         pairs = codes.join(F.broadcast(qcf), "cid").select(
             "q_id",
@@ -1390,8 +1391,8 @@ def emb_pq_residual_adc_knn(
             rcb,
             residual_centroids=cents,
         ).join(assigned.select("vec_id", "cid"), "vec_id")
-        cent_df = spark.createDataFrame(
-            cent_rows, "cid int, cv array<double>"
+        cent_df = local_rows_df(
+            spark, cent_rows, "cid int, cv array<double>"
         )
         q_luts = (
             q.crossJoin(F.broadcast(cent_df))
@@ -1810,8 +1811,8 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             # every label NULL: the expression path (and the oracle)
             # return empty — match it instead of raising (r12 review)
-            scored = spark.createDataFrame(
-                [], "q_id long, neg_id long, __cos double"
+            scored = local_rows_df(
+                spark, [], "q_id long, neg_id long, __cos double"
             )
     else:
         q = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -1968,8 +1969,8 @@ def emb_training_triplets(
             else:
                 # every label NULL — match the expression path's
                 # empty result instead of raising (r12 review)
-                scored = spark.createDataFrame(
-                    [], "q_id long, o_id long, __cos double"
+                scored = local_rows_df(
+                    spark, [], "q_id long, o_id long, __cos double"
                 )
         else:
             q = emb.filter(F.col("vec_id") % 100 == 0).select(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import WS_CLASS as _WS  # \s diverges Java/RE2
 from ..functions.tokenize import TOKEN_RE, word_tokens as tokens
+from ..localrel import local_rows_df
 from ..operators.text_dedup import _CACHED_FRAMES
 from ..tables import load_table
 from . import register
@@ -1029,8 +1030,10 @@ def _register_quality_classifier() -> None:
             "doc_id", "lang", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
         ).withColumn("b", md5_long("g") % _QC_BUCKETS)
         wdf = F.broadcast(
-            spark.createDataFrame(
-                [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
+            local_rows_df(
+                spark,
+                [(b, wt) for b, wt in enumerate(_w)],
+                "b long, wt double",
             )
         )
         pooled = (
@@ -1082,8 +1085,8 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
     ).withColumn("b", md5_long("g") % _QC_BUCKETS)
     wdf = F.broadcast(
-        spark.createDataFrame(
-            [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
+        local_rows_df(
+            spark, [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
         )
     )
     logit = F.lit(_bias) + F.col("s") / F.col("n_grams")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import WS_CLASS as _WS  # noqa: F401
 from ..functions.tokenize import TOKEN_RE, word_tokens as tokens  # noqa: F401
+from ..localrel import local_rows_df
 from ..operators.text_dedup import _CACHED_FRAMES  # noqa: F401
 from ..tables import load_table
 from . import register
@@ -668,8 +669,10 @@ def docs_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _RM3_EXP_TERMS)
         .select("term", F.lit(1).alias("w"))
     )
-    qterms = spark.createDataFrame(
-        [(t, _RM3_ORIG_WEIGHT) for t in _BM25_TERMS], "term string, w int"
+    qterms = local_rows_df(
+        spark,
+        [(t, _RM3_ORIG_WEIGHT) for t in _BM25_TERMS],
+        "term string, w int",
     ).unionByName(exp)
     hits = toks.select(
         "doc_id",

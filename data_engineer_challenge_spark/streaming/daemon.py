@@ -129,9 +129,13 @@ class CdwDaemon:
                 # log-and-forget warning (exo_2.py:255-258)
                 from pyspark.sql import functions as F
 
+                from ..localrel import local_rows_df
+
                 quarantined = (
-                    self.spark.createDataFrame(
-                        [(f,) for f in report.rejects], "filename string"
+                    local_rows_df(
+                        self.spark,
+                        [(f,) for f in report.rejects],
+                        "filename string",
                     )
                     .withColumn("upload_id", F.lit(self.upload_id_document))
                     .withColumn("reason", F.lit("NO_MATCHING_PATIENT"))

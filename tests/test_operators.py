@@ -919,3 +919,52 @@ def test_opq_rotation_train_and_rotate(spark):
         [np.asarray(r["embedding"], dtype=np.float32) for r in out]
     )
     assert (got == want).all()
+
+
+def test_local_rows_df_semantics_and_jvm_local_relation(spark):
+    """r14 localrel contract: positional schema mapping, None -> NULL,
+    arrays pass through, empty row lists are legal — and the plan is a
+    JVM LocalTableScan, NOT a pickled Python RDD scan (the 5 s-per-
+    write boundary cost the helper exists to remove)."""
+    from data_engineer_challenge_spark.localrel import local_rows_df
+
+    df = local_rows_df(
+        spark,
+        [("a", 1, None), ("b", None, 2.5)],
+        "k string, n long, v double",
+    )
+    rows = {(r["k"], r["n"], r["v"]) for r in df.collect()}
+    assert rows == {("a", 1, None), ("b", None, 2.5)}
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "k:string", "n:bigint", "v:double",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+    arr = local_rows_df(spark, [(1, [1, 2])], "id long, hs array<bigint>")
+    assert arr.collect()[0]["hs"] == [1, 2]
+
+    empty = local_rows_df(spark, [], "x long, y string")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["x", "y"]
+
+
+def test_spread_skips_shuffle_when_already_parallel(spark):
+    """r14 parallelism contract: spread() repartitions a below-
+    parallelism input (the local small-file fix) but passes an
+    already-parallel frame through IDENTICALLY — no Exchange, so at
+    scale the kernels never pay a payload shuffle for it."""
+    from data_engineer_challenge_spark.parallelism import spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4, "id")
+
+    out_n = spread(narrow, "id")
+    assert out_n.rdd.getNumPartitions() >= par
+
+    out_w = spread(wide, "id")
+    assert out_w is wide  # identity: not even a new plan node
+
+    # results are partitioning-independent (the kernels' contract)
+    assert sorted(r["id"] for r in out_n.collect()) == list(range(100))
