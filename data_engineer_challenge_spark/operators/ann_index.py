@@ -979,7 +979,12 @@ class IVFVectorIndex:
         # the directory name, not the rows)
         schema = self._read_postings().drop("cid").schema
         if "__ord" in schema.fieldNames():
-            w = Window.partitionBy(self.id_col).orderBy(
+            # cid joins the window keys per the r14 fold contract: the
+            # batched fold sees every eligible list at once, and the
+            # per-list latest-ordinal rule must stay per-list (a
+            # superseded id's stale row in ANOTHER list is the
+            # roster's job, exactly as before)
+            w = Window.partitionBy("cid", self.id_col).orderBy(
                 F.col("__ord").desc()
             )
             # roster computed ONCE per compaction pass and pinned —
@@ -1000,7 +1005,7 @@ class IVFVectorIndex:
         else:  # store predates ordinals
 
             def fold(df: DataFrame) -> DataFrame:
-                return df.dropDuplicates([self.id_col])
+                return df.dropDuplicates(["cid", self.id_col])
 
         done = compact_partitioned(
             self.spark,

@@ -319,7 +319,22 @@ def compact_partitioned(
     one only front-loads work — the ingest ticks default to this so
     a store of any bucket count drains exactly as fast as it
     fattens. An explicit int is taken literally (tests pin exact
-    fold counts)."""
+    fold counts).
+
+    Fold contract (r14): ``fold`` receives the rows WITH the
+    ``prefix`` partition column and must key on it (every store's
+    fold key already functionally determines its bucket, so adding
+    the column to the groupBy/window keys is a no-op on results) —
+    that is what lets ALL eligible directories rewrite in ONE Spark
+    job instead of a job per directory (r14, guide §2.6/§1.2: the
+    per-dir loop serialized N tiny jobs per maintenance pass; one
+    partitioned read + one shuffle on the partition column + one
+    partitioned write does the same rewrites with one job's
+    scheduling cost, at any bucket count). The staged output lands
+    under one dot-prefixed sibling and then swaps in PER DIRECTORY
+    with the same park-and-swap windows as before (``heal`` repairs
+    a crash at any point: parked dirs restore, the staging root
+    sweeps)."""
     import math
 
     heal(root)
@@ -340,10 +355,55 @@ def compact_partitioned(
     if budget is not None:
         eligible.sort(key=lambda t: (-t[0], t[1]))
         eligible = eligible[: max(0, budget)]
+    if not eligible:
+        return 0
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    names = [n for _, n in eligible]
+    stage = os.path.join(root, _TMP + "batchfold")
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    # callers pass the row schema as a DDL string or a StructType;
+    # extend either with the partition column
+    if isinstance(schema, str):
+        full_schema: str | T.StructType = f"{schema}, {prefix} int"
+    else:
+        full_schema = T.StructType(
+            [*schema.fields, T.StructField(prefix, T.IntegerType(), True)]
+        )
+    df = (
+        spark.read.schema(full_schema)
+        .option("basePath", root)
+        .parquet(*[os.path.join(root, n) for n in names])
+    )
+    # one task per bucket value (hash collisions merely co-locate two
+    # buckets in a task; the partitioned write still emits one file
+    # per directory), rows sorted within each output file
+    (
+        fold(df)
+        .repartition(F.col(prefix))
+        .sortWithinPartitions(prefix, *order_by)
+        .write.partitionBy(prefix)
+        .parquet(stage)
+    )
     done = 0
-    for _, n in eligible:
-        compact_dir(spark, root, n, schema, fold, order_by)
-        done += 1
+    try:
+        for n in names:
+            src = os.path.join(stage, n)
+            live = os.path.join(root, n)
+            parked = os.path.join(root, _OLD + n)
+            if not os.path.isdir(src):
+                # the fold eliminated every row of this bucket (e.g.
+                # an ANN list whose rows were all superseded): swap in
+                # an empty directory so the rewrite still happens
+                os.makedirs(src)
+            os.rename(live, parked)
+            os.rename(src, live)
+            shutil.rmtree(parked)
+            done += 1
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return done
 
 

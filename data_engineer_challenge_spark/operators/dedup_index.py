@@ -638,6 +638,9 @@ class MinHashIndex:
             self._bands_dir(),
             "bh_bucket",
             "band int, bh long, id long",
+            # fold contract (r14): rows arrive WITH the partition
+            # column; distinct keys on it implicitly, groupBy must
+            # add it (bucket = f(fold key), so results are identical)
             lambda df: df.distinct(),
             ["band", "bh", "id"],
             max_files=max_files_per_bucket,
@@ -648,7 +651,9 @@ class MinHashIndex:
             self._shingles_dir(),
             "id_bucket",
             "id long, hs array<bigint>",
-            lambda df: df.groupBy("id").agg(F.max("hs").alias("hs")),
+            lambda df: df.groupBy("id", "id_bucket").agg(
+                F.max("hs").alias("hs")
+            ),
             ["id"],
             max_files=max_files_per_bucket,
             budget=budget,

@@ -604,13 +604,16 @@ class WindowHashIndex:
         from .compaction import compact_flat, compact_partitioned
 
         def fold_windows(df: DataFrame) -> DataFrame:
+            # h_bucket joins the keys per the r14 fold contract
+            # (bucket = f(h), so grouping is unchanged)
             return (
-                df.groupBy("h")
+                df.groupBy("h", "h_bucket")
                 .agg(F.min(F.struct("doc_id", "pos")).alias("o"))
                 .select(
                     "h",
                     F.col("o.doc_id").alias("doc_id"),
                     F.col("o.pos").alias("pos"),
+                    "h_bucket",
                 )
             )
 

@@ -923,8 +923,10 @@ class InvertedTextIndex:
         def fold_postings(df: DataFrame) -> DataFrame:
             # replayed appends duplicate rows bit-identically, so max
             # collapses them (arrays order lexicographically; the
-            # duplicates are equal, making the fold a dedup)
-            return df.groupBy("term", "doc_id").agg(
+            # duplicates are equal, making the fold a dedup).
+            # t_bucket joins the keys per the r14 fold contract
+            # (bucket = f(term), so grouping is unchanged).
+            return df.groupBy("term", "doc_id", "t_bucket").agg(
                 F.max("tf").alias("tf"),
                 F.max("dl").alias("dl"),
                 *([F.max("pos").alias("pos")] if pos else []),

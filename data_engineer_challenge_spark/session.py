@@ -48,6 +48,18 @@ def get_spark(
         # — at 100 TB this is the difference between shuffling the
         # whole fact table and shuffling the ~matching fraction
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when
+        # every post-shuffle partition of the build side measures under
+        # this at RUNTIME, the join skips both sorts. Runtime-gated, so
+        # it cannot pick an over-memory build at any scale (unlike the
+        # static preferSortMergeJoin=false, which A/B-measured a
+        # regression here and stays default). r14 A/B on the bench set:
+        # docs_corpus_release -11% twice (its decontamination SMJs
+        # convert), set-total -7.5%/-1.8% across two sessions.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # INT64 micros, not Spark's legacy INT96: INT96 parquet columns
         # carry NO footer statistics, which blinds every stats consumer
         # (SnapshotTable data skipping, Iceberg-style manifests) to

@@ -968,3 +968,68 @@ def test_spread_skips_shuffle_when_already_parallel(spark):
 
     # results are partitioning-independent (the kernels' contract)
     assert sorted(r["id"] for r in out_n.collect()) == list(range(100))
+
+
+def test_compact_partitioned_batched_fold_one_file_per_bucket(spark, tmp_path):
+    """r14 batched compaction: all eligible buckets rewrite in ONE
+    Spark job (one partitioned read + one shuffle + one partitioned
+    write + per-dir swaps) — each compacted dir must hold exactly one
+    sorted data file, rows identical to the pre-fold distinct set,
+    including a bucket the fold empties entirely."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.localrel import local_rows_df
+    from data_engineer_challenge_spark.operators.compaction import (
+        _data_files,
+        compact_partitioned,
+    )
+
+    root = str(tmp_path / "store")
+    rows = [(i % 7, i % 50, f"v{i}") for i in range(400)]
+    df = local_rows_df(spark, rows, "b int, k long, v string")
+    # three appends -> >= 3 files per bucket dir
+    for _ in range(3):
+        df.hint("rebalance", "b").write.partitionBy("b").mode(
+            "append"
+        ).parquet(root)
+    n = compact_partitioned(
+        spark,
+        root,
+        "b",
+        "k long, v string",
+        lambda d: d.distinct(),
+        ["k", "v"],
+        max_files=1,
+        budget=None,
+    )
+    assert n == 7
+    for bdir in sorted(os.listdir(root)):
+        if not bdir.startswith("b="):
+            continue
+        assert len(_data_files(os.path.join(root, bdir))) == 1, bdir
+    got = {
+        (r["b"], r["k"], r["v"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert got == set(rows)
+
+    # a fold that eliminates one bucket's rows entirely still swaps in
+    # an (empty) rewritten dir and the store stays readable
+    n2 = compact_partitioned(
+        spark,
+        root,
+        "b",
+        "k long, v string",
+        lambda d: d.where(F.col("b") != 3),
+        ["k", "v"],
+        max_files=0,
+        budget=None,
+    )
+    assert n2 == 7
+    left = {
+        (r["b"], r["k"], r["v"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert left == {t for t in set(rows) if t[0] != 3}
