@@ -604,12 +604,17 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:  # read-only checkout must not kill the bench
         print(f"bench_last.json not written: {exc}", file=sys.stderr)
-    # truncation armor (r13, VERDICT r12 #5): the full artifact above
-    # is ~3 KB of per-query detail; a tail-capture window that cuts
-    # its head loses the totals (BENCH_r12's "parsed": null). This
-    # SECOND, compact line repeats the essentials and, printed LAST,
-    # always survives a tail capture whole — a consumer that parses
-    # the final JSON line still gets the headline numbers.
+    # truncation armor, r15 ordering (VERDICT r14 #2): r13 printed the
+    # compact total-only line LAST, which protected the totals from a
+    # head-cut tail capture — but the driver parses exactly the FINAL
+    # line, so its per-query comparison came back empty (PERF_r14
+    # per_query: {}). The contract intent is "the last line is THE
+    # result", so the FINAL line now carries the per-query map itself,
+    # kept tail-capture-small (2-dp rounding, no spaces, calibration
+    # block reduced to the factor; ~1.6 KB for 53 rows — measured
+    # against the ~2 KB capture window). The compact total-only line
+    # moves to SECOND-TO-LAST as the fallback for a window that still
+    # cuts the final line's head.
     print(
         json.dumps(
             {
@@ -627,9 +632,33 @@ def main() -> None:
                     4,
                 ),
                 "anchor_load_factor": load_factor,
-                "compact": "per-query timings are in the preceding "
-                "full JSON line",
+                "compact": "per-query timings are in the full JSON "
+                "line above and the final line below",
             }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": {n: round(t, 2) for n, t in timings.items()},
+                "sf": sf,
+                "r2_comparable_subtotal": round(
+                    sum(
+                        t
+                        for n, t in timings.items()
+                        if n in R2_COMPARABLE
+                    ),
+                    2,
+                ),
+                "index_builds": {
+                    n: round(t, 2) for n, t in index_builds.items()
+                },
+                "anchor_load_factor": load_factor,
+            },
+            separators=(",", ":"),
         )
     )
 

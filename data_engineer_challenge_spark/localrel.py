@@ -40,9 +40,18 @@ def local_rows_df(
 
     ``rows`` are tuples mapped POSITIONALLY onto ``schema``'s fields —
     the same contract ``spark.createDataFrame(rows, schema)`` applies
-    to tuples, so call sites swap in place."""
-    import pandas as pd
+    to tuples, so call sites swap in place.
 
+    Value semantics (r15 ADVICE): the r14 pandas route silently turned
+    float NaN into NULL (pyarrow's from_pandas treats NaN as missing),
+    so a NaN weight/score computed from numpy would drop out of join
+    arithmetic where ``createDataFrame(list)`` propagated it. Columns
+    now build through ``pyarrow.array`` over the raw Python values
+    (NaN is a VALUE there, None is the only null), so the helper
+    matches the row-list semantics for floats too. Types the arrow
+    columnizer can't take (e.g. struct fields given as tuples) fall
+    back to the pandas route, which refuses rows containing NaN
+    instead of corrupting them."""
     st = (
         T._parse_datatype_string(schema)
         if isinstance(schema, str)
@@ -50,8 +59,42 @@ def local_rows_df(
     )
     names = [f.name for f in st.fields]
     rows = list(rows)
-    if rows:
-        pdf = pd.DataFrame(rows, columns=names)
-    else:
-        pdf = pd.DataFrame({n: [] for n in names})
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        asch = to_arrow_schema(st)
+        cols = (
+            list(zip(*rows)) if rows else [() for _ in st.fields]
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(list(c), type=f.type)
+                for c, f in zip(cols, asch)
+            ],
+            schema=asch,
+        )
+        return spark.createDataFrame(tbl, schema=st)
+    except (pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError, ValueError, TypeError):
+        pass
+    import math
+
+    import pandas as pd
+
+    if any(
+        isinstance(v, float) and math.isnan(v)
+        for row in rows
+        for v in row
+    ):
+        raise ValueError(
+            "local_rows_df fallback (pandas) would convert float NaN "
+            "to NULL — pass None for nulls, or keep the column "
+            "arrow-columnizable so NaN survives as a value"
+        )
+    pdf = (
+        pd.DataFrame(rows, columns=names)
+        if rows
+        else pd.DataFrame({n: [] for n in names})
+    )
     return spark.createDataFrame(pdf, schema=st)

@@ -389,15 +389,45 @@ def compact_partitioned(
     )
     done = 0
     try:
+        drained = [
+            n for n in names if not os.path.isdir(os.path.join(stage, n))
+        ]
+        if drained:
+            # the fold eliminated every row of these buckets (e.g. ANN
+            # lists whose rows were all superseded). A BARE directory
+            # here would break schema inference on the whole store once
+            # every bucket drains (r15 ADVICE: _read_postings-style
+            # root reads raise "Unable to infer schema") — the old
+            # per-dir compact_dir left a schema-bearing zero-row part
+            # file, so this path must too. One 0-row write with the
+            # data schema (df minus the partition column, so column
+            # order matches the partitioned write's leaf files), copied
+            # into each drained bucket.
+            tmpl = os.path.join(stage, "_empty_template")
+            (
+                df.limit(0)
+                .drop(prefix)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmpl)
+            )
+            parts = _data_files(tmpl)
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"empty-bucket template wrote {len(parts)} part "
+                    f"files in {tmpl!r}; expected exactly 1"
+                )
+            for n in drained:
+                src = os.path.join(stage, n)
+                os.makedirs(src)
+                shutil.copy2(
+                    os.path.join(tmpl, parts[0]),
+                    os.path.join(src, parts[0]),
+                )
         for n in names:
             src = os.path.join(stage, n)
             live = os.path.join(root, n)
             parked = os.path.join(root, _OLD + n)
-            if not os.path.isdir(src):
-                # the fold eliminated every row of this bucket (e.g.
-                # an ANN list whose rows were all superseded): swap in
-                # an empty directory so the rewrite still happens
-                os.makedirs(src)
             os.rename(live, parked)
             os.rename(src, live)
             shutil.rmtree(parked)

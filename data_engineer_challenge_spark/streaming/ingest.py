@@ -743,10 +743,48 @@ def curation_refresh_delta_tick(
     # CARRIED survivor of a rewritten directory as -old +new with
     # identical content; they cancel — skip re-scoring them (the
     # doc's existing stats/grams rows at an older __v remain its
-    # latest truth). Set-level intersect is null-safe whole-row
-    # equality, so only rows whose every column survived unchanged
+    # latest truth). Only rows whose every column survived unchanged
     # are skipped; a genuine rewrite (any column moved) still scores.
-    carried = plus_raw.intersect(minus_raw)
+    #
+    # NARROW guard rows (r15, VERDICT r14 #1, guide §2.3/§8): the set
+    # comparison itself never needs the text — it only needs to DECIDE
+    # equality — so both sides project to (doc_id, xxhash64(all
+    # columns), null-bitmap) before the intersect. The delta's text is
+    # read once per side to compute the hash but never shuffled; at
+    # 100 TB the guard's exchange drops from the corpus-delta's bytes
+    # to ~20 bytes/row. Equivalence to whole-row null-safe equality:
+    # identical rows hash identically (deterministic functions), the
+    # null bitmap distinguishes rows that differ only in WHICH columns
+    # are null (xxhash64 skips null inputs, so ("a", NULL) and
+    # (NULL, "a") would otherwise collide), and two DIFFERENT rows
+    # with equal doc_id, bitmap and hash are a genuine 2^-64 xxhash64
+    # collision — whose failure direction here is skipping a re-score
+    # of a changed doc, the same exposure every hash-fingerprint dedup
+    # stage in this pipeline already accepts (test-pinned in
+    # tests/test_streaming.py). Rows the hash treats as DIFFERENT but
+    # whole-row equality would not (float ±0.0 flips) merely re-score
+    # deterministically — never wrong, just not skipped.
+    cols = plus_raw.columns
+    if len(cols) > 63:  # bitmap long overflows — whole-row fallback
+        _nb = F.concat_ws(
+            ",", *[F.col(c).isNull().cast("int").cast("string") for c in cols]
+        )
+    else:
+        _nb = F.lit(0).cast("long")
+        for _i, _c in enumerate(cols):
+            _nb = _nb + F.when(
+                F.col(_c).isNull(), F.lit(1 << _i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+
+    def _narrow(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.xxhash64(*[F.col(c) for c in cols]).alias("__h"),
+            _nb.alias("__nb"),
+        )
+
+    plus_n = _narrow(plus_raw)
+    carried = plus_n.intersect(_narrow(minus_raw))
     # dup-guard, carried branch (ADVICE r10): the skip below anti-
     # joins by doc_id ALONE, so a window holding BOTH a carried row
     # and a distinct extra + row for one doc_id would silently drop
@@ -758,8 +796,11 @@ def curation_refresh_delta_tick(
     # carried row itself (a distinct row, or a duplicate copy of the
     # carried one) trips it. exceptAll is bag semantics: it removes
     # exactly one instance per carried row, leaving the violators.
+    # Runs over the SAME narrow projections as the intersect, so the
+    # count is identical row-for-row to the old full-row form under
+    # the hash-equality argument above.
     n_mixed = (
-        plus_raw.join(
+        plus_n.join(
             carried.select("doc_id").distinct(), "doc_id"
         )
         .exceptAll(carried)
@@ -873,7 +914,20 @@ def curation_refresh_delta_tick(
             )
         )
         n_scored = stats_appended = None
-        stats_appended = stats.append(new_stats, txn=txn)
+        # rebalance before the state-log appends (r15, guide §6): the
+        # un-hinted append wrote ONE FILE PER UPSTREAM PARTITION — 32
+        # files per commit for a few thousand NARROW rows (the scoring
+        # cache's partition count leaks into the write; AQE's
+        # parallelismFirst coalescing never merges below core count).
+        # Every later ranking read then lists/schedules ticks×32 tiny
+        # files and the manifest stats walk pays 32 footer reads per
+        # commit. The rebalance is an AQE advisory-sized shuffle of
+        # ids+fingerprints (~1% of the delta's text bytes — this is
+        # exactly the r14 partitioned-write fix applied to the state
+        # logs); the blanket _write_commit_dir rebalance stays
+        # reverted because CORPUS commits carry text (measured
+        # regression, r14).
+        stats_appended = stats.append(new_stats.hint("rebalance"), txn=txn)
         new_grams = (
             _gram_features(
                 scored.where("is_kept").select("doc_id", "lang", "text")
@@ -882,7 +936,7 @@ def curation_refresh_delta_tick(
             .agg(F.count(F.lit(1)).alias("c"))
             .withColumn("__v", F.lit(int(cur)).cast("long"))
         )
-        grams.append(new_grams, txn=txn)
+        grams.append(new_grams.hint("rebalance"), txn=txn)
         n_scored = scored.count()
     finally:
         scored.unpersist()

@@ -948,23 +948,64 @@ def test_local_rows_df_semantics_and_jvm_local_relation(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["x", "y"]
 
+    # r15 (ADVICE r14): float NaN is a VALUE, not a null — the r14
+    # pandas route silently coerced NaN to NULL, which would drop a
+    # NaN weight/score out of join arithmetic that createDataFrame's
+    # row path propagated
+    import math
 
-def test_spread_skips_shuffle_when_already_parallel(spark):
-    """r14 parallelism contract: spread() repartitions a below-
+    nan_df = local_rows_df(
+        spark,
+        [(1, float("nan")), (2, None), (3, 0.5)],
+        "id long, w double",
+    )
+    got = {r["id"]: r["w"] for r in nan_df.collect()}
+    assert math.isnan(got[1])
+    assert got[2] is None
+    assert got[3] == 0.5
+
+
+def test_spread_skips_shuffle_when_already_parallel(spark, tmp_path):
+    """r14/r15 parallelism contract: spread() repartitions a below-
     parallelism input (the local small-file fix) but passes an
-    already-parallel frame through IDENTICALLY — no Exchange, so at
-    scale the kernels never pay a payload shuffle for it."""
-    from data_engineer_challenge_spark.parallelism import spread
+    already-parallel SCAN through IDENTICALLY — no Exchange, so at
+    scale the kernels never pay a payload shuffle for it. r15 (ADVICE
+    r14): the probe is JOB-FREE — it estimates scan parallelism from
+    the plan shape + file sizes instead of df.rdd (which finalizes the
+    AQE plan and EXECUTES upstream stages); non-scan frames fall back
+    to the always-correct unconditional repartition."""
+    from data_engineer_challenge_spark.parallelism import (
+        _scan_parallelism,
+        spread,
+    )
 
     par = spark.sparkContext.defaultParallelism
-    narrow = spark.range(100).coalesce(1)
-    wide = spark.range(1000).repartition(par + 4, "id")
 
+    # a multi-file scan whose estimated split count >= parallelism
+    # (openCost-dominated packing: N small files ≈ N x 4 MB, so the
+    # estimate lands at ~par when N >= par) passes through untouched
+    wide_path = str(tmp_path / "wide")
+    spark.range(1000).repartition(2 * par).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path).select("id").where("id >= 0")
+    assert (_scan_parallelism(wide) or 0) >= par
+    out_w = spread(wide, "id")
+    assert out_w is wide  # identity: not even a new plan node
+
+    # a single-file scan is below parallelism -> spread
+    narrow_path = str(tmp_path / "narrow")
+    spark.range(100).coalesce(1).write.parquet(narrow_path)
+    narrow = spark.read.parquet(narrow_path)
+    assert (_scan_parallelism(narrow) or 99) < par
     out_n = spread(narrow, "id")
     assert out_n.rdd.getNumPartitions() >= par
 
-    out_w = spread(wide, "id")
-    assert out_w is wide  # identity: not even a new plan node
+    # a non-scan frame (upstream exchange) has no job-free proof:
+    # the probe returns None and spread falls back to the
+    # unconditional repartition (pre-r14 behavior, never .rdd)
+    agg = wide.groupBy("id").count()
+    assert _scan_parallelism(agg) is None
+    out_a = spread(agg, "id")
+    assert out_a is not agg
 
     # results are partitioning-independent (the kernels' contract)
     assert sorted(r["id"] for r in out_n.collect()) == list(range(100))

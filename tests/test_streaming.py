@@ -1906,6 +1906,95 @@ def test_curation_delta_carried_dup_guard(spark, tmp_path):
         curation_refresh_delta_tick(spark, corpus, sel, state)
 
 
+def test_curation_delta_narrow_guard_equivalence(spark, tmp_path):
+    """r15 (VERDICT r14 #1): the carried-survivor guard compares
+    NARROW (doc_id, xxhash64(all columns), null-bitmap) rows instead
+    of whole rows, so the delta's text never crosses the guard's
+    exchange. This pins the equivalence cases the hash argument rests
+    on:
+
+    - byte-identical carried rows still skip re-scoring (a pure
+      retraction scores ZERO docs — the driver row's tick-2 assert);
+    - a rewrite that changes only WHICH column is null re-scores (the
+      null bitmap distinguishes what xxhash64's null-skipping alone
+      would collide: ("x", NULL) vs (NULL, "x"));
+    - a rewrite that changes a value re-scores (hash differs);
+    - and the state-log appends land ONE file per commit, not one
+      per upstream partition (the r15 rebalance — tick reads would
+      otherwise schedule ticks x partitions tiny files)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_challenge_spark.localrel import local_rows_df
+    from data_engineer_challenge_spark.operators.snapshot import (
+        SnapshotTable,
+    )
+    from data_engineer_challenge_spark.streaming.ingest import (
+        curation_refresh_delta_tick,
+    )
+
+    rows = [
+        (1, "en", "alpha beta gamma"),
+        (2, None, "delta epsilon"),  # lang null
+        (3, "en", None),  # text null
+        (4, "fr", "zeta eta theta"),
+    ]
+    docs = local_rows_df(spark, rows, "doc_id long, lang string, text string")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"))
+    corpus.append(docs.repartition(8), txn="b0")  # multi-partition load
+    sel = SnapshotTable(spark, str(tmp_path / "sel"))
+    state = str(tmp_path / "state")
+    r1 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r1["fired"] and r1["docs_scored"] == 4
+
+    # every state-log commit holds ONE data file despite the 8-way load
+    for log in ("stats", "grams"):
+        data = os.path.join(state, log, "_data")
+        for c in os.listdir(data):
+            files = [
+                f
+                for f in os.listdir(os.path.join(data, c))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (log, c, files)
+
+    # pure retraction: every survivor re-emits byte-identical -> the
+    # narrow keys match and NOTHING re-scores
+    corpus.delete_where([("doc_id", "=", 4)])
+    r2 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r2["fired"] and r2["docs_scored"] == 0
+
+    # null-position flip: doc 2 (lang NULL) rewrites to text NULL with
+    # the same non-null value moving columns — xxhash64 skips nulls so
+    # the 64-bit hashes COLLIDE by construction; the null bitmap must
+    # still force a re-score
+    corpus.delete_where([("doc_id", "=", 2)])
+    corpus.append(
+        local_rows_df(
+            spark,
+            [(2, "delta epsilon", None)],
+            "doc_id long, lang string, text string",
+        ),
+        txn="b2",
+    )
+    r3 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r3["fired"] and r3["docs_scored"] == 1
+
+    # value rewrite: carried hash differs -> re-scores
+    corpus.delete_where([("doc_id", "=", 1)])
+    corpus.append(
+        local_rows_df(
+            spark,
+            [(1, "en", "alpha beta gamma v2")],
+            "doc_id long, lang string, text string",
+        ),
+        txn="b3",
+    )
+    r4 = curation_refresh_delta_tick(spark, corpus, sel, state)
+    assert r4["fired"] and r4["docs_scored"] == 1
+
+
 def test_curation_state_vacuum(spark, tmp_path):
     """r11: state-log retention composes with the delta refresh. The
     tick's housekeeping now vacuums the logs after each fold (600 s

@@ -24,8 +24,13 @@ def main() -> None:
         try:
             plans.REGISTRY[n].builder(spark, warm).write.format("noop").mode(
                 "overwrite").save()
-        except Exception:
-            pass
+        except Exception as exc:  # visible, not swallowed (r15 ADVICE):
+            # a builder broken at sf0.001 would otherwise be timed cold
+            # with no hint the warmup never ran
+            print(
+                f"warmup failed for {n}: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
     spark.catalog.clearCache()
     out = {}
     for n in names:
