@@ -291,14 +291,37 @@ class MinHashIndex:
             # bucket. (The shingles side previously got 1 file/dir only
             # by the accident that repartition(par, "id") and
             # pmod(hash(id), bh_buckets) agree when par == bh_buckets.)
-            base.withColumn("id_bucket", self._bucket_expr("id")).hint(
-                "rebalance", "id_bucket"
-            ).write.partitionBy("id_bucket").mode(mode).parquet(
-                self._shingles_dir()
-            )
-            banded.hint("rebalance", "bh_bucket").write.partitionBy(
-                "bh_bucket"
-            ).mode(mode).parquet(self._bands_dir())
+            # the two writes are independent jobs over the SAME cached
+            # base — overlap them (r15, guide §2.6): the second job's
+            # tasks back-fill executors freed by the first one's tail
+            # instead of paying two serial scheduler round-trips +
+            # tails per append. Order-freedom: both stores are blind
+            # membership adds; a crash leaving either side ahead reads
+            # exactly like the old crash-between-writes window (a band
+            # row without its shingle row drops out of the verify
+            # join's inner match, a shingle row without bands is never
+            # a candidate), and the ingest loops' replay/heal story
+            # converges either way. Cache races are safe: concurrent
+            # computation of one cached partition serializes on the
+            # BlockManager's per-partition load lock.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_shingles() -> None:
+                base.withColumn(
+                    "id_bucket", self._bucket_expr("id")
+                ).hint("rebalance", "id_bucket").write.partitionBy(
+                    "id_bucket"
+                ).mode(mode).parquet(self._shingles_dir())
+
+            def _w_bands() -> None:
+                banded.hint("rebalance", "bh_bucket").write.partitionBy(
+                    "bh_bucket"
+                ).mode(mode).parquet(self._bands_dir())
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(_w_shingles), pool.submit(_w_bands)]
+                for f in futs:
+                    f.result()  # re-raise either side's failure
         finally:
             base.unpersist()
 

@@ -180,9 +180,7 @@ class IncrementalAgg:
         if cursor >= cur:
             return None
         raw = self.source.read_changes_signed(cursor, cur)
-        delta_all = self._with_bucket(
-            self._aggregate_signed(raw)
-        ).localCheckpoint()
+        delta_all = self._with_bucket(self._aggregate_signed(raw))
         # null group keys have no null-safe path through the semi-join
         # + keyed merge below (null == null is never true), so a null
         # key would silently accumulate duplicate partial rows — fail
@@ -206,17 +204,20 @@ class IncrementalAgg:
             self.sum_cols,
             F.lit(True),
         )
-        delta = delta_all.where(~noop)
-        # ONE driver action over the (tiny, checkpointed) delta frame
-        # carries every per-tick decision: the null-key guard, the
-        # empty-after-noop check, the touched-bucket set, and the
-        # group-key envelope. These were four separate actions — four
-        # scheduler round-trips per tick; at a 30 s trigger cadence the
-        # round-trips, not the data, dominate the tick budget. The
+        # ALL per-tick decisions ride the delta's own checkpoint as
+        # observed metrics (r15 — previously r14's single collect job
+        # over the checkpointed frame; now ZERO extra jobs): the
+        # null-key guard, the empty-after-noop check, the
+        # touched-bucket set, and the group-key envelope all compute
+        # during the same action that materializes the delta. The
         # conditional aggregates (collect_set/min/max over
         # when(~noop, ...)) skip null inputs, so noop rows vanish from
         # the proofs exactly as the old delta-side aggregate had it.
-        env = delta_all.agg(
+        from pyspark.sql.observation import Observation
+
+        env_obs = Observation()
+        delta_all = delta_all.observe(
+            env_obs,
             F.count(F.when(any_null, 1)).alias("__nulls"),
             F.count(F.when(~noop, 1)).alias("__n_delta"),
             F.collect_set(F.when(~noop, F.col(BUCKET_COL))).alias("__kbs"),
@@ -228,7 +229,9 @@ class IncrementalAgg:
                     F.max(F.when(~noop, F.col(k))).alias(f"__hi_{k}"),
                 )
             ],
-        ).collect()[0]
+        ).localCheckpoint()
+        delta = delta_all.where(~noop)
+        env = env_obs.get
         if env["__nulls"]:
             raise ValueError(
                 f"null values in group columns {self.group_cols}: "
@@ -289,6 +292,13 @@ class IncrementalAgg:
             self.group_cols,
             "left_semi",
         )
+        # the negative-count guard rides the fold's checkpoint as an
+        # observed metric (r15, guide §2.6): the old separate
+        # limit(1).count() job per tick re-scanned the checkpoint just
+        # to validate it
+        from pyspark.sql.observation import Observation
+
+        obs = Observation()
         folded = (
             existing.unionByName(delta)
             .groupBy(*self.group_cols, BUCKET_COL)
@@ -299,10 +309,15 @@ class IncrementalAgg:
                     for c in self.sum_cols
                 ],
             )
-        ).localCheckpoint()
+            .observe(
+                obs,
+                F.count(F.when(F.col("n_rows") < 0, 1)).alias("__neg"),
+            )
+            .localCheckpoint()
+        )
         # a negative folded count means the feed retracted rows the
         # view never absorbed — corrupt state; refuse to commit it
-        if folded.where(F.col("n_rows") < 0).limit(1).count():
+        if obs.get["__neg"]:
             raise ValueError(
                 "subtractive fold drove a group count below zero — "
                 "change feed and view disagree (was the view edited "

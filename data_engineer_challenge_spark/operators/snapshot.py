@@ -816,73 +816,94 @@ class SnapshotTable:
             raise ValueError("merge requires at least one key column")
         if txn is not None and self._txn_seen(txn):
             return None
+        import functools
+
         batch = batch.localCheckpoint()  # read 3x: validate+envelope+write
-        # a batch with duplicate keys has no well-defined upsert result
-        # (which row wins?) — refuse, as Delta does on multiple source
-        # matches, instead of silently persisting duplicate keys.
-        # Rows with ANY null key are excluded from the check: under the
-        # merge's null-unsafe equality they match nothing and are plain
-        # inserts, so two null-key rows are not duplicates of anything
-        dup = (
-            batch.where(
-                F.lit(True)
-                & __import__("functools").reduce(
-                    lambda a, k: a & F.col(k).isNotNull(), keys, F.lit(True)
-                )
-            )
-            .groupBy(*keys)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"merge batch contains duplicate keys on {keys}; "
-                "deduplicate deterministically first (e.g. "
-                "operators.dedup.keep_first_dedup)"
-            )
         in_extra = [c for c in (in_cols or []) if c not in keys]
         if deletes is not None:
             deletes = (
                 deletes.select(*keys, *in_extra).distinct().localCheckpoint()
             )
-            if not deletes.limit(1).count():
-                deletes = None
+        # ONE driver action over the two checkpointed inputs carries
+        # every pre-write decision (r15, guide §2.6 — these were FIVE
+        # separate jobs per merge, each a scheduler round-trip: the
+        # duplicate-key guard, the deletes-emptiness probe, the
+        # batch∩deletes overlap guard, the key-range envelope and the
+        # per-in-col distinct sets). Semantics are unchanged item by
+        # item:
+        # - dup guard: rows with ANY null key are excluded (under the
+        #   merge's null-unsafe equality they match nothing and are
+        #   plain inserts), exactly the old where(nonnull) pre-filter —
+        #   here the per-group batch count is max'd over non-null-key
+        #   groups only;
+        # - overlap: null keys never matched the old left_semi either;
+        # - envelope: min/max over group keys equals min/max over rows
+        #   (both skip nulls);
+        # - in-sets: collect_set skips nulls exactly as the old
+        #   distinct + envelope_literal(None) filter did.
+        nonnull = functools.reduce(
+            lambda a, k: a & F.col(k).isNotNull(), keys, F.lit(True)
+        )
+        src = batch.select(
+            *keys, *in_extra, F.lit(1).alias("__b"), F.lit(0).alias("__d")
+        )
         if deletes is not None:
-            overlap = (
-                batch.join(deletes, keys, "left_semi").limit(1).count()
-            )
-            if overlap:
-                raise ValueError(
-                    f"merge: key(s) present in both batch and deletes "
-                    f"on {keys} — upsert-or-delete per key is ambiguous"
+            src = src.unionByName(
+                deletes.select(
+                    *keys,
+                    *in_extra,
+                    F.lit(0).alias("__b"),
+                    F.lit(1).alias("__d"),
                 )
+            )
+        range_keys = [k for k in keys if k not in set(in_cols or [])]
+        in_key_cols = [k for k in (in_cols or []) if k in keys]
+        grouped = src.groupBy(*keys).agg(
+            F.sum("__b").alias("__nb"),
+            F.sum("__d").alias("__nd"),
+            *[F.collect_set(c).alias(f"__s_{c}") for c in in_extra],
+        )
+        env = grouped.agg(
+            F.max(F.when(nonnull, F.col("__nb"))).alias("__maxdup"),
+            F.sum("__nd").alias("__ndel"),
+            F.max(
+                F.when(
+                    nonnull & (F.col("__nb") > 0) & (F.col("__nd") > 0), 1
+                )
+            ).alias("__overlap"),
+            *[
+                f
+                for k in range_keys
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ],
+            *[F.collect_set(k).alias(f"__in_{k}") for k in in_key_cols],
+            *[
+                F.array_distinct(F.flatten(F.collect_set(f"__s_{c}")))
+                .alias(f"__in_{c}")
+                for c in in_extra
+            ],
+        ).collect()[0]
+        if (env["__maxdup"] or 0) > 1:
+            raise ValueError(
+                f"merge batch contains duplicate keys on {keys}; "
+                "deduplicate deterministically first (e.g. "
+                "operators.dedup.keep_first_dedup)"
+            )
+        if not env["__ndel"]:
+            deletes = None
+        if deletes is not None and env["__overlap"]:
+            raise ValueError(
+                f"merge: key(s) present in both batch and deletes "
+                f"on {keys} — upsert-or-delete per key is ambiguous"
+            )
         v = self.current_version()
         if v is None:
             return self.append(batch, txn=txn, cursor=cursor)
         m = self._manifest(v)
         stats = m.get("stats", {})
-        env_keys = (
-            batch.select(*keys, *in_extra)
-            if deletes is None
-            else batch.select(*keys, *in_extra).unionByName(deletes)
-        )
-        range_keys = [k for k in keys if k not in set(in_cols or [])]
-        env = (
-            env_keys.agg(
-                *[
-                    f
-                    for k in range_keys
-                    for f in (
-                        F.min(k).alias(f"__lo_{k}"),
-                        F.max(k).alias(f"__hi_{k}"),
-                    )
-                ]
-            ).collect()[0]
-            if range_keys
-            else None
-        )
         where = []
         for k in range_keys:
             lo = envelope_literal(env[f"__lo_{k}"])
@@ -895,8 +916,7 @@ class SnapshotTable:
             vals = sorted(
                 v
                 for v in (
-                    envelope_literal(r[0])
-                    for r in env_keys.select(k).distinct().collect()
+                    envelope_literal(x) for x in (env[f"__in_{k}"] or [])
                 )
                 if v is not None
             )

@@ -1779,21 +1779,34 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.similarity import brute_force_topk_vectorized
 
         # NULL labels never satisfy label = L or label <> L, so the
-        # expression path (and the oracle) silently exclude them;
-        # filtering before the sort keeps the kernel path's semantics
-        # identical instead of raising on None < str
-        labels = sorted(
-            r["label"]
-            for r in emb.select("label")
-            .where(F.col("label").isNotNull())
-            .distinct()
+        # expression path (and the oracle) silently exclude them.
+        # ONE collect feeds every per-label kernel pass (r15, guide
+        # §2.6): the r12–r14 loop ran a labels-distinct job plus one
+        # query-collect job PER LABEL (11 sequential driver
+        # round-trips at build); the query vectors are driver-bounded
+        # by construction (the kernel ships them in its closure
+        # anyway), so collecting them once and handing each pass a
+        # LocalRelation slice removes every per-label job. A corpus
+        # label with no queries contributed an EMPTY kernel pass
+        # before — skipping it emits the identical row set.
+        qrows = (
+            emb.filter(
+                (F.col("vec_id") % 100 == 0) & F.col("label").isNotNull()
+            )
+            .select("vec_id", "label", "embedding")
             .collect()
         )
+        by_lab: dict = {}
+        for r in qrows:
+            by_lab.setdefault(r["label"], []).append(
+                (r["vec_id"], r["embedding"])
+            )
+        vec_t = emb.schema["embedding"].dataType.simpleString()
         parts = []
-        for lab in labels:
-            qs = emb.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("label") == lab)
-            ).select(F.col("vec_id").alias("q_id"), "embedding")
+        for lab in sorted(by_lab):
+            qs = local_rows_df(
+                spark, by_lab[lab], f"q_id long, embedding {vec_t}"
+            )
             cand = emb.filter(F.col("label") != lab).select(
                 F.col("vec_id").alias("c_id"), "embedding"
             )
@@ -1929,20 +1942,32 @@ def emb_training_triplets(
 
             # same NULL-label posture as emb_hard_negatives: NULLs
             # match neither side of the label predicate, so exclude
-            # them up front instead of raising on None < str
-            labels = sorted(
-                r["label"]
-                for r in emb.select("label")
-                .where(F.col("label").isNotNull())
-                .distinct()
+            # them up front instead of raising on None < str. ONE
+            # collect feeds every per-label pass (r15 — the
+            # emb_hard_negatives fix): the queries are driver-bounded
+            # (the kernel ships them in its closure anyway), so each
+            # pass gets a LocalRelation slice instead of its own
+            # query-collect job; a label with no queries was an empty
+            # pass before and is skipped now — identical rows.
+            qrows = (
+                emb.filter(
+                    (F.col("vec_id") % 100 == 0)
+                    & F.col("label").isNotNull()
+                )
+                .select("vec_id", "label", "embedding")
                 .collect()
             )
+            by_lab: dict = {}
+            for r in qrows:
+                by_lab.setdefault(r["label"], []).append(
+                    (r["vec_id"], r["embedding"])
+                )
+            vec_t = emb.schema["embedding"].dataType.simpleString()
             parts = []
-            for lab in labels:
-                qs = emb.filter(
-                    (F.col("vec_id") % 100 == 0)
-                    & (F.col("label") == lab)
-                ).select(F.col("vec_id").alias("q_id"), "embedding")
+            for lab in sorted(by_lab):
+                qs = local_rows_df(
+                    spark, by_lab[lab], f"q_id long, embedding {vec_t}"
+                )
                 cand_pred = (
                     (F.col("label") == lab)
                     if same_label
